@@ -1,0 +1,19 @@
+"""georay — a from-scratch Ray-Data-native spatial join + tiling engine with
+GDAL's query/data-processing capabilities (reference analyzed in SURVEY.md).
+
+Layers:
+
+* pure-math kernels (no Ray): :mod:`georay.mercator`, :mod:`georay.cells`,
+  :mod:`georay.geom`, :mod:`georay.rtree`, :mod:`georay.png`,
+  :mod:`georay.codecs`
+* fixtures: :mod:`georay.fixtures` (deterministic image/polygon/point tables)
+* Ray Data stages & pipelines: :mod:`georay.decode`, :mod:`georay.join`,
+  :mod:`georay.knn`, :mod:`georay.tiles`, :mod:`georay.stats`,
+  :mod:`georay.dedup`, :mod:`georay.text`, :mod:`georay.ann`,
+  :mod:`georay.checkpoint`, :mod:`georay.pipelines`
+
+None of these call ``ray.init()`` — the session is owned by the caller
+(driver / tests / bench.py).
+"""
+
+__version__ = "0.1.0"

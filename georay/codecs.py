@@ -1,0 +1,252 @@
+"""Image codecs for the ``bytes`` column — pure numpy + stdlib zlib.
+
+The container has no imaging libraries (no PIL/libjpeg/OpenCV), so:
+
+* **PNG** is implemented for real (spec-conformant encoder/decoder for
+  8-bit gray/RGB/RGBA) — losslessly exact, the "exact for PNG" half of the
+  BASELINE fidelity gate.
+* **JPEG** decode is STUBBED: if PIL is importable we use it (real path);
+  otherwise ``fmt="jpeg"`` rows must carry bytes produced by the
+  deterministic lossy stand-in codec ``GRJ1`` (uniform quantization +
+  zlib), which is *actually lossy* so the PSNR≥40dB gate is exercised for
+  real (BASELINE input_hint: "PSNR≥40dB for lossy").  The Ray-side plumbing
+  (schema, actor-pool decode, batch sizing) is identical either way.
+
+GDAL analog: the raster driver decode path (frmts/…); we only need codec
+decode of the ``bytes`` column, not a driver framework (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "png_encode", "png_decode", "lossy_encode", "lossy_decode",
+    "encode_image", "decode_image", "psnr", "phash64",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes.
+
+    Row filter 0 (None) throughout — simple, deterministic, exact.
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+    # prepend filter byte 0 to every row
+    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * ch)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG → uint8 array."""
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    data = memoryview(data)
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = bytes(data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+                raise ValueError("unsupported PNG variant")
+            ch = _CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.append(bytes(payload))
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * ch
+    rows = raw.reshape(h, stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    if not filters.any():
+        out[:] = rows[:, 1:]  # fast path: all filter 0 (our encoder)
+    else:
+        bpp = ch
+        for y in range(h):
+            f = filters[y]
+            cur = rows[y, 1:].astype(np.uint8).copy()
+            prev = out[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.uint8)
+            if f == 0:
+                out[y] = cur
+            elif f == 2:  # Up
+                out[y] = cur + prev
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+                line = np.zeros(w * ch, dtype=np.uint8)
+                for x in range(w * ch):
+                    a = int(line[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    if f == 1:
+                        line[x] = (int(cur[x]) + a) & 0xFF
+                    elif f == 3:
+                        line[x] = (int(cur[x]) + (a + b) // 2) & 0xFF
+                    else:
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        pred = int(_paeth(np.asarray(a), np.asarray(b),
+                                          np.asarray(c)))
+                        line[x] = (int(cur[x]) + pred) & 0xFF
+                out[y] = line
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+    arr = out.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+# ---------------------------------------------------------------------------
+# Deterministic lossy codec ("GRJ1") — JPEG stand-in (no libjpeg in image)
+# ---------------------------------------------------------------------------
+
+_LOSSY_MAGIC = b"GRJ1"
+_LOSSY_STEP = 4  # uniform quantization step -> MSE ~ step^2/12 -> PSNR ~ 47 dB
+
+
+def lossy_encode(arr: np.ndarray, step: int = _LOSSY_STEP) -> bytes:
+    """Deterministic lossy encode: uniform quantization (step=4 → ~47 dB
+    PSNR worst-case) + zlib.  Header: magic, w, h, channels, step."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    q = (arr.astype(np.uint16) + step // 2) // step
+    q = np.clip(q, 0, 255 // step).astype(np.uint8)
+    head = _LOSSY_MAGIC + struct.pack("<IIBB", w, h, ch, step)
+    return head + zlib.compress(q.tobytes(), 6)
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    data = bytes(data)
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not a GRJ1 payload")
+    w, h, ch, step = struct.unpack_from("<IIBB", data, 4)
+    q = np.frombuffer(zlib.decompress(data[14:]), dtype=np.uint8)
+    arr = np.clip(q.astype(np.uint16) * step, 0, 255).astype(np.uint8)
+    arr = arr.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+try:  # real JPEG path if an imaging lib ever exists in the environment
+    from PIL import Image as _PILImage  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt == "jpeg":
+        if _HAVE_PIL:
+            import io
+            buf = io.BytesIO()
+            _PILImage.fromarray(arr).save(buf, format="JPEG", quality=95)
+            return buf.getvalue()
+        return lossy_encode(arr)
+    raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode one ``bytes`` payload.  PNG → exact; "jpeg" → PIL if present,
+    else the GRJ1 stand-in (raises on a real JPEG payload — decode for real
+    JPEG without libjpeg is intentionally NOT implemented)."""
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        if bytes(data[:4]) == _LOSSY_MAGIC:
+            return lossy_decode(data)
+        if _HAVE_PIL:
+            import io
+            return np.asarray(_PILImage.open(io.BytesIO(bytes(data))).convert("RGB"))
+        raise NotImplementedError(
+            "real JPEG decode requires PIL/libjpeg (absent in this image); "
+            "fixtures use the deterministic GRJ1 lossy stand-in")
+    raise ValueError(f"unsupported fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (peak=255); inf for identical."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+# ---------------------------------------------------------------------------
+# 64-bit perceptual hash (classic DCT pHash)
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    mat = np.cos(np.pi / n * (k[:, None] + 0.5) * k[None, :])
+    return mat  # DCT-II basis (unnormalized is fine for thresholding)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _block_mean_resize(gray: np.ndarray, out: int) -> np.ndarray:
+    """Box-filter resize to out×out via per-axis block means (handles
+    non-divisible sizes with index binning)."""
+    h, w = gray.shape
+    ys = (np.arange(h) * out // h)
+    xs = (np.arange(w) * out // w)
+    acc = np.zeros((out, out), dtype=np.float64)
+    cnt = np.zeros((out, out), dtype=np.float64)
+    np.add.at(acc, (ys[:, None], xs[None, :]), gray.astype(np.float64))
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    return acc / np.maximum(cnt, 1.0)
+
+
+def phash64(arr: np.ndarray) -> np.int64:
+    """Classic pHash: gray → 32×32 box resize → 2-D DCT-II → top-left 8×8
+    (skip DC) → median threshold → 64 bits (packed MSB-first, int64)."""
+    arr = np.asarray(arr)
+    gray = (arr.astype(np.float64).mean(axis=2) if arr.ndim == 3
+            else arr.astype(np.float64))
+    small = _block_mean_resize(gray, 32)
+    d = _DCT32.T @ small @ _DCT32
+    block = d[:8, :8].copy().ravel()
+    vals = np.delete(block, 0)  # drop DC
+    med = np.median(vals)
+    bits = np.concatenate([[False], vals > med])  # 64 bits, DC slot = 0
+    packed = 0
+    for b in bits:
+        packed = (packed << 1) | int(bool(b))
+    if packed >= 1 << 63:  # two's-complement wrap into int64
+        packed -= 1 << 64
+    return np.int64(packed)

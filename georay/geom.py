@@ -1,0 +1,269 @@
+"""Geometry kernel: WKB (de)serialization, vectorized point-in-polygon,
+envelopes, haversine distance.
+
+The data model follows OGR's Arrow bridge: geometry travels as a WKB
+``binary`` column tagged ``ogc.wkb`` (reference: ogr/ogrsf_frmts/generic/
+ogrlayerarrow.cpp:682, 2562).  WKB parse/encode here covers the subset the
+engine materializes (Point, Polygon, MultiPolygon, little-endian, 2-D) —
+the same subset GDAL's layer-algebra join actually exercises for PIP joins
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:2633-2850).
+
+Point-in-polygon uses the even-odd (ray casting) rule so holes "just work"
+when all rings contribute edges — matching GEOS ``Intersects`` semantics for
+point×polygon.  The hot path is :meth:`PackedPolygons.contains_pairs`, a
+fully vectorized candidate-pair evaluator designed to run inside
+``map_batches`` after an R-tree bbox pretest (the pretest mirrors
+ogrlayer.cpp:2714-2733's envelope pretest).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "wkb_point",
+    "wkb_polygon",
+    "wkb_multipolygon",
+    "parse_wkb",
+    "wkb_envelope",
+    "PackedPolygons",
+    "haversine_m",
+    "box_ring",
+]
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    """Little-endian WKB Point (ogr/ogrgeometry.cpp exportToWkb semantics)."""
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_polygon(rings) -> bytes:
+    """WKB Polygon from a list of rings; each ring is an (N, 2) array-like.
+
+    Rings need not be explicitly closed — a closing vertex is appended when
+    missing (OGR closes rings on import, ogr/ogrcurve.cpp).
+    """
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", r.shape[0]))
+        out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys) -> bytes:
+    """WKB MultiPolygon; ``polys`` = list of ring-lists."""
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+def _parse_rings(buf: memoryview, off: int):
+    (n_rings,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(n_rings):
+        (n_pts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        arr = np.frombuffer(buf, dtype="<f8", count=n_pts * 2, offset=off)
+        rings.append(arr.reshape(n_pts, 2).astype(np.float64))
+        off += n_pts * 16
+    return rings, off
+
+
+def parse_wkb(buf: bytes):
+    """Parse little-endian WKB → ``("point", (x, y))`` or
+    ``("polygon", [rings])`` (MultiPolygon flattens to one ring list —
+    sufficient for even-odd PIP)."""
+    buf = memoryview(buf)
+    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    geom_type &= 0xFF  # strip Z/M/SRID flag space
+    if geom_type == _WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, 5)
+        return "point", (x, y)
+    if geom_type == _WKB_POLYGON:
+        rings, _ = _parse_rings(buf, 5)
+        return "polygon", rings
+    if geom_type == _WKB_MULTIPOLYGON:
+        (n_polys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        rings = []
+        for _ in range(n_polys):
+            sub_order, sub_type = struct.unpack_from("<BI", buf, off)
+            if sub_type & 0xFF != _WKB_POLYGON:
+                raise ValueError("MultiPolygon member is not a Polygon")
+            sub_rings, off = _parse_rings(buf, off + 5)
+            rings.extend(sub_rings)
+        return "polygon", rings
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+def wkb_envelope(buf: bytes):
+    """(minx, miny, maxx, maxy) of a WKB geometry — OGR ``getEnvelope``."""
+    kind, data = parse_wkb(buf)
+    if kind == "point":
+        x, y = data
+        return x, y, x, y
+    pts = np.vstack(data)
+    return (float(pts[:, 0].min()), float(pts[:, 1].min()),
+            float(pts[:, 0].max()), float(pts[:, 1].max()))
+
+
+def box_ring(minx, miny, maxx, maxy):
+    """CCW rectangle ring (closed)."""
+    return np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype=np.float64,
+    )
+
+
+@dataclass
+class PackedPolygons:
+    """A polygon set packed into flat numpy arrays for vectorized PIP.
+
+    This is the broadcast side of the spatial join: built once on the
+    driver, ``ray.put()`` once, deserialized once per actor (SURVEY.md
+    §2.3) — the Ray analog of GDAL holding GEOS prepared geometries per
+    outer feature (ogrlayer.cpp:2757-2766).
+
+    Layout: every ring of every polygon contributes its edges to four flat
+    arrays (x1, y1, x2, y2); ``edge_starts[i]:edge_starts[i+1]`` slices the
+    edges of polygon *i*; ``bbox`` is the per-polygon envelope used for the
+    pretest (ogrlayer.cpp:2714-2733).
+    """
+
+    x1: np.ndarray
+    y1: np.ndarray
+    x2: np.ndarray
+    y2: np.ndarray
+    edge_starts: np.ndarray  # int64, len = n_polys + 1
+    bbox: np.ndarray  # (n_polys, 4) minx, miny, maxx, maxy
+    ids: np.ndarray | None = None  # optional caller payload per polygon
+
+    @classmethod
+    def from_wkb(cls, wkbs, ids=None) -> "PackedPolygons":
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        starts = [0]
+        bboxes = np.empty((len(wkbs), 4), dtype=np.float64)
+        n_edges = 0
+        for i, buf in enumerate(wkbs):
+            kind, rings = parse_wkb(bytes(buf))
+            if kind != "polygon":
+                raise ValueError("PackedPolygons requires polygon WKB")
+            minx = miny = np.inf
+            maxx = maxy = -np.inf
+            for r in rings:
+                if r.shape[0] < 2:
+                    continue
+                xs1.append(r[:-1, 0]); ys1.append(r[:-1, 1])
+                xs2.append(r[1:, 0]); ys2.append(r[1:, 1])
+                n_edges += r.shape[0] - 1
+                minx = min(minx, r[:, 0].min()); maxx = max(maxx, r[:, 0].max())
+                miny = min(miny, r[:, 1].min()); maxy = max(maxy, r[:, 1].max())
+            starts.append(n_edges)
+            bboxes[i] = (minx, miny, maxx, maxy)
+        cat = (lambda parts: np.concatenate(parts) if parts
+               else np.empty(0, dtype=np.float64))
+        return cls(
+            x1=cat(xs1), y1=cat(ys1), x2=cat(xs2), y2=cat(ys2),
+            edge_starts=np.asarray(starts, dtype=np.int64),
+            bbox=bboxes,
+            ids=None if ids is None else np.asarray(ids),
+        )
+
+    @property
+    def n_polys(self) -> int:
+        return len(self.edge_starts) - 1
+
+    def edge_counts(self) -> np.ndarray:
+        return np.diff(self.edge_starts)
+
+    def contains_pairs(self, px, py, point_idx, poly_idx) -> np.ndarray:
+        """Evaluate candidate (point, polygon) pairs; returns a bool mask.
+
+        ``point_idx[i]`` indexes into ``px``/``py``; ``poly_idx[i]`` into this
+        set.  Fully vectorized: pairs are expanded to (pair, edge) rows via
+        ``np.repeat`` on per-polygon edge counts, edge crossings are computed
+        in one shot, and crossing parity is reduced per pair with
+        ``np.add.reduceat``.  Even-odd rule; a point exactly on a horizontal
+        boundary follows the half-open ``(y1 > py) != (y2 > py)`` convention.
+        """
+        point_idx = np.asarray(point_idx, dtype=np.int64)
+        poly_idx = np.asarray(poly_idx, dtype=np.int64)
+        if point_idx.size == 0:
+            return np.zeros(0, dtype=bool)
+        counts = self.edge_counts()[poly_idx]
+        pair_offsets = np.concatenate([[0], np.cumsum(counts)])
+        total = int(pair_offsets[-1])
+        if total == 0:
+            return np.zeros(point_idx.shape[0], dtype=bool)
+        # edge index per (pair, edge) row
+        rep_pair = np.repeat(np.arange(poly_idx.shape[0]), counts)
+        base = np.repeat(self.edge_starts[poly_idx], counts)
+        within = np.arange(total) - np.repeat(pair_offsets[:-1], counts)
+        e = base + within
+        ppx = np.asarray(px, dtype=np.float64)[point_idx][rep_pair]
+        ppy = np.asarray(py, dtype=np.float64)[point_idx][rep_pair]
+        y1, y2 = self.y1[e], self.y2[e]
+        x1, x2 = self.x1[e], self.x2[e]
+        straddle = (y1 > ppy) != (y2 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
+        crossing = straddle & (ppx < xint)
+        # parity per pair
+        crossings = np.add.reduceat(crossing.astype(np.int64), pair_offsets[:-1])
+        crossings[counts == 0] = 0
+        return (crossings % 2) == 1
+
+    def contains_brute(self, px, py) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_idx, poly_idx) hits by brute force with bbox pretest.
+
+        Test oracle (FIXTURES.md golden oracle #2) — O(points × polys);
+        only for fixtures-sized inputs.
+        """
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        out_pt, out_pg = [], []
+        for j in range(self.n_polys):
+            minx, miny, maxx, maxy = self.bbox[j]
+            cand = np.nonzero((px >= minx) & (px <= maxx)
+                              & (py >= miny) & (py <= maxy))[0]
+            if cand.size == 0:
+                continue
+            mask = self.contains_pairs(px, py, cand,
+                                       np.full(cand.shape, j, dtype=np.int64))
+            hit = cand[mask]
+            out_pt.append(hit)
+            out_pg.append(np.full(hit.shape, j, dtype=np.int64))
+        if not out_pt:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        return np.concatenate(out_pt), np.concatenate(out_pg)
+
+
+def haversine_m(lat1, lon1, lat2, lon2, radius: float = 6371008.8):
+    """Great-circle distance in meters (mean earth radius 6371008.8 m).
+
+    Vectorized; used by the kNN refinement stage (SURVEY.md §2.4: H3 k-ring
+    expansion + haversine refinement).
+    """
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = np.radians(np.asarray(lon2, dtype=np.float64)
+                      - np.asarray(lon1, dtype=np.float64))
+    a = (np.sin(dlat / 2.0) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2)
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

@@ -1,0 +1,140 @@
+"""S2 + hex-grid cell indexer tests.
+
+The S2 oracle here is an independent *scalar recursive* implementation of
+the Hilbert traversal (no lookup tables) — it validates the vectorized
+table-driven encoder the way GDAL validates drivers against gdaltest
+golden outputs.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from georay import cells as C
+
+_POS_TO_IJ = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]]
+_IJ_TO_POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+_POS_TO_ORIENT = [1, 0, 0, 3]
+
+
+def _scalar_s2_leaf(lat, lon):
+    phi, theta = math.radians(lat), math.radians(lon)
+    p = (math.cos(phi) * math.cos(theta),
+         math.cos(phi) * math.sin(theta),
+         math.sin(phi))
+    ax = [abs(v) for v in p]
+    axis = ax.index(max(ax))
+    face = axis if p[axis] > 0 else axis + 3
+    x, y, z = p
+    if face == 0:
+        uv = (y / x, z / x)
+    elif face == 1:
+        uv = (-x / y, z / y)
+    elif face == 2:
+        uv = (-x / z, -y / z)
+    elif face == 3:
+        uv = (z / x, y / x)
+    elif face == 4:
+        uv = (z / y, -x / y)
+    else:
+        uv = (-y / z, -x / z)
+
+    def st_(u):
+        return 0.5 * math.sqrt(1 + 3 * u) if u >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * u)
+
+    def ij(s):
+        return min(max(int(math.floor(s * (1 << 30))), 0), (1 << 30) - 1)
+
+    i, j = ij(st_(uv[0])), ij(st_(uv[1]))
+    # bit-by-bit Hilbert traversal, one level at a time
+    n = face << 60
+    orient = face & 1
+    pos = 0
+    for k in range(29, -1, -1):
+        bi = (i >> k) & 1
+        bj = (j >> k) & 1
+        ij2 = bi * 2 + bj
+        p4 = _IJ_TO_POS[orient][ij2]
+        pos = pos * 4 + p4
+        orient ^= _POS_TO_ORIENT[p4]
+    return (n | pos) * 2 + 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(-89.9, 89.9), st.floats(-180.0, 180.0))
+def test_s2_leaf_matches_scalar(lat, lon):
+    vec = int(C.s2_cell_id([lat], [lon], 30)[0])
+    assert vec == _scalar_s2_leaf(lat, lon)
+
+
+def test_s2_level_and_parent():
+    leaf = C.s2_cell_id([48.8566], [2.3522], 30)
+    assert int(C.s2_level(leaf)[0]) == 30
+    for lvl in (0, 5, 12, 29):
+        p = C.s2_parent(leaf, lvl)
+        assert int(C.s2_level(p)[0]) == lvl
+        # direct encode at that level must agree
+        assert int(C.s2_cell_id([48.8566], [2.3522], lvl)[0]) == int(p[0])
+
+
+def test_s2_faces_partition():
+    # six cardinal directions land on six distinct faces
+    pts = [(0, 0), (0, 90), (90, 0), (0, 180), (0, -90), (-90, 0)]
+    ids = C.s2_cell_id([p[0] for p in pts], [p[1] for p in pts], 0)
+    faces = set(int(i) >> 61 for i in ids)
+    assert faces == {0, 1, 2, 3, 4, 5}
+
+
+def test_s2_nearby_points_share_coarse_cell():
+    a = C.s2_cell_id([40.7128], [-74.0060], 10)
+    b = C.s2_cell_id([40.7130], [-74.0062], 10)
+    assert int(a[0]) == int(b[0])
+    a30 = C.s2_cell_id([40.7128], [-74.0060], 30)
+    b30 = C.s2_cell_id([40.7130], [-74.0062], 30)
+    assert int(a30[0]) != int(b30[0])
+
+
+def test_hex_roundtrip_and_kring():
+    lat = np.array([40.71, 51.5, -33.86])
+    lon = np.array([-74.0, -0.12, 151.2])
+    for res in (5, 9, 12):
+        cell = C.hex_cell(lat, lon, res)
+        assert (C.hex_res(cell) == res).all()
+        # the cell center must map back to the same cell
+        mx, my = C.hex_center_meters(cell)
+        assert np.array_equal(C.hex_cell_from_meters(mx, my, res), cell)
+        ring = C.hex_k_ring(cell, 2)
+        assert ring.shape == (3, 19)
+        d = C.hex_distance(np.repeat(cell, 19), ring.ravel())
+        assert d.max() == 2
+        # ring at exactly k
+        rk = C.hex_ring(cell, 2)
+        assert rk.shape == (3, 12)
+        assert (C.hex_distance(np.repeat(cell, 12), rk.ravel()) == 2).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-84.0, 84.0), st.floats(-179.9, 179.9))
+def test_hex_cell_contains_point(lat, lon):
+    """The cell assigned to a point must be the nearest cell center."""
+    from georay.mercator import latlon_to_meters
+    res = 9
+    cell = C.hex_cell([lat], [lon], res)
+    mx, my = latlon_to_meters(lat, lon)
+    ring = C.hex_k_ring(cell, 1)[0]
+    cx, cy = C.hex_center_meters(ring)
+    d = np.hypot(cx - float(mx), cy - float(my))
+    # the assigned cell's center is the nearest of the neighborhood
+    ocx, ocy = C.hex_center_meters(cell)
+    assert np.hypot(float(ocx) - float(mx), float(ocy) - float(my)) <= d.min() + 1e-6
+
+
+def test_hex_parent_coarser():
+    cell = C.hex_cell([40.71], [-74.0], 12)
+    par = C.hex_parent(cell, 10)
+    assert int(C.hex_res(par)[0]) == 10
+    # parent center within parent-radius of child center
+    cx, cy = C.hex_center_meters(cell)
+    px, py = C.hex_center_meters(par)
+    assert np.hypot(float(cx - px), float(cy - py)) <= float(C.hex_circumradius(10))

@@ -1,0 +1,125 @@
+"""Codec + fixture determinism tests (FIXTURES.md golden oracles #3)."""
+
+import numpy as np
+import pytest
+
+from georay import codecs as cd, fixtures as fx
+
+
+def test_png_roundtrip_exact():
+    for shape in [(16, 16, 3), (20, 64, 3), (7, 5, 4), (9, 9)]:
+        arr = (np.arange(np.prod(shape), dtype=np.int64) % 251).astype(np.uint8).reshape(shape)
+        assert np.array_equal(cd.png_decode(cd.png_encode(arr)), arr)
+
+
+def test_png_filtered_rows_decode():
+    """Decoder must handle filters 1/2 (other encoders emit them)."""
+    import struct
+    import zlib
+    arr = fx.pattern(3, 8, 4)
+    h, w, ch = arr.shape
+    rows = []
+    flat = arr.reshape(h, w * ch).astype(np.int16)
+    rows.append(b"\x00" + flat[0].astype(np.uint8).tobytes())
+    rows.append(b"\x02" + ((flat[1] - flat[0]) % 256).astype(np.uint8).tobytes())  # Up
+    sub = flat[2].copy()
+    sub[ch:] = (flat[2][ch:] - flat[2][:-ch]) % 256
+    rows.append(b"\x01" + sub.astype(np.uint8).tobytes())  # Sub
+    rows.append(b"\x00" + flat[3].astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(cd.png_decode(data), arr)
+
+
+def test_lossy_is_actually_lossy_but_over_40db():
+    arr = fx.pattern(11, 64, 64)
+    dec = cd.lossy_decode(cd.lossy_encode(arr))
+    assert not np.array_equal(dec, arr)  # genuinely lossy
+    assert cd.psnr(arr, dec) >= 40.0  # the BASELINE gate
+
+
+def test_psnr_identical_inf():
+    a = fx.pattern(1, 16, 16)
+    assert cd.psnr(a, a) == float("inf")
+
+
+def test_phash_properties():
+    a = fx.pattern(5, 64, 64)
+    assert cd.phash64(a) == cd.phash64(a)
+    # lossy-decoded version stays within small hamming distance
+    lossy = cd.lossy_decode(cd.lossy_encode(a))
+    ha, hb = int(cd.phash64(a)), int(cd.phash64(lossy))
+    ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+    # different pattern differs a lot
+    hc = int(cd.phash64(fx.pattern(123, 64, 64)))
+    assert bin((ha ^ hc) & ((1 << 64) - 1)).count("1") > 8
+
+
+def test_images_table_deterministic_and_dup_group():
+    t1 = fx.images_table(5)
+    t2 = fx.images_table(5)
+    assert t1.equals(t2)
+    assert t1.schema.equals(fx.IMAGE_SCHEMA)
+    row0 = fx.images_table(1, start=0)
+    row97 = fx.images_table(1, start=97)
+    assert row0["bytes"][0].as_py() == row97["bytes"][0].as_py()
+    assert row0["phash"][0].as_py() == row97["phash"][0].as_py()
+
+
+def test_image_decode_fidelity_gate():
+    t = fx.images_table(8)
+    for i in range(8):
+        fmt = t["fmt"][i].as_py()
+        data = t["bytes"][i].as_py()
+        w, h = t["w"][i].as_py(), t["h"][i].as_py()
+        dec = cd.decode_image(data, fmt)
+        assert dec.shape == (h, w, 3)
+        src_idx = 0 if i % 97 == 0 else i
+        src = fx.pattern(src_idx, w, h)
+        if fmt == "png":
+            assert np.array_equal(dec, src)
+        else:
+            assert cd.psnr(src, dec) >= 40.0
+
+
+def test_real_jpeg_without_pil_raises():
+    if cd._HAVE_PIL:
+        pytest.skip("PIL present")
+    with pytest.raises(NotImplementedError):
+        cd.decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32, "jpeg")
+
+
+def test_georef_deterministic_and_skewed():
+    idx = np.arange(5000)
+    g = fx.georef(idx, np.full(5000, 256.0), np.full(5000, 256.0))
+    g2 = fx.georef(idx, np.full(5000, 256.0), np.full(5000, 256.0))
+    assert np.array_equal(g["lat"], g2["lat"])
+    assert (np.abs(g["lat"]) <= 85).all()
+    assert (np.abs(g["lon"]) <= 180).all()
+    # skew: the densest 1-degree lon/lat box holds far more than uniform share
+    from georay.cells import hex_cell
+    cells = hex_cell(g["lat"], g["lon"], 5)
+    _, counts = np.unique(cells, return_counts=True)
+    assert counts.max() > 5000 * 0.03  # hotspot cells are hot
+
+
+def test_parse_image_idx():
+    ids = np.array(["img00000000", "img00000042", "img12345678"])
+    assert fx.parse_image_idx(ids).tolist() == [0, 42, 12345678]
+
+
+def test_write_images_parquet_idempotent(tmp_path):
+    import pyarrow.parquet as pq
+    p = str(tmp_path / "imgs")
+    fx.write_images_parquet(p, 10, rows_per_file=4)
+    fx.write_images_parquet(p, 10, rows_per_file=4)  # no-op second time
+    tbl = pq.read_table(p)
+    assert tbl.num_rows == 10

@@ -1,0 +1,115 @@
+"""WKB / point-in-polygon / R-tree / haversine tests."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from georay import geom as G
+from georay.rtree import PackedRTree, hilbert_xy2d
+
+
+def test_wkb_roundtrip_polygon():
+    ring = G.box_ring(0, 0, 10, 5)
+    buf = G.wkb_polygon([ring])
+    kind, rings = G.parse_wkb(buf)
+    assert kind == "polygon"
+    assert np.allclose(rings[0], ring)
+    assert G.wkb_envelope(buf) == (0, 0, 10, 5)
+
+
+def test_wkb_multipolygon_and_point():
+    buf = G.wkb_multipolygon([[G.box_ring(0, 0, 1, 1)],
+                              [G.box_ring(5, 5, 6, 6)]])
+    kind, rings = G.parse_wkb(buf)
+    assert kind == "polygon" and len(rings) == 2
+    kind, (x, y) = G.parse_wkb(G.wkb_point(3.5, -7.25))
+    assert kind == "point" and (x, y) == (3.5, -7.25)
+
+
+def test_pip_square_and_hole():
+    outer = G.box_ring(0, 0, 10, 10)
+    hole = G.box_ring(4, 4, 6, 6)
+    pp = G.PackedPolygons.from_wkb([G.wkb_polygon([outer, hole])])
+    px = np.array([2.0, 5.0, 11.0, 4.5])
+    py = np.array([2.0, 5.0, 5.0, 3.0])
+    m = pp.contains_pairs(px, py, np.arange(4),
+                          np.zeros(4, dtype=np.int64))
+    # inside, in-hole, outside, inside (below the hole)
+    assert m.tolist() == [True, False, False, True]
+
+
+def test_pip_concave():
+    # L-shape
+    ring = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]],
+                    dtype=np.float64)
+    pp = G.PackedPolygons.from_wkb([G.wkb_polygon([ring])])
+    px = np.array([0.5, 3.0, 3.0])
+    py = np.array([3.0, 0.5, 3.0])
+    m = pp.contains_pairs(px, py, np.arange(3), np.zeros(3, dtype=np.int64))
+    assert m.tolist() == [True, True, False]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_hilbert_locality_adjacent(x, y):
+    """Adjacent grid points differ by exactly 1 in Hilbert distance when
+    stepping along the curve — at minimum the function is injective on a
+    small neighborhood and inverse-free sanity holds."""
+    d = int(hilbert_xy2d(16, np.array([x]), np.array([y]))[0])
+    assert 0 <= d < 2**32
+    if x + 1 < 2**16:
+        d2 = int(hilbert_xy2d(16, np.array([x + 1]), np.array([y]))[0])
+        assert d2 != d
+
+
+def test_rtree_matches_brute_force():
+    rng = np.random.default_rng(42)
+    lo = rng.uniform(0, 100, (800, 2))
+    bbox = np.hstack([lo, lo + rng.uniform(0.5, 8, (800, 2))])
+    tree = PackedRTree.build(bbox)
+    qx = rng.uniform(0, 100, 200)
+    qy = rng.uniform(0, 100, 200)
+    qi, ii = tree.query_points(qx, qy)
+    got = set(zip(qi.tolist(), ii.tolist()))
+    expect = set()
+    for q in range(200):
+        hits = np.nonzero((bbox[:, 0] <= qx[q]) & (bbox[:, 2] >= qx[q])
+                          & (bbox[:, 1] <= qy[q]) & (bbox[:, 3] >= qy[q]))[0]
+        expect.update((q, int(h)) for h in hits)
+    assert got == expect and len(expect) > 100
+
+
+def test_rtree_box_query_matches_brute():
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 50, (300, 2))
+    bbox = np.hstack([lo, lo + rng.uniform(0.1, 2, (300, 2))])
+    tree = PackedRTree.build(bbox, node_size=8)
+    qi, ii = tree.query_boxes([10.0, 40.0], [10.0, 5.0], [20.0, 45.0], [20.0, 10.0])
+    for q, (minx, miny, maxx, maxy) in enumerate([(10, 10, 20, 20), (40, 5, 45, 10)]):
+        hits = set(ii[qi == q].tolist())
+        expect = set(np.nonzero((bbox[:, 0] <= maxx) & (bbox[:, 2] >= minx)
+                                & (bbox[:, 1] <= maxy) & (bbox[:, 3] >= miny))[0].tolist())
+        assert hits == expect
+
+
+def test_contains_brute_matches_pairs_path():
+    from georay import fixtures as fx
+    polys = fx.polygons_table(60)
+    pp = G.PackedPolygons.from_wkb(polys["wkb"].to_pylist())
+    pts = fx.points_table(300)
+    lon = pts["lon"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    pt_i, pg_i = pp.contains_brute(lon, lat)
+    # candidate pairs via rtree + contains_pairs must give the same set
+    tree = PackedRTree.build(pp.bbox)
+    qi, ii = tree.query_points(lon, lat)
+    mask = pp.contains_pairs(lon, lat, qi, ii)
+    got = set(zip(qi[mask].tolist(), ii[mask].tolist()))
+    assert got == set(zip(pt_i.tolist(), pg_i.tolist()))
+    assert len(got) > 0
+
+
+def test_haversine_known():
+    # Paris -> London ~343.5 km
+    d = float(G.haversine_m(48.8566, 2.3522, 51.5074, -0.1278))
+    assert 340_000 < d < 348_000
+    assert float(G.haversine_m(10, 20, 10, 20)) == 0.0
