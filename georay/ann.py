@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (``list<float>``) —
+training-data-pipeline extension.
+
+* :func:`ann_topk_bruteforce` — exact cosine top-k: the query matrix is
+  normalized once, ``ray.put`` once; every batch does one numpy matmul
+  against it and emits only its LOCAL top-k partials; a final tiny
+  ``groupby(query).map_groups`` merge yields the global top-k.  At 100 TB
+  this is the canonical "broadcast small side, partial-reduce large side"
+  shape — no full shuffle of the embedding table.
+* :func:`ann_topk_lsh` — the scale path: random-hyperplane bucket keys on
+  both sides; only buckets containing a query are scanned (multi-probe on
+  the query side raises recall).  Approximate by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["ann_topk_bruteforce", "ann_topk_lsh"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BruteForceScore:
+    """Actor: holds the normalized query matrix; per batch emits local
+    top-k (query_id, vec_id, cosine) partial rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+        q = (ray.get(queries_ref)
+             if not isinstance(queries_ref, tuple) else queries_ref)
+        self.q_ids, self.q_mat = q  # (nq,), (nq, dim) normalized
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = _normalize(vecs)
+        sim = self.q_mat @ vecs.T  # (nq, nb)
+        ids = batch[self.id_col].to_numpy()
+        k = min(self.k, sim.shape[1])
+        # local top-k per query (argpartition then exact sort of the slice)
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sim.shape[0]), k)
+        cols = part.ravel()
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.q_ids, k)),
+            self.id_col: pa.array(ids[cols]),
+            "cosine": pa.array(sim[rows, cols]),
+        })
+
+
+def ann_topk_bruteforce(ds, queries: pa.Table, k: int = 5, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "vec_id",
+                        batch_size: int = 4096, concurrency=None):
+    """Exact cosine top-k of each query row over the whole dataset.
+
+    Returns a Dataset of ``(query_id, rank, vec_id, cosine)`` — ranks by
+    (-cosine, vec_id) for deterministic ties."""
+    import pandas as pd
+    import ray
+    from .util import default_concurrency
+
+    q_ids = queries[query_id_col].to_numpy()
+    q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
+    ref = ray.put((q_ids, q_mat))
+
+    partials = ds.map_batches(
+        _BruteForceScore, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col,
+                                   vec_col=vec_col),
+        concurrency=concurrency or default_concurrency())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", id_col, "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
+def ann_topk_lsh(ds, queries: pa.Table, k: int = 5, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "vec_id", n_planes: int = 8,
+                 seed: int = 7, batch_size: int = 4096, concurrency=None):
+    """Approximate top-k: random-hyperplane signature buckets.  Each data
+    row is scanned only if its bucket matches a query bucket (or a 1-bit
+    probe neighborhood of one) — the IVF/LSH scale path."""
+    import pandas as pd
+    import ray
+    from .util import default_concurrency
+
+    q_ids = queries[query_id_col].to_numpy()
+    q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
+    dim = q_mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def sig(mat):
+        s = (mat @ planes) > 0
+        key = np.zeros(mat.shape[0], dtype=np.int64)
+        for b in range(n_planes):
+            key |= s[:, b].astype(np.int64) << b
+        return key
+
+    q_sig = sig(q_mat)
+    # multi-probe: query bucket + all 1-bit flips
+    probe = {int(s) for s in q_sig}
+    for s in q_sig:
+        for b in range(n_planes):
+            probe.add(int(s) ^ (1 << b))
+    ref = ray.put((q_ids, q_mat, q_sig))
+    probe_frozen = frozenset(probe)
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.q_sig = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            if vecs.size == 0:
+                return empty
+            vecs = _normalize(vecs)
+            keys = sig(vecs)
+            keep = np.array([int(kk) in probe_frozen for kk in keys])
+            if not keep.any():
+                return empty
+            vecs = vecs[keep]
+            ids = batch[id_col].to_numpy()[keep]
+            sim = self.q_mat @ vecs.T
+            kk = min(k, sim.shape[1])
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sim.shape[0]), kk)
+            cols = part.ravel()
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.q_ids, kk)),
+                id_col: pa.array(ids[cols]),
+                "cosine": pa.array(sim[rows, cols]),
+            })
+
+    partials = ds.map_batches(Score, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_concurrency())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", id_col, "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

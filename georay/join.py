@@ -1,0 +1,266 @@
+"""Spatial join (point-in-polygon) — OGR layer-algebra ``Intersection``
+semantics for the point×polygon case (ogr/ogrsf_frmts/generic/
+ogrlayer.cpp:2633-2850: envelope pretest 2714-2733 → prepared-geometry
+containment 2757-2808; attributes concatenated from both sides), built
+Ray-Data-first:
+
+* **Broadcast path** (default; polygon side ≪ point side): the packed
+  R-tree + edge arrays are built ONCE on the driver, ``ray.put`` ONCE, and
+  every join actor deserializes them once in ``__init__`` — never
+  re-shipped per batch.  Candidate pairs come from a vectorized batched
+  R-tree descent; the PIP test is one vectorized parity reduction.
+* **Partitioned path** (both sides large): polygons are exploded to the
+  hex cells their envelope covers, points keyed by their cell, both sides
+  co-shuffled with ``groupby(cell)`` and joined cell-locally in
+  ``map_groups``.  A point belongs to exactly one cell, so no cross-cell
+  duplicate pairs arise (SURVEY.md §7.4 border-dedup rule).
+* **Skew** (BASELINE north rule): :func:`cell_census` pre-aggregates row
+  counts per cell inside ``map_batches`` (one partial row per cell per
+  block) before a tiny ``groupby().sum``; :func:`salt_map` derives per-cell
+  salt fan-outs for cells above threshold; the partitioned join salts hot
+  cells into ``cell#s`` sub-keys and replicates the polygon side to every
+  sub-key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .cells import hex_cell, hex_cell_from_meters, hex_circumradius
+from .geom import PackedPolygons
+from .mercator import latlon_to_meters
+from .rtree import PackedRTree
+
+__all__ = [
+    "PolygonIndex", "SpatialJoinPoints", "spatial_join_points",
+    "cell_census", "salt_map", "spatial_join_partitioned",
+]
+
+
+@dataclass
+class PolygonIndex:
+    """Broadcastable polygon-side index: packed edges + packed R-tree +
+    payload columns carried to the join output."""
+
+    polys: PackedPolygons
+    tree: PackedRTree
+    payload: dict  # column name -> numpy array (len = n_polys)
+
+    @classmethod
+    def build(cls, polygons: pa.Table, wkb_col: str = "wkb",
+              payload_cols=("polygon_id", "category")) -> "PolygonIndex":
+        polys = PackedPolygons.from_wkb(polygons[wkb_col].to_pylist())
+        tree = PackedRTree.build(polys.bbox)
+        payload = {c: polygons[c].to_numpy(zero_copy_only=False)
+                   for c in payload_cols if c in polygons.schema.names}
+        return cls(polys=polys, tree=tree, payload=payload)
+
+    def match_points(self, lon: np.ndarray, lat: np.ndarray):
+        """(point_idx, poly_idx) exact PIP matches for a batch of points."""
+        qi, ii = self.tree.query_points(lon, lat)
+        if qi.size == 0:
+            return qi, ii
+        mask = self.polys.contains_pairs(lon, lat, qi, ii)
+        return qi[mask], ii[mask]
+
+
+class SpatialJoinPoints:
+    """Actor-pool join stage: one output row per (point, polygon) match.
+
+    ``index_ref`` is a ``ray.ObjectRef`` to a :class:`PolygonIndex`
+    (``ray.put`` once on the driver).  Passing the ref — not the index —
+    keeps the broadcast out of the task closure so it ships through the
+    object store once per node.
+    """
+
+    def __init__(self, index_ref, lon_col: str = "lon", lat_col: str = "lat",
+                 keep_cols=None):
+        import ray
+        self.index: PolygonIndex = (
+            ray.get(index_ref) if not isinstance(index_ref, PolygonIndex)
+            else index_ref)
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy()
+        lat = batch[self.lat_col].to_numpy()
+        qi, ii = self.index.match_points(lon, lat)
+        keep = self.keep_cols or [c for c in batch.schema.names
+                                  if c not in ("bytes", "pixels")]
+        taken = batch.select(keep).take(pa.array(qi))
+        for name, arr in self.index.payload.items():
+            taken = taken.append_column(name, pa.array(arr[ii]))
+        return taken
+
+
+def spatial_join_points(points_ds, polygons: pa.Table, *,
+                        lon_col="lon", lat_col="lat", keep_cols=None,
+                        batch_size: int = 8192, concurrency=None):
+    """Broadcast spatial join: ``points_ds`` (Dataset with lon/lat cols) ×
+    ``polygons`` (small pyarrow table with WKB) → matched pairs Dataset."""
+    import ray
+    index_ref = ray.put(PolygonIndex.build(polygons))
+    from .util import default_concurrency
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  fn_constructor_kwargs=dict(index_ref=index_ref,
+                                             lon_col=lon_col, lat_col=lat_col,
+                                             keep_cols=keep_cols),
+                  concurrency=concurrency or default_concurrency())
+    return points_ds.map_batches(SpatialJoinPoints, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Skew census + salting (BASELINE north rule)
+# ---------------------------------------------------------------------------
+
+def cell_census(ds, res: int = 7, lat_col="lat", lon_col="lon"):
+    """Row count per hex cell, computed as per-block partials (one row per
+    cell per block emitted from ``map_batches``) + a small ``groupby.sum``
+    — the pre-aggregation pattern that avoids shuffling every row."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = hex_cell(batch[lat_col].to_numpy(),
+                         batch[lon_col].to_numpy(), res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"hexcell": uniq, "partial_count": counts})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("hexcell")
+              .aggregate(Sum("partial_count", alias_name="n")))
+
+
+def salt_map(census_table: pa.Table, threshold: int, max_salt: int = 32) -> dict:
+    """cells above ``threshold`` rows → number of salt sub-keys
+    (``ceil(n/threshold)`` capped)."""
+    cells = census_table["hexcell"].to_numpy()
+    counts = census_table["n"].to_numpy()
+    hot = counts > threshold
+    return {int(c): int(min(max_salt, -(-int(n) // threshold)))
+            for c, n in zip(cells[hot], counts[hot])}
+
+
+def _polygon_cell_cover(polygons: pa.Table, res: int) -> tuple:
+    """Explode each polygon to every hex cell its envelope overlaps
+    (driver-side; polygon side assumed enumerable).  Envelope cover is a
+    superset of the true cover → correct (extra cells just test no points
+    or fail PIP)."""
+    minx = polygons["minx"].to_numpy()
+    miny = polygons["miny"].to_numpy()
+    maxx = polygons["maxx"].to_numpy()
+    maxy = polygons["maxy"].to_numpy()
+    poly_idx, cover = [], []
+    R = float(hex_circumradius(res))
+    for i in range(len(minx)):
+        x0, y0 = latlon_to_meters(miny[i], minx[i])
+        x1, y1 = latlon_to_meters(maxy[i], maxx[i])
+        # walk cell centers over the bbox with one-cell margin
+        xs = np.arange(float(x0) - 2 * R, float(x1) + 2 * R, R)
+        ys = np.arange(float(y0) - 2 * R, float(y1) + 2 * R, R)
+        gx, gy = np.meshgrid(xs, ys)
+        cells = np.unique(hex_cell_from_meters(gx.ravel(), gy.ravel(), res))
+        cover.append(cells)
+        poly_idx.append(np.full(cells.shape, i, dtype=np.int64))
+    return np.concatenate(poly_idx), np.concatenate(cover)
+
+
+def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
+                             lon_col="lon", lat_col="lat",
+                             salt_threshold: int | None = None,
+                             keep_cols=None):
+    """Cell-partitioned spatial join: shuffle-based path for a large
+    polygon side.  Both sides are keyed by hex cell (polygons replicated to
+    their envelope cover), co-grouped with ``groupby(cell)`` and joined
+    cell-locally.  With ``salt_threshold``, hot cells (from a census of the
+    point side) are split into sub-keys and the polygon side replicated to
+    each — the census→salt→repartition loop of the north rule.
+    """
+    import ray
+
+    pidx, pcells = _polygon_cell_cover(polygons, res)
+    wkbs = polygons["wkb"].to_numpy(zero_copy_only=False)
+    payload_cols = [c for c in ("polygon_id", "category")
+                    if c in polygons.schema.names]
+
+    salts: dict = {}
+    if salt_threshold:
+        census = cell_census(points_ds, res, lat_col, lon_col).take_all()
+        census_t = pa.table({
+            "hexcell": [r["hexcell"] for r in census],
+            "n": [r["n"] for r in census]})
+        salts = salt_map(census_t, salt_threshold)
+    # unified row layout so the two sides union cleanly:
+    #   point cols (nulls on the polygon side) + wkb/payload (nulls on the
+    #   point side) + hexcell + salt + side
+    pt_schema = points_ds.schema()
+    point_cols = [(n, t) for n, t in zip(pt_schema.names, pt_schema.types)
+                  if n not in ("bytes", "pixels")
+                  and (keep_cols is None or n in keep_cols
+                       or n in (lon_col, lat_col))]
+    poly_payload_types = {c: polygons.schema.field(c).type for c in payload_cols}
+
+    # polygon side rows — replicated to every salt sub-key of hot cells
+    n_salt_per = np.array([salts.get(int(c), 1) for c in pcells], dtype=np.int64)
+    rep_idx = np.repeat(pidx, n_salt_per)
+    rep_cells = np.repeat(pcells, n_salt_per)
+    rep_salt = (np.arange(len(rep_idx), dtype=np.int64)
+                - np.repeat(np.cumsum(n_salt_per) - n_salt_per, n_salt_per))
+    poly_cols = {}
+    n_rep = len(rep_idx)
+    for n, t in point_cols:
+        poly_cols[n] = pa.nulls(n_rep, t)
+    poly_cols["wkb"] = pa.array(wkbs[rep_idx], pa.binary())
+    for c in payload_cols:
+        poly_cols[c] = polygons[c].take(pa.array(rep_idx))
+    poly_cols["hexcell"] = pa.array(rep_cells, pa.int64())
+    poly_cols["salt"] = pa.array(rep_salt, pa.int64())
+    poly_cols["side"] = pa.array(np.ones(n_rep, dtype=np.int8))
+    poly_ds = ray.data.from_arrow(pa.table(poly_cols))
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        salts_l = salts
+        cells = np.asarray(hex_cell(batch[lat_col].to_numpy(),
+                                    batch[lon_col].to_numpy(), res))
+        n = len(cells)
+        cols = {nm: batch[nm] for nm, _ in point_cols}
+        cols["wkb"] = pa.nulls(n, pa.binary())
+        for c in payload_cols:
+            cols[c] = pa.nulls(n, poly_payload_types[c])
+        cols["hexcell"] = pa.array(cells, pa.int64())
+        n_s = np.array([salts_l.get(int(c), 1) for c in cells], dtype=np.int64)
+        cols["salt"] = pa.array(
+            np.where(n_s > 1, np.arange(n, dtype=np.int64) % n_s, 0))
+        cols["side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    pts = points_ds.map_batches(key_points, batch_format="pyarrow")
+    both = pts.union(poly_ds)
+    out_names = [nm for nm, _ in point_cols] + payload_cols
+
+    def join_cell(group: pa.Table) -> pa.Table:
+        is_poly = pc.equal(group["side"], pa.scalar(1, pa.int8()))
+        pol_t = group.filter(is_poly)
+        pts_t = group.filter(pc.invert(is_poly))
+        if pts_t.num_rows and pol_t.num_rows:
+            pp = PackedPolygons.from_wkb(pol_t["wkb"].to_pylist())
+            lon = pts_t[lon_col].to_numpy()
+            lat = pts_t[lat_col].to_numpy()
+            qi, ii = PackedRTree.build(pp.bbox).query_points(lon, lat)
+            if qi.size:
+                m = pp.contains_pairs(lon, lat, qi, ii)
+                qi, ii = qi[m], ii[m]
+        else:
+            qi = ii = np.empty(0, dtype=np.int64)
+        out = {nm: pts_t[nm].take(pa.array(qi)) for nm, _ in point_cols}
+        for c in payload_cols:
+            out[c] = pol_t[c].take(pa.array(ii))
+        return pa.table(out).select(out_names)
+
+    # map_groups with a pyarrow batch — cell-local nested join
+    return both.groupby(["hexcell", "salt"]).map_groups(
+        join_cell, batch_format="pyarrow")

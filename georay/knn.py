@@ -1,0 +1,252 @@
+"""kNN — H3-style k-ring expansion + haversine refinement (SURVEY.md §2.4;
+BASELINE north star).  GDAL's closest analog is nearest-neighbor gridding
+over a quadtree (alg/gdalgrid.cpp:3218); the design here is the mandated
+cell-index expansion.
+
+Exactness argument (matches the brute-force oracle bit-for-bit):
+
+1. expand rings until ≥ k candidates are found; compute the kth-best
+   ground distance ``d_k`` (haversine) among them;
+2. any point within ground distance ``d_k`` of the query lies in the
+   latitude band ``|φ| ≤ |φ_q| + d_k/R_earth``, and spherical Mercator is
+   conformal with scale ``1/cos φ``, so its Mercator distance is at most
+   ``D = d_k / cos(band)``;
+3. hex cells at grid distance ``d`` have centers ≥ ``1.5·R·d`` away, so
+   every neighbor within Mercator distance ``D`` lives in the k-ring of
+   radius ``ceil((D + 2R)/(1.5 R))`` — gather that ring and take the final
+   top-k.  If the band nears the poles (cos → 0) the search falls back to
+   brute force over the broadcast index — still exact.
+
+The neighbor side is a broadcast :class:`NeighborIndex` (``ray.put`` once,
+used per actor); queries stream through ``map_batches``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .cells import hex_cell, hex_circumradius, hex_k_ring
+from .mercator import ORIGIN_SHIFT, latlon_to_meters
+from .geom import haversine_m
+
+__all__ = ["NeighborIndex", "KnnPoints", "knn_points"]
+
+_EARTH_MEAN_R = 6371008.8
+_MAX_RING = 64
+
+
+@dataclass
+class NeighborIndex:
+    """Cell-bucketed neighbor points: sorted-unique cells + CSR offsets into
+    a cell-sorted permutation of the point arrays."""
+
+    res: int
+    cells: np.ndarray      # sorted unique int64 cells
+    offsets: np.ndarray    # CSR, len = len(cells)+1
+    order: np.ndarray      # permutation: bucket slices index into this
+    lat: np.ndarray
+    lon: np.ndarray
+    ids: np.ndarray
+
+    @classmethod
+    def build(cls, lat, lon, ids, res: int = 7) -> "NeighborIndex":
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        cell = np.asarray(hex_cell(lat, lon, res))
+        order = np.argsort(cell, kind="stable")
+        sorted_cells = cell[order]
+        uniq, starts = np.unique(sorted_cells, return_index=True)
+        offsets = np.concatenate([starts, [len(cell)]]).astype(np.int64)
+        return cls(res=res, cells=uniq, offsets=offsets, order=order,
+                   lat=lat, lon=lon, ids=np.asarray(ids))
+
+    def candidates_for_cells(self, ring_cells: np.ndarray) -> np.ndarray:
+        """Neighbor indices for a flat array of cells (dups possible if the
+        caller passes duplicate cells)."""
+        pos = np.searchsorted(self.cells, ring_cells)
+        pos = np.clip(pos, 0, len(self.cells) - 1)
+        hit = self.cells[pos] == ring_cells
+        pos = pos[hit]
+        counts = self.offsets[pos + 1] - self.offsets[pos]
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        starts = np.repeat(self.offsets[pos], counts)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(counts) - counts, counts))
+        return self.order[starts + within]
+
+
+def _topk_per_query(qidx, dist, nbr_ids, nbr_pos, k):
+    """Per-query top-k by (dist, neighbor_id) — deterministic tie-break.
+    Returns (qidx_out, rank, nbr_pos_out, dist_out) flattened rows."""
+    if qidx.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=np.float64)
+    order = np.lexsort((nbr_ids, dist, qidx))
+    qs, ds, ps = qidx[order], dist[order], nbr_pos[order]
+    # rank within query
+    first = np.concatenate([[True], qs[1:] != qs[:-1]])
+    grp_start = np.nonzero(first)[0]
+    rank = np.arange(qs.size) - np.repeat(grp_start, np.diff(
+        np.concatenate([grp_start, [qs.size]])))
+    keep = rank < k
+    return qs[keep], rank[keep], ps[keep], ds[keep]
+
+
+class KnnPoints:
+    """Actor-pool kNN stage: each query row → k output rows
+    ``(query cols…, rank, neighbor_id, dist_m)``."""
+
+    def __init__(self, index_ref, k: int = 5, lon_col="lon", lat_col="lat",
+                 keep_cols=None, neighbor_id_name: str = "neighbor_id"):
+        import ray
+        self.ix: NeighborIndex = (ray.get(index_ref)
+                                  if not isinstance(index_ref, NeighborIndex)
+                                  else index_ref)
+        self.k = k
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.keep_cols = keep_cols
+        self.nbr_name = neighbor_id_name
+        self.R = float(hex_circumradius(self.ix.res))
+
+    def _gather(self, q_lat, q_lon, q_cells, active, r):
+        """candidate (query_row, neighbor_pos) pairs at ring radius r."""
+        if len(self.ix.cells) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.zeros(active.shape, dtype=np.int64)
+        ring = hex_k_ring(q_cells[active], r)  # (n_active, m)
+        n_active, m = ring.shape
+        flat = ring.ravel()
+        pos = np.searchsorted(self.ix.cells, flat)
+        pos = np.clip(pos, 0, max(len(self.ix.cells) - 1, 0))
+        hit = (self.ix.cells[pos] == flat) if len(self.ix.cells) else \
+            np.zeros(flat.shape, bool)
+        counts = np.where(hit, self.ix.offsets[pos + 1] - self.ix.offsets[pos], 0)
+        per_query = counts.reshape(n_active, m).sum(axis=1)
+        total = int(counts.sum())
+        if total == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, per_query
+        starts = np.repeat(self.ix.offsets[pos[hit]], counts[hit])
+        c = counts[hit]
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(c) - c, c))
+        nbr_pos = self.ix.order[starts + within]
+        owner_flat = np.repeat(np.arange(n_active * m) // m, counts)
+        q_rows = active[owner_flat]
+        return q_rows, nbr_pos, per_query
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy()
+        lat = batch[self.lat_col].to_numpy()
+        n = len(lon)
+        q_cells = np.asarray(hex_cell(lat, lon, self.ix.res))
+        k = self.k
+
+        # phase 1: ring expansion until every query has >= k candidates
+        r = 0
+        active = np.arange(n, dtype=np.int64)
+        r_found = np.zeros(n, dtype=np.int64)
+        while active.size and r <= _MAX_RING:
+            _, _, per_query = self._gather(lat, lon, q_cells, active, r)
+            done = per_query >= min(k, len(self.ix.lat))
+            r_found[active[done]] = r
+            active = active[~done]
+            r += 1
+        r_found[active] = _MAX_RING  # sparse regions: brute force below
+
+        out_q, out_rank, out_pos, out_dist = [], [], [], []
+        brute = r_found >= _MAX_RING
+        # phase 2+3 per distinct radius tier (few tiers in practice)
+        for rr in np.unique(r_found[~brute]):
+            rows = np.nonzero(r_found == rr)[0]
+            q_rows, nbr_pos, _ = self._gather(lat, lon, q_cells, rows, int(rr))
+            d = haversine_m(lat[q_rows], lon[q_rows],
+                            self.ix.lat[nbr_pos], self.ix.lon[nbr_pos])
+            qs, rk, ps, ds = _topk_per_query(
+                q_rows, d, self.ix.ids[nbr_pos], nbr_pos, k)
+            # kth distance per query → required safe radius
+            kth = np.zeros(n, dtype=np.float64)
+            last = np.concatenate([rk[1:] == 0, [True]])
+            kth[qs[last]] = ds[last]
+            band = np.abs(np.radians(lat[rows])) + kth[rows] / _EARTH_MEAN_R
+            cosb = np.cos(np.minimum(band, np.radians(89.9)))
+            with np.errstate(divide="ignore"):
+                D = kth[rows] / np.maximum(cosb, 1e-9)
+            # center-to-center distance <= D + 2R (query and neighbor each
+            # up to one circumradius from their cell centers)
+            r_star = np.ceil((D + 2 * self.R) / (1.5 * self.R)).astype(np.int64)
+            # the Mercator-plane hex grid does not wrap at the antimeridian:
+            # if the safe disk crosses lon=±180, the ring search can miss
+            # wrapped neighbors — those queries go to brute force (exact)
+            # (also catches near-pole queries where cos(band) → 0)
+            mx_q, _ = latlon_to_meters(lat[rows], lon[rows])
+            wraps = (np.abs(mx_q) + D) > ORIGIN_SHIFT
+            r_star = np.where(wraps, _MAX_RING + 1, r_star)
+            enough = r_star <= rr
+            safe_rows = rows[enough]
+            m_safe = np.isin(qs, safe_rows)
+            out_q.append(qs[m_safe]); out_rank.append(rk[m_safe])
+            out_pos.append(ps[m_safe]); out_dist.append(ds[m_safe])
+            # escalate the rest
+            for row, rs in zip(rows[~enough], r_star[~enough]):
+                if rs > _MAX_RING:
+                    brute[row] = True
+                    continue
+                q2, p2, _ = self._gather(lat, lon, q_cells,
+                                         np.array([row]), int(rs))
+                d2 = haversine_m(lat[q2], lon[q2],
+                                 self.ix.lat[p2], self.ix.lon[p2])
+                qs2, rk2, ps2, ds2 = _topk_per_query(
+                    q2, d2, self.ix.ids[p2], p2, k)
+                out_q.append(qs2); out_rank.append(rk2)
+                out_pos.append(ps2); out_dist.append(ds2)
+
+        # brute-force fallback (poles / sparse index) — exact by definition
+        for row in np.nonzero(brute)[0]:
+            d = haversine_m(lat[row], lon[row], self.ix.lat, self.ix.lon)
+            allpos = np.arange(len(self.ix.lat), dtype=np.int64)
+            qs3, rk3, ps3, ds3 = _topk_per_query(
+                np.full(allpos.shape, row, dtype=np.int64), d,
+                self.ix.ids, allpos, k)
+            out_q.append(qs3); out_rank.append(rk3)
+            out_pos.append(ps3); out_dist.append(ds3)
+
+        qf = np.concatenate(out_q) if out_q else np.empty(0, np.int64)
+        rkf = np.concatenate(out_rank) if out_rank else np.empty(0, np.int64)
+        pf = np.concatenate(out_pos) if out_pos else np.empty(0, np.int64)
+        df = np.concatenate(out_dist) if out_dist else np.empty(0, np.float64)
+
+        keep = self.keep_cols or [c for c in batch.schema.names
+                                  if c not in ("bytes", "pixels")]
+        out = batch.select(keep).take(pa.array(qf))
+        out = out.append_column("rank", pa.array(rkf.astype(np.int64)))
+        out = out.append_column(self.nbr_name, pa.array(self.ix.ids[pf]))
+        out = out.append_column("dist_m", pa.array(df))
+        return out
+
+
+def knn_points(queries_ds, neighbors: pa.Table, k: int = 5, *,
+               id_col: str, lat_col_n="lat", lon_col_n="lon",
+               lon_col="lon", lat_col="lat", res: int = 7,
+               keep_cols=None, neighbor_id_name="neighbor_id",
+               batch_size: int = 4096, concurrency=None):
+    """Broadcast kNN: each row of ``queries_ds`` → its ``k`` nearest rows of
+    ``neighbors`` by haversine distance (ties broken by neighbor id)."""
+    import ray
+    ix = NeighborIndex.build(neighbors[lat_col_n].to_numpy(),
+                             neighbors[lon_col_n].to_numpy(),
+                             neighbors[id_col].to_numpy(zero_copy_only=False),
+                             res=res)
+    ref = ray.put(ix)
+    from .util import default_concurrency
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  fn_constructor_kwargs=dict(
+                      index_ref=ref, k=k, lon_col=lon_col, lat_col=lat_col,
+                      keep_cols=keep_cols, neighbor_id_name=neighbor_id_name),
+                  concurrency=concurrency or default_concurrency())
+    return queries_ds.map_batches(KnnPoints, **kwargs)

@@ -127,6 +127,9 @@ class PackedRTree:
         qi, ni = qi[keep], ni[keep]
 
         for level in range(len(self.levels) - 2, -1, -1):
+            if qi.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return z, z
             child_bb = self.levels[level]
             n_child = child_bb.shape[0]
             # expand each surviving node into its children

@@ -1,0 +1,282 @@
+"""Web-Mercator XYZ tile cutting + overview pyramid — the gdal2tiles
+pipeline re-expressed Ray-Data-first (reference: osgeo_utils/gdal2tiles.py;
+plan §3.3 of SURVEY.md):
+
+* base tiles: each georeferenced image row fans out to the tiles its
+  extent overlaps at ``zoom`` (tile ranges per gdal2tiles.py:2460-2467,
+  zero-coverage tiles excluded per :2950-2953); per tile the source read /
+  destination write windows come from the exact ``geo_query`` port
+  (gdal2tiles.py:2995-3037) and the window is resampled into a 256×256
+  RGBA fragment (``scale_query_to_tile`` analog, gdal2tiles.py:856-918).
+* fragments composite per tile key with ``groupby((z,x,y)).map_groups``
+  (deterministic image_id order, alpha-over) — replacing the
+  ``Pool.imap_unordered`` worker pool (gdal2tiles.py:4593-4596).
+* overview levels: per-zoom ``groupby(parent).map_groups`` 4→1 reduce:
+  children placed on a 2× canvas by XYZ quadrant and box-downsampled —
+  ``create_overview_tile`` semantics (gdal2tiles.py:1515-1560), with the
+  per-zoom barrier expressed as one groupby per level.
+
+Tile y is stored in **XYZ** (slippy) convention; the TMS row is flipped at
+assignment time (gdal2tiles.py:4431-4443 ``getYTile``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .mercator import (TILE_SIZE, geo_query, latlon_to_tile_xyz,
+                       tile_bounds_meters, tile_range_for_extent,
+                       tms_to_xyz_y)
+
+__all__ = [
+    "resample_average", "resample_nearest", "resample_bilinear",
+    "assign_center_tile", "CutTiles", "composite_tile_group",
+    "overview_reduce_group", "build_pyramid",
+]
+
+
+# ---------------------------------------------------------------------------
+# Resampling kernels (gdalwarper.h:37-69 kernel semantics; numpy)
+# ---------------------------------------------------------------------------
+
+def resample_nearest(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = src.shape[:2]
+    ys = np.minimum(((np.arange(oh) + 0.5) * h / oh).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(ow) + 0.5) * w / ow).astype(np.int64), w - 1)
+    return src[ys[:, None], xs[None, :]]
+
+
+def resample_average(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Weighted box filter incl. partial edge pixels — the AVERAGE kernel of
+    GDALRegenerateOverviews (gcore/overview.cpp), generalized to fractional
+    ratios via x/y prefix sums (integral image)."""
+    h, w = src.shape[:2]
+    a = src.astype(np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    # integral image with zero row/col; the double integral of a
+    # piecewise-constant image is piecewise-BILINEAR, so bilinear sampling
+    # of it at fractional coords yields EXACT fractional box sums
+    integ = np.zeros((h + 1, w + 1, a.shape[2]), dtype=np.float64)
+    integ[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+
+    def box_sum(y0, y1, x0, x1):
+        # fractional box sums via bilinear sampling of the integral image
+        def at(yy, xx):
+            yi = np.floor(yy).astype(np.int64)
+            xi = np.floor(xx).astype(np.int64)
+            yi = np.clip(yi, 0, h - 1); xi = np.clip(xi, 0, w - 1)
+            fy = (yy - yi)[:, None, None]
+            fx = (xx - xi)[None, :, None]
+            c00 = integ[yi][:, xi]
+            c01 = integ[yi][:, xi + 1]
+            c10 = integ[yi + 1][:, xi]
+            c11 = integ[yi + 1][:, xi + 1]
+            return (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+                    + c10 * fy * (1 - fx) + c11 * fy * fx)
+        return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
+
+    ye = np.linspace(0, h, oh + 1)
+    xe = np.linspace(0, w, ow + 1)
+    sums = box_sum(ye[:-1], ye[1:], xe[:-1], xe[1:])
+    area = ((ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :])[:, :, None]
+    out = sums / area
+    out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
+    return out[:, :, 0] if src.ndim == 2 else out
+
+
+def resample_bilinear(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = src.shape[:2]
+    ys = (np.arange(oh) + 0.5) * h / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * w / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :]
+    if src.ndim == 3:
+        fy = fy[:, :, None]; fx = fx[:, :, None]
+    a = src.astype(np.float64)
+    out = (a[y0[:, None], x0[None, :]] * (1 - fy) * (1 - fx)
+           + a[y0[:, None], x1[None, :]] * (1 - fy) * fx
+           + a[y1[:, None], x0[None, :]] * fy * (1 - fx)
+           + a[y1[:, None], x1[None, :]] * fy * fx)
+    return np.clip(np.rint(out), 0, 255).astype(src.dtype)
+
+
+_KERNELS = {"average": resample_average, "near": resample_nearest,
+            "bilinear": resample_bilinear}
+
+
+def _scale_to(src: np.ndarray, oh: int, ow: int, kernel: str) -> np.ndarray:
+    if src.shape[0] == oh and src.shape[1] == ow:
+        return src
+    return _KERNELS[kernel](src, oh, ow)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: center-tile assignment (stateless `mb`)
+# ---------------------------------------------------------------------------
+
+def assign_center_tile(batch: pa.Table, zoom: int,
+                       lat_col="lat", lon_col="lon") -> pa.Table:
+    """Add (z, tile_x, tile_y) of each row's center point — XYZ convention."""
+    tx, ty = latlon_to_tile_xyz(batch[lat_col].to_numpy(),
+                                batch[lon_col].to_numpy(), zoom)
+    batch = batch.append_column("z", pa.array(
+        np.full(len(tx), zoom, dtype=np.int64)))
+    batch = batch.append_column("tile_x", pa.array(tx))
+    batch = batch.append_column("tile_y", pa.array(ty))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: base-tile cutting (actor pool; generate_base_tiles analog)
+# ---------------------------------------------------------------------------
+
+class CutTiles:
+    """map_batches actor: decoded image rows → per-tile RGBA fragments.
+
+    Input columns: ``image_id, pixels, w, h, ulx, uly, psize``.
+    Output rows: ``z, tile_x, tile_y (XYZ), image_id, frag`` (256·256·4
+    raw bytes), one per (image, overlapping tile) — TileDetail analog
+    (gdal2tiles.py:2126).
+    """
+
+    def __init__(self, zoom: int, tile_size: int = TILE_SIZE,
+                 resampling: str = "average"):
+        self.zoom = zoom
+        self.ts = tile_size
+        self.kernel = resampling
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        z, ts = self.zoom, self.ts
+        out_z, out_x, out_y, out_id, out_frag = [], [], [], [], []
+        w_arr = batch["w"].to_numpy()
+        h_arr = batch["h"].to_numpy()
+        ulx_arr = batch["ulx"].to_numpy()
+        uly_arr = batch["uly"].to_numpy()
+        ps_arr = batch["psize"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        pix_col = batch["pixels"]
+        for i in range(batch.num_rows):
+            w, h = int(w_arr[i]), int(h_arr[i])
+            ulx, uly, ps = float(ulx_arr[i]), float(uly_arr[i]), float(ps_arr[i])
+            gt = (ulx, ps, 0.0, uly, 0.0, -ps)
+            src = np.frombuffer(pix_col[i].as_buffer(), dtype=np.uint8)\
+                .reshape(h, w, 3)
+            xmin, xmax = ulx, ulx + w * ps
+            ymax, ymin = uly, uly - h * ps
+            tminx, tminy, tmaxx, tmaxy = tile_range_for_extent(
+                xmin, ymin, xmax, ymax, z, ts)
+            for ty_tms in range(tminy, tmaxy + 1):
+                for tx in range(tminx, tmaxx + 1):
+                    b = tile_bounds_meters(tx, ty_tms, z, ts)
+                    (rx, ry_, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+                        gt, w, h, b[0], b[3], b[2], b[1], querysize=ts)
+                    if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+                        continue  # zero coverage (gdal2tiles.py:2950-2953)
+                    window = src[ry_:ry_ + rys, rx:rx + rxs]
+                    if window.size == 0:
+                        continue
+                    scaled = _scale_to(window, wys, wxs, self.kernel)
+                    frag = np.zeros((ts, ts, 4), dtype=np.uint8)
+                    frag[wy:wy + wys, wx:wx + wxs, :3] = scaled
+                    frag[wy:wy + wys, wx:wx + wxs, 3] = 255
+                    out_z.append(z)
+                    out_x.append(tx)
+                    out_y.append(int(tms_to_xyz_y(ty_tms, z)))
+                    out_id.append(ids[i])
+                    out_frag.append(frag.tobytes())
+        return pa.table({
+            "z": pa.array(out_z, pa.int64()),
+            "tile_x": pa.array(out_x, pa.int64()),
+            "tile_y": pa.array(out_y, pa.int64()),
+            "image_id": pa.array(out_id, pa.string()),
+            "frag": pa.array(out_frag, pa.binary()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: per-tile composite (groupby(z,x,y).map_groups)
+# ---------------------------------------------------------------------------
+
+def composite_tile_group(group: pa.Table, tile_size: int = TILE_SIZE) -> pa.Table:
+    """Alpha-over merge of a tile's fragments in image_id order → one tile
+    row with raw RGBA + per-band GDAL checksums."""
+    from .stats import gdal_checksum
+    ts = tile_size
+    order = np.argsort(np.asarray(group["image_id"].to_pylist(), dtype=object))
+    canvas = np.zeros((ts, ts, 4), dtype=np.uint8)
+    for i in order:
+        frag = np.frombuffer(group["frag"][int(i)].as_buffer(),
+                             dtype=np.uint8).reshape(ts, ts, 4)
+        m = frag[:, :, 3] > 0
+        canvas[m] = frag[m]  # later image_id wins (deterministic)
+    checks = [int(gdal_checksum(canvas[:, :, b])) for b in range(3)]
+    return pa.table({
+        "z": group["z"][:1], "tile_x": group["tile_x"][:1],
+        "tile_y": group["tile_y"][:1],
+        "tile": pa.array([canvas.tobytes()], pa.binary()),
+        "n_frags": pa.array([group.num_rows], pa.int64()),
+        "checksum_r": pa.array([checks[0]], pa.int64()),
+        "checksum_g": pa.array([checks[1]], pa.int64()),
+        "checksum_b": pa.array([checks[2]], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: overview pyramid (per-zoom groupby(parent) 4→1 reduce)
+# ---------------------------------------------------------------------------
+
+def _parent_key(batch: pa.Table) -> pa.Table:
+    z = batch["z"].to_numpy()
+    batch = batch.append_column("pz", pa.array(z - 1))
+    batch = batch.append_column("px", pa.array(batch["tile_x"].to_numpy() >> 1))
+    batch = batch.append_column("py", pa.array(batch["tile_y"].to_numpy() >> 1))
+    return batch
+
+
+def overview_reduce_group(group: pa.Table,
+                          tile_size: int = TILE_SIZE) -> pa.Table:
+    """≤4 child tiles → parent tile: children placed on a 2× canvas by XYZ
+    quadrant (x&1 → right, y&1 → bottom), box-downsampled 2×
+    (create_overview_tile, gdal2tiles.py:1515-1560)."""
+    from .stats import gdal_checksum
+    ts = tile_size
+    canvas = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
+    xs = group["tile_x"].to_numpy()
+    ys = group["tile_y"].to_numpy()
+    for i in range(group.num_rows):
+        child = np.frombuffer(group["tile"][i].as_buffer(),
+                              dtype=np.uint8).reshape(ts, ts, 4)
+        qx, qy = int(xs[i] & 1), int(ys[i] & 1)
+        canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = child
+    shrunk = resample_average(canvas, ts, ts)
+    checks = [int(gdal_checksum(shrunk[:, :, b])) for b in range(3)]
+    return pa.table({
+        "z": pa.array([int(group["pz"][0].as_py())], pa.int64()),
+        "tile_x": pa.array([int(group["px"][0].as_py())], pa.int64()),
+        "tile_y": pa.array([int(group["py"][0].as_py())], pa.int64()),
+        "tile": pa.array([shrunk.tobytes()], pa.binary()),
+        "n_frags": pa.array([group.num_rows], pa.int64()),
+        "checksum_r": pa.array([checks[0]], pa.int64()),
+        "checksum_g": pa.array([checks[1]], pa.int64()),
+        "checksum_b": pa.array([checks[2]], pa.int64()),
+    })
+
+
+def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int):
+    """tmaxz-1 … tminz overview levels; returns {z: Dataset}.  One
+    groupby per level = gdal2tiles' per-zoom barrier (gdal2tiles.py:1708
+    group_overview_base_tiles)."""
+    levels = {tmaxz: base_tiles_ds}
+    cur = base_tiles_ds
+    for z in range(tmaxz - 1, tminz - 1, -1):
+        cur = (cur.map_batches(_parent_key, batch_format="pyarrow")
+                  .groupby(["pz", "px", "py"])
+                  .map_groups(overview_reduce_group, batch_format="pyarrow"))
+        levels[z] = cur
+    return levels

@@ -1,0 +1,201 @@
+"""Ray Data stage tests: decode actors, spatial join (broadcast +
+partitioned + salted), kNN, tiling, checkpoint/resume.
+
+Oracles are brute-force pure-numpy implementations (FIXTURES.md golden
+oracles #2/#5/#6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import codecs, fixtures as fx
+from georay.geom import PackedPolygons, haversine_m
+
+
+@pytest.fixture(scope="module")
+def images_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("imgs")
+    return fx.write_images_parquet(str(p / "images"), 120, rows_per_file=40)
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return fx.polygons_table(120)
+
+
+def test_decode_stage(ray_session, images_path):
+    from georay.pipelines import georeferenced_images
+    ds = georeferenced_images(images_path, decode=True)
+    batch = next(iter(ds.iter_batches(batch_size=16, batch_format="pyarrow")))
+    names = batch.schema.names
+    for col in ("pixels", "lat", "lon", "hexcell", "s2cell", "ulx", "psize"):
+        assert col in names
+    # decoded pixels match the deterministic pattern (PNG rows exact)
+    for row in range(batch.num_rows):
+        i = int(batch["image_id"][row].as_py()[3:])
+        w = batch["w"][row].as_py()
+        h = batch["h"][row].as_py()
+        arr = np.frombuffer(batch["pixels"][row].as_buffer(),
+                            dtype=np.uint8).reshape(h, w, 3)
+        src = fx.pattern(0 if i % 97 == 0 else i, w, h)
+        if batch["fmt"][row].as_py() == "png":
+            assert np.array_equal(arr, src)
+        else:
+            assert codecs.psnr(src, arr) >= 40.0
+
+
+def _brute_join_pairs(images_path, polygons):
+    import pyarrow.parquet as pq
+    t = pq.read_table(images_path)
+    idx = fx.parse_image_idx(t["image_id"].to_numpy(zero_copy_only=False))
+    g = fx.georef(idx, t["w"].to_numpy(), t["h"].to_numpy())
+    pp = PackedPolygons.from_wkb(polygons["wkb"].to_pylist())
+    pt_i, pg_i = pp.contains_brute(g["lon"], g["lat"])
+    ids = t["image_id"].to_numpy(zero_copy_only=False)
+    pids = polygons["polygon_id"].to_numpy(zero_copy_only=False)
+    return set(zip(ids[pt_i].tolist(), pids[pg_i].tolist()))
+
+
+def test_broadcast_join_matches_brute_force(ray_session, images_path, polygons):
+    from georay.pipelines import flagship_join
+    out = flagship_join(images_path, polygons, zoom=12).take_all()
+    got = {(r["image_id"], r["polygon_id"]) for r in out}
+    assert got == _brute_join_pairs(images_path, polygons)
+    assert len(got) > 0
+    # joined rows carry polygon attrs + tile assignment
+    r = out[0]
+    for colname in ("category", "tile_x", "tile_y", "hexcell", "s2cell"):
+        assert colname in r
+
+
+def test_partitioned_join_matches_broadcast(ray_session, images_path, polygons):
+    from georay.join import spatial_join_partitioned
+    from georay.pipelines import georeferenced_images
+    ds = georeferenced_images(images_path, decode=False)
+    out = spatial_join_partitioned(
+        ds, polygons, res=5,
+        keep_cols=["image_id", "lat", "lon"]).take_all()
+    got = {(r["image_id"], r["polygon_id"]) for r in out}
+    assert got == _brute_join_pairs(images_path, polygons)
+
+
+def test_partitioned_join_salted_same_result(ray_session, images_path, polygons):
+    from georay.join import spatial_join_partitioned
+    from georay.pipelines import georeferenced_images
+    ds = georeferenced_images(images_path, decode=False)
+    out = spatial_join_partitioned(
+        ds, polygons, res=5, salt_threshold=10,
+        keep_cols=["image_id", "lat", "lon"]).take_all()
+    got = {(r["image_id"], r["polygon_id"]) for r in out}
+    assert got == _brute_join_pairs(images_path, polygons)
+
+
+def test_cell_census_counts(ray_session, images_path):
+    from georay.join import cell_census
+    from georay.pipelines import georeferenced_images
+    ds = georeferenced_images(images_path, decode=False)
+    rows = cell_census(ds, res=5).take_all()
+    assert sum(r["n"] for r in rows) == 120
+
+
+def test_knn_matches_brute_force(ray_session):
+    import ray
+    from georay.knn import knn_points
+    qt = fx.points_table(150)
+    nbr = fx.points_table(400)  # same generator, different slice is fine
+    neighbors = pa.table({
+        "nid": pa.array([f"n{i:05d}" for i in range(400)]),
+        "lat": nbr["lat"], "lon": nbr["lon"]})
+    qds = ray.data.from_arrow(qt)
+    out = knn_points(qds, neighbors, k=5, id_col="nid",
+                     keep_cols=["point_id"], res=8,
+                     neighbor_id_name="nid").take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["point_id"], []).append((r["rank"], r["nid"]))
+    # brute force oracle
+    qlat, qlon = qt["lat"].to_numpy(), qt["lon"].to_numpy()
+    nlat, nlon = neighbors["lat"].to_numpy(), neighbors["lon"].to_numpy()
+    nid = neighbors["nid"].to_numpy(zero_copy_only=False)
+    for qi in range(150):
+        d = haversine_m(qlat[qi], qlon[qi], nlat, nlon)
+        order = np.lexsort((nid, d))[:5]
+        expect = [(rk, nid[j]) for rk, j in enumerate(order)]
+        pid = qt["point_id"][qi].as_py()
+        assert sorted(got[pid]) == expect, pid
+    assert len(got) == 150
+
+
+@pytest.fixture(scope="module")
+def small_images_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("imgs_small")
+    return fx.write_images_parquet(str(p / "images"), 40, rows_per_file=20)
+
+
+def test_tile_pipeline_and_pyramid(ray_session, small_images_path):
+    images_path = small_images_path
+    from georay.mercator import latlon_to_tile_xyz
+    from georay.pipelines import tile_pipeline
+    import pyarrow.parquet as pq
+    levels = tile_pipeline(images_path, zoom=12, tminz=10)
+    base = levels[12].take_all()
+    assert len(base) > 0
+    # every image's center tile must exist among base tiles
+    t = pq.read_table(images_path)
+    idx = fx.parse_image_idx(t["image_id"].to_numpy(zero_copy_only=False))
+    g = fx.georef(idx, t["w"].to_numpy(), t["h"].to_numpy())
+    tx, ty = latlon_to_tile_xyz(g["lat"], g["lon"], 12)
+    have = {(r["tile_x"], r["tile_y"]) for r in base}
+    for i in range(len(idx)):
+        assert (int(tx[i]), int(ty[i])) in have
+    # tiles are 256x256 RGBA with sane checksums
+    r0 = base[0]
+    assert len(r0["tile"]) == 256 * 256 * 4
+    assert 0 <= r0["checksum_r"] <= 0xFFFF
+    # overview levels shrink and stay aligned
+    lvl11 = levels[11].take_all()
+    lvl10 = levels[10].take_all()
+    assert 0 < len(lvl10) <= len(lvl11) <= len(base)
+    keys11 = {(r["tile_x"], r["tile_y"]) for r in lvl11}
+    assert {(r["tile_x"] >> 1, r["tile_y"] >> 1) for r in base} == keys11
+    assert all(r["z"] == 11 for r in lvl11)
+    # checksum oracle (golden oracle #4: GDAL checksum formula)
+    from georay.stats import gdal_checksum
+    r0 = base[0]
+    canvas = np.frombuffer(r0["tile"], dtype=np.uint8).reshape(256, 256, 4)
+    assert r0["checksum_r"] == gdal_checksum(canvas[:, :, 0])
+    assert r0["checksum_b"] == gdal_checksum(canvas[:, :, 2])
+
+
+def test_checkpoint_resume(ray_session, images_path, tmp_path):
+    import ray
+    from georay.checkpoint import (committed_keys, load_manifest,
+                                   resume_filter, write_partitioned)
+    from georay.pipelines import georeferenced_images
+    out_dir = str(tmp_path / "out")
+    ds = georeferenced_images(images_path, decode=False)
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "part", pa.array((fx.parse_image_idx(
+                b["image_id"].to_numpy(zero_copy_only=False)) % 7))),
+        batch_format="pyarrow").select_columns(["image_id", "part", "lat"])
+    status = write_partitioned(ds, out_dir, ["part"],
+                               lineage_cols=["image_id"]).take_all()
+    assert sum(r["rows"] for r in status) == 120
+    assert committed_keys(out_dir) == {str(i) for i in range(7)}
+    man = load_manifest(out_dir)
+    assert man["3"]["row_count"] > 0 and "image_id" in man["3"]["key_ranges"]
+    # simulate a partial run: delete some manifests, resume must redo ONLY those
+    import os
+    for k in ("0", "1"):
+        os.remove(os.path.join(out_dir, "_manifest", f"{k}.json"))
+    remaining = resume_filter(ds, out_dir, ["part"])
+    status2 = write_partitioned(remaining, out_dir, ["part"]).take_all()
+    assert {r["partition_key"] for r in status2} == {"0", "1"}
+    assert all(r["status"] == "written" for r in status2)
+    # total output rows across partitions unchanged (no dup partitions)
+    import pyarrow.parquet as pq
+    total = sum(pq.read_table(os.path.join(out_dir, f))
+                .num_rows for f in os.listdir(out_dir)
+                if f.endswith(".parquet"))
+    assert total == 120
