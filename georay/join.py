@@ -100,11 +100,12 @@ class SpatialJoinPoints:
 
 def spatial_join_points(points_ds, polygons: pa.Table, *,
                         lon_col="lon", lat_col="lat", keep_cols=None,
+                        payload_cols=("polygon_id", "category"),
                         batch_size: int = 8192, concurrency=None):
     """Broadcast spatial join: ``points_ds`` (Dataset with lon/lat cols) ×
     ``polygons`` (small pyarrow table with WKB) → matched pairs Dataset."""
     import ray
-    index_ref = ray.put(PolygonIndex.build(polygons))
+    index_ref = ray.put(PolygonIndex.build(polygons, payload_cols=payload_cols))
     from .util import default_concurrency
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
                   fn_constructor_kwargs=dict(index_ref=index_ref,

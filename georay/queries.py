@@ -1,0 +1,667 @@
+"""The driver-facing query suite: one Ray Data pipeline per operator from
+SURVEY.md §2, each paired (where SQL-expressible) with a DuckDB oracle in
+:data:`ORACLE_SQL`.  Geospatial queries derive deterministic lon/lat from
+integer keys with arithmetic that is written IDENTICALLY here (numpy
+doubles) and in the oracle SQL (DuckDB doubles), so tile indices and join
+membership match bit-for-bit.
+
+Float-aggregation columns are rounded to 2 decimals on BOTH sides: the two
+engines sum the same doubles in different orders, so raw sums differ in the
+last ulp; rounding makes the comparison exact (boundary collisions are
+~1e-13 probability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .geom import box_ring, wkb_polygon
+from .mercator import latlon_to_tile_xyz
+
+__all__ = ["QUERIES", "ORACLE_SQL", "derived_lon", "derived_lat"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic derived coordinates (identical in numpy and SQL)
+# ---------------------------------------------------------------------------
+
+def derived_lon(key: np.ndarray) -> np.ndarray:
+    """((key*2654435761) % 2^32) / 2^32 * 360 - 180 — int64-exact hash."""
+    h = (np.asarray(key, dtype=np.int64) * 2654435761) % 4294967296
+    return h / 4294967296.0 * 360.0 - 180.0
+
+
+def derived_lat(key: np.ndarray) -> np.ndarray:
+    h = (np.asarray(key, dtype=np.int64) * 40503 + 2654435761) % 4294967296
+    return h / 4294967296.0 * 170.0 - 85.0
+
+
+_SQL_LON = ("(({k} * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0")
+_SQL_LAT = ("(({k} * 40503 + 2654435761) % 4294967296) / 4294967296.0 "
+            "* 170.0 - 85.0")
+
+# Web-Mercator XYZ tile in SQL — mirrors georay.mercator op-for-op:
+#   shift = 2*pi*6378137/2 ; res(z) = (2*pi*6378137/256)/2^z
+#   tile = ceil(px/256)-1 ; XYZ y-flip = 2^z-1-ty
+_SQL_TILE = """
+    cast(ceil((({lon}) * (2*pi()*6378137/2) / 180.0
+               + (2*pi()*6378137/2))
+              / ((2*pi()*6378137/256) / pow(2.0, {z})) / 256.0) as bigint) - 1
+"""
+_SQL_TILE_Y = """
+    cast(pow(2, {z}) as bigint) - 1 -
+    (cast(ceil((ln(tan((90.0 + ({lat})) * pi() / 360.0)) / (pi()/180.0)
+                * (2*pi()*6378137/2) / 180.0
+                + (2*pi()*6378137/2))
+               / ((2*pi()*6378137/256) / pow(2.0, {z})) / 256.0) as bigint) - 1)
+"""
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round2(batch: pa.Table, cols) -> pa.Table:
+    for c in cols:
+        i = batch.schema.get_field_index(c)
+        batch = batch.set_column(
+            i, c, pc.round(batch[c], ndigits=2))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Geospatial queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(sf_dir: str):
+    """Per-order XYZ tile at z=12 from derived coordinates — the tile
+    assignment kernel (gdal2tiles GlobalMercator math) under the oracle."""
+    def assign(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        lon = derived_lon(key)
+        lat = derived_lat(key)
+        tx, ty = latlon_to_tile_xyz(lat, lon, 12)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "tile_x": pa.array(tx), "tile_y": pa.array(ty)})
+    return _rp(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def q_tile_census(sf_dir: str):
+    """Row count per z=6 tile — partial counts per batch, then a small
+    groupby-sum (the pre-aggregation shuffle pattern)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        tx, ty = latlon_to_tile_xyz(derived_lat(key), derived_lon(key), 6)
+        tid = tx * (1 << 6) + ty
+        uniq, counts = np.unique(tid, return_counts=True)
+        return pa.table({"tile_x": pa.array(uniq // (1 << 6)),
+                         "tile_y": pa.array(uniq % (1 << 6)),
+                         "pc_": pa.array(counts)})
+    return (_rp(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"])
+            .aggregate(Sum("pc_", alias_name="n")))
+
+
+def _nation_zones(sf_dir: str) -> pa.Table:
+    """Rect zones per nation (half-open [lon0,lon0+9.5) × [lat0,lat0+20)),
+    as true WKB polygons for the R-tree+PIP path."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    lon0 = ((nk * 79) % 36) * 10.0 - 180.0
+    lat0 = ((nk * 37) % 15) * 10.0 - 80.0
+    wkbs = [wkb_polygon([box_ring(lon0[i], lat0[i],
+                                  lon0[i] + 9.5, lat0[i] + 20.0)])
+            for i in range(len(nk))]
+    return pa.table({
+        "n_name": nat["n_name"],
+        "wkb": pa.array(wkbs, pa.binary()),
+        "minx": lon0, "miny": lat0,
+        "maxx": lon0 + 9.5, "maxy": lat0 + 20.0,
+    })
+
+
+def _customers_with_coords(sf_dir: str, extra_cols=()):
+    cols = ["c_custkey", *extra_cols]
+
+    def coords(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        batch = batch.append_column("lon", pa.array(derived_lon(key)))
+        return batch.append_column("lat", pa.array(derived_lat(key)))
+    return _rp(sf_dir, "customer", cols).map_batches(
+        coords, batch_format="pyarrow")
+
+
+def q_zone_join(sf_dir: str):
+    """Point-in-polygon spatial join: derived customer points × nation rect
+    zones, through the real broadcast R-tree + ray-casting path (OGR
+    Intersection semantics, ogrlayer.cpp:2633).  Oracle: BETWEEN join."""
+    from .join import spatial_join_points
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
+def q_zone_join_agg(sf_dir: str):
+    """Zonal aggregate: customers per zone + rounded avg balance."""
+    from ray.data.aggregate import Count, Mean
+    from .join import spatial_join_points
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir, extra_cols=["c_acctbal"])
+    joined = spatial_join_points(pts, zones,
+                                 keep_cols=["c_custkey", "c_acctbal"],
+                                 payload_cols=("n_name",))
+    joined = joined.map_batches(
+        lambda b: b.append_column(
+            "bal_cents", pa.array(np.round(
+                b["c_acctbal"].to_numpy() * 100.0).astype(np.int64))),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("bal_cents", alias_name="bal_cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "n_customers": b["n_customers"],
+            "avg_bal": pa.array((b["bal_cents"].to_numpy() / 100.0)
+                                / b["n_customers"].to_numpy())}),
+        batch_format="pyarrow")
+
+
+def q_knn(sf_dir: str):
+    """k=3 nearest suppliers per customer by haversine over derived
+    coordinates — the H3-style k-ring + refinement operator."""
+    import pyarrow.parquet as pq
+    from .knn import knn_points
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    neighbors = pa.table({
+        "s_suppkey": pa.array(sk),
+        "lat": pa.array(derived_lat(sk * 7 + 3)),
+        "lon": pa.array(derived_lon(sk * 7 + 3)),
+    })
+    pts = _customers_with_coords(sf_dir)
+    out = knn_points(pts, neighbors, k=3, id_col="s_suppkey",
+                     keep_cols=["c_custkey"], res=6,
+                     neighbor_id_name="s_suppkey")
+    return out.select_columns(["c_custkey", "rank", "s_suppkey"])
+
+
+def q_hex_census(sf_dir: str):
+    """Hex-cell census of customer points (rows-only check: the hex grid
+    has no SQL analog).  Also the skew-census input of the north rule."""
+    from .join import cell_census
+    return cell_census(_customers_with_coords(sf_dir), res=4)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (OGR SQL / SQLite-dialect analogs, §2.5-2.6)
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: filter + grouped aggregates (MIN/MAX/AVG/SUM/COUNT —
+    ogr_swq.h:67-75 aggregate set)."""
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less_equal(b["l_shipdate"], cutoff)),
+        batch_format="pyarrow")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        # 2-decimal money -> exact integer cents so distributed sums are
+        # order-independent and match the oracle bit-for-bit
+        c = np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        d = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        batch = batch.append_column("base_cents", pa.array(c))
+        return batch.append_column("disc_e4", pa.array(c * (100 - d)))
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_e4", alias_name="disc_e4"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "sum_base_price",
+            pa.array(batch["base_cents"].to_numpy() / 100.0))
+        batch = batch.append_column(
+            "sum_disc_price",
+            pa.array(batch["disc_e4"].to_numpy() / 10000.0))
+        return _round2(batch.drop_columns(["base_cents", "disc_e4"]),
+                       ["avg_qty"])
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """Top-10 orders by lineitem revenue: groupby-sum → round → sort+limit
+    (ORDER BY … LIMIT streaming top-k, ogr_gensql.cpp:2196/2226)."""
+    from ray.data.aggregate import Sum
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        d = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_e4": pa.array(c * (100 - d))})
+    agg = (ds.map_batches(revenue, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4")))
+    agg = agg.map_batches(
+        lambda b: pa.table({"l_orderkey": b["l_orderkey"],
+                            "revenue": pa.array(
+                                b["rev_e4"].to_numpy() / 10000.0)}),
+        batch_format="pyarrow")
+    return agg.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer ⋈ nation, small sides shipped
+    once) + grouped sum — the OGR SQL LEFT-join analog done Ray-style."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    # dense int keys → direct positional lookup arrays (no dict hashing)
+    c2n = np.full(int(cust["c_custkey"].to_numpy().max()) + 1, -1, np.int64)
+    c2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    names = nat["n_name"].to_numpy(zero_copy_only=False)
+    nkeys = nat["n_nationkey"].to_numpy()
+    n2name = np.empty(int(nkeys.max()) + 1, dtype=object)
+    n2name[nkeys] = names
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy()
+        nn = c2n[ck]
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100.0)\
+            .astype(np.int64)
+        return pa.table({"n_name": pa.array(n2name[nn]),
+                         "cents": pa.array(cents)})
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (ds.map_batches(lookup, batch_format="pyarrow")
+             .groupby("n_name")
+             .aggregate(Sum("cents", alias_name="cents"),
+                        Count(alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: pa.table({"n_name": b["n_name"],
+                            "revenue": pa.array(b["cents"].to_numpy() / 100.0),
+                            "n_orders": b["n_orders"]}),
+        batch_format="pyarrow")
+
+
+def q_market_segments(sf_dir: str):
+    """DISTINCT single column (SWQM_DISTINCT_LIST, ogr_gensql.cpp:638)."""
+    vals = sorted(_rp(sf_dir, "customer", ["c_mktsegment"])
+                  .unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT) — exact (ogr_swq.h:376-377)."""
+    n = len(_rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def q_union_names(sf_dir: str):
+    """UNION ALL of two selects (ogr_swq.h:480-481) + count per source."""
+    from ray.data.aggregate import Count
+    r = _rp(sf_dir, "region", ["r_name"]).map_batches(
+        lambda b: pa.table({"name": b["r_name"],
+                            "src": pa.array(["region"] * b.num_rows)}),
+        batch_format="pyarrow")
+    n = _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: pa.table({"name": b["n_name"],
+                            "src": pa.array(["nation"] * b.num_rows)}),
+        batch_format="pyarrow")
+    return r.union(n).groupby("src").aggregate(Count(alias_name="n"))
+
+
+def q_filter_priority(sf_dir: str):
+    """Attribute filter (SWQ WHERE analog: LIKE + count, ogr_swq.h:42-81)."""
+    from ray.data.aggregate import Count
+    ds = _rp(sf_dir, "orders", ["o_orderpriority"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.or_(pc.starts_with(b["o_orderpriority"], "1-"),
+                                  pc.starts_with(b["o_orderpriority"], "3-"))),
+        batch_format="pyarrow")
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+def q_top_parts(sf_dir: str):
+    """ORDER BY multi-key + LIMIT."""
+    return (_rp(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+            .sort(["p_size", "p_partkey"], descending=[True, False])
+            .limit(20))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream table: count + sum
+    per (event_type, hour) — the batch expression of a streaming window."""
+    from ray.data.aggregate import Count, Sum
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def hour(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = np.round(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": h, "cents": pa.array(cents)})
+    agg = (ds.map_batches(hour, batch_format="pyarrow")
+             .groupby(["event_type", "hour"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("cents", alias_name="cents")))
+    return agg.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"], "hour": b["hour"],
+                            "n": b["n"],
+                            "sum_value": pa.array(
+                                b["cents"].to_numpy() / 100.0)}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_dedup(sf_dir: str):
+    """Exact dedup census: min doc_id + count per distinct text."""
+    from ray.data.aggregate import Count, Min
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .groupby("text")
+            .aggregate(Min("doc_id", alias_name="keep_id"),
+                       Count(alias_name="n_copies")))
+
+
+def q_doc_tokens(sf_dir: str):
+    """Token counts with the [A-Za-z0-9]+ tokenizer (SQL oracle:
+    regexp_extract_all)."""
+    from .text import token_count_batch
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(token_count_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "token_count"]))
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-scoring actor stage (rows-only: heuristic features)."""
+    from .text import TextFeatures
+    from .util import default_concurrency
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(TextFeatures, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8))
+            .select_columns(["doc_id", "n_tokens", "punct_ratio",
+                             "stop_ratio", "quality"]))
+
+
+def q_doc_langid(sf_dir: str):
+    """Language-ID heuristic counts per predicted language (rows-only)."""
+    from ray.data.aggregate import Count
+    from .text import LangId
+    from .util import default_concurrency
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(LangId, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8))
+            .groupby("lang_pred").aggregate(Count(alias_name="n")))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs (rows-only)."""
+    from .dedup import minhash_lsh_pairs
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.4)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs within hamming ≤ 3 (rows-only)."""
+    from .dedup import simhash_pairs
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for 8 query vectors over the embedding table —
+    broadcast query matrix + per-batch matmul partials."""
+    import pyarrow.parquet as pq
+    from .ann import ann_topk_bruteforce
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.less(emb["vec_id"], 8))
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_topk_bruteforce(ds, queries, k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    from .dedup import embedding_dup_pairs
+    # synthetic embeddings are near-orthogonal (max offdiag cosine ~0.48),
+    # so the "near-dup" threshold is set low enough to exercise the path
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.35, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Image flagship (synthetic mandated table; rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _bench_images(sf_dir: str) -> str:
+    """Deterministic image table sized by sf (cached under /tmp)."""
+    from .fixtures import write_images_parquet
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = max(200, int(float(sf) * 20000))
+    return write_images_parquet(f"/tmp/georay_images_sf{sf}", n)
+
+
+def q_flagship_join_images(sf_dir: str):
+    """The BASELINE headline: georeference → H3/S2 cells → broadcast R-tree
+    PIP join → center tile assignment, over the mandated image table."""
+    from .pipelines import flagship_join
+    path = _bench_images(sf_dir)
+    out = flagship_join(path, zoom=12, n_polygons=300)
+    return out.select_columns(
+        ["image_id", "polygon_id", "category", "tile_x", "tile_y"])
+
+
+def q_image_dedup(sf_dir: str):
+    """Exact image dedup by phash group (first-per-group)."""
+    import ray
+    from ray.data.aggregate import Count, Min
+    path = _bench_images(sf_dir)
+    return (ray.data.read_parquet(path, columns=["image_id", "phash"])
+            .groupby("phash")
+            .aggregate(Min("image_id", alias_name="keep_id"),
+                       Count(alias_name="n_copies")))
+
+
+def q_tile_checksums(sf_dir: str):
+    """Composited z-12 tiles + GDAL checksums for a slice of the image
+    table (rows-only; the in-repo golden oracle is tests/test_ray_stages)."""
+    from .pipelines import tile_pipeline
+    from .fixtures import write_images_parquet
+    path = write_images_parquet("/tmp/georay_images_tiles", 300)
+    base = tile_pipeline(path, zoom=12)[12]
+    return base.select_columns(["z", "tile_x", "tile_y", "n_frags",
+                                "checksum_r", "checksum_g", "checksum_b"])
+
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "tile_census": q_tile_census,
+    "zone_join": q_zone_join,
+    "zone_join_agg": q_zone_join_agg,
+    "knn_customer_supplier": q_knn,
+    "hex_census": q_hex_census,
+    "q1_pricing": q1_pricing,
+    "top_revenue_orders": q_top_revenue_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "market_segments": q_market_segments,
+    "count_distinct_custkeys": q_count_distinct,
+    "union_names": q_union_names,
+    "filter_priority": q_filter_priority,
+    "top_parts": q_top_parts,
+    "events_hourly": q_events_hourly,
+    "doc_dedup": q_doc_dedup,
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_dups": q_embedding_dups,
+    "flagship_join_images": q_flagship_join_images,
+    "image_dedup": q_image_dedup,
+    "tile_checksums": q_tile_checksums,
+}
+
+
+def _zone_sql() -> str:
+    lon = _SQL_LON.format(k="c_custkey")
+    lat = _SQL_LAT.format(k="c_custkey")
+    return f"""
+    WITH pts AS (SELECT c_custkey, c_acctbal, {lon} AS lon, {lat} AS lat
+                 FROM customer),
+    zones AS (SELECT n_name,
+                     ((n_nationkey * 79) % 36) * 10.0 - 180.0 AS lon0,
+                     ((n_nationkey * 37) % 15) * 10.0 - 80.0 AS lat0
+              FROM nation)
+    SELECT pts.*, zones.n_name FROM pts JOIN zones
+    ON pts.lon >= zones.lon0 AND pts.lon < zones.lon0 + 9.5
+    AND pts.lat >= zones.lat0 AND pts.lat < zones.lat0 + 20.0
+    """
+
+
+ORACLE_SQL = {
+    "tile_assign": f"""
+        SELECT o_orderkey,
+               {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=12)} AS tile_x,
+               {_SQL_TILE_Y.format(lat=_SQL_LAT.format(k='o_orderkey'), z=12)} AS tile_y
+        FROM orders
+    """,
+    "tile_census": f"""
+        SELECT {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=6)} AS tile_x,
+               {_SQL_TILE_Y.format(lat=_SQL_LAT.format(k='o_orderkey'), z=6)} AS tile_y,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    """,
+    "zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "zone_join_agg": f"""
+        SELECT n_name, count(*) AS n_customers,
+               (sum(cast(round(c_acctbal * 100.0, 0) as bigint)) / 100.0)
+                   / count(*) AS avg_bal
+        FROM ({_zone_sql()}) GROUP BY n_name
+    """,
+    "knn_customer_supplier": f"""
+        WITH c AS (SELECT c_custkey,
+                          {_SQL_LON.format(k='c_custkey')} AS lon,
+                          {_SQL_LAT.format(k='c_custkey')} AS lat
+                   FROM customer),
+        s AS (SELECT s_suppkey,
+                     {_SQL_LON.format(k='(s_suppkey * 7 + 3)')} AS lon,
+                     {_SQL_LAT.format(k='(s_suppkey * 7 + 3)')} AS lat
+              FROM supplier),
+        d AS (SELECT c.c_custkey, s.s_suppkey,
+                     2.0 * 6371008.8 * asin(sqrt(least(greatest(
+                         sin((radians(s.lat) - radians(c.lat)) / 2.0) ^ 2
+                         + cos(radians(c.lat)) * cos(radians(s.lat))
+                           * sin(radians(s.lon - c.lon) / 2.0) ^ 2, 0.0), 1.0)))
+                       AS dist
+              FROM c CROSS JOIN s)
+        SELECT c_custkey,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist, s_suppkey) - 1 AS rank,
+               s_suppkey
+        FROM d QUALIFY rank < 3
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(cast(round(l_extendedprice * 100.0, 0) as bigint)) / 100.0
+                   AS sum_base_price,
+               sum(cast(round(l_extendedprice * 100.0, 0) as bigint)
+                   * (100 - cast(round(l_discount * 100.0, 0) as bigint)))
+                   / 10000.0 AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey,
+               sum(cast(round(l_extendedprice * 100.0, 0) as bigint)
+                   * (100 - cast(round(l_discount * 100.0, 0) as bigint)))
+                   / 10000.0 AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               sum(cast(round(o_totalprice * 100.0, 0) as bigint)) / 100.0
+                   AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "market_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "count_distinct_custkeys":
+        "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+    "union_names": """
+        SELECT src, count(*) AS n FROM (
+            SELECT r_name AS name, 'region' AS src FROM region
+            UNION ALL
+            SELECT n_name AS name, 'nation' AS src FROM nation
+        ) GROUP BY src
+    """,
+    "filter_priority": """
+        SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '3-%'
+        GROUP BY o_orderpriority
+    """,
+    "top_parts": """
+        SELECT p_partkey, p_name, p_size FROM part
+        ORDER BY p_size DESC, p_partkey LIMIT 20
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n,
+               sum(cast(round(value * 100.0, 0) as bigint)) / 100.0
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "doc_dedup": """
+        SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "doc_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token_count
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT q.query_id, e.vec_id,
+                     row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qe, e.embedding)
+                                  DESC, e.vec_id) - 1 AS rank
+              FROM q CROSS JOIN embeddings e)
+        SELECT query_id, rank, vec_id FROM s WHERE rank < 5
+    """,
+}

@@ -1,0 +1,102 @@
+"""Mirror of the driver's correctness gate: run every ``queries()`` entry
+at sf0.001 and compare row count + order-insensitive values against its
+``oracle_sql()`` via DuckDB (columns sorted by name, rows sorted, values
+compared exactly)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import ray
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns), \
+        f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            import numpy as np
+            assert np.allclose(av.astype(float), bv.astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True), \
+                f"{name}: column {c} differs"
+        else:
+            bad = (av != bv)
+            assert not bad.any(), \
+                f"{name}: column {c} differs at {bad.sum()} rows, e.g. " \
+                f"{av[bad][:3]} vs {bv[bad][:3]}"
+
+
+@pytest.fixture(scope="module")
+def ducks(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _oracle_names():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(ray_session, sf_dir, ducks, name):
+    import __ray_entry__ as e
+    ray_df = _to_pandas(e.queries()[name](sf_dir))
+    sql_df = ducks.sql(e.oracle_sql()[name]).df()
+    _compare(name, ray_df, sql_df)
+
+
+def test_rows_only_queries_run(ray_session, sf_dir):
+    """Queries without SQL oracles must still run and return a stable
+    schema (the driver's weaker rows-only check)."""
+    import __ray_entry__ as e
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        if name in ("tile_checksums", "flagship_join_images", "image_dedup"):
+            continue  # covered by test_entry_image_queries (slower)
+        df = _to_pandas(qs[name](sf_dir))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+    df = _to_pandas(e.entry())
+    assert len(df) >= 0 and "n_customers" in df.columns
+
+
+def test_entry_image_queries(ray_session, sf_dir):
+    import __ray_entry__ as e
+    df = _to_pandas(e.queries()["flagship_join_images"](sf_dir))
+    assert {"image_id", "polygon_id", "tile_x", "tile_y"} <= set(df.columns)
+    df2 = _to_pandas(e.queries()["image_dedup"](sf_dir))
+    assert df2["n_copies"].max() >= 2  # the every-97th-row dup group
