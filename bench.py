@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline flagship pipeline (decode → georef →
+H3/S2 cells → broadcast R-tree spatial join → tile assignment over the
+mandated image table) plus the per-operator query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), then prints ONE JSON
+line::
+
+    {"metric": "flagship images/sec", "value": <headline seconds>,
+     "unit": "sec", "images_per_sec": ..., "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the headline twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and prints both
+throughputs + scaling efficiency (the sandbox evidence for the N→4N
+cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "20000"))
+
+# queries timed in the plain run (tile_checksums excluded: the full tile
+# pyramid is benchmarked separately as part of the headline family)
+BENCH_QUERIES = [
+    "tile_assign", "tile_census", "zone_join", "zone_join_agg",
+    "knn_customer_supplier", "hex_census", "q1_pricing",
+    "top_revenue_orders", "revenue_by_nation", "events_hourly",
+    "doc_tokens", "doc_quality", "doc_minhash_pairs", "ann_topk",
+    "image_dedup",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; returns row count."""
+    import pyarrow as pa
+    import ray
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for batch in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def _bench_images_path() -> str:
+    from georay.fixtures import write_images_parquet
+    # 128 rows/file -> enough blocks for 32-way parallelism at any N
+    return write_images_parquet(f"/tmp/georay_bench_{N_IMAGES}_rpf128",
+                                N_IMAGES, rows_per_file=128)
+
+
+def run_headline() -> dict:
+    """Flagship: decode + cells + spatial join + tile assign, images/sec."""
+    from georay.pipelines import flagship_join
+    path = _bench_images_path()
+    t0 = time.perf_counter()
+    out = flagship_join(path, zoom=12, n_polygons=500, decode=True, cut=True)
+    rows = _consume(out)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "images": N_IMAGES, "rows": rows,
+            "images_per_sec": N_IMAGES / dt}
+
+
+def run_queries() -> dict:
+    from georay.queries import QUERIES
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _quiet():
+    import logging
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    for name in ("ray.data", "ray"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
+def main_plain():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _quiet()
+    _bench_images_path()          # build fixture outside the timed window
+    run_headline()                # warm-up: page cache + actor pools
+    head = run_headline()
+    queries = run_queries()
+    result = {
+        "metric": "flagship spatial-join+tile-assign (sec)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "images_per_sec": round(head["images_per_sec"], 1),
+        "images": head["images"],
+        "join_rows": head["rows"],
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def _headline_subprocess(ncpu: int) -> dict:
+    import subprocess
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_HEADLINE_ONLY="1")
+    out = subprocess.run([sys.executable, __file__, "--headline-only"],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main_headline_only():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _quiet()
+    _bench_images_path()
+    run_headline()  # warm-up
+    head = run_headline()
+    print(json.dumps({"num_cpus": NUM_CPUS, **{k: round(v, 3) if
+                      isinstance(v, float) else v for k, v in head.items()}}))
+    ray.shutdown()
+
+
+def main_scaling():
+    lo, hi = 8, 32
+    r_lo = _headline_subprocess(lo)
+    r_hi = _headline_subprocess(hi)
+    eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (N to 4N CPUs)",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "images_per_sec_lo": r_lo["images_per_sec"],
+        "images_per_sec_hi": r_hi["images_per_sec"],
+        "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--headline-only" in sys.argv:
+        main_headline_only()
+    else:
+        main_plain()

@@ -58,12 +58,14 @@ class TextFeatures:
                              if toks else 0.0)
             mean_word_len[i] = (sum(map(len, toks)) / len(toks)
                                 if toks else 0.0)
-        # simple composite quality score in [0,1]
+        # composite quality score in [0,1]: length gate, low punctuation,
+        # natural stopword density, word lengths near the English mean
         quality = np.clip(
             0.25 * (n_tokens > 5)
-            + 0.25 * (punct_ratio < 0.2)
-            + 0.25 * np.clip(stop_ratio / 0.4, 0, 1)
-            + 0.25 * np.clip(mean_word_len / 5.0, 0, 1), 0, 1)
+            + 0.25 * np.clip(1.0 - punct_ratio / 0.25, 0, 1)
+            + 0.30 * np.clip(stop_ratio / 0.3, 0, 1)
+            + 0.20 * np.clip(1.0 - np.abs(mean_word_len - 4.5) / 4.5, 0, 1),
+            0, 1)
         for name, arr in [("n_chars_f", n_chars), ("n_tokens", n_tokens),
                           ("punct_ratio", punct_ratio),
                           ("stop_ratio", stop_ratio),
