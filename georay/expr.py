@@ -1,0 +1,283 @@
+"""Attribute-filter expressions — a from-scratch analog of OGR's SWQ
+WHERE-clause engine (ogr/ogr_swq.h:42-81 operator set; bison parser in
+ogr/swq.cpp; installed per layer via SetAttributeFilter,
+ogrsf_frmts/generic/ogrlayer.cpp:421), compiled to **vectorized
+pyarrow.compute expressions** instead of per-row evaluation.
+
+Supported grammar (case-insensitive keywords)::
+
+    expr   := or
+    or     := and (OR and)*
+    and    := not (AND not)*
+    not    := NOT not | cmp
+    cmp    := add (=|<>|!=|<|<=|>|>=) add
+            | add [NOT] LIKE string
+            | add [NOT] IN '(' literal (',' literal)* ')'
+            | add [NOT] BETWEEN add AND add
+            | add IS [NOT] NULL
+            | '(' expr ')'
+    add    := mul (('+'|'-') mul)*
+    mul    := prim (('*'|'/'|'%') prim)*
+    prim   := number | 'string' | identifier | '(' add ')'
+
+Usage::
+
+    f = compile_filter("l_quantity > 10 AND l_returnflag IN ('A','R')")
+    ds = ds.map_batches(lambda b: b.filter(f(b)), batch_format="pyarrow")
+
+or `attribute_filter(ds, "...")` which does exactly that.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["compile_filter", "attribute_filter", "FilterSyntaxError"]
+
+
+class FilterSyntaxError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<num>\d+\.\d*|\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    )""", re.X)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS", "NULL",
+             "TRUE", "FALSE"}
+
+
+def _tokenize(src: str):
+    pos, out = 0, []
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise FilterSyntaxError(f"bad token at: {src[pos:pos+20]!r}")
+            break
+        if m.group("num"):
+            t = m.group("num")
+            out.append(("num", float(t) if "." in t else int(t)))
+        elif m.group("str"):
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
+        else:
+            w = m.group("word")
+            out.append(("kw", w.upper()) if w.upper() in _KEYWORDS
+                       else ("ident", w))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise FilterSyntaxError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # --- grammar ---
+    def parse(self):
+        node = self.or_()
+        if self.peek() != (None, None):
+            raise FilterSyntaxError(f"trailing tokens: {self.peek()!r}")
+        return node
+
+    def or_(self):
+        node = self.and_()
+        while self.peek() == ("kw", "OR"):
+            self.next()
+            node = ("or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.not_()
+        while self.peek() == ("kw", "AND"):
+            self.next()
+            node = ("and", node, self.not_())
+        return node
+
+    def not_(self):
+        if self.peek() == ("kw", "NOT"):
+            self.next()
+            return ("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        left = self.add()
+        k, v = self.peek()
+        negate = False
+        if (k, v) == ("kw", "NOT"):
+            self.next()
+            negate = True
+            k, v = self.peek()
+        if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            node = ("cmp", v, left, self.add())
+        elif (k, v) == ("kw", "LIKE"):
+            self.next()
+            kk, pat = self.next()
+            if kk != "str":
+                raise FilterSyntaxError("LIKE needs a string pattern")
+            node = ("like", left, pat)
+        elif (k, v) == ("kw", "IN"):
+            self.next()
+            self.expect("op", "(")
+            vals = [self._literal()]
+            while self.peek() == ("op", ","):
+                self.next()
+                vals.append(self._literal())
+            self.expect("op", ")")
+            node = ("in", left, vals)
+        elif (k, v) == ("kw", "BETWEEN"):
+            self.next()
+            lo = self.add()
+            self.expect("kw", "AND")
+            hi = self.add()
+            node = ("between", left, lo, hi)
+        elif (k, v) == ("kw", "IS"):
+            self.next()
+            if self.peek() == ("kw", "NOT"):
+                self.next()
+                negate = not negate
+            self.expect("kw", "NULL")
+            node = ("isnull", left)
+        else:
+            if negate:
+                raise FilterSyntaxError("dangling NOT")
+            return left
+        return ("not", node) if negate else node
+
+    def _literal(self):
+        k, v = self.next()
+        if k not in ("num", "str"):
+            raise FilterSyntaxError(f"expected literal, got {v!r}")
+        return v
+
+    def add(self):
+        node = self.mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            node = ("arith", op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.prim()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            node = ("arith", op, node, self.prim())
+        return node
+
+    def prim(self):
+        k, v = self.next()
+        if k == "num" or k == "str":
+            return ("lit", v)
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return ("lit", v == "TRUE")
+        if k == "kw" and v == "NULL":
+            return ("lit", None)
+        if k == "ident":
+            return ("col", v)
+        if (k, v) == ("op", "("):
+            node = self.or_()
+            self.expect("op", ")")
+            return node
+        if (k, v) == ("op", "-"):
+            inner = self.prim()
+            return ("arith", "*", ("lit", -1), inner)
+        raise FilterSyntaxError(f"unexpected token {v!r}")
+
+
+_CMP = {"=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
+        "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+        ">=": pc.greater_equal}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+          "/": pc.divide, "%": lambda a, b: pc.subtract(
+              a, pc.multiply(pc.floor(pc.divide(a, b)), b))}
+
+
+def _like_to_regex(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _eval(node, batch: pa.Table):
+    kind = node[0]
+    if kind == "lit":
+        return pa.scalar(node[1])
+    if kind == "col":
+        return batch[node[1]]
+    if kind == "arith":
+        return _ARITH[node[1]](_eval(node[2], batch), _eval(node[3], batch))
+    if kind == "cmp":
+        return _CMP[node[1]](_eval(node[2], batch), _eval(node[3], batch))
+    if kind == "and":
+        return pc.and_kleene(_eval(node[1], batch), _eval(node[2], batch))
+    if kind == "or":
+        return pc.or_kleene(_eval(node[1], batch), _eval(node[2], batch))
+    if kind == "not":
+        return pc.invert(_eval(node[1], batch))
+    if kind == "like":
+        return pc.match_substring_regex(_eval(node[1], batch),
+                                        _like_to_regex(node[2]))
+    if kind == "in":
+        v = _eval(node[1], batch)
+        hit = pc.is_in(v, value_set=pa.array(node[2]))
+        # SQL: NULL IN (...) is NULL (is_in would say false) — re-null it
+        return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
+    if kind == "between":
+        v = _eval(node[1], batch)
+        return pc.and_(pc.greater_equal(v, _eval(node[2], batch)),
+                       pc.less_equal(v, _eval(node[3], batch)))
+    if kind == "isnull":
+        return pc.is_null(_eval(node[1], batch))
+    raise FilterSyntaxError(f"unknown node {kind}")
+
+
+def compile_filter(src: str):
+    """Parse an OGR-SQL-style WHERE clause → ``f(batch) -> BooleanArray``."""
+    ast = _Parser(_tokenize(src)).parse()
+
+    def evaluator(batch: pa.Table):
+        mask = _eval(ast, batch)
+        # NULL comparison results drop the row (SQL semantics)
+        return pc.fill_null(mask, False)
+
+    return evaluator
+
+
+def attribute_filter(ds, where: str, batch_size: int | None = None):
+    """``ds.filter`` with a compiled vectorized WHERE clause — the layer
+    contract's SetAttributeFilter as a ``map_batches`` stage."""
+    f = compile_filter(where)
+    kwargs = dict(batch_format="pyarrow")
+    if batch_size:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(lambda b: b.filter(f(b)), **kwargs)

@@ -160,10 +160,12 @@ def georef(idx: np.ndarray, w: np.ndarray, h: np.ndarray):
     lon = ((lon + 180.0) % 360.0) - 180.0
 
     cx, cy = latlon_to_meters(lat, lon)
-    # pixel size: image spans exactly one tile-width at z=12
-    psize = (float(resolution(12)) * 256.0) / w
+    # pixel size: the image's longer axis spans one tile-width at z=12
+    # (FIXTURES.md: "an image spans ~1 tile at z≈12")
+    h = np.asarray(h, dtype=np.float64)
+    psize = (float(resolution(12)) * 256.0) / np.maximum(w, h)
     ulx = cx - w * psize / 2.0
-    uly = cy + np.asarray(h, dtype=np.float64) * psize / 2.0
+    uly = cy + h * psize / 2.0
     return {"lat": lat, "lon": lon, "cx": cx, "cy": cy,
             "ulx": ulx, "uly": uly, "psize": psize}
 

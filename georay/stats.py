@@ -30,6 +30,19 @@ CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
                            dtype=np.int64)
 
 
+_PRIME_LUT_CACHE: dict = {}
+
+
+def _prime_lut(n: int) -> np.ndarray:
+    lut = _PRIME_LUT_CACHE.get(n)
+    if lut is None:
+        lut = CHECKSUM_PRIMES[np.arange(n, dtype=np.int64) % 11]
+        if len(_PRIME_LUT_CACHE) > 8:
+            _PRIME_LUT_CACHE.clear()
+        _PRIME_LUT_CACHE[n] = lut
+    return lut
+
+
 def gdal_checksum(arr: np.ndarray) -> int:
     """GDAL band checksum of a full 2-D window (alg/gdalchecksum.cpp).
 
@@ -40,10 +53,13 @@ def gdal_checksum(arr: np.ndarray) -> int:
     if a.ndim != 2:
         raise ValueError("gdal_checksum expects a single 2-D band")
     flat = a.astype(np.int64).ravel()
-    primes = CHECKSUM_PRIMES[np.arange(flat.size, dtype=np.int64) % 11]
+    primes = _prime_lut(flat.size)
     # C++ % truncates toward zero; numpy % floors. Match C++ for negatives.
-    q = np.abs(flat) % primes
-    vals = np.where(flat < 0, -q, q)
+    if (flat < 0).any():
+        q = np.abs(flat) % primes
+        vals = np.where(flat < 0, -q, q)
+    else:
+        vals = flat % primes
     return int(vals.sum() & 0xFFFF)
 
 

@@ -50,8 +50,25 @@ def resample_nearest(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
 def resample_average(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """Weighted box filter incl. partial edge pixels — the AVERAGE kernel of
     GDALRegenerateOverviews (gcore/overview.cpp), generalized to fractional
-    ratios via x/y prefix sums (integral image)."""
+    ratios via x/y prefix sums (integral image).
+
+    Semantics: average is a DOWNSCALING kernel — when the output is finer
+    than the source in either axis this falls back to nearest, which is
+    what gdal2tiles effectively does (geo_query reads at querysize via
+    GDAL ReadRaster whose default upsampling is nearest; the average path,
+    scale_query_to_tile → RegenerateOverview, only ever shrinks —
+    gdal2tiles.py:856-918, 2995-3037).  Integer decimation ratios reduce
+    to a reshape-mean (the 2× pyramid-reduce fast path)."""
     h, w = src.shape[:2]
+    if oh > h or ow > w:  # upscale → ReadRaster-nearest parity
+        return resample_nearest(src, oh, ow)
+    if h % oh == 0 and w % ow == 0:
+        fy, fx = h // oh, w // ow
+        if src.ndim == 3:
+            out = src.reshape(oh, fy, ow, fx, src.shape[2]).mean(axis=(1, 3))
+        else:
+            out = src.reshape(oh, fy, ow, fx).mean(axis=(1, 3))
+        return np.clip(np.rint(out), 0, 255).astype(src.dtype)
     a = src.astype(np.float64)
     if a.ndim == 2:
         a = a[:, :, None]
