@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "20000"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "200000"))
 
 # queries timed in the plain run (tile_checksums excluded: the full tile
 # pyramid is benchmarked separately as part of the headline family)
@@ -55,9 +55,12 @@ def _consume(res) -> int:
 
 def _bench_images_path() -> str:
     from georay.fixtures import write_images_parquet
-    # 128 rows/file -> enough blocks for 32-way parallelism at any N
-    return write_images_parquet(f"/tmp/georay_bench_{N_IMAGES}_rpf128",
-                                N_IMAGES, rows_per_file=128)
+    # few files (fast driver-side metadata scan) with small row groups
+    # (fine-grained block splitting for 32-way parallelism); payloads
+    # cycle over 8192 distinct images (throughput fixture)
+    return write_images_parquet(f"/tmp/georay_bench_{N_IMAGES}_u8192_rg",
+                                N_IMAGES, rows_per_file=8192, unique=8192,
+                                row_group_size=256)
 
 
 def run_headline() -> dict:
@@ -65,7 +68,8 @@ def run_headline() -> dict:
     from georay.pipelines import flagship_join
     path = _bench_images_path()
     t0 = time.perf_counter()
-    out = flagship_join(path, zoom=12, n_polygons=500, decode=True, cut=True)
+    out = flagship_join(path, zoom=12, n_polygons=500, decode=True, cut=True,
+                        verify=True)
     rows = _consume(out)
     dt = time.perf_counter() - t0
     return {"sec": dt, "images": N_IMAGES, "rows": rows,
@@ -92,6 +96,8 @@ def _quiet():
 
 def main_plain():
     import ray
+    from georay.util import tune_malloc
+    tune_malloc()  # see util.tune_malloc — must precede ray.init
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     _quiet()
@@ -125,6 +131,8 @@ def _headline_subprocess(ncpu: int) -> dict:
 
 def main_headline_only():
     import ray
+    from georay.util import tune_malloc
+    tune_malloc()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     _quiet()

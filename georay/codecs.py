@@ -221,15 +221,26 @@ _DCT32 = _dct_matrix(32)
 
 def _block_mean_resize(gray: np.ndarray, out: int) -> np.ndarray:
     """Box-filter resize to out×out via per-axis block means (handles
-    non-divisible sizes with index binning)."""
+    non-divisible sizes with index binning).
+
+    Implemented with contiguous ``np.add.reduceat`` per axis (scatter-free;
+    ``np.add.at`` measured ~10× slower and bandwidth-bound).  Empty bins
+    (source smaller than ``out``) are zero, matching the scatter-add
+    semantics this replaced — stored phashes depend on it.
+    """
     h, w = gray.shape
-    ys = (np.arange(h) * out // h)
-    xs = (np.arange(w) * out // w)
-    acc = np.zeros((out, out), dtype=np.float64)
-    cnt = np.zeros((out, out), dtype=np.float64)
-    np.add.at(acc, (ys[:, None], xs[None, :]), gray.astype(np.float64))
-    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
-    return acc / np.maximum(cnt, 1.0)
+    ys = np.arange(h) * out // h
+    xs = np.arange(w) * out // w
+    row_cnt = np.bincount(ys, minlength=out)
+    col_cnt = np.bincount(xs, minlength=out)
+    row_starts = np.minimum(np.searchsorted(ys, np.arange(out), "left"), h - 1)
+    col_starts = np.minimum(np.searchsorted(xs, np.arange(out), "left"), w - 1)
+    a = np.add.reduceat(gray.astype(np.float64), row_starts, axis=0)
+    a[row_cnt == 0] = 0.0
+    a = np.add.reduceat(a, col_starts, axis=1)
+    a[:, col_cnt == 0] = 0.0
+    cnt = (row_cnt[:, None] * col_cnt[None, :]).astype(np.float64)
+    return a / np.maximum(cnt, 1.0)
 
 
 def phash64(arr: np.ndarray) -> np.int64:
@@ -242,6 +253,10 @@ def phash64(arr: np.ndarray) -> np.int64:
     d = _DCT32.T @ small @ _DCT32
     block = d[:8, :8].copy().ravel()
     vals = np.delete(block, 0)  # drop DC
+    # quantize: synthetic/flat images produce coefficient clusters within
+    # ~1e-13 of each other, where float summation order would flip bits —
+    # the hash must be stable across vectorization strategies
+    vals = np.round(vals, 6)
     med = np.median(vals)
     bits = np.concatenate([[False], vals > med])  # 64 bits, DC slot = 0
     packed = 0

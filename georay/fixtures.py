@@ -236,20 +236,36 @@ def points_table(n: int = 1000) -> pa.Table:
     })
 
 
-def write_images_parquet(path: str, n: int, rows_per_file: int = 2048) -> str:
+def write_images_parquet(path: str, n: int, rows_per_file: int = 2048,
+                         unique: int | None = None,
+                         row_group_size: int | None = None) -> str:
     """Write the deterministic images table as a partitioned parquet dir
-    (multiple files → Ray read parallelism); idempotent cache."""
+    (multiple files → Ray read parallelism); idempotent cache.
+
+    ``unique``: generate only that many distinct rows and cycle their
+    payloads (image_id stays per-row unique) — for large THROUGHPUT
+    fixtures where encoding n distinct images would dominate setup time.
+    Correctness fixtures must leave it None (content = pure fn of row id).
+    """
     import os
     import pyarrow.parquet as pq
-    marker = os.path.join(path, f".complete-{n}")
+    marker = os.path.join(path, f".complete-{n}-{unique or 0}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
+    base = images_table(unique) if unique else None
     part = 0
     for start in range(0, n, rows_per_file):
         cnt = min(rows_per_file, n - start)
-        pq.write_table(images_table(cnt, start=start),
-                       os.path.join(path, f"part-{part:05d}.parquet"))
+        if base is None:
+            tbl = images_table(cnt, start=start)
+        else:
+            idx = pa.array(np.arange(start, start + cnt) % unique)
+            tbl = base.take(idx).set_column(
+                0, "image_id",
+                pa.array([f"img{i:08d}" for i in range(start, start + cnt)]))
+        pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"),
+                       row_group_size=row_group_size or rows_per_file)
         part += 1
     with open(marker, "w") as f:
         f.write("ok")

@@ -18,9 +18,18 @@ __all__ = ["read_images", "georeferenced_images", "flagship_join",
            "tile_pipeline", "flagship_summary"]
 
 
-def read_images(images_path: str, *, columns=None):
+def read_images(images_path: str, *, columns=None, read_concurrency=None):
+    """Column-pruned parquet read.  ``read_concurrency`` caps concurrent
+    read tasks: wide-binary reads are object-store-write-bound, and a few
+    readers keep the downstream compute pool saturated without the
+    many-concurrent-writers page-fault contention this sandbox's VM
+    exhibits (reads overlap compute under streaming execution either way).
+    """
     import ray
-    return ray.data.read_parquet(images_path, columns=columns)
+    kwargs = {}
+    if read_concurrency is not None:
+        kwargs["concurrency"] = read_concurrency
+    return ray.data.read_parquet(images_path, columns=columns, **kwargs)
 
 
 def georeferenced_images(images_path: str, *, decode: bool = True,
@@ -55,7 +64,7 @@ class FlagshipStage:
     """
 
     def __init__(self, index_ref, zoom: int = 12, decode: bool = True,
-                 cut: bool = False):
+                 cut: bool = False, verify: bool = False):
         import ray
         from .join import PolygonIndex
         self.index = (ray.get(index_ref)
@@ -63,20 +72,47 @@ class FlagshipStage:
         self.zoom = zoom
         self.decode = DecodeImages(keep_bytes=False) if decode else None
         self.cut = CutTiles(zoom=zoom) if cut else None
+        self.verify = verify
         if cut:
             from .stats import gdal_checksum
             self._checksum = gdal_checksum
+        if verify:
+            from .codecs import phash64
+            self._phash = phash64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = add_georef(batch)
         batch = add_cells(batch)
+        if self.cut is not None and self.decode is not None:
+            # headline fused path: each image is decoded ONCE into a local
+            # array, phash-verified and cut-checksummed immediately, and
+            # the pixels are dropped before anything reaches the output —
+            # no pixels column is ever materialized (two fewer copies of
+            # every decoded byte; the stage stays compute-bound)
+            return self._headline(batch)
         if self.decode is not None:
             batch = self.decode(batch)
+        if self.verify:
+            # BASELINE per-row invariant: the stored phash must match the
+            # hash of the decoded pixels (decoded-pixel fidelity check)
+            import pyarrow.compute as _pc
+            h_arr = batch["h"].to_numpy()
+            w_arr = batch["w"].to_numpy()
+            stored = batch["phash"].to_numpy()
+            ok = np.empty(batch.num_rows, dtype=bool)
+            pix = batch["pixels"]
+            for i in range(batch.num_rows):
+                arr = np.frombuffer(pix[i].as_buffer(), dtype=np.uint8)\
+                    .reshape(int(h_arr[i]), int(w_arr[i]), 3)
+                ok[i] = int(self._phash(arr)) == int(stored[i])
+            batch = batch.append_column("phash_ok", pa.array(ok))
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
         qi, ii = self.index.match_points(lon, lat)
         keep = ["image_id", "caption", "phash", "lat", "lon",
                 "hexcell", "s2cell"]
+        if self.verify:
+            keep.append("phash_ok")
         out = batch.select(keep).take(pa.array(qi))
         for name, arr in self.index.payload.items():
             out = out.append_column(name, pa.array(arr[ii]))
@@ -84,16 +120,12 @@ class FlagshipStage:
         if self.cut is None:
             return out
         # headline tail: cut every image into its covering z tiles and
-        # checksum the fragments (the gdal2tiles base-tile work, fused) —
-        # fragments are consumed here; only the summary rows leave the task
-        frags = self.cut(batch)
-        n = frags.num_rows
-        sums = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            fb = np.frombuffer(frags["frag"][i].as_buffer(), dtype=np.uint8)
-            sums[i] = self._checksum(fb.reshape(256, 256, 4)[:, :, 0])
-        frag_summary = frags.drop_columns(["frag"]).append_column(
-            "frag_checksum", pa.array(sums))
+        # checksum the fragments (the gdal2tiles base-tile work, fused).
+        # The checksum is computed directly from the scaled window against
+        # a positional prime LUT — pixels outside the window are zero and
+        # contribute nothing, so no 256² canvas is ever materialized
+        # (keeps the stage compute-bound instead of bandwidth-bound).
+        frag_summary = self._cut_checksums(batch)
         # align schemas: join rows + fragment rows share the output table
         out = out.append_column("frag_checksum",
                                 pa.nulls(out.num_rows, pa.int64()))
@@ -108,19 +140,171 @@ class FlagshipStage:
         return pa.concat_tables([out, frag_summary])
 
 
+    _LUT256 = None
+
+    @staticmethod
+    def _lut():
+        from .stats import CHECKSUM_PRIMES
+        if FlagshipStage._LUT256 is None:
+            FlagshipStage._LUT256 = CHECKSUM_PRIMES[
+                (np.arange(256 * 256) % 11)].reshape(256, 256)
+        return FlagshipStage._LUT256
+
+    def _headline(self, batch: pa.Table) -> pa.Table:
+        from .codecs import decode_image
+        from .mercator import (geo_query, tile_bounds_meters,
+                               tile_range_for_extent, tms_to_xyz_y)
+        from .tiles import _scale_to
+        lut = self._lut()
+        z = self.zoom
+        n = batch.num_rows
+        w_arr = batch["w"].to_numpy()
+        h_arr = batch["h"].to_numpy()
+        ulx_arr = batch["ulx"].to_numpy()
+        uly_arr = batch["uly"].to_numpy()
+        ps_arr = batch["psize"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        stored_phash = batch["phash"].to_numpy()
+        bufs = batch["bytes"]
+        phash_ok = np.ones(n, dtype=bool)
+        out_x, out_y, out_row, out_sum = [], [], [], []
+        for i in range(n):
+            arr = decode_image(bufs[i].as_buffer(), fmts[i])
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=2)
+            if self.verify:
+                phash_ok[i] = int(self._phash(arr)) == int(stored_phash[i])
+            w, h = int(w_arr[i]), int(h_arr[i])
+            ulx, uly, ps = (float(ulx_arr[i]), float(uly_arr[i]),
+                            float(ps_arr[i]))
+            gt = (ulx, ps, 0.0, uly, 0.0, -ps)
+            tminx, tminy, tmaxx, tmaxy = tile_range_for_extent(
+                ulx, uly - h * ps, ulx + w * ps, uly, z)
+            for ty_tms in range(tminy, tmaxy + 1):
+                for tx in range(tminx, tmaxx + 1):
+                    b = tile_bounds_meters(tx, ty_tms, z)
+                    (rx, ry_, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+                        gt, w, h, b[0], b[3], b[2], b[1], querysize=256)
+                    if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+                        continue
+                    window = arr[ry_:ry_ + rys, rx:rx + rxs]
+                    if window.size == 0:
+                        continue
+                    scaled = _scale_to(window, wys, wxs, "average")
+                    lslice = lut[wy:wy + wys, wx:wx + wxs]
+                    s64 = scaled.astype(np.int64)
+                    cs = int(((s64[:, :, 0] % lslice).sum()
+                              + (s64[:, :, 1] % lslice).sum()
+                              + (s64[:, :, 2] % lslice).sum()) & 0xFFFF)
+                    out_x.append(tx)
+                    out_y.append(int(tms_to_xyz_y(ty_tms, z)))
+                    out_row.append(i)
+                    out_sum.append(cs)
+        # join rows
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        qi, ii = self.index.match_points(lon, lat)
+        keep = ["image_id", "caption", "phash", "lat", "lon",
+                "hexcell", "s2cell"]
+        out = batch.select(keep).take(pa.array(qi))
+        if self.verify:
+            out = out.append_column("phash_ok", pa.array(phash_ok[qi]))
+        for name, arr_p in self.index.payload.items():
+            out = out.append_column(name, pa.array(arr_p[ii]))
+        out = assign_center_tile(out, z)
+        out = out.append_column("frag_checksum",
+                                pa.nulls(out.num_rows, pa.int64()))
+        # fragment rows aligned to the join-row schema
+        m = len(out_x)
+        row_idx = np.asarray(out_row, dtype=np.int64)
+        frag = {
+            "image_id": pa.array([ids[r] for r in row_idx], pa.string()),
+            "caption": pa.nulls(m, pa.string()),
+            "phash": pa.array(stored_phash[row_idx]),
+            "lat": pa.array(lat[row_idx]),
+            "lon": pa.array(lon[row_idx]),
+            "hexcell": batch["hexcell"].take(pa.array(row_idx)),
+            "s2cell": batch["s2cell"].take(pa.array(row_idx)),
+        }
+        if self.verify:
+            frag["phash_ok"] = pa.array(phash_ok[row_idx])
+        for name, arr_p in self.index.payload.items():
+            frag[name] = pa.nulls(m, pa.array(arr_p[:1]).type)
+        frag["z"] = pa.array(np.full(m, z, dtype=np.int64))
+        frag["tile_x"] = pa.array(np.asarray(out_x, dtype=np.int64))
+        frag["tile_y"] = pa.array(np.asarray(out_y, dtype=np.int64))
+        frag["frag_checksum"] = pa.array(np.asarray(out_sum, dtype=np.int64))
+        frag_t = pa.table(frag).select(out.schema.names)
+        return pa.concat_tables([out, frag_t])
+
+    def _cut_checksums(self, batch: pa.Table) -> pa.Table:
+        from .mercator import (geo_query, tile_bounds_meters,
+                               tile_range_for_extent, tms_to_xyz_y)
+        from .tiles import _scale_to
+        lut = self._lut()
+        z = self.zoom
+        w_arr = batch["w"].to_numpy()
+        h_arr = batch["h"].to_numpy()
+        ulx_arr = batch["ulx"].to_numpy()
+        uly_arr = batch["uly"].to_numpy()
+        ps_arr = batch["psize"].to_numpy()
+        ids = batch["image_id"].to_pylist()
+        pix = batch["pixels"]
+        out_x, out_y, out_id, out_sum = [], [], [], []
+        for i in range(batch.num_rows):
+            w, h = int(w_arr[i]), int(h_arr[i])
+            ulx, uly, ps = float(ulx_arr[i]), float(uly_arr[i]), float(ps_arr[i])
+            gt = (ulx, ps, 0.0, uly, 0.0, -ps)
+            src = np.frombuffer(pix[i].as_buffer(), dtype=np.uint8)\
+                .reshape(h, w, 3)
+            tminx, tminy, tmaxx, tmaxy = tile_range_for_extent(
+                ulx, uly - h * ps, ulx + w * ps, uly, z)
+            for ty_tms in range(tminy, tmaxy + 1):
+                for tx in range(tminx, tmaxx + 1):
+                    b = tile_bounds_meters(tx, ty_tms, z)
+                    (rx, ry_, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+                        gt, w, h, b[0], b[3], b[2], b[1], querysize=256)
+                    if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+                        continue
+                    window = src[ry_:ry_ + rys, rx:rx + rxs]
+                    if window.size == 0:
+                        continue
+                    scaled = _scale_to(window, wys, wxs, "average")
+                    lslice = lut[wy:wy + wys, wx:wx + wxs]
+                    s64 = scaled.astype(np.int64)
+                    cs = int(((s64[:, :, 0] % lslice).sum()
+                              + (s64[:, :, 1] % lslice).sum()
+                              + (s64[:, :, 2] % lslice).sum()) & 0xFFFF)
+                    out_x.append(tx)
+                    out_y.append(int(tms_to_xyz_y(ty_tms, z)))
+                    out_id.append(ids[i])
+                    out_sum.append(cs)
+        n = len(out_x)
+        return pa.table({
+            "z": pa.array(np.full(n, z, dtype=np.int64)),
+            "tile_x": pa.array(out_x, pa.int64()),
+            "tile_y": pa.array(out_y, pa.int64()),
+            "image_id": pa.array(out_id, pa.string()),
+            "frag_checksum": pa.array(out_sum, pa.int64()),
+        })
+
+
 _STAGE_CACHE: dict = {}
 
 
-def _flagship_fn(batch: pa.Table, *, index_ref, zoom, decode, cut) -> pa.Table:
+def _flagship_fn(batch: pa.Table, *, index_ref, zoom, decode, cut,
+                 verify=False) -> pa.Table:
     """Task-based wrapper around :class:`FlagshipStage`: the stage (with its
     deserialized broadcast index) is cached per WORKER PROCESS, so stateless
     tasks reuse Ray's warm worker pool with actor-like state amortization —
     no per-execution actor-pool spin-up."""
     key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
-           zoom, decode, cut)
+           zoom, decode, cut, verify)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = FlagshipStage(index_ref, zoom=zoom, decode=decode, cut=cut)
+        stage = FlagshipStage(index_ref, zoom=zoom, decode=decode, cut=cut,
+                              verify=verify)
         _STAGE_CACHE.clear()
         _STAGE_CACHE[key] = stage
     return stage(batch)
@@ -129,6 +313,7 @@ def _flagship_fn(batch: pa.Table, *, index_ref, zoom, decode, cut) -> pa.Table:
 def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
                   zoom: int = 12, n_polygons: int = 500,
                   decode: bool = False, cut: bool = False,
+                  verify: bool = False,
                   batch_size: int = 64, compute: str = "tasks",
                   concurrency=None):
     """Images georeferenced → H3/S2 cells (→ decode) → broadcast R-tree
@@ -145,7 +330,7 @@ def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
     if polygons is None:
         polygons = fixtures.polygons_table(n_polygons)
     index_ref = ray.put(PolygonIndex.build(polygons))
-    ds = read_images(images_path)
+    ds = read_images(images_path, read_concurrency=4)
     if compute == "actors":
         if concurrency is None:
             n = int(ray.cluster_resources().get("CPU", 4))
@@ -153,12 +338,12 @@ def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
         return ds.map_batches(
             FlagshipStage, batch_format="pyarrow", batch_size=batch_size,
             fn_constructor_kwargs=dict(index_ref=index_ref, zoom=zoom,
-                                       decode=decode, cut=cut),
+                                       decode=decode, cut=cut, verify=verify),
             concurrency=concurrency)
     return ds.map_batches(
         _flagship_fn, batch_format="pyarrow", batch_size=batch_size,
         fn_kwargs=dict(index_ref=index_ref, zoom=zoom, decode=decode,
-                       cut=cut))
+                       cut=cut, verify=verify))
 
 
 def tile_pipeline(images_path: str, *, zoom: int = 12, tminz: int | None = None,

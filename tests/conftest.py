@@ -8,6 +8,8 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
+    from georay.util import tune_malloc
+    tune_malloc()
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
