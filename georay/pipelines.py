@@ -146,8 +146,11 @@ class FlagshipStage:
     def _lut():
         from .stats import CHECKSUM_PRIMES
         if FlagshipStage._LUT256 is None:
+            # uint8 LUT: primes <= 43, pixel values <= 255 -> uint8 % uint8
+            # stays uint8 and the mod array is 1/8 the int64 footprint
             FlagshipStage._LUT256 = CHECKSUM_PRIMES[
-                (np.arange(256 * 256) % 11)].reshape(256, 256)
+                (np.arange(256 * 256) % 11)].reshape(256, 256)\
+                .astype(np.uint8)
         return FlagshipStage._LUT256
 
     def _headline(self, batch: pa.Table) -> pa.Table:
@@ -193,10 +196,12 @@ class FlagshipStage:
                         continue
                     scaled = _scale_to(window, wys, wxs, "average")
                     lslice = lut[wy:wy + wys, wx:wx + wxs]
-                    s64 = scaled.astype(np.int64)
-                    cs = int(((s64[:, :, 0] % lslice).sum()
-                              + (s64[:, :, 1] % lslice).sum()
-                              + (s64[:, :, 2] % lslice).sum()) & 0xFFFF)
+                    cs = int((np.mod(scaled[:, :, 0], lslice)
+                              .sum(dtype=np.int64)
+                              + np.mod(scaled[:, :, 1], lslice)
+                              .sum(dtype=np.int64)
+                              + np.mod(scaled[:, :, 2], lslice)
+                              .sum(dtype=np.int64)) & 0xFFFF)
                     out_x.append(tx)
                     out_y.append(int(tms_to_xyz_y(ty_tms, z)))
                     out_row.append(i)
@@ -272,10 +277,12 @@ class FlagshipStage:
                         continue
                     scaled = _scale_to(window, wys, wxs, "average")
                     lslice = lut[wy:wy + wys, wx:wx + wxs]
-                    s64 = scaled.astype(np.int64)
-                    cs = int(((s64[:, :, 0] % lslice).sum()
-                              + (s64[:, :, 1] % lslice).sum()
-                              + (s64[:, :, 2] % lslice).sum()) & 0xFFFF)
+                    cs = int((np.mod(scaled[:, :, 0], lslice)
+                              .sum(dtype=np.int64)
+                              + np.mod(scaled[:, :, 1], lslice)
+                              .sum(dtype=np.int64)
+                              + np.mod(scaled[:, :, 2], lslice)
+                              .sum(dtype=np.int64)) & 0xFFFF)
                     out_x.append(tx)
                     out_y.append(int(tms_to_xyz_y(ty_tms, z)))
                     out_id.append(ids[i])
@@ -310,12 +317,49 @@ def _flagship_fn(batch: pa.Table, *, index_ref, zoom, decode, cut,
     return stage(batch)
 
 
+def _flagship_direct_fn(batch: pa.Table, *, index_ref, zoom, decode, cut,
+                        verify=False) -> pa.Table:
+    """Direct-read variant of the fused flagship: each task reads its own
+    parquet row groups (worker-local I/O, the way a 100 TB deployment reads
+    its shard straight from object storage) and runs the fused stage on
+    them — the multi-MB encoded payloads never enter the object store;
+    only the small summary rows do."""
+    import pyarrow.parquet as pq_mod
+    paths = batch["path"].to_pylist()
+    rgs = batch["row_groups"].to_pylist()
+    outs = []
+    for path, groups in zip(paths, rgs):
+        tbl = pq_mod.ParquetFile(path).read_row_groups(list(groups))
+        outs.append(_flagship_fn(tbl, index_ref=index_ref, zoom=zoom,
+                                 decode=decode, cut=cut, verify=verify))
+    return pa.concat_tables(outs)
+
+
+def flagship_work_units(images_path: str, groups_per_task: int = 4):
+    """Driver-side plan: one row per (file, row-group bundle) — the warp
+    chunk list analog (alg/gdalwarpoperation.cpp:846 CollectChunkList)."""
+    import os
+    import pyarrow.parquet as pq_mod
+    units = []
+    for f in sorted(os.listdir(images_path)):
+        if not f.endswith(".parquet"):
+            continue
+        full = os.path.join(images_path, f)
+        n_rg = pq_mod.ParquetFile(full).metadata.num_row_groups
+        for start in range(0, n_rg, groups_per_task):
+            units.append({"path": full,
+                          "row_groups": list(range(start,
+                                                   min(start + groups_per_task,
+                                                       n_rg)))})
+    return units
+
+
 def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
                   zoom: int = 12, n_polygons: int = 500,
                   decode: bool = False, cut: bool = False,
                   verify: bool = False,
                   batch_size: int = 64, compute: str = "tasks",
-                  concurrency=None):
+                  source: str = "dataset", concurrency=None):
     """Images georeferenced → H3/S2 cells (→ decode) → broadcast R-tree
     spatial join with polygons → center-tile assignment (→ tile cut +
     fragment checksums when ``cut``).  The BASELINE headline op, executed
@@ -330,6 +374,13 @@ def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
     if polygons is None:
         polygons = fixtures.polygons_table(n_polygons)
     index_ref = ray.put(PolygonIndex.build(polygons))
+    if source == "direct":
+        units = flagship_work_units(images_path)
+        plan = ray.data.from_items(units)
+        return plan.map_batches(
+            _flagship_direct_fn, batch_format="pyarrow", batch_size=1,
+            fn_kwargs=dict(index_ref=index_ref, zoom=zoom, decode=decode,
+                           cut=cut, verify=verify))
     ds = read_images(images_path, read_concurrency=4)
     if compute == "actors":
         if concurrency is None:
