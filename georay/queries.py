@@ -496,6 +496,135 @@ def q_tile_checksums(sf_dir: str):
                                 "checksum_r", "checksum_g", "checksum_b"])
 
 
+def q_attribute_filter(sf_dir: str):
+    """SWQ-style WHERE clause compiled to vectorized pyarrow expressions
+    (ogr/ogr_swq.h operator set; georay.expr) — oracle runs the same WHERE."""
+    from .expr import attribute_filter
+    ds = _rp(sf_dir, "orders",
+             ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = attribute_filter(
+        ds, "o_totalprice > 100000 AND (o_orderpriority LIKE '1-%' "
+            "OR o_orderpriority LIKE '2-%') AND o_orderkey % 3 = 0")
+    return out.select_columns(["o_orderkey", "o_orderpriority"])
+
+
+def q_dem_hillshade(sf_dir: str):
+    """gdaldem hillshade over band 0 of each image (3×3 Horn kernel in a
+    stateless `mb`); output = per-image GDAL checksum of the shaded tile."""
+    from .pipelines import georeferenced_images
+    from .raster import DemDerivatives
+    path = _bench_images(sf_dir)
+    ds = georeferenced_images(path, decode=True)
+    from .util import default_concurrency
+    out = ds.map_batches(DemDerivatives, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8),
+                         fn_constructor_kwargs=dict(mode="hillshade"))
+    return out.select_columns(["image_id", "hillshade_checksum"])
+
+
+def q_polygonize_images(sf_dir: str):
+    """GDALPolygonize per image (quantized band 0 → connected regions)."""
+    from .pipelines import georeferenced_images
+    from .polygonize import PolygonizeImages
+    from .util import default_concurrency
+    path = _bench_images(sf_dir)
+    ds = georeferenced_images(path, decode=True)
+    out = ds.map_batches(PolygonizeImages, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8),
+                         fn_constructor_kwargs=dict(quantize=64))
+    return out.select_columns(["image_id", "value", "pixel_count"])
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: image pixels aggregated per overlapping polygon
+    (rasterize-then-aggregate, polygons broadcast in EPSG:3857)."""
+    import ray
+    from .fixtures import polygons_table
+    from .geom import PackedPolygons, parse_wkb, wkb_polygon
+    from .mercator import latlon_to_meters
+    from .pipelines import georeferenced_images
+    from .rasterize import ZonalStats
+    from .util import default_concurrency
+    path = _bench_images(sf_dir)
+    polys = polygons_table(120)
+    # reproject polygon rings from lon/lat to EPSG:3857 (image gt space)
+    wkbs = []
+    for buf in polys["wkb"].to_pylist():
+        _, rings = parse_wkb(buf)
+        merc = []
+        for r in rings:
+            mx, my = latlon_to_meters(r[:, 1], r[:, 0])
+            merc.append(np.stack([mx, my], axis=1))
+        wkbs.append(wkb_polygon(merc))
+    packed = PackedPolygons.from_wkb(wkbs)
+    ref = ray.put((packed, polys.select(["polygon_id"])))
+    ds = georeferenced_images(path, decode=True)
+    out = ds.map_batches(ZonalStats, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8),
+                         fn_constructor_kwargs=dict(index_ref=ref))
+    return out.select_columns(["image_id", "polygon_id", "count"])
+
+
+def q_warp_checksums(sf_dir: str):
+    """gdalwarp replacement: every image inverse-warped from its EPSG:3857
+    grid to an EPSG:4326 grid (closed-form transform, bilinear), output =
+    per-image GDAL checksum of the warped band."""
+    from .pipelines import georeferenced_images
+    from .raster import warp_affine_mercator
+    from .stats import gdal_checksum
+    from .mercator import meters_to_latlon
+    path = _bench_images(sf_dir)
+
+    def warp_batch(batch: pa.Table) -> pa.Table:
+        h_arr = batch["h"].to_numpy()
+        w_arr = batch["w"].to_numpy()
+        sums = np.empty(batch.num_rows, dtype=np.int64)
+        for i in range(batch.num_rows):
+            h, w = int(h_arr[i]), int(w_arr[i])
+            arr = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+            ulx = float(batch["ulx"][i].as_py())
+            uly = float(batch["uly"][i].as_py())
+            ps = float(batch["psize"][i].as_py())
+            src_gt = (ulx, ps, 0.0, uly, 0.0, -ps)
+            lat1, lon0 = meters_to_latlon(ulx, uly)
+            lat0, lon1 = meters_to_latlon(ulx + w * ps, uly - h * ps)
+            dst_gt = (float(lon0), (float(lon1) - float(lon0)) / w, 0.0,
+                      float(lat1), 0.0, (float(lat0) - float(lat1)) / h)
+            out = warp_affine_mercator(arr, src_gt, dst_gt, (h, w),
+                                       src_crs="EPSG:3857",
+                                       dst_crs="EPSG:4326",
+                                       kernel="bilinear")
+            sums[i] = gdal_checksum(out)
+        return pa.table({"image_id": batch["image_id"],
+                         "warp_checksum": pa.array(sums)})
+
+    ds = georeferenced_images(path, decode=True)
+    return ds.map_batches(warp_batch, batch_format="pyarrow")
+
+
+def q_hilbert_sort(sf_dir: str):
+    """Spatial clustering order — Hilbert key per customer point (the
+    FlatGeobuf packed-R-tree / GeoParquet SORT_BY_BBOX ordering key,
+    flatgeobuf/packedrtree.h:86-105); sorted by the engine's ds.sort."""
+    from .rtree import hilbert_xy2d
+
+    def key(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy()
+        lon, lat = derived_lon(k), derived_lat(k)
+        qx = np.clip(((lon + 180.0) / 360.0 * 65535), 0, 65535)\
+            .astype(np.uint64)
+        qy = np.clip(((lat + 90.0) / 180.0 * 65535), 0, 65535)\
+            .astype(np.uint64)
+        hk = hilbert_xy2d(16, qx, qy).astype(np.int64)
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "hilbert_key": pa.array(hk)})
+
+    return (_rp(sf_dir, "customer", ["c_custkey"])
+            .map_batches(key, batch_format="pyarrow")
+            .sort("hilbert_key"))
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -523,6 +652,12 @@ QUERIES = {
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
+    "attribute_filter": q_attribute_filter,
+    "dem_hillshade": q_dem_hillshade,
+    "polygonize_images": q_polygonize_images,
+    "zonal_stats": q_zonal_stats,
+    "warp_checksums": q_warp_checksums,
+    "hilbert_sort": q_hilbert_sort,
 }
 
 
@@ -652,6 +787,11 @@ ORACLE_SQL = {
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token_count
         FROM documents
+    """,
+    "attribute_filter": """
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_totalprice > 100000 AND (o_orderpriority LIKE '1-%'
+              OR o_orderpriority LIKE '2-%') AND o_orderkey % 3 = 0
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

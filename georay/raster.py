@@ -1,0 +1,290 @@
+"""Raster compute operators over decoded image rows — the gdal_translate /
+gdal_calc / gdaldem / gdalwarp per-pixel families (SURVEY.md §2.2, §2.7),
+as pure-numpy kernels + ``map_batches`` wrappers.
+
+All kernels take/return numpy arrays; the batch wrappers operate on rows
+holding a ``pixels`` buffer (uint8 RGB) or a single-band float array, and
+are stateless → plain-task ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "pixel_calc", "translate_window", "translate_scale",
+    "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
+    "warp_affine_mercator", "TranslateImages", "DemDerivatives",
+]
+
+
+# ---------------------------------------------------------------------------
+# gdal_calc / VRT pixel functions (frmts/vrt/pixelfunctions.cpp:1618-1690;
+# osgeo_utils/gdal_calc.py:69-135)
+# ---------------------------------------------------------------------------
+
+_CALC_NAMESPACE = {
+    "sqrt": np.sqrt, "log10": np.log10, "log": np.log, "exp": np.exp,
+    "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "where": np.where, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "power": np.power, "real": np.real, "imag": np.imag,
+    "conj": np.conjugate, "angle": np.angle, "pi": np.pi, "e": np.e,
+}
+
+
+def pixel_calc(expr: str, **bands) -> np.ndarray:
+    """Evaluate a gdal_calc-style numpy expression over named band arrays:
+    ``pixel_calc("(A + B) / 2", A=a, B=b)``.  The namespace is restricted
+    to numpy ufuncs (no builtins) — the engine's VRT derived-band /
+    gdal_calc surface."""
+    ns = dict(_CALC_NAMESPACE)
+    ns.update(bands)
+    return eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — restricted ns
+
+
+# ---------------------------------------------------------------------------
+# gdal_translate window / resize / scale (apps/gdal_translate_lib.cpp:112-276)
+# ---------------------------------------------------------------------------
+
+def translate_window(arr: np.ndarray, xoff: int, yoff: int,
+                     xsize: int, ysize: int) -> np.ndarray:
+    """-srcwin crop (clamped to the raster, like gdal_translate)."""
+    h, w = arr.shape[:2]
+    x0, y0 = max(0, xoff), max(0, yoff)
+    x1, y1 = min(w, xoff + xsize), min(h, yoff + ysize)
+    return arr[y0:y1, x0:x1]
+
+
+def translate_scale(arr: np.ndarray, src_min=None, src_max=None,
+                    dst_min=0.0, dst_max=255.0, exponent: float = 1.0):
+    """-scale [src_min src_max dst_min dst_max] linear (or -exponent
+    power-law) rescale, gdal_translate semantics (clip + round for byte)."""
+    a = arr.astype(np.float64)
+    if src_min is None:
+        src_min = float(a.min())
+    if src_max is None:
+        src_max = float(a.max())
+    rng = src_max - src_min or 1.0
+    t = np.clip((a - src_min) / rng, 0.0, 1.0)
+    if exponent != 1.0:
+        t = t ** exponent
+    out = dst_min + t * (dst_max - dst_min)
+    return np.clip(np.rint(out), min(dst_min, dst_max),
+                   max(dst_min, dst_max)).astype(np.uint8)
+
+
+class TranslateImages:
+    """map_batches stage: -srcwin / -outsize / -scale over the decoded
+    ``pixels`` column (gdal_translate as a batch transform)."""
+
+    def __init__(self, srcwin=None, outsize=None, scale=False,
+                 resampling: str = "near"):
+        self.srcwin = srcwin
+        self.outsize = outsize
+        self.scale = scale
+        self.kernel = resampling
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tiles import _scale_to
+        h_arr = batch["h"].to_numpy()
+        w_arr = batch["w"].to_numpy()
+        out_pix, out_w, out_h = [], [], []
+        for i in range(batch.num_rows):
+            arr = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                dtype=np.uint8).reshape(
+                int(h_arr[i]), int(w_arr[i]), 3)
+            if self.srcwin:
+                arr = translate_window(arr, *self.srcwin)
+            if self.outsize:
+                ow, oh = self.outsize
+                arr = _scale_to(arr, oh, ow, self.kernel)
+            if self.scale:
+                arr = translate_scale(arr)
+            out_pix.append(arr.tobytes())
+            out_h.append(arr.shape[0])
+            out_w.append(arr.shape[1])
+        batch = batch.drop_columns(["pixels"])
+        batch = batch.set_column(batch.schema.get_field_index("w"), "w",
+                                 pa.array(np.asarray(out_w, np.int32)))
+        batch = batch.set_column(batch.schema.get_field_index("h"), "h",
+                                 pa.array(np.asarray(out_h, np.int32)))
+        return batch.append_column("pixels", pa.array(out_pix, pa.binary()))
+
+
+# ---------------------------------------------------------------------------
+# DEM derivatives (apps/gdaldem_lib.cpp; 3×3 windows, Horn formulas)
+# ---------------------------------------------------------------------------
+
+def _neighbors(dem: np.ndarray):
+    """3×3 window views with edge replication (GDAL computes edges with
+    the INTERPOLATED border; we use replicate-pad — documented difference,
+    interior pixels match)."""
+    p = np.pad(dem.astype(np.float64), 1, mode="edge")
+    return (p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
+            p[1:-1, :-2], p[1:-1, 1:-1], p[1:-1, 2:],
+            p[2:, :-2], p[2:, 1:-1], p[2:, 2:])
+
+
+def _gradients(dem, xres, yres, z_factor=1.0, scale=1.0):
+    a, b, c, d, e, f, g, h, i = _neighbors(dem)
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres * scale)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * yres * scale)
+    return dzdx * z_factor, dzdy * z_factor
+
+
+def hillshade(dem, xres=1.0, yres=1.0, azimuth=315.0, altitude=45.0,
+              z_factor=1.0, scale=1.0):
+    """Horn hillshade, 1-255 byte output (gdaldem hillshade semantics)."""
+    dzdx, dzdy = _gradients(dem, xres, yres, z_factor, scale)
+    slope_r = np.arctan(np.hypot(dzdx, dzdy))
+    aspect_r = np.arctan2(dzdy, -dzdx)
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+    shaded = (np.sin(alt) * np.cos(slope_r)
+              + np.cos(alt) * np.sin(slope_r) * np.cos(az - aspect_r))
+    return np.clip(np.rint(1.0 + 254.0 * np.clip(shaded, 0, 1)),
+                   1, 255).astype(np.uint8)
+
+
+def slope(dem, xres=1.0, yres=1.0, percent=False):
+    """Slope in degrees (or percent) — gdaldem slope."""
+    dzdx, dzdy = _gradients(dem, xres, yres)
+    m = np.hypot(dzdx, dzdy)
+    return m * 100.0 if percent else np.degrees(np.arctan(m))
+
+
+def aspect(dem, xres=1.0, yres=1.0, trigonometric=False):
+    """Aspect in azimuth degrees (gdaldem aspect; flat = -9999)."""
+    dzdx, dzdy = _gradients(dem, xres, yres)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    if trigonometric:
+        out = np.where(asp < 0, asp + 360.0, asp)
+    else:
+        out = 90.0 - asp
+        out = np.where(out < 0, out + 360.0, out)
+        out = np.where(out >= 360.0, out - 360.0, out)
+    flat = (dzdx == 0) & (dzdy == 0)
+    return np.where(flat, -9999.0, out)
+
+
+def tri(dem):
+    """Terrain ruggedness index, Riley: mean |center - neighbor| over the
+    8 neighbors (apps/gdaldem_lib.cpp:2446-2495)."""
+    a, b, c, d, e, f, g, h, i = _neighbors(dem)
+    total = sum(np.abs(x - e) for x in (a, b, c, d, f, g, h, i))
+    return total / 8.0
+
+
+def tpi(dem):
+    """Topographic position index: center − mean(8 neighbors)."""
+    a, b, c, d, e, f, g, h, i = _neighbors(dem)
+    return e - (a + b + c + d + f + g + h + i) / 8.0
+
+
+def roughness(dem):
+    """max − min of the 3×3 window."""
+    n = _neighbors(dem)
+    return np.max(np.stack(n), axis=0) - np.min(np.stack(n), axis=0)
+
+
+_DEM_FUNCS = {"hillshade": hillshade, "slope": slope, "aspect": aspect,
+              "tri": tri, "tpi": tpi, "roughness": roughness}
+
+
+class DemDerivatives:
+    """map_batches stage: treat band 0 of ``pixels`` as a DEM and emit the
+    requested derivative (+ its GDAL checksum) per row — the gdaldem
+    pipeline, one tile per row, embarrassingly parallel.  Cross-tile halo
+    exchange (SURVEY.md §2.2 "1-px halo") is future work; per-row tiles
+    here are independent rasters."""
+
+    def __init__(self, mode: str = "hillshade", **kwargs):
+        self.fn = _DEM_FUNCS[mode]
+        self.mode = mode
+        self.kwargs = kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .stats import gdal_checksum
+        h_arr = batch["h"].to_numpy()
+        w_arr = batch["w"].to_numpy()
+        outs, checks = [], []
+        for i in range(batch.num_rows):
+            dem = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                dtype=np.uint8).reshape(
+                int(h_arr[i]), int(w_arr[i]), 3)[:, :, 0]
+            out = self.fn(dem, **self.kwargs)
+            outs.append(np.ascontiguousarray(out).tobytes())
+            q = (out if out.dtype == np.uint8
+                 else np.clip(np.rint(out), 0, 255).astype(np.uint8))
+            checks.append(gdal_checksum(q))
+        batch = batch.append_column(self.mode, pa.array(outs, pa.binary()))
+        return batch.append_column(f"{self.mode}_checksum",
+                                   pa.array(checks, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp: EPSG:4326 ↔ 3857 raster warp (alg/gdalwarpkernel.cpp semantics,
+# closed-form transforms instead of PROJ — SURVEY.md §2.7 "Transformers")
+# ---------------------------------------------------------------------------
+
+def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
+                         src_crs: str = "EPSG:4326",
+                         dst_crs: str = "EPSG:3857",
+                         kernel: str = "bilinear", nodata=0):
+    """Inverse-mapping warp: for every destination pixel center, transform
+    dst georef → src georef (closed-form 4326↔3857) → src pixel, then
+    sample with nearest/bilinear.  This is GDALWarpKernel's per-pixel
+    inverse transform, fully vectorized; the approx-transformer subdivision
+    (gdaltransformer.cpp:3702) is unnecessary because the closed form is
+    exact (SURVEY.md §2.7)."""
+    from .mercator import latlon_to_meters, meters_to_latlon
+    oh, ow = dst_shape
+    cols = np.arange(ow) + 0.5
+    rows = np.arange(rows_n := oh) + 0.5
+    dx = dst_gt[0] + cols[None, :] * dst_gt[1]
+    dy = dst_gt[3] + rows[:, None] * dst_gt[5]
+    dx, dy = np.broadcast_arrays(dx, dy)
+    if src_crs == dst_crs:
+        sx, sy = dx, dy
+    elif dst_crs == "EPSG:3857" and src_crs == "EPSG:4326":
+        lat, lon = meters_to_latlon(dx, dy)
+        sx, sy = lon, lat
+    elif dst_crs == "EPSG:4326" and src_crs == "EPSG:3857":
+        sx, sy = latlon_to_meters(dy, dx)  # returns (mx, my)
+    else:
+        raise ValueError("supported CRS: EPSG:4326, EPSG:3857")
+    # src georef -> fractional src pixel (north-up affine)
+    px = (sx - src_gt[0]) / src_gt[1]
+    py = (sy - src_gt[3]) / src_gt[5]
+    h, w = src.shape[:2]
+    if kernel == "near":
+        xi = np.floor(px).astype(np.int64)
+        yi = np.floor(py).astype(np.int64)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = np.clip(xi, 0, w - 1)
+        yi = np.clip(yi, 0, h - 1)
+        out = src[yi, xi]
+    elif kernel == "bilinear":
+        fx = px - 0.5
+        fy = py - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        valid = (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) & (fy <= h - 0.5)
+        x0c = np.clip(x0, 0, w - 1); x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1); y1c = np.clip(y0 + 1, 0, h - 1)
+        a = src.astype(np.float64)
+        if a.ndim == 3:
+            tx = tx[..., None]; ty = ty[..., None]
+        out = (a[y0c, x0c] * (1 - tx) * (1 - ty) + a[y0c, x1c] * tx * (1 - ty)
+               + a[y1c, x0c] * (1 - tx) * ty + a[y1c, x1c] * tx * ty)
+        out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
+    else:
+        raise ValueError(f"unsupported kernel {kernel!r}")
+    if out.ndim == 3:
+        out[~valid] = nodata
+    else:
+        out = np.where(valid, out, nodata)
+    return out

@@ -1,0 +1,265 @@
+"""Vector↔raster operators: rasterize (burn), zonal statistics, point
+sampling, scattered-point gridding — SURVEY.md §2.7 (alg/gdalrasterize.cpp,
+alg/gdalgrid.cpp, gcore/gdal_interpolateatpoint.cpp analogs).
+
+All kernels are pure numpy; batch wrappers are stateless or broadcast-state
+``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geom import PackedPolygons
+
+__all__ = [
+    "rasterize_polygons", "zonal_stats_image", "ZonalStats",
+    "sample_at_points", "grid_invdist", "grid_nearest", "grid_average",
+]
+
+
+def rasterize_polygons(polys: PackedPolygons, gt, shape, burn_values=None,
+                       all_touched: bool = False,
+                       merge_alg: str = "replace") -> np.ndarray:
+    """Scanline polygon rasterization (alg/gdalrasterize.cpp:743-817 +
+    llrasterize.cpp semantics): a pixel is burned when its CENTER is inside
+    the polygon (default), or when touched at all (``all_touched`` — here
+    approximated by also testing the 4 pixel corners).
+
+    ``gt``: north-up affine; ``shape``: (h, w).  ``merge_alg``:
+    ``replace`` (later polygon wins, GDAL default) or ``add`` (sum —
+    MERGE_ALG=ADD).  Returns float64 grid (0 background).
+    """
+    h, w = shape
+    burn = (np.ones(polys.n_polys) if burn_values is None
+            else np.asarray(burn_values, dtype=np.float64))
+    out = np.zeros((h, w), dtype=np.float64)
+    # pixel centers in georef space
+    xs = gt[0] + (np.arange(w) + 0.5) * gt[1]
+    ys = gt[3] + (np.arange(h) + 0.5) * gt[5]
+    gx, gy = np.meshgrid(xs, ys)
+    fx, fy = gx.ravel(), gy.ravel()
+    for j in range(polys.n_polys):  # polygons burn in order (REPLACE wins)
+        minx, miny, maxx, maxy = polys.bbox[j]
+        cand = np.nonzero((fx >= minx) & (fx <= maxx)
+                          & (fy >= miny) & (fy <= maxy))[0]
+        if cand.size == 0 and not all_touched:
+            continue
+        inside = polys.contains_pairs(
+            fx, fy, cand, np.full(cand.shape, j, dtype=np.int64))
+        hit = cand[inside]
+        if all_touched:
+            # corner test: any of the 4 pixel corners inside also burns
+            corners = []
+            for ddx in (-0.5, 0.5):
+                for ddy in (-0.5, 0.5):
+                    cx = fx + ddx * gt[1]
+                    cy = fy + ddy * gt[5]
+                    cc = np.nonzero((cx >= minx) & (cx <= maxx)
+                                    & (cy >= miny) & (cy <= maxy))[0]
+                    m = polys.contains_pairs(
+                        cx, cy, cc, np.full(cc.shape, j, dtype=np.int64))
+                    corners.append(cc[m])
+            hit = np.unique(np.concatenate([hit] + corners))
+        if hit.size == 0:
+            continue
+        yy, xx = np.unravel_index(hit, (h, w))
+        if merge_alg == "add":
+            np.add.at(out, (yy, xx), burn[j])
+        else:
+            out[yy, xx] = burn[j]
+    return out
+
+
+def zonal_stats_image(arr: np.ndarray, gt, polys: PackedPolygons):
+    """Per-polygon pixel statistics of one raster (the rasterize-then-
+    aggregate zonal idiom, SURVEY.md §2.4 'Raster-vector join').
+
+    Returns list of dicts (one per polygon intersecting the raster):
+    ``poly_idx, count, sum, mean, min, max``.
+    """
+    h, w = arr.shape[:2]
+    band = arr[:, :, 0] if arr.ndim == 3 else arr
+    xs = gt[0] + (np.arange(w) + 0.5) * gt[1]
+    ys = gt[3] + (np.arange(h) + 0.5) * gt[5]
+    gx, gy = np.meshgrid(xs, ys)
+    fx, fy = gx.ravel(), gy.ravel()
+    vals = band.ravel().astype(np.float64)
+    out = []
+    for j in range(polys.n_polys):
+        minx, miny, maxx, maxy = polys.bbox[j]
+        cand = np.nonzero((fx >= minx) & (fx <= maxx)
+                          & (fy >= miny) & (fy <= maxy))[0]
+        if cand.size == 0:
+            continue
+        inside = polys.contains_pairs(
+            fx, fy, cand, np.full(cand.shape, j, dtype=np.int64))
+        hit = cand[inside]
+        if hit.size == 0:
+            continue
+        v = vals[hit]
+        out.append({"poly_idx": j, "count": int(v.size),
+                    "sum": float(v.sum()), "mean": float(v.mean()),
+                    "min": float(v.min()), "max": float(v.max())})
+    return out
+
+
+class ZonalStats:
+    """Actor stage: decoded image rows × broadcast polygon set → one row
+    per (image, polygon) with pixel stats.  Polygons are in the SAME
+    georeferenced space as the image geotransform."""
+
+    def __init__(self, index_ref, payload=("polygon_id",)):
+        import ray
+        obj = ray.get(index_ref) if not isinstance(index_ref, tuple) else index_ref
+        self.polys, self.payload_tbl = obj
+        self.payload = payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h_arr = batch["h"].to_numpy()
+        w_arr = batch["w"].to_numpy()
+        rows = {"image_id": [], "poly_idx": [], "count": [], "sum": [],
+                "mean": [], "min": [], "max": []}
+        for i in range(batch.num_rows):
+            arr = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                dtype=np.uint8).reshape(
+                int(h_arr[i]), int(w_arr[i]), 3)
+            gt = (float(batch["ulx"][i].as_py()),
+                  float(batch["psize"][i].as_py()), 0.0,
+                  float(batch["uly"][i].as_py()), 0.0,
+                  -float(batch["psize"][i].as_py()))
+            for st in zonal_stats_image(arr, gt, self.polys):
+                rows["image_id"].append(batch["image_id"][i].as_py())
+                for k in ("poly_idx", "count", "sum", "mean", "min", "max"):
+                    rows[k].append(st[k])
+        out = pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "poly_idx": pa.array(rows["poly_idx"], pa.int64()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "sum": pa.array(rows["sum"], pa.float64()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+            "min": pa.array(rows["min"], pa.float64()),
+            "max": pa.array(rows["max"], pa.float64()),
+        })
+        for name in self.payload:
+            if name in self.payload_tbl.schema.names:
+                out = out.append_column(
+                    name, self.payload_tbl[name].take(out["poly_idx"]))
+        return out
+
+
+def sample_at_points(arr: np.ndarray, gt, px, py, method: str = "near"):
+    """Sample a raster at georeferenced points (gdallocationinfo /
+    GDALInterpolateAtPoint): nearest or bilinear; NaN outside."""
+    band = (arr[:, :, 0] if arr.ndim == 3 else arr).astype(np.float64)
+    h, w = band.shape
+    fx = (np.asarray(px, dtype=np.float64) - gt[0]) / gt[1]
+    fy = (np.asarray(py, dtype=np.float64) - gt[3]) / gt[5]
+    if method == "near":
+        xi = np.floor(fx).astype(np.int64)
+        yi = np.floor(fy).astype(np.int64)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        out = np.full(fx.shape, np.nan)
+        out[valid] = band[yi[valid], xi[valid]]
+        return out
+    if method == "bilinear":
+        cx = fx - 0.5
+        cy = fy - 0.5
+        x0 = np.floor(cx).astype(np.int64)
+        y0 = np.floor(cy).astype(np.int64)
+        tx = cx - x0
+        ty = cy - y0
+        valid = (cx >= 0) & (cx <= w - 1) & (cy >= 0) & (cy <= h - 1)
+        x0c = np.clip(x0, 0, w - 1); x1 = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1); y1 = np.clip(y0 + 1, 0, h - 1)
+        v = (band[y0c, x0c] * (1 - tx) * (1 - ty)
+             + band[y0c, x1] * tx * (1 - ty)
+             + band[y1, x0c] * (1 - tx) * ty
+             + band[y1, x1] * tx * ty)
+        return np.where(valid, v, np.nan)
+    raise ValueError(method)
+
+
+# ---------------------------------------------------------------------------
+# GDALGridCreate (alg/gdalgrid.cpp): scattered points → regular grid.
+# The point set is the broadcast side (quadtree in GDAL → cell buckets /
+# full arrays here, ray.put once); output tiles fan out in map_batches.
+# ---------------------------------------------------------------------------
+
+def _grid_coords(gt, shape):
+    h, w = shape
+    xs = gt[0] + (np.arange(w) + 0.5) * gt[1]
+    ys = gt[3] + (np.arange(h) + 0.5) * gt[5]
+    return np.meshgrid(xs, ys)
+
+
+def grid_invdist(px, py, pv, gt, shape, power: float = 2.0,
+                 smoothing: float = 0.0, radius: float = 0.0,
+                 nodata: float = 0.0) -> np.ndarray:
+    """Inverse-distance-weighted gridding (GGA_InverseDistanceToAPower,
+    alg/gdalgrid.cpp).  ``radius=0`` = all points; else circular search.
+    Vectorized as (pixels × points) blocks."""
+    gx, gy = _grid_coords(gt, shape)
+    fx, fy = gx.ravel(), gy.ravel()
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    out = np.empty(fx.shape, dtype=np.float64)
+    block = max(1, 2_000_000 // max(len(px), 1))
+    for s in range(0, len(fx), block):
+        dx = fx[s:s + block, None] - px[None, :]
+        dy = fy[s:s + block, None] - py[None, :]
+        d2 = dx * dx + dy * dy + smoothing * smoothing
+        if radius > 0:
+            d2 = np.where(d2 <= radius * radius, d2, np.inf)
+        exact = d2 <= 1e-18
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wgt = 1.0 / np.power(np.sqrt(d2), power)
+        wgt[~np.isfinite(wgt)] = 0.0
+        denom = wgt.sum(axis=1)
+        val = (wgt * pv[None, :]).sum(axis=1) / np.where(denom > 0, denom, 1)
+        val = np.where(denom > 0, val, nodata)
+        # exact hits take the point value
+        any_exact = exact.any(axis=1)
+        if any_exact.any():
+            first = np.argmax(exact, axis=1)
+            val = np.where(any_exact, pv[first], val)
+        out[s:s + block] = val
+    return out.reshape(shape)
+
+
+def grid_nearest(px, py, pv, gt, shape) -> np.ndarray:
+    """Nearest-neighbor gridding (GGA_NearestNeighbor)."""
+    gx, gy = _grid_coords(gt, shape)
+    fx, fy = gx.ravel(), gy.ravel()
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    out = np.empty(fx.shape, dtype=np.float64)
+    block = max(1, 2_000_000 // max(len(px), 1))
+    for s in range(0, len(fx), block):
+        dx = fx[s:s + block, None] - px[None, :]
+        dy = fy[s:s + block, None] - py[None, :]
+        out[s:s + block] = pv[np.argmin(dx * dx + dy * dy, axis=1)]
+    return out.reshape(shape)
+
+
+def grid_average(px, py, pv, gt, shape, radius: float,
+                 nodata: float = 0.0) -> np.ndarray:
+    """Moving-average gridding within a circular radius (GGA_MovingAverage)."""
+    gx, gy = _grid_coords(gt, shape)
+    fx, fy = gx.ravel(), gy.ravel()
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    out = np.empty(fx.shape, dtype=np.float64)
+    block = max(1, 2_000_000 // max(len(px), 1))
+    for s in range(0, len(fx), block):
+        dx = fx[s:s + block, None] - px[None, :]
+        dy = fy[s:s + block, None] - py[None, :]
+        m = (dx * dx + dy * dy) <= radius * radius
+        cnt = m.sum(axis=1)
+        tot = (m * pv[None, :]).sum(axis=1)
+        out[s:s + block] = np.where(cnt > 0, tot / np.maximum(cnt, 1), nodata)
+    return out.reshape(shape)

@@ -1,0 +1,204 @@
+"""Raster compute operator tests: pixel calc, translate, DEM derivatives,
+warp, rasterize, zonal stats, sampling, gridding, polygonize, contour."""
+
+import numpy as np
+import pytest
+
+from georay import raster as R
+from georay import rasterize as RZ
+from georay import polygonize as PZ
+from georay.geom import PackedPolygons, box_ring, wkb_polygon
+
+
+def test_pixel_calc():
+    a = np.array([[1.0, 2.0], [3.0, 4.0]])
+    b = np.ones((2, 2))
+    out = R.pixel_calc("(A + B) / 2", A=a, B=b)
+    assert np.allclose(out, (a + 1) / 2)
+    out = R.pixel_calc("sqrt(A) + where(A > 2, 10, 0)", A=a)
+    assert np.allclose(out, np.sqrt(a) + np.where(a > 2, 10, 0))
+    with pytest.raises(Exception):
+        R.pixel_calc("__import__('os')")
+
+
+def test_translate_window_and_scale():
+    arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    assert R.translate_window(arr, 2, 3, 4, 5).shape == (5, 4)
+    assert R.translate_window(arr, -2, 8, 6, 6).shape == (2, 4)  # clamped
+    scaled = R.translate_scale(np.array([[0, 50, 100]]), 0, 100, 0, 255)
+    assert scaled.tolist() == [[0, 128, 255]]
+    # -exponent
+    s2 = R.translate_scale(np.array([[0, 50, 100]]), 0, 100, 0, 255,
+                           exponent=2.0)
+    assert s2[0, 1] == round(255 * 0.25)
+
+
+def test_dem_derivatives():
+    # inclined plane: dz/dx = 1 per pixel -> slope 45 deg, aspect west-east
+    x = np.arange(32, dtype=np.float64)
+    dem = np.tile(x, (32, 1))
+    s = R.slope(dem)
+    assert s[10, 10] == pytest.approx(45.0)
+    a = R.aspect(dem)
+    # increases eastward -> faces west (270 deg azimuth)
+    assert a[10, 10] == pytest.approx(270.0)
+    hs = R.hillshade(dem)
+    assert hs.dtype == np.uint8 and 1 <= hs[10, 10] <= 255
+    # flat plane
+    flat = np.full((8, 8), 7.0)
+    assert R.slope(flat).max() == 0
+    assert (R.aspect(flat) == -9999.0).all()
+    assert R.tri(flat).max() == 0
+    assert R.tpi(flat).max() == 0
+    assert R.roughness(flat).max() == 0
+    # TRI of checkerboard: 4 orthogonal neighbors differ by 1, 4 diagonal
+    # are equal -> mean |diff| = 0.5
+    cb = ((np.indices((8, 8)).sum(axis=0)) % 2).astype(np.float64)
+    assert R.tri(cb)[4, 4] == pytest.approx(0.5)
+    assert R.roughness(cb)[4, 4] == 1.0
+
+
+def test_warp_roundtrip_identity_regions():
+    from georay.mercator import latlon_to_meters
+    # source: 64x64 in EPSG:4326 around (45N, 10E), 0.01 deg/px
+    src = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64) % 251
+    src_gt = (10.0, 0.01, 0, 45.32, 0, -0.01)
+    # dest grid in 3857 covering the same extent
+    mx0, my1 = latlon_to_meters(45.32, 10.0)
+    mx1, my0 = latlon_to_meters(45.32 - 0.64, 10.64)
+    dst_gt = (float(mx0), (float(mx1) - float(mx0)) / 64, 0,
+              float(my1), 0, (float(my0) - float(my1)) / 64)
+    out = R.warp_affine_mercator(src, src_gt, dst_gt, (64, 64),
+                                 kernel="near")
+    assert out.shape == (64, 64)
+    # warping back recovers most pixels exactly (nearest both ways)
+    back = R.warp_affine_mercator(out, dst_gt, src_gt, (64, 64),
+                                  src_crs="EPSG:3857", dst_crs="EPSG:4326",
+                                  kernel="near")
+    match = (back == src).mean()
+    assert match > 0.9
+    # bilinear stays close
+    outb = R.warp_affine_mercator(src, src_gt, dst_gt, (64, 64),
+                                  kernel="bilinear")
+    assert np.abs(outb.astype(int) - out.astype(int)).mean() < 8
+
+
+def test_rasterize_center_rule():
+    polys = PackedPolygons.from_wkb([wkb_polygon([box_ring(2, 2, 6, 6)])])
+    gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)  # 10x10 grid, y down from 10
+    grid = RZ.rasterize_polygons(polys, gt, (10, 10), burn_values=[5.0])
+    # pixel centers at x+0.5: burned where 2 <= x+0.5 < 6 -> cols 2..5
+    assert grid.sum() == 5.0 * 16
+    assert grid[5, 3] == 5.0  # y center 4.5 in [2,6)
+    assert grid[0, 3] == 0.0
+    # merge add
+    two = PackedPolygons.from_wkb([wkb_polygon([box_ring(2, 2, 6, 6)]),
+                                   wkb_polygon([box_ring(2, 2, 6, 6)])])
+    g2 = RZ.rasterize_polygons(two, gt, (10, 10), burn_values=[1, 2],
+                               merge_alg="add")
+    assert g2.max() == 3.0
+
+
+def test_zonal_stats():
+    arr = np.zeros((10, 10, 3), dtype=np.uint8)
+    arr[:, :, 0] = np.arange(100).reshape(10, 10) % 256
+    gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
+    polys = PackedPolygons.from_wkb([wkb_polygon([box_ring(0, 0, 10, 10)]),
+                                     wkb_polygon([box_ring(50, 50, 60, 60)])])
+    st = RZ.zonal_stats_image(arr, gt, polys)
+    assert len(st) == 1  # second polygon misses the raster
+    assert st[0]["count"] == 100
+    assert st[0]["mean"] == pytest.approx(arr[:, :, 0].mean())
+
+
+def test_sample_at_points():
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+    v = RZ.sample_at_points(arr, gt, [0.5, 3.5, 10.0], [3.5, 0.5, 0.5])
+    assert v[0] == 0.0 and v[1] == 15.0 and np.isnan(v[2])
+    vb = RZ.sample_at_points(arr, gt, [2.0], [2.0], method="bilinear")
+    # center of the grid: average of the 4 middle pixels (5,6,9,10) = 7.5
+    assert vb[0] == pytest.approx(7.5)
+
+
+def test_gridding():
+    px = np.array([0.0, 10.0])
+    py = np.array([0.0, 10.0])
+    pv = np.array([0.0, 100.0])
+    gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)
+    near = RZ.grid_nearest(px, py, pv, gt, (10, 10))
+    assert near[9, 0] == 0.0 and near[0, 9] == 100.0
+    inv = RZ.grid_invdist(px, py, pv, gt, (10, 10))
+    assert 0 < inv[5, 5] < 100
+    # exact hit takes the point value
+    inv2 = RZ.grid_invdist(np.array([0.5]), np.array([9.5]),
+                           np.array([42.0]), gt, (10, 10))
+    assert inv2[0, 0] == 42.0
+    avg = RZ.grid_average(px, py, pv, gt, (10, 10), radius=3.0, nodata=-1)
+    assert avg[9, 0] == 0.0 and avg[5, 5] == -1
+
+
+def test_label_components_and_polygonize():
+    band = np.zeros((8, 8), dtype=np.uint8)
+    band[1:4, 1:4] = 1
+    band[5:7, 5:7] = 1
+    lab = PZ.label_components(band)
+    assert len(np.unique(lab)) == 3  # background + two islands
+    polys = PZ.polygonize(band)
+    assert len(polys) == 3
+    by_val = {}
+    for value, wkb, n in polys:
+        by_val.setdefault(value, []).append(n)
+    assert sorted(by_val[1]) == [4, 9]
+    assert by_val[0] == [64 - 13]
+    # ring geometry check: the 3x3 island has a 4-corner square ring
+    from georay.geom import parse_wkb
+    nine = [w for v, w, n in polys if n == 9][0]
+    kind, rings = parse_wkb(nine)
+    assert kind == "polygon"
+    assert rings[0].shape[0] == 5  # square + closure
+    assert rings[0][:, 0].min() == 1 and rings[0][:, 0].max() == 4
+
+
+def test_polygonize_with_hole():
+    band = np.zeros((8, 8), dtype=np.uint8)
+    band[1:7, 1:7] = 1
+    band[3, 3] = 0  # hole
+    polys = PZ.polygonize(band)
+    ring_counts = {v: len(__import__("georay.geom", fromlist=["parse_wkb"])
+                          .parse_wkb(w)[1]) for v, w, n in polys}
+    assert ring_counts[1] == 2  # outer + hole
+
+
+def test_polygonize_8connect():
+    band = np.zeros((4, 4), dtype=np.uint8)
+    band[0, 0] = band[1, 1] = 1  # diagonal touch
+    lab4 = PZ.label_components(band, connect8=False)
+    lab8 = PZ.label_components(band, connect8=True)
+    assert len(np.unique(lab4)) == 3
+    assert len(np.unique(lab8)) == 2
+
+
+def test_contour_lines():
+    x = np.arange(16, dtype=np.float64)
+    band = np.tile(x, (16, 1))  # vertical gradient -> vertical contours
+    out = PZ.contour_lines(band, [5.0, 10.0])
+    assert set(out) == {5.0, 10.0}
+    for level, lines in out.items():
+        assert len(lines) >= 1
+        pts = np.vstack(lines)
+        # contour of a linear ramp: all x coords equal level (+0.5 lattice)
+        assert np.allclose(pts[:, 0], level + 0.5, atol=1e-9)
+
+
+def test_polygonize_images_stage(ray_session, tmp_path):
+    import ray
+    from georay import fixtures as fx
+    from georay.pipelines import georeferenced_images
+    p = fx.write_images_parquet(str(tmp_path / "imgs"), 8, rows_per_file=8)
+    ds = georeferenced_images(p, decode=True)
+    out = ds.map_batches(PZ.PolygonizeImages, batch_format="pyarrow",
+                         concurrency=2,
+                         fn_constructor_kwargs=dict(quantize=64)).take_all()
+    assert len(out) > 8  # several regions per image
+    assert {"image_id", "value", "wkb", "pixel_count"} <= set(out[0].keys())
