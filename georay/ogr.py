@@ -1,0 +1,131 @@
+"""Vector-translate pipeline — the ogr2ogr / `gdal vector pipeline
+read ! step ! write` surface (apps/ogr2ogr_lib.cpp §3.2;
+apps/gdalalg_vector_pipeline.cpp:104-155 RunStep) as composable Ray Data
+steps.
+
+Each step appends a lazy transform to the Dataset; running the pipeline is
+just consuming it.  Step order follows ogr2ogr's geometry-op chain
+(ogr2ogr_lib.cpp:65-67): filter → select/rename → spatial filter →
+reproject → write.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["VectorPipeline"]
+
+
+class VectorPipeline:
+    """Composable ogr2ogr-style pipeline over a lon/lat point table.
+
+    >>> (VectorPipeline.read_parquet(path)
+    ...    .where("pop > 1000")
+    ...    .select({"name": "city", "pop": "population"})
+    ...    .clip_bbox(-10, 35, 30, 60)
+    ...    .reproject_to_mercator()
+    ...    .write_parquet(out))
+    """
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    @classmethod
+    def read_parquet(cls, path: str, columns=None) -> "VectorPipeline":
+        import ray
+        return cls(ray.data.read_parquet(path, columns=columns))
+
+    @classmethod
+    def from_dataset(cls, ds) -> "VectorPipeline":
+        return cls(ds)
+
+    def where(self, clause: str) -> "VectorPipeline":
+        """SetAttributeFilter analog (SWQ WHERE → vectorized)."""
+        from .expr import attribute_filter
+        return VectorPipeline(attribute_filter(self.ds, clause))
+
+    def select(self, mapping) -> "VectorPipeline":
+        """-select / -fieldmap: subset + rename.  ``mapping`` = list of
+        column names or {src: dst} rename dict."""
+        if isinstance(mapping, dict):
+            def proj(batch: pa.Table) -> pa.Table:
+                return pa.table({dst: batch[src]
+                                 for src, dst in mapping.items()})
+            return VectorPipeline(
+                self.ds.map_batches(proj, batch_format="pyarrow"))
+        return VectorPipeline(self.ds.select_columns(list(mapping)))
+
+    def clip_bbox(self, minx, miny, maxx, maxy,
+                  lon_col="lon", lat_col="lat") -> "VectorPipeline":
+        """-clipsrc rectangle (spatial filter pushdown)."""
+        import pyarrow.compute as pc
+
+        def clip(batch: pa.Table) -> pa.Table:
+            lon = batch[lon_col]
+            lat = batch[lat_col]
+            m = pc.and_(
+                pc.and_(pc.greater_equal(lon, pa.scalar(float(minx))),
+                        pc.less_equal(lon, pa.scalar(float(maxx)))),
+                pc.and_(pc.greater_equal(lat, pa.scalar(float(miny))),
+                        pc.less_equal(lat, pa.scalar(float(maxy)))))
+            return batch.filter(m)
+        return VectorPipeline(self.ds.map_batches(clip, batch_format="pyarrow"))
+
+    def clip_polygons(self, polygons: pa.Table,
+                      lon_col="lon", lat_col="lat") -> "VectorPipeline":
+        """Keep rows inside any polygon (semi-join via broadcast R-tree)."""
+        import ray
+        from .join import PolygonIndex
+
+        ref = ray.put(PolygonIndex.build(polygons, payload_cols=()))
+
+        def clip(batch: pa.Table) -> pa.Table:
+            idx = ray.get(ref)
+            lon = batch[lon_col].to_numpy()
+            lat = batch[lat_col].to_numpy()
+            qi, _ = idx.match_points(lon, lat)
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            keep[np.unique(qi)] = True
+            return batch.filter(pa.array(keep))
+        return VectorPipeline(self.ds.map_batches(clip, batch_format="pyarrow"))
+
+    def reproject_to_mercator(self, lon_col="lon", lat_col="lat") -> "VectorPipeline":
+        """EPSG:4326 → EPSG:3857 coordinate transform (vectorized, the
+        TranslateArrow reprojection analog, ogr2ogr_lib.cpp:6009)."""
+        from .mercator import latlon_to_meters
+
+        def reproject(batch: pa.Table) -> pa.Table:
+            mx, my = latlon_to_meters(batch[lat_col].to_numpy(),
+                                      batch[lon_col].to_numpy())
+            batch = batch.append_column("x_3857", pa.array(mx))
+            return batch.append_column("y_3857", pa.array(my))
+        return VectorPipeline(self.ds.map_batches(reproject,
+                                                  batch_format="pyarrow"))
+
+    def spatial_sort(self, lon_col="lon", lat_col="lat") -> "VectorPipeline":
+        """Hilbert spatial clustering order (SORT_BY_BBOX analog)."""
+        from .rtree import hilbert_xy2d
+
+        def key(batch: pa.Table) -> pa.Table:
+            lon = batch[lon_col].to_numpy()
+            lat = batch[lat_col].to_numpy()
+            qx = np.clip((lon + 180.0) / 360.0 * 65535, 0, 65535).astype(np.uint64)
+            qy = np.clip((lat + 90.0) / 180.0 * 65535, 0, 65535).astype(np.uint64)
+            return batch.append_column(
+                "hilbert_key", pa.array(hilbert_xy2d(16, qx, qy).astype(np.int64)))
+        return VectorPipeline(
+            self.ds.map_batches(key, batch_format="pyarrow").sort("hilbert_key"))
+
+    def limit(self, n: int) -> "VectorPipeline":
+        return VectorPipeline(self.ds.limit(n))
+
+    def write_parquet(self, path: str):
+        self.ds.write_parquet(path)
+        return path
+
+    def to_table(self) -> pa.Table:
+        import pyarrow as pa
+        return pa.concat_tables(
+            list(self.ds.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow")))

@@ -625,6 +625,39 @@ def q_hilbert_sort(sf_dir: str):
             .sort("hilbert_key"))
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding window (60-min size, 30-min step) counts per event type —
+    explode-to-buckets `mb` + groupby (georay.windows)."""
+    from .windows import sliding_window_counts
+    ds = _rp(sf_dir, "events", ["event_type", "ts"])
+    return sliding_window_counts(ds)
+
+
+def q_sessions(sf_dir: str):
+    """Session windows per user (30-min gap timeout) — per-key
+    gaps-and-islands in map_groups; oracle = SQL window functions."""
+    from .windows import session_windows
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    return session_windows(ds)
+
+
+def q_quantity_stats(sf_dir: str):
+    """Grouped STDDEV (Welford semantics, ogr_swq.h:386-389) — rounded on
+    both sides to absorb formula-order ulps."""
+    from ray.data.aggregate import Count, Std
+
+    agg = (_rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+           .groupby("l_returnflag")
+           .aggregate(Std("l_quantity", alias_name="std_qty"),
+                      Count(alias_name="n")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "std_qty": pc.round(b["std_qty"], ndigits=6),
+            "n": b["n"]}),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -658,6 +691,9 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "hilbert_sort": q_hilbert_sort,
+    "sliding_windows": q_sliding_windows,
+    "sessions": q_sessions,
+    "quantity_stats": q_quantity_stats,
 }
 
 
@@ -787,6 +823,41 @@ ORACLE_SQL = {
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token_count
         FROM documents
+    """,
+    "sliding_windows": """
+        WITH e AS (SELECT event_type,
+                          cast(floor(epoch(ts) / 1800) as bigint) * 1800 AS base
+                   FROM events),
+        w AS (SELECT event_type, base AS ws FROM e
+              UNION ALL
+              SELECT event_type, base - 1800 AS ws FROM e)
+        SELECT event_type,
+               TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND
+                   AS window_start,
+               count(*) AS n
+        FROM w GROUP BY 1, 2
+    """,
+    "sessions": """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts)) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               sum(cast(round(value * 100.0, 0) as bigint)) / 100.0
+                   AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "quantity_stats": """
+        SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS std_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
     "attribute_filter": """
         SELECT o_orderkey, o_orderpriority FROM orders

@@ -32,7 +32,7 @@ from .mercator import (TILE_SIZE, geo_query, latlon_to_tile_xyz,
 __all__ = [
     "resample_average", "resample_nearest", "resample_bilinear",
     "assign_center_tile", "CutTiles", "composite_tile_group",
-    "overview_reduce_group", "build_pyramid",
+    "overview_reduce_group", "build_pyramid", "write_tiles_png",
 ]
 
 
@@ -283,6 +283,55 @@ def overview_reduce_group(group: pa.Table,
         "checksum_g": pa.array([checks[1]], pa.int64()),
         "checksum_b": pa.array([checks[2]], pa.int64()),
     })
+
+
+def write_tiles_png(tiles_ds, out_dir: str):
+    """Write composited tiles as ``out_dir/z/x/y.png`` with a per-tile
+    lineage manifest — the gdal2tiles output layout with ``--resume``
+    generalized (gdal2tiles.py:2880-2883: skip-existing; here the manifest
+    is the committed-set, written AFTER the atomic PNG rename).
+
+    Returns the small per-tile status Dataset (consume it to run)."""
+    import json
+    import os
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from .codecs import png_encode
+        ts = TILE_SIZE
+        statuses = []
+        mdir = os.path.join(out_dir, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        for i in range(batch.num_rows):
+            z = int(batch["z"][i].as_py())
+            x = int(batch["tile_x"][i].as_py())
+            y = int(batch["tile_y"][i].as_py())
+            key = f"{z}-{x}-{y}"
+            mpath = os.path.join(mdir, key + ".json")
+            if os.path.exists(mpath):
+                statuses.append("skipped")
+                continue
+            canvas = np.frombuffer(batch["tile"][i].as_buffer(),
+                                   dtype=np.uint8).reshape(ts, ts, 4)
+            d = os.path.join(out_dir, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{y}.png")
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(png_encode(canvas))
+            os.replace(tmp, path)
+            rec = {"tile": [z, x, y],
+                   "n_frags": int(batch["n_frags"][i].as_py()),
+                   "checksum_r": int(batch["checksum_r"][i].as_py())}
+            mtmp = mpath + f".tmp-{os.getpid()}"
+            with open(mtmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(mtmp, mpath)
+            statuses.append("written")
+        return pa.table({"z": batch["z"], "tile_x": batch["tile_x"],
+                         "tile_y": batch["tile_y"],
+                         "status": pa.array(statuses, pa.string())})
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow")
 
 
 def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int):

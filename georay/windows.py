@@ -1,0 +1,81 @@
+"""Streaming-shaped window operators over the event log table — the batch
+expression of stream windows (repo guide: treat `events` as an ordered,
+partitioned log; windows = groupby(key).map_groups over ts-sorted groups).
+
+GDAL is batch-only (SURVEY.md §2.8) — these are first-class engine
+extensions with SQL-checkable semantics:
+
+* tumbling: one grid of fixed buckets (``events_hourly`` query).
+* sliding: size S, step P — each event lands in S/P buckets; implemented
+  as an explode-to-buckets `mb` + groupby (no per-row state).
+* session: per-key gaps-and-islands with a 30-min timeout — the ordering
+  assumption (sort by ts within key) is established inside each group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["sliding_window_counts", "session_windows"]
+
+
+def sliding_window_counts(ds, size_s: int = 3600, step_s: int = 1800,
+                          ts_col: str = "ts", key_col: str = "event_type"):
+    """Counts per (key, sliding window): window starts every ``step_s``,
+    spans ``size_s``.  Each event explodes to ``size_s // step_s`` window
+    rows in a vectorized `mb`, then a small groupby-count."""
+    from ray.data.aggregate import Sum
+    k = size_s // step_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        sec = ts // 1_000_000
+        base = (sec // step_s) * step_s
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        outs_k, outs_w = [], []
+        for j in range(k):
+            start = base - j * step_s
+            keep = sec < start + size_s
+            outs_k.append(keys[keep])
+            outs_w.append(start[keep])
+        w = np.concatenate(outs_w)
+        kk = np.concatenate(outs_k)
+        return pa.table({
+            key_col: pa.array(kk),
+            "window_start": pa.array(w.astype("datetime64[s]")
+                                     .astype("datetime64[us]")),
+            "pc_": pa.array(np.ones(len(kk), dtype=np.int64)),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby([key_col, "window_start"])
+              .aggregate(Sum("pc_", alias_name="n")))
+
+
+def session_windows(ds, gap_s: int = 1800, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value"):
+    """Session windows: per key, sort by ts; a gap > ``gap_s`` starts a new
+    session.  Emits ``(key, session_start, n_events, sum_value_cents)``.
+    State is group-local (`map_groups`), not driver-side."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.concatenate([[True], np.diff(ts) > gap_s * 1_000_000])
+        sid = np.cumsum(new) - 1
+        cents = np.round(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "sid": sid, "ts": g[ts_col].to_numpy(), "cents": cents})
+        agg = out.groupby("sid").agg(
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            cents=("cents", "sum"))
+        agg[key_col] = g[key_col].iloc[0]
+        agg["sum_value"] = agg.pop("cents") / 100.0
+        return agg.reset_index(drop=True)[
+            [key_col, "session_start", "n_events", "sum_value"]]
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,120 @@
+"""VectorPipeline (ogr2ogr analog), window operators, tile PNG writer."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def points_parquet(tmp_path_factory):
+    import pyarrow.parquet as pq
+    p = tmp_path_factory.mktemp("pts") / "points.parquet"
+    t = fx.points_table(400)
+    t = t.append_column("pop", pa.array(
+        (np.arange(400) * 37 % 5000).astype(np.int64)))
+    pq.write_table(t, str(p))
+    return str(p)
+
+
+def test_vector_pipeline_chain(ray_session, points_parquet):
+    from georay.ogr import VectorPipeline
+    out = (VectorPipeline.read_parquet(points_parquet)
+           .where("pop > 1000")
+           .clip_bbox(-90, -60, 90, 60)
+           .reproject_to_mercator()
+           .select(["point_id", "lon", "lat", "x_3857", "y_3857", "pop"])
+           .to_table())
+    assert out.num_rows > 0
+    assert set(out.schema.names) == {"point_id", "lon", "lat",
+                                     "x_3857", "y_3857", "pop"}
+    lon = out["lon"].to_numpy()
+    lat = out["lat"].to_numpy()
+    pop = out["pop"].to_numpy()
+    assert (pop > 1000).all()
+    assert (np.abs(lon) <= 90).all() and (np.abs(lat) <= 60).all()
+    # reprojection is the closed-form transform
+    from georay.mercator import latlon_to_meters
+    mx, my = latlon_to_meters(lat, lon)
+    assert np.allclose(out["x_3857"].to_numpy(), mx)
+    assert np.allclose(out["y_3857"].to_numpy(), my)
+
+
+def test_vector_pipeline_rename_and_spatial_sort(ray_session, points_parquet):
+    from georay.ogr import VectorPipeline
+    out = (VectorPipeline.read_parquet(points_parquet)
+           .select({"point_id": "pid", "lon": "lon", "lat": "lat"})
+           .spatial_sort()
+           .limit(50)
+           .to_table())
+    assert out.num_rows == 50
+    assert "pid" in out.schema.names
+    keys = out["hilbert_key"].to_numpy()
+    assert (np.diff(keys) >= 0).all()  # sorted
+
+
+def test_vector_pipeline_clip_polygons(ray_session, points_parquet):
+    from georay.ogr import VectorPipeline
+    polys = fx.polygons_table(60)
+    out = (VectorPipeline.read_parquet(points_parquet)
+           .clip_polygons(polys)
+           .to_table())
+    # semi-join: subset of input, each inside >= 1 polygon
+    from georay.geom import PackedPolygons
+    pp = PackedPolygons.from_wkb(polys["wkb"].to_pylist())
+    pt_i, _ = pp.contains_brute(out["lon"].to_numpy(), out["lat"].to_numpy())
+    assert len(np.unique(pt_i)) == out.num_rows
+
+
+def test_sliding_window_counts(ray_session, sf_dir):
+    import ray
+    from georay.windows import sliding_window_counts
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    out = sliding_window_counts(ds).to_pandas()
+    n_events = ray.data.read_parquet(f"{sf_dir}/events.parquet").count()
+    # size/step = 2 -> every event counted exactly twice
+    assert out["n"].sum() == 2 * n_events
+
+
+def test_session_windows_semantics(ray_session):
+    import pandas as pd
+    import ray
+    from georay.windows import session_windows
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",  # session 1
+        "2024-01-01 11:30:00",                          # gap > 30min
+        "2024-01-01 11:50:00",
+    ])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 1], "ts": ts,
+                       "value": [1.0, 2.0, 3.0, 4.0]})
+    out = session_windows(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values("session_start").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["sum_value"].tolist() == [3.0, 7.0]
+
+
+def test_write_tiles_png_resume(ray_session, tmp_path):
+    from georay.codecs import png_decode
+    from georay.pipelines import tile_pipeline
+    from georay.tiles import write_tiles_png
+    p = fx.write_images_parquet(str(tmp_path / "imgs"), 24, rows_per_file=12)
+    base = tile_pipeline(p, zoom=12)[12]
+    out_dir = str(tmp_path / "tiles")
+    status = write_tiles_png(base, out_dir).take_all()
+    written = [r for r in status if r["status"] == "written"]
+    assert len(written) == len(status) > 0
+    # files exist and decode to 256x256 RGBA
+    r = written[0]
+    path = os.path.join(out_dir, str(r["z"]), str(r["tile_x"]),
+                        f"{r['tile_y']}.png")
+    arr = png_decode(open(path, "rb").read())
+    assert arr.shape == (256, 256, 4)
+    # resume: second run skips everything
+    base2 = tile_pipeline(p, zoom=12)[12]
+    status2 = write_tiles_png(base2, out_dir).take_all()
+    assert all(r["status"] == "skipped" for r in status2)
