@@ -173,6 +173,7 @@ def _polygon_cell_cover(polygons: pa.Table, res: int) -> tuple:
 def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
                              lon_col="lon", lat_col="lat",
                              salt_threshold: int | None = None,
+                             payload_cols=("polygon_id", "category"),
                              keep_cols=None):
     """Cell-partitioned spatial join: shuffle-based path for a large
     polygon side.  Both sides are keyed by hex cell (polygons replicated to
@@ -185,8 +186,7 @@ def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
 
     pidx, pcells = _polygon_cell_cover(polygons, res)
     wkbs = polygons["wkb"].to_numpy(zero_copy_only=False)
-    payload_cols = [c for c in ("polygon_id", "category")
-                    if c in polygons.schema.names]
+    payload_cols = [c for c in payload_cols if c in polygons.schema.names]
 
     salts: dict = {}
     if salt_threshold:

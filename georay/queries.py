@@ -178,6 +178,21 @@ def q_zone_join_agg(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_zone_join_partitioned(sf_dir: str):
+    """The SAME zone join routed through the cell-partitioned shuffle path
+    with skew census + salting (groupby(cell) co-shuffle, hot cells split
+    into sub-keys — the north-rule loop).  Must equal the broadcast path
+    and the SQL oracle exactly."""
+    from .join import spatial_join_partitioned
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir)
+    out = spatial_join_partitioned(
+        pts, zones, res=3, salt_threshold=100,
+        payload_cols=("n_name",),
+        keep_cols=["c_custkey", "lon", "lat"])
+    return out.select_columns(["c_custkey", "n_name"])
+
+
 def q_knn(sf_dir: str):
     """k=3 nearest suppliers per customer by haversine over derived
     coordinates — the H3-style k-ring + refinement operator."""
@@ -663,6 +678,7 @@ QUERIES = {
     "tile_census": q_tile_census,
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
+    "zone_join_partitioned": q_zone_join_partitioned,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
     "q1_pricing": q1_pricing,
@@ -727,6 +743,9 @@ ORACLE_SQL = {
         FROM orders GROUP BY 1, 2
     """,
     "zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "zone_join_partitioned": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""
