@@ -37,7 +37,11 @@ def georeferenced_images(images_path: str, *, decode: bool = True,
                          decode_concurrency=None, decode_batch_size: int = 64):
     """images parquet → Dataset with georef + cell columns (+ decoded
     pixels): the shared front of every flagship pipeline."""
-    ds = read_images(images_path)
+    # prune at the read: without decode the multi-KB `bytes` column never
+    # leaves storage (a read that loads all columns for a 2-column
+    # transform is wrong at 100 TB)
+    cols = None if decode else ["image_id", "w", "h", "caption", "phash"]
+    ds = read_images(images_path, columns=cols)
     ds = ds.map_batches(add_georef, batch_format="pyarrow")
     ds = ds.map_batches(add_cells, batch_format="pyarrow",
                         fn_kwargs=dict(hex_res=hex_res, s2_level=s2_level))
@@ -381,7 +385,8 @@ def flagship_join(images_path: str, polygons: pa.Table | None = None, *,
             _flagship_direct_fn, batch_format="pyarrow", batch_size=1,
             fn_kwargs=dict(index_ref=index_ref, zoom=zoom, decode=decode,
                            cut=cut, verify=verify))
-    ds = read_images(images_path, read_concurrency=4)
+    cols = None if decode else ["image_id", "w", "h", "caption", "phash"]
+    ds = read_images(images_path, columns=cols, read_concurrency=4)
     if compute == "actors":
         if concurrency is None:
             n = int(ray.cluster_resources().get("CPU", 4))

@@ -268,20 +268,36 @@ def q_top_revenue_orders(sf_dir: str):
     from ray.data.aggregate import Sum
     ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def partial_revenue(batch: pa.Table) -> pa.Table:
+        # pre-aggregate INSIDE the batch (lineitems of an order are nearly
+        # adjacent) so the groupby shuffles ~1 row per (order, block)
+        # instead of every lineitem — the combiner pattern
+        k = batch["l_orderkey"].to_numpy()
         c = np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
         d = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
-        return pa.table({"l_orderkey": batch["l_orderkey"],
-                         "rev_e4": pa.array(c * (100 - d))})
-    agg = (ds.map_batches(revenue, batch_format="pyarrow")
+        rev = c * (100 - d)
+        order = np.argsort(k, kind="stable")
+        ks, rs = k[order], rev[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(ks))[0] + 1])
+        sums = np.add.reduceat(rs, starts)
+        return pa.table({"l_orderkey": pa.array(ks[starts]),
+                         "rev_e4": pa.array(sums)})
+
+    agg = (ds.map_batches(partial_revenue, batch_format="pyarrow")
              .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4")))
-    agg = agg.map_batches(
-        lambda b: pa.table({"l_orderkey": b["l_orderkey"],
-                            "revenue": pa.array(
-                                b["rev_e4"].to_numpy() / 10000.0)}),
-        batch_format="pyarrow")
-    return agg.sort(["revenue", "l_orderkey"],
-                    descending=[True, False]).limit(10)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-block top-k partial; the global sort then runs on ~10 rows
+        # per block instead of every order
+        r = batch["rev_e4"].to_numpy()
+        k = batch["l_orderkey"].to_numpy()
+        order = np.lexsort((k, -r))[:10]
+        return pa.table({"l_orderkey": pa.array(k[order]),
+                         "revenue": pa.array(r[order] / 10000.0)})
+
+    return (agg.map_batches(local_topk, batch_format="pyarrow")
+               .sort(["revenue", "l_orderkey"], descending=[True, False])
+               .limit(10))
 
 
 def q_revenue_by_nation(sf_dir: str):

@@ -16,6 +16,7 @@ __all__ = [
     "pixel_calc", "translate_window", "translate_scale",
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
+    "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
 ]
 
 
@@ -287,4 +288,72 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         out[~valid] = nodata
     else:
         out = np.where(valid, out, nodata)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pansharpen (alg/gdalpansharpen.cpp — weighted Brovey) and color
+# quantization (alg/gdalmediancut.cpp + gdaldither.cpp)
+# ---------------------------------------------------------------------------
+
+def pansharpen_brovey(pan: np.ndarray, ms: np.ndarray,
+                      weights=None) -> np.ndarray:
+    """Weighted Brovey fusion: out_b = ms_b * pan / pseudo_pan where
+    pseudo_pan = Σ w_b · ms_b (GDALPansharpenOperation semantics).  ``ms``
+    is (h, w, bands) at pan resolution (upsample first if needed)."""
+    ms = ms.astype(np.float64)
+    nb = ms.shape[2]
+    w = (np.full(nb, 1.0 / nb) if weights is None
+         else np.asarray(weights, dtype=np.float64))
+    pseudo = (ms * w[None, None, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(pseudo > 0, pan.astype(np.float64) / pseudo, 0.0)
+    out = ms * ratio[:, :, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def median_cut_palette(rgb: np.ndarray, n_colors: int = 16) -> np.ndarray:
+    """Median-cut color quantization palette (GDALComputeMedianCutPCT):
+    recursively split the occupied color box along its widest channel at
+    the median.  Returns (n, 3) uint8 palette."""
+    pixels = rgb.reshape(-1, 3).astype(np.int32)
+    boxes = [pixels]
+    while len(boxes) < n_colors:
+        # split the box with the largest channel range
+        widths = [(b.max(axis=0) - b.min(axis=0)).max() if len(b) > 1 else -1
+                  for b in boxes]
+        i = int(np.argmax(widths))
+        if widths[i] <= 0:
+            break
+        b = boxes.pop(i)
+        ch = int(np.argmax(b.max(axis=0) - b.min(axis=0)))
+        order = np.argsort(b[:, ch], kind="stable")
+        half = len(b) // 2
+        boxes.extend([b[order[:half]], b[order[half:]]])
+    return np.array([np.rint(b.mean(axis=0)) for b in boxes if len(b)],
+                    dtype=np.uint8)
+
+
+def dither_floyd_steinberg(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Floyd-Steinberg error-diffusion to a palette (GDALDitherRGB2PCT).
+    Error diffusion is inherently row-sequential (per tile) — the loop is
+    over rows with vectorized nearest-palette per pixel."""
+    pal = palette.astype(np.float64)
+    img = rgb.astype(np.float64).copy()
+    h, w = img.shape[:2]
+    out = np.empty((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px = img[y, x]
+            idx = int(np.argmin(((pal - px) ** 2).sum(axis=1)))
+            out[y, x] = idx
+            err = px - pal[idx]
+            if x + 1 < w:
+                img[y, x + 1] += err * (7 / 16)
+            if y + 1 < h:
+                if x > 0:
+                    img[y + 1, x - 1] += err * (3 / 16)
+                img[y + 1, x] += err * (5 / 16)
+                if x + 1 < w:
+                    img[y + 1, x + 1] += err * (1 / 16)
     return out
