@@ -689,6 +689,55 @@ def q_quantity_stats(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_raster_stats(sf_dir: str):
+    """Per-image band-0 statistics (count/mean/min/max/std — Welford
+    partials, gcore/gdalrasterband.cpp:5085 ComputeStatistics analog)."""
+    from .pipelines import georeferenced_images
+    from .stats import band_stats_partial
+
+    def stats(batch: pa.Table) -> pa.Table:
+        h_arr = batch["h"].to_numpy()
+        w_arr = batch["w"].to_numpy()
+        means = np.empty(batch.num_rows)
+        mins = np.empty(batch.num_rows)
+        maxs = np.empty(batch.num_rows)
+        stds = np.empty(batch.num_rows)
+        for i in range(batch.num_rows):
+            band = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                 dtype=np.uint8).reshape(
+                int(h_arr[i]), int(w_arr[i]), 3)[:, :, 0]
+            st = band_stats_partial(band)
+            means[i], mins[i], maxs[i], stds[i] =                 st.mean, st.min, st.max, st.std
+        return pa.table({
+            "image_id": batch["image_id"],
+            "mean": pa.array(np.round(means, 6)),
+            "min": pa.array(mins), "max": pa.array(maxs),
+            "std": pa.array(np.round(stds, 6))})
+
+    path = _bench_images(sf_dir)
+    return georeferenced_images(path, decode=True).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def q_clip_zones(sf_dir: str):
+    """Layer Clip (ogrlayer.cpp:4785 semantics) of the fixture polygon
+    layer against a convex window — clipped areas per polygon."""
+    import ray
+    from .fixtures import polygons_table
+    from .geom import box_ring
+    from .overlay import clip_layer_convex
+    polys = polygons_table(200)
+    ds = ray.data.from_arrow(polys)
+    out = clip_layer_convex(ds, box_ring(-80.0, 30.0, 5.0, 55.0))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "polygon_id": batch["polygon_id"],
+            "clip_area": pa.array(np.round(
+                batch["clip_area"].to_numpy(), 9))})
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -726,6 +775,8 @@ QUERIES = {
     "sliding_windows": q_sliding_windows,
     "sessions": q_sessions,
     "quantity_stats": q_quantity_stats,
+    "raster_stats": q_raster_stats,
+    "clip_zones": q_clip_zones,
 }
 
 
