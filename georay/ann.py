@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ann_topk_bruteforce", "ann_topk_lsh"]
+__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -159,6 +159,95 @@ def ann_topk_lsh(ds, queries: pa.Table, k: int = 5, *,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col],
                           ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", id_col, "cosine"]]
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                 seed: int = 11) -> np.ndarray:
+    """Driver-side Lloyd iterations on a normalized sample (the IVF coarse
+    quantizer training — tiny, so it stays on the driver; at 100 TB the
+    sample is a `ds.random_sample(...).take_batch()`)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sim = sample @ cent.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ann_topk_ivf(ds, queries: pa.Table, k: int = 5, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "vec_id", n_centroids: int = 32,
+                 n_probe: int = 8, train_sample: int = 2048,
+                 seed: int = 11, batch_size: int = 4096, concurrency=None):
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    vector space; each data row is scanned only when its centroid is among
+    a query's ``n_probe`` nearest centroids.  Scan fraction ≈
+    n_probe/n_centroids — the inverted-file scale path."""
+    import pandas as pd
+    import ray
+    from .util import default_concurrency
+
+    q_ids = queries[query_id_col].to_numpy()
+    q_mat = _normalize(np.array(queries[vec_col].to_pylist(),
+                                dtype=np.float64))
+    sample = _normalize(np.array(
+        ds.limit(train_sample).take_batch(
+            train_sample, batch_format="pyarrow")[vec_col].to_pylist(),
+        dtype=np.float64))
+    cent = _kmeans_lite(sample, n_centroids)
+    # probe lists per query
+    q_cent = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    probe = frozenset(np.unique(q_cent).tolist())
+    ref = ray.put((q_ids, q_mat, cent))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                return empty
+            vecs = _normalize(vecs)
+            assign = np.argmax(vecs @ self.cent.T, axis=1)
+            keep = np.array([int(c) in probe for c in assign])
+            if not keep.any():
+                return empty
+            vecs = vecs[keep]
+            ids = batch[id_col].to_numpy()[keep]
+            sim = self.q_mat @ vecs.T
+            kk = min(k, sim.shape[1])
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sim.shape[0]), kk)
+            cols = part.ravel()
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.q_ids, kk)),
+                id_col: pa.array(ids[cols]),
+                "cosine": pa.array(sim[rows, cols]),
+            })
+
+    partials = ds.map_batches(Score, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_concurrency())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(len(g), dtype=np.int64)
         return g[["query_id", "rank", id_col, "cosine"]]

@@ -27,7 +27,7 @@ __all__ = [
     "s2_cell_id", "s2_parent", "s2_level", "s2_token",
     "hex_cell", "hex_cell_from_meters", "hex_center_meters", "hex_k_ring",
     "hex_parent", "hex_res", "hex_decode", "hex_encode", "HEX_MAX_RES",
-    "hex_circumradius",
+    "hex_circumradius", "hex_polyfill", "hex_compact",
 ]
 
 # ---------------------------------------------------------------------------
@@ -283,6 +283,56 @@ def hex_parent(cell, parent_res: int):
     aperture-4 grids don't nest exactly, same caveat as H3 aperture 7)."""
     mx, my = hex_center_meters(cell)
     return hex_cell_from_meters(mx, my, parent_res)
+
+
+def hex_polyfill(rings, res: int):
+    """All cells at ``res`` whose CENTER lies inside the polygon (H3
+    ``polygon_to_cells`` semantics).  ``rings`` = list of (N,2) lon/lat
+    rings (outer + holes).  Vectorized: candidate centers from the bbox
+    grid, then even-odd PIP."""
+    from .geom import PackedPolygons, wkb_polygon
+    pts = np.vstack(rings)
+    minx, maxx = pts[:, 0].min(), pts[:, 0].max()
+    miny, maxy = pts[:, 1].min(), pts[:, 1].max()
+    R = float(hex_circumradius(res))
+    x0, y0 = latlon_to_meters(miny, minx)
+    x1, y1 = latlon_to_meters(maxy, maxx)
+    xs = np.arange(float(x0) - 2 * R, float(x1) + 2 * R, R * 0.8)
+    ys = np.arange(float(y0) - 2 * R, float(y1) + 2 * R, R * 0.8)
+    gx, gy = np.meshgrid(xs, ys)
+    cand = np.unique(hex_cell_from_meters(gx.ravel(), gy.ravel(), res))
+    cx, cy = hex_center_meters(cand)
+    clat, clon = meters_to_latlon(cx, cy)
+    pp = PackedPolygons.from_wkb([wkb_polygon(rings)])
+    idx = np.arange(len(cand), dtype=np.int64)
+    inside = pp.contains_pairs(clon, clat, idx,
+                               np.zeros(len(cand), dtype=np.int64))
+    return cand[inside]
+
+
+def hex_compact(cells):
+    """Replace complete aperture-4 sibling sets by their parent, repeatedly
+    (H3 ``compact_cells`` semantics under this grid's parent rule: a parent
+    is emitted when ≥4 of its children at res r are present — aperture-4
+    hex grids don't nest exactly, so "complete" is defined by child count,
+    documented approximation)."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    out = []
+    cur = cells
+    while len(cur):
+        res = int(hex_res(cur[:1])[0])
+        if res == 0:
+            out.append(cur)
+            break
+        parents = hex_parent(cur, res - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = set(uniq[counts >= 4].tolist())
+        keep = np.array([int(p) not in full for p in parents])
+        out.append(cur[keep])
+        cur = np.array(sorted(full), dtype=np.int64)
+        if not len(full):
+            break
+    return np.concatenate(out) if out else cells
 
 
 def hex_distance(cell_a, cell_b):

@@ -17,6 +17,7 @@ __all__ = [
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
+    "viewshed",
 ]
 
 
@@ -357,3 +358,58 @@ def dither_floyd_steinberg(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
                 if x + 1 < w:
                     img[y + 1, x + 1] += err * (1 / 16)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Viewshed (alg/viewshed/viewshed.cpp analog — R3 algorithm: exact per-pixel
+# line of sight with bilinear DEM sampling along the ray to the observer).
+# Cumulative mode = fan observers out as rows in map_batches and
+# `groupby(tile).sum` the boolean rasters (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+
+def viewshed(dem: np.ndarray, ox: int, oy: int,
+             observer_height: float = 2.0, target_height: float = 0.0,
+             cellsize: float = 1.0) -> np.ndarray:
+    """Boolean visibility raster from observer pixel (ox, oy).
+
+    R3: for every pixel, the elevation angle of every intermediate sample
+    (1-px spacing, bilinear-interpolated DEM) must not exceed the target's
+    angle.  Vectorized as a loop over step index k with all pixels updated
+    at once (k ≤ raster diagonal).
+    """
+    a = dem.astype(np.float64)
+    h, w = a.shape
+    oz = a[oy, ox] + observer_height
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    dx = xx - ox
+    dy = yy - oy
+    dist = np.hypot(dx, dy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tgt_angle = (a + target_height - oz) / np.maximum(dist, 1e-12)
+    max_angle = np.full((h, w), -np.inf)
+    k_max = int(np.ceil(dist.max()))
+
+    def sample(py, px):
+        x0 = np.clip(np.floor(px).astype(np.int64), 0, w - 1)
+        y0 = np.clip(np.floor(py).astype(np.int64), 0, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        tx = np.clip(px - x0, 0, 1)
+        ty = np.clip(py - y0, 0, 1)
+        return (a[y0, x0] * (1 - tx) * (1 - ty) + a[y0, x1] * tx * (1 - ty)
+                + a[y1, x0] * (1 - tx) * ty + a[y1, x1] * tx * ty)
+
+    for k in range(1, k_max):
+        m = dist > k  # pixels whose ray has an intermediate sample at k
+        if not m.any():
+            break
+        t = k / dist[m]
+        sy = oy + dy[m] * t
+        sx = ox + dx[m] * t
+        z = sample(sy, sx)
+        ang = (z - oz) / k
+        max_angle[m] = np.maximum(max_angle[m], ang)
+    visible = tgt_angle >= max_angle - 1e-12
+    visible[oy, ox] = True
+    return visible

@@ -138,3 +138,20 @@ def test_hex_parent_coarser():
     cx, cy = C.hex_center_meters(cell)
     px, py = C.hex_center_meters(par)
     assert np.hypot(float(cx - px), float(cy - py)) <= float(C.hex_circumradius(10))
+
+
+def test_hex_polyfill_and_compact():
+    import numpy as np
+    from georay.cells import (hex_center_meters, hex_compact, hex_polyfill,
+                              hex_res)
+    from georay.geom import box_ring
+    from georay.mercator import meters_to_latlon
+    cells = hex_polyfill([box_ring(-74.5, 38.2, -70.5, 43.2)], 10)
+    assert len(cells) > 100
+    cx, cy = hex_center_meters(cells)
+    lat, lon = meters_to_latlon(cx, cy)
+    assert (lon >= -74.5).all() and (lon <= -70.5).all()
+    assert (lat >= 38.2).all() and (lat <= 43.2).all()
+    comp = hex_compact(cells)
+    assert len(comp) < len(cells)
+    assert len(np.unique(hex_res(comp))) >= 2

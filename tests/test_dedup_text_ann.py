@@ -156,3 +156,25 @@ def test_ann_lsh_recall(ray_session):
         assert q in a  # self bucket always probed
         hits += len(e & a)
     assert hits >= 4
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray
+    from georay.ann import ann_topk_bruteforce, ann_topk_ivf
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, 24))
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 4)
+    exact = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    approx = ann_topk_ivf(ds, queries, k=5, n_centroids=16,
+                          n_probe=6).to_pandas()
+    hits = 0
+    for q in range(4):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a
+        hits += len(e & a)
+    assert hits >= 12

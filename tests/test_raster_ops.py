@@ -202,3 +202,16 @@ def test_polygonize_images_stage(ray_session, tmp_path):
                          fn_constructor_kwargs=dict(quantize=64)).take_all()
     assert len(out) > 8  # several regions per image
     assert {"image_id", "value", "wkb", "pixel_count"} <= set(out[0].keys())
+
+
+def test_viewshed():
+    import numpy as np
+    from georay.raster import viewshed
+    flat = np.zeros((24, 24))
+    assert viewshed(flat, 12, 12).all()
+    dem = np.zeros((16, 40))
+    dem[:, 20] = 50.0
+    v = viewshed(dem, 5, 8, observer_height=2.0)
+    assert v[8, 10] and v[8, 20] and not v[8, 30]
+    dem2 = dem.copy(); dem2[:, 35] = 200.0
+    assert viewshed(dem2, 5, 8)[8, 35]
