@@ -219,6 +219,24 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+def _block_mean_resize_int(chan: np.ndarray, out: int) -> np.ndarray:
+    """Integer-sum variant of :func:`_block_mean_resize`: exact bin sums
+    via int reduceat, division deferred to the out×out stage."""
+    h, w = chan.shape
+    ys = np.arange(h) * out // h
+    xs = np.arange(w) * out // w
+    row_cnt = np.bincount(ys, minlength=out)
+    col_cnt = np.bincount(xs, minlength=out)
+    row_starts = np.minimum(np.searchsorted(ys, np.arange(out), "left"), h - 1)
+    col_starts = np.minimum(np.searchsorted(xs, np.arange(out), "left"), w - 1)
+    a = np.add.reduceat(chan, row_starts, axis=0)
+    a[row_cnt == 0] = 0
+    a = np.add.reduceat(a, col_starts, axis=1)
+    a[:, col_cnt == 0] = 0
+    cnt = (row_cnt[:, None] * col_cnt[None, :]).astype(np.float64)
+    return a.astype(np.float64) / np.maximum(cnt, 1.0)
+
+
 def _block_mean_resize(gray: np.ndarray, out: int) -> np.ndarray:
     """Box-filter resize to out×out via per-axis block means (handles
     non-divisible sizes with index binning).
@@ -245,11 +263,20 @@ def _block_mean_resize(gray: np.ndarray, out: int) -> np.ndarray:
 
 def phash64(arr: np.ndarray) -> np.int64:
     """Classic pHash: gray → 32×32 box resize → 2-D DCT-II → top-left 8×8
-    (skip DC) → median threshold → 64 bits (packed MSB-first, int64)."""
+    (skip DC) → median threshold → 64 bits (packed MSB-first, int64).
+
+    The gray conversion and box resize are fused in integer space: the
+    block mean of (r+g+b)/3 equals blockmean(r+g+b)/3, and integer sums
+    via reduceat are exact — no full-resolution float64 gray array is ever
+    materialized (4 bytes/px instead of 8, one fewer pass)."""
     arr = np.asarray(arr)
-    gray = (arr.astype(np.float64).mean(axis=2) if arr.ndim == 3
-            else arr.astype(np.float64))
-    small = _block_mean_resize(gray, 32)
+    if arr.ndim == 3:
+        chan = np.add.reduce(arr.astype(np.int32), axis=2)  # r+g+b, exact
+        divisor = 3.0
+    else:
+        chan = arr.astype(np.int32)
+        divisor = 1.0
+    small = _block_mean_resize_int(chan, 32) / divisor
     d = _DCT32.T @ small @ _DCT32
     block = d[:8, :8].copy().ravel()
     vals = np.delete(block, 0)  # drop DC

@@ -15,7 +15,7 @@ from .tiles import CutTiles, assign_center_tile, build_pyramid, \
     composite_tile_group
 
 __all__ = ["read_images", "georeferenced_images", "flagship_join",
-           "tile_pipeline", "flagship_summary"]
+           "flagship_checkpointed", "tile_pipeline", "flagship_summary"]
 
 
 def read_images(images_path: str, *, columns=None, read_concurrency=None):
@@ -419,6 +419,34 @@ def tile_pipeline(images_path: str, *, zoom: int = 12, tminz: int | None = None,
     if tminz is None or tminz >= zoom:
         return {zoom: base}
     return build_pyramid(base, tminz, zoom)
+
+
+def flagship_checkpointed(images_path: str, out_dir: str, *,
+                          zoom: int = 12, n_polygons: int = 500,
+                          part_shift: int = 4, **kwargs):
+    """Flagship join written as resumable partitioned output with per-
+    partition lineage (north rule: a killed run resumes from the last
+    committed partition).
+
+    Partition key = coarse tile ``(tile_x >> part_shift, tile_y >>
+    part_shift)``; rows whose partition is already committed are dropped
+    BEFORE the write shuffle (anti-join against the manifest).  Returns
+    the small per-partition status Dataset — consume it to run."""
+    import pyarrow.compute as _pc
+    from .checkpoint import resume_filter, write_partitioned
+    out = flagship_join(images_path, zoom=zoom, n_polygons=n_polygons,
+                        **kwargs)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        px = batch["tile_x"].to_numpy() >> part_shift
+        py = batch["tile_y"].to_numpy() >> part_shift
+        return batch.append_column(
+            "part", pa.array(px * 100000 + py))
+
+    keyed_ds = out.map_batches(keyed, batch_format="pyarrow")
+    keyed_ds = resume_filter(keyed_ds, out_dir, ["part"])
+    return write_partitioned(keyed_ds, out_dir, ["part"],
+                             lineage_cols=["image_id", "tile_x", "tile_y"])
 
 
 def flagship_summary(images_path: str, *, zoom: int = 12,

@@ -199,3 +199,31 @@ def test_checkpoint_resume(ray_session, images_path, tmp_path):
                 .num_rows for f in os.listdir(out_dir)
                 if f.endswith(".parquet"))
     assert total == 120
+
+
+def test_flagship_checkpointed_resume(ray_session, images_path, tmp_path):
+    import os
+    import pyarrow.parquet as pq
+    from georay.checkpoint import committed_keys, load_manifest
+    from georay.pipelines import flagship_checkpointed
+    out_dir = str(tmp_path / "ckpt")
+    status = flagship_checkpointed(images_path, out_dir, zoom=12).take_all()
+    total = sum(r["rows"] for r in status)
+    keys = committed_keys(out_dir)
+    assert total > 0 and len(keys) == len(status)
+    man = load_manifest(out_dir)
+    any_rec = next(iter(man.values()))
+    assert "image_id" in any_rec["key_ranges"]  # lineage recorded
+    # simulate a kill: drop half the manifests, rerun → only those redo
+    victims = sorted(keys)[: len(keys) // 2]
+    for k in victims:
+        os.remove(os.path.join(out_dir, "_manifest", f"{k}.json"))
+    status2 = flagship_checkpointed(images_path, out_dir, zoom=12).take_all()
+    assert {r["partition_key"] for r in status2} == set(victims)
+    assert all(r["status"] == "written" for r in status2)
+    # final output complete, no duplicated partitions
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert len(files) == len(keys)
+    rows = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
+               for f in files)
+    assert rows == total
