@@ -79,18 +79,22 @@ def exact_dedup(ds, key_col: str, order_col: str):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
-    """Character n-gram shingle hashes (uint64) of one document."""
+def _shingle_hashes(text: str, n: int = 5, unique: bool = True) -> np.ndarray:
+    """Character n-gram shingle hashes (uint64) of one document.
+
+    ``unique=False`` skips the dedup sort — valid for MinHash (the min over
+    a multiset equals the min over its set), saving an O(S log S) sort per
+    document in the hot signature stage."""
     b = text.encode("utf-8")
     if len(b) < n:
         b = b + b"\x00" * (n - len(b))
     a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
     # polynomial rolling hash over a sliding window, vectorized
-    k = len(a) - n + 1
     idx = np.arange(n, dtype=np.uint64)
     weights = np.uint64(1099511628211) ** idx
     windows = np.lib.stride_tricks.sliding_window_view(a, n)
-    return np.unique((windows * weights).sum(axis=1, dtype=np.uint64))
+    h = (windows * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(h) if unique else h
 
 
 def minhash_signature_batch(batch: pa.Table, col: str = "text",
@@ -104,7 +108,7 @@ def minhash_signature_batch(batch: pa.Table, col: str = "text",
     sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
     texts = batch[col].to_pylist()
     for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_n)
+        sh = _shingle_hashes(t, shingle_n, unique=False)
         # (n_shingles, num_perm) via broadcasting, min over shingles
         vals = (sh[:, None] * rng_a[None, :] + rng_b[None, :]) & _MASK
         sigs[i] = vals.min(axis=0)
