@@ -738,6 +738,27 @@ def q_clip_zones(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join on the event log: each 'click' matched to the same
+    user's most recent 'purchase' at or before it (inner).  Oracle:
+    DuckDB ASOF JOIN."""
+    from .windows import asof_join
+
+    def only(t):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], t))
+        return fn
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")\
+        .drop_columns(["event_type"])
+    buys = ev.map_batches(only("purchase"), batch_format="pyarrow")\
+        .drop_columns(["event_type"])
+    out = asof_join(clicks, buys, key_col="user_id",
+                    right_cols=("event_id",), suffix="_purchase")
+    return out.select_columns(["event_id", "user_id", "event_id_purchase"])
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -777,6 +798,7 @@ QUERIES = {
     "quantity_stats": q_quantity_stats,
     "raster_stats": q_raster_stats,
     "clip_zones": q_clip_zones,
+    "asof_join": q_asof_join,
 }
 
 
@@ -939,6 +961,12 @@ ORACLE_SQL = {
                sum(cast(round(value * 100.0, 0) as bigint)) / 100.0
                    AS sum_value
         FROM s GROUP BY user_id, sid
+    """,
+    "asof_join": """
+        SELECT c.event_id, c.user_id, p.event_id AS event_id_purchase
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "quantity_stats": """
         SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS std_qty,

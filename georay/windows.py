@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["sliding_window_counts", "session_windows"]
+__all__ = ["sliding_window_counts", "session_windows", "asof_join"]
 
 
 def sliding_window_counts(ds, size_s: int = 3600, step_s: int = 1800,
@@ -79,3 +79,69 @@ def session_windows(ds, gap_s: int = 1800, key_col: str = "user_id",
             [key_col, "session_start", "n_events", "sum_value"]]
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
+              right_cols=("event_id",), suffix: str = "_right"):
+    """As-of join: for every left row, the latest right row of the same
+    key with ``right.ts <= left.ts`` (inner).  Both sides are co-shuffled
+    by key (tagged union → ``groupby(key).map_groups``) and matched with
+    ``pd.merge_asof`` over the ts-sorted group — the portable bucketed
+    as-of pattern.  Oracle: DuckDB ``ASOF JOIN``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side__", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return fn
+
+    # align schemas: right contributes (key, ts, right_cols); left keeps all
+    l_schema = left_ds.schema()
+    left_names = list(l_schema.names)
+
+    def align_right(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col], ts_col: batch[ts_col]}
+        for c in right_cols:
+            cols[f"{c}{suffix}"] = batch[c]
+        for c in left_names:
+            if c not in cols:
+                cols[c] = pa.nulls(batch.num_rows,
+                                   l_schema.types[left_names.index(c)])
+        return pa.table(cols).append_column(
+            "side__", pa.array(np.ones(batch.num_rows, np.int8)))
+
+    def align_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_names}
+        for c in right_cols:
+            cols[f"{c}{suffix}"] = pa.nulls(batch.num_rows,
+                                            pa.int64())
+        return pa.table(cols).append_column(
+            "side__", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    both = (left_ds.map_batches(align_left, batch_format="pyarrow")
+            .union(right_ds.map_batches(align_right, batch_format="pyarrow")))
+
+    rnames = [f"{c}{suffix}" for c in right_cols]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side__"] == 0].sort_values(ts_col)
+        right = g[g["side__"] == 1].sort_values(ts_col)
+        if len(left) == 0 or len(right) == 0:
+            return left.iloc[0:0][left_names + rnames]
+        merged = pd.merge_asof(
+            left[left_names], right[[ts_col] + rnames],
+            on=ts_col, direction="backward")
+        merged = merged.dropna(subset=[rnames[0]])  # inner semantics
+        for c in rnames:
+            merged[c] = merged[c].astype("int64")
+        # the union carried nulls on the other side, upcasting int columns
+        # to float in pandas — restore the left schema's integer dtypes
+        for c, t in zip(left_names, (l_schema.types[left_names.index(c)]
+                                     for c in left_names)):
+            if pa.types.is_integer(t):
+                merged[c] = merged[c].astype("int64")
+        return merged[left_names + rnames]
+
+    return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
