@@ -99,7 +99,8 @@ def main_plain():
     from georay.util import tune_malloc
     tune_malloc()  # see util.tune_malloc — must precede ray.init
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)  # keep stdout = exactly one JSON line
     _quiet()
     _bench_images_path()          # build fixture outside the timed window
     run_headline()                # warm-up: page cache + actor pools
@@ -135,7 +136,8 @@ def main_headline_only():
     from georay.util import tune_malloc
     tune_malloc()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)  # keep stdout = exactly one JSON line
     _quiet()
     _bench_images_path()
     run_headline()  # warm-up (page cache, worker pool, plasma arenas)
