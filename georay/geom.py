@@ -32,6 +32,8 @@ __all__ = [
     "PackedPolygons",
     "haversine_m",
     "box_ring",
+    "segmentize",
+    "simplify_dp",
 ]
 
 _WKB_POINT = 1
@@ -267,3 +269,52 @@ def haversine_m(lat1, lon1, lat2, lon2, radius: float = 6371008.8):
     a = (np.sin(dlat / 2.0) ** 2
          + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2)
     return 2.0 * radius * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def segmentize(ring: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds ``max_len`` — OGR
+    ``segmentize`` (the pre-reprojection densify step of ogr2ogr's
+    geometry chain, apps/ogr2ogr_lib.cpp:6736).  Vectorized: per-segment
+    subdivision counts → linear interpolation."""
+    r = np.asarray(ring, dtype=np.float64)
+    seg = r[1:] - r[:-1]
+    lengths = np.hypot(seg[:, 0], seg[:, 1])
+    n_sub = np.maximum(np.ceil(lengths / max_len).astype(np.int64), 1)
+    out = []
+    for i in range(len(seg)):
+        ts = np.arange(n_sub[i]) / n_sub[i]
+        out.append(r[i] + ts[:, None] * seg[i])
+    out.append(r[-1:])
+    return np.vstack(out)
+
+
+def simplify_dp(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker simplification (OGR ``SimplifyPreserveTopology``'s
+    per-ring core; topology preservation across rings is the caller's
+    concern).  Iterative stack implementation; keeps endpoints."""
+    r = np.asarray(ring, dtype=np.float64)
+    n = len(r)
+    if n < 3:
+        return r.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = r[b] - r[a]
+        L = np.hypot(*seg)
+        pts = r[a + 1:b]
+        if L == 0:
+            d = np.hypot(pts[:, 0] - r[a, 0], pts[:, 1] - r[a, 1])
+        else:
+            d = np.abs(seg[0] * (r[a, 1] - pts[:, 1])
+                       - seg[1] * (r[a, 0] - pts[:, 0])) / L
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            m = a + 1 + imax
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return r[keep]

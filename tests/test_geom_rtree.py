@@ -113,3 +113,24 @@ def test_haversine_known():
     d = float(G.haversine_m(48.8566, 2.3522, 51.5074, -0.1278))
     assert 340_000 < d < 348_000
     assert float(G.haversine_m(10, 20, 10, 20)) == 0.0
+
+
+def test_segmentize_and_simplify():
+    from georay.geom import segmentize, simplify_dp
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]])
+    dens = segmentize(ring, 1.0)
+    seg = dens[1:] - dens[:-1]
+    assert np.hypot(seg[:, 0], seg[:, 1]).max() <= 1.0 + 1e-9
+    assert np.allclose(dens[0], ring[0]) and np.allclose(dens[-1], ring[-1])
+    # simplify recovers the corner from a densified L
+    simp = simplify_dp(dens, 0.01)
+    assert len(simp) == 3
+    assert np.allclose(simp, ring)
+    # noisy line within tolerance collapses to endpoints
+    x = np.linspace(0, 10, 50)
+    wig = np.stack([x, 0.05 * np.sin(x * 3)], axis=1)
+    s2 = simplify_dp(wig, 0.1)
+    assert len(s2) == 2
+    # beyond tolerance keeps detail
+    wig2 = np.stack([x, 0.5 * np.sin(x * 3)], axis=1)
+    assert len(simplify_dp(wig2, 0.1)) > 5
