@@ -148,13 +148,15 @@ def main_headline_only():
 
 
 def main_scaling():
-    """Two independent (lo, hi) measurement pairs; the best pair is
-    reported (this sandbox VM shows multi-second host-noise swings —
-    peak throughput per level is the stable signal)."""
+    """GRAFT_SCALE_REPS (default 2) independent (lo, hi) measurement pairs;
+    the BEST pair is reported — a labeled noise filter (this sandbox VM
+    shows multi-second host-noise swings; peak throughput per level is the
+    stable signal).  BASELINE.md records the protocol."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
     best = None
-    for _ in range(1):
+    for _ in range(reps):
         r_lo = _headline_subprocess(lo)
         r_hi = _headline_subprocess(hi)
         eff = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / (hi / lo)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .util import fsl_to_numpy
+
 __all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf"]
 
 
@@ -37,7 +39,7 @@ class _BruteForceScore:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = fsl_to_numpy(batch[self.vec_col])
         if vecs.size == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              self.id_col: pa.array([], pa.int64()),
@@ -70,7 +72,7 @@ def ann_topk_bruteforce(ds, queries: pa.Table, k: int = 5, *,
     from .util import default_concurrency
 
     q_ids = queries[query_id_col].to_numpy()
-    q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
+    q_mat = _normalize(fsl_to_numpy(queries[vec_col]))
     ref = ray.put((q_ids, q_mat))
 
     partials = ds.map_batches(
@@ -102,7 +104,7 @@ def ann_topk_lsh(ds, queries: pa.Table, k: int = 5, *,
     from .util import default_concurrency
 
     q_ids = queries[query_id_col].to_numpy()
-    q_mat = _normalize(np.array(queries[vec_col].to_pylist(), dtype=np.float64))
+    q_mat = _normalize(fsl_to_numpy(queries[vec_col]))
     dim = q_mat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
@@ -128,7 +130,7 @@ def ann_topk_lsh(ds, queries: pa.Table, k: int = 5, *,
             self.q_ids, self.q_mat, self.q_sig = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = fsl_to_numpy(batch[vec_col])
             empty = pa.table({"query_id": pa.array([], pa.int64()),
                               id_col: pa.array([], pa.int64()),
                               "cosine": pa.array([], pa.float64())})
@@ -201,12 +203,10 @@ def ann_topk_ivf(ds, queries: pa.Table, k: int = 5, *,
     from .util import default_concurrency
 
     q_ids = queries[query_id_col].to_numpy()
-    q_mat = _normalize(np.array(queries[vec_col].to_pylist(),
-                                dtype=np.float64))
-    sample = _normalize(np.array(
+    q_mat = _normalize(fsl_to_numpy(queries[vec_col]))
+    sample = _normalize(fsl_to_numpy(
         ds.limit(train_sample).take_batch(
-            train_sample, batch_format="pyarrow")[vec_col].to_pylist(),
-        dtype=np.float64))
+            train_sample, batch_format="pyarrow")[vec_col]))
     cent = _kmeans_lite(sample, n_centroids)
     # probe lists per query
     q_cent = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
@@ -221,7 +221,7 @@ def ann_topk_ivf(ds, queries: pa.Table, k: int = 5, *,
             empty = pa.table({"query_id": pa.array([], pa.int64()),
                               id_col: pa.array([], pa.int64()),
                               "cosine": pa.array([], pa.float64())})
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = fsl_to_numpy(batch[vec_col])
             if vecs.size == 0:
                 return empty
             vecs = _normalize(vecs)

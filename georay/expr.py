@@ -211,9 +211,30 @@ class _Parser:
 _CMP = {"=": pc.equal, "<>": pc.not_equal, "!=": pc.not_equal,
         "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
         ">=": pc.greater_equal}
+def _is_int(v) -> bool:
+    t = getattr(v, "type", None)
+    return t is not None and pa.types.is_integer(t)
+
+
+def _sql_divide(a, b):
+    """SQL ``/``: DuckDB/OGR return a double even for int/int — cast both
+    operands to float64 (int `pc.divide` would truncate)."""
+    return pc.divide(pc.cast(a, pa.float64()), pc.cast(b, pa.float64()))
+
+
+def _sql_modulo(a, b):
+    """Truncated modulo (sign follows the dividend) — OGR SQL / DuckDB
+    semantics; floored modulo would diverge for negative operands."""
+    if _is_int(a) and _is_int(b):
+        # Arrow integer divide truncates toward zero already
+        return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+    af = pc.cast(a, pa.float64())
+    bf = pc.cast(b, pa.float64())
+    return pc.subtract(af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
+
+
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
-          "/": pc.divide, "%": lambda a, b: pc.subtract(
-              a, pc.multiply(pc.floor(pc.divide(a, b)), b))}
+          "/": _sql_divide, "%": _sql_modulo}
 
 
 def _like_to_regex(pat: str) -> str:

@@ -28,6 +28,7 @@ __all__ = [
     "wkb_polygon",
     "wkb_multipolygon",
     "parse_wkb",
+    "parse_wkb_multi",
     "wkb_envelope",
     "PackedPolygons",
     "haversine_m",
@@ -83,10 +84,38 @@ def _parse_rings(buf: memoryview, off: int):
     return rings, off
 
 
+def parse_wkb_multi(buf: bytes) -> list:
+    """Parse polygon/multipolygon WKB preserving per-polygon ring grouping:
+    returns ``[[outer, hole, ...], ...]`` — one ring list per polygon.
+    Needed wherever outer-vs-hole roles matter (area, clip);
+    :func:`parse_wkb` flattens rings (fine for even-odd PIP only)."""
+    buf = memoryview(buf)
+    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    geom_type &= 0xFF
+    if geom_type == _WKB_POLYGON:
+        rings, _ = _parse_rings(buf, 5)
+        return [rings]
+    if geom_type == _WKB_MULTIPOLYGON:
+        (n_polys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        out = []
+        for _ in range(n_polys):
+            _, sub_type = struct.unpack_from("<BI", buf, off)
+            if sub_type & 0xFF != _WKB_POLYGON:
+                raise ValueError("MultiPolygon member is not a Polygon")
+            sub_rings, off = _parse_rings(buf, off + 5)
+            out.append(sub_rings)
+        return out
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
 def parse_wkb(buf: bytes):
     """Parse little-endian WKB → ``("point", (x, y))`` or
     ``("polygon", [rings])`` (MultiPolygon flattens to one ring list —
-    sufficient for even-odd PIP)."""
+    sufficient for even-odd PIP; use :func:`parse_wkb_multi` when
+    outer/hole grouping matters)."""
     buf = memoryview(buf)
     byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
     if byte_order != 1:
@@ -224,8 +253,11 @@ class PackedPolygons:
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
         crossing = straddle & (ppx < xint)
-        # parity per pair
-        crossings = np.add.reduceat(crossing.astype(np.int64), pair_offsets[:-1])
+        # parity per pair; clip trailing zero-count offsets so reduceat
+        # never indexes past the edge array (counts==0 rows are zeroed
+        # right after, so the clipped value is discarded)
+        idx = np.minimum(pair_offsets[:-1], total - 1)
+        crossings = np.add.reduceat(crossing.astype(np.int64), idx)
         crossings[counts == 0] = 0
         return (crossings % 2) == 1
 

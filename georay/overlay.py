@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .geom import parse_wkb, wkb_polygon
+from .geom import parse_wkb_multi, wkb_polygon
 
 __all__ = ["clip_ring_convex", "polygon_area", "is_convex",
            "clip_layer_convex", "erase_layer_convex"]
@@ -88,21 +88,27 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
 
 
 def _clip_wkb(buf: bytes, clip_ring: np.ndarray):
-    """Clip every ring of a WKB polygon; returns (wkb, area) or None when
-    empty.  Holes are clipped with the same convex window (correct: a
-    convex window cannot split a hole into parts that merge)."""
-    kind, rings = parse_wkb(bytes(buf))
-    if kind != "polygon":
-        return None
+    """Clip every ring of a WKB (Multi)Polygon; returns (wkb, area) or None
+    when empty.  Ring grouping is preserved per polygon (parse_wkb_multi)
+    so a MultiPolygon's second outer ring is NOT subtracted as a hole;
+    holes are clipped with the same convex window (correct: a convex
+    window cannot split a hole into parts that merge)."""
+    polys = parse_wkb_multi(bytes(buf))
     out_rings = []
-    for r in rings:
-        c = clip_ring_convex(r, clip_ring)
-        if len(c) >= 3:
-            out_rings.append(c)
+    area = 0.0
+    for rings in polys:
+        clipped = []
+        for r in rings:
+            c = clip_ring_convex(r, clip_ring)
+            if len(c) >= 3:
+                clipped.append(c)
+        if not clipped:
+            continue
+        area += (abs(polygon_area(clipped[0]))
+                 - sum(abs(polygon_area(r)) for r in clipped[1:]))
+        out_rings.extend(clipped)
     if not out_rings:
         return None
-    area = sum(abs(polygon_area(r)) for r in out_rings[:1]) \
-        - sum(abs(polygon_area(r)) for r in out_rings[1:])
     return wkb_polygon(out_rings), max(area, 0.0)
 
 
@@ -152,9 +158,9 @@ def erase_layer_convex(ds, erase_ring, wkb_col: str = "wkb",
         areas = []
         for i in range(batch.num_rows):
             buf = batch[wkb_col][i].as_py()
-            kind, rings = parse_wkb(buf)
-            full = (abs(polygon_area(rings[0]))
-                    - sum(abs(polygon_area(r)) for r in rings[1:]))
+            full = sum(abs(polygon_area(rings[0]))
+                       - sum(abs(polygon_area(r)) for r in rings[1:])
+                       for rings in parse_wkb_multi(buf))
             res = _clip_wkb(buf, erase_arr)
             inter = res[1] if res else 0.0
             areas.append(max(full - inter, 0.0))

@@ -12,7 +12,7 @@ from . import fixtures
 from .decode import DecodeImages, add_cells, add_georef
 from .join import spatial_join_points
 from .tiles import CutTiles, assign_center_tile, build_pyramid, \
-    composite_tile_group
+    composite_tiles
 
 __all__ = ["read_images", "georeferenced_images", "flagship_join",
            "flagship_checkpointed", "tile_pipeline", "flagship_summary"]
@@ -414,8 +414,8 @@ def tile_pipeline(images_path: str, *, zoom: int = 12, tminz: int | None = None,
                   fn_constructor_kwargs=dict(zoom=zoom, resampling=resampling),
                   concurrency=cut_concurrency or default_concurrency())
     frags = ds.map_batches(CutTiles, **kwargs)
-    base = frags.groupby(["z", "tile_x", "tile_y"]).map_groups(
-        composite_tile_group, batch_format="pyarrow")
+    # two-level composite: within-block combiner + per-tile merge
+    base = composite_tiles(frags)
     if tminz is None or tminz >= zoom:
         return {zoom: base}
     return build_pyramid(base, tminz, zoom)

@@ -409,12 +409,32 @@ def q_events_hourly(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_doc_dedup(sf_dir: str):
-    """Exact dedup census: min doc_id + count per distinct text."""
-    from ray.data.aggregate import Count, Min
-    return (_rp(sf_dir, "documents", ["doc_id", "text"])
-            .groupby("text")
-            .aggregate(Min("doc_id", alias_name="keep_id"),
-                       Count(alias_name="n_copies")))
+    """Exact dedup census: min doc_id + count per distinct text — grouped
+    by a 64-bit CONTENT HASH (vectorized off the Arrow buffers) so whole
+    documents never enter the shuffle; only (hash, id) partials do.  The
+    oracle groups by text itself; outputs (keep_id, n_copies) compare."""
+    from ray.data.aggregate import Min, Sum
+    from .dedup import content_hash_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = content_hash_batch(batch, "text")
+        h = batch["content_hash"].to_numpy()
+        ids = batch["doc_id"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs, ids_s = h[order], ids[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1])
+        counts = np.diff(np.concatenate([starts, [len(hs)]]))
+        return pa.table({"content_hash": pa.array(hs[starts]),
+                         "keep_id": pa.array(
+                             np.minimum.reduceat(ids_s, starts)),
+                         "n_copies": pa.array(counts)})
+
+    agg = (_rp(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("content_hash")
+           .aggregate(Min("keep_id", alias_name="keep_id"),
+                      Sum("n_copies", alias_name="n_copies")))
+    return agg.select_columns(["keep_id", "n_copies"])
 
 
 def q_doc_tokens(sf_dir: str):
@@ -427,18 +447,27 @@ def q_doc_tokens(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
-    """Quality-scoring actor stage (rows-only: heuristic features)."""
+    """Quality-scoring actor stage; ratios rounded to 6 digits on both
+    sides (the oracle reproduces the identical formula in SQL)."""
     from .text import TextFeatures
     from .util import default_concurrency
-    return (_rp(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(TextFeatures, batch_format="pyarrow",
-                         concurrency=default_concurrency(cap=8))
-            .select_columns(["doc_id", "n_tokens", "punct_ratio",
-                             "stop_ratio", "quality"]))
+    out = (_rp(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(TextFeatures, batch_format="pyarrow",
+                        concurrency=default_concurrency(cap=8))
+           .select_columns(["doc_id", "n_tokens", "punct_ratio",
+                            "stop_ratio", "quality"]))
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
+            "punct_ratio": pc.round(b["punct_ratio"], ndigits=6),
+            "stop_ratio": pc.round(b["stop_ratio"], ndigits=6),
+            "quality": pc.round(b["quality"], ndigits=6)}),
+        batch_format="pyarrow")
 
 
 def q_doc_langid(sf_dir: str):
-    """Language-ID heuristic counts per predicted language (rows-only)."""
+    """Language-ID heuristic counts per predicted language; the oracle
+    reproduces the argmax-with-dict-order tie-break in SQL CASE arms."""
     from ray.data.aggregate import Count
     from .text import LangId
     from .util import default_concurrency
@@ -449,17 +478,34 @@ def q_doc_langid(sf_dir: str):
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs (rows-only)."""
+    """MinHash-LSH candidates + EXACT n-gram-Jaccard ≥ 0.5 verification.
+    Oracle: DuckDB 5-gram self-join computing exact Jaccard (checks
+    candidate RECALL, not signature estimates).  Banding (128 perms /
+    16 bands of 8 rows) has recall ≈1−1e−18 at the fixture's planted
+    similarity (≈0.99); the background tops out at ≈0.3."""
     from .dedup import minhash_lsh_pairs
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, jaccard_threshold=0.4)
+    pairs = minhash_lsh_pairs(ds, num_perm=128, bands=16,
+                              jaccard_threshold=0.5)
+    return pairs.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "jaccard": pc.round(b["jaccard"], ndigits=6)}),
+        batch_format="pyarrow")
 
 
 def q_doc_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs within hamming ≤ 3 (rows-only)."""
-    from .dedup import simhash_pairs
+    """SimHash block-LSH candidates (8×8-bit blocks → hamming ≤ 6
+    guaranteed by pigeonhole ≤ 7) + exact n-gram-Jaccard ≥ 0.5 verdict —
+    same oracle as the MinHash path (both must find exactly the true
+    near-dup set; candidate generation differs)."""
+    from .dedup import simhash_pairs, verify_pairs_jaccard
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds)
+    cand = simhash_pairs(ds, max_hamming=6, n_blocks=8)
+    verified = verify_pairs_jaccard(cand, ds, threshold=0.5)
+    return verified.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "jaccard": pc.round(b["jaccard"], ndigits=6)}),
+        batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -475,12 +521,19 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
-    from .dedup import embedding_dup_pairs
-    # synthetic embeddings are near-orthogonal (max offdiag cosine ~0.48),
-    # so the "near-dup" threshold is set low enough to exercise the path
+    """Embedding-cosine near-dup pairs — EXACT broadcast all-pairs path
+    (matrix `ray.put` once, per-batch matmul, no shuffle).  Oracle:
+    DuckDB self-join with list_cosine_similarity.  The threshold (0.425)
+    sits in a ≥0.005-wide gap of the fixture's cosine spectrum so
+    float32/float64 engine differences cannot flip membership.  The LSH
+    path (`dedup.embedding_dup_pairs`) is the >memory scale variant,
+    recall-tested in tests/test_dedup_text_ann.py."""
+    import pyarrow.parquet as pq
+    from .dedup import embedding_dup_pairs_exact
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.35, n_planes=6)
+    return embedding_dup_pairs_exact(ds, full, threshold=0.425)
 
 
 # ---------------------------------------------------------------------------
@@ -924,8 +977,166 @@ ORACLE_SQL = {
         FROM events GROUP BY 1, 2
     """,
     "doc_dedup": """
-        SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    "doc_quality": """
+        WITH f AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+                 CASE WHEN length(text) > 0 THEN
+                     cast(len(regexp_extract_all(text, '[^\\w\\s]'))
+                          AS DOUBLE) / length(text) ELSE 0.0 END
+                     AS punct_ratio
+          FROM documents),
+        f2 AS (
+          SELECT doc_id, n_tokens, punct_ratio,
+                 CASE WHEN n_tokens > 0 THEN
+                     cast(len(list_filter(list_transform(toks, x -> lower(x)),
+                          x -> list_contains(['the','and','of','to','a','in',
+                                              'is','that','it','for'], x)))
+                          AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_tokens > 0 THEN
+                     cast(list_sum(list_transform(toks, x -> length(x)))
+                          AS DOUBLE) / n_tokens ELSE 0.0 END AS mwl
+          FROM f)
+        SELECT doc_id, n_tokens,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(least(greatest(
+                   0.25 * (CASE WHEN n_tokens > 5 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * least(greatest(1.0 - punct_ratio / 0.25, 0.0), 1.0)
+                   + 0.30 * least(greatest(stop_ratio / 0.3, 0.0), 1.0)
+                   + 0.20 * least(greatest(1.0 - abs(mwl - 4.5) / 4.5,
+                                           0.0), 1.0),
+                   0.0), 1.0), 6) AS quality
+        FROM f2
+    """,
+    "doc_langid": """
+        WITH t AS (
+          SELECT doc_id, list_transform(
+                     regexp_extract_all(text, '[A-Za-z0-9]+'),
+                     x -> lower(x)) AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(['the','and','of','to',
+                'a','in','is','that','it','for'], x))) AS he,
+            len(list_filter(toks, x -> list_contains(['der','die','und','das',
+                'ist','nicht','ein','mit','zu'], x))) AS hd,
+            len(list_filter(toks, x -> list_contains(['le','la','et','les',
+                'des','un','une','est','dans','que'], x))) AS hf,
+            len(list_filter(toks, x -> list_contains(['el','la','los','de',
+                'que','y','en','un','una','es'], x))) AS hs
+          FROM t)
+        SELECT CASE WHEN hs > he AND hs > hd AND hs > hf THEN 'es'
+                    WHEN hf > he AND hf > hd THEN 'fr'
+                    WHEN hd > he THEN 'de'
+                    WHEN he > 0 THEN 'en'
+                    ELSE 'und' END AS lang_pred,
+               count(*) AS n
+        FROM h GROUP BY 1
+    """,
+    "doc_minhash_pairs": """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(text) - 4, 1)),
+                     i -> substring(text, i, 5))) AS gram
+          FROM documents),
+        c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(cast(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        FROM ix JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+        WHERE cast(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    """,
+    "doc_simhash_pairs": """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(text) - 4, 1)),
+                     i -> substring(text, i, 5))) AS gram
+          FROM documents),
+        c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(cast(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        FROM ix JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+        WHERE cast(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    """,
+    "embedding_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.425
+    """,
+    "hilbert_sort": f"""
+        WITH RECURSIVE pts AS (
+          SELECT c_custkey,
+                 cast(floor(least(greatest(
+                     ({_SQL_LON.format(k='c_custkey')} + 180.0)
+                     / 360.0 * 65535, 0), 65535)) AS BIGINT) AS x,
+                 cast(floor(least(greatest(
+                     ({_SQL_LAT.format(k='c_custkey')} + 90.0)
+                     / 180.0 * 65535, 0), 65535)) AS BIGINT) AS y
+          FROM customer),
+        h AS (
+          SELECT c_custkey, x, y, cast(0 AS BIGINT) AS d,
+                 cast(32768 AS BIGINT) AS s
+          FROM pts
+          UNION ALL
+          SELECT c_custkey,
+            CASE WHEN (y & s) = 0 THEN
+                CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+              ELSE x END,
+            CASE WHEN (y & s) = 0 THEN
+                CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+              ELSE y END,
+            d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                            CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+            s // 2
+          FROM h WHERE s > 0)
+        SELECT c_custkey, d AS hilbert_key FROM h WHERE s = 0
+    """,
+    "hex_census": f"""
+        WITH m AS (
+          SELECT ({_SQL_LON.format(k='c_custkey')})
+                     * (2*pi()*6378137/2) / 180.0 AS mx,
+                 ln(tan((90.0 + ({_SQL_LAT.format(k='c_custkey')}))
+                        * pi() / 360.0)) / (pi()/180.0)
+                     * (2*pi()*6378137/2) / 180.0 AS my
+          FROM customer),
+        ax AS (
+          SELECT (sqrt(3.0) / 3.0 * mx - my / 3.0)
+                     / ((2*pi()*6378137/2) / 16.0) AS xf,
+                 (2.0 / 3.0 * my) / ((2*pi()*6378137/2) / 16.0) AS zf
+          FROM m),
+        rnd AS (
+          SELECT xf, zf, -xf - zf AS yf,
+                 round(xf) AS rx, round(-xf - zf) AS ry, round(zf) AS rz
+          FROM ax),
+        fixed AS (
+          SELECT CASE WHEN abs(rx - xf) > abs(ry - yf)
+                       AND abs(rx - xf) > abs(rz - zf)
+                      THEN -ry - rz ELSE rx END AS q0,
+                 rx, ry, rz, xf, yf, zf
+          FROM rnd),
+        cells AS (
+          SELECT cast(q0 AS BIGINT) AS q,
+                 cast(CASE WHEN NOT (abs(rx - xf) > abs(ry - yf)
+                                     AND abs(rx - xf) > abs(rz - zf))
+                            AND abs(rz - zf) > abs(ry - yf)
+                           THEN -q0 - ry ELSE rz END AS BIGINT) AS r
+          FROM fixed)
+        SELECT (cast(4 AS BIGINT) << 58)
+               | ((q + 134217728) << 29) | (r + 134217728) AS hexcell,
+               count(*) AS n
+        FROM cells GROUP BY 1
     """,
     "doc_tokens": """
         SELECT doc_id,
@@ -965,7 +1176,9 @@ ORACLE_SQL = {
     "asof_join": """
         SELECT c.event_id, c.user_id, p.event_id AS event_id_purchase
         FROM (SELECT * FROM events WHERE event_type = 'click') c
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "quantity_stats": """

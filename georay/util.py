@@ -1,8 +1,93 @@
-"""Small shared helpers for stage sizing and process tuning."""
+"""Small shared helpers: stage sizing, process tuning, zero-copy Arrow
+column extraction, vectorized content hashing."""
 
 from __future__ import annotations
 
-__all__ = ["default_concurrency", "tune_malloc"]
+import numpy as np
+
+__all__ = ["default_concurrency", "tune_malloc", "fsl_to_numpy",
+           "hash_strings", "popcount64"]
+
+
+def fsl_to_numpy(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy ``fixed_size_list`` (or list) column → ``(n, d)`` numpy.
+
+    Replaces ``np.array(col.to_pylist())`` in hot paths: ``to_pylist``
+    materializes one Python object per element; ``flatten().to_numpy()``
+    reads the values buffer directly."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten()
+    vals = flat.to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    d = len(vals) // n
+    return np.ascontiguousarray(vals.reshape(n, d)).astype(dtype, copy=False)
+
+
+_HASH_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
+def hash_strings(col) -> np.ndarray:
+    """Vectorized 64-bit content hash of a pyarrow string/binary column.
+
+    Polynomial hash ``h = Σ byte_i · P^(L-1-i) (mod 2^64)`` computed
+    directly over the Arrow values buffer (no per-row Python): per-byte
+    exponents come from the offsets buffer, powers are precomputed, and
+    per-string sums are one ``np.add.reduceat``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.large_binary())
+    elif pa.types.is_binary(col.type):
+        col = pc.cast(col, pa.large_binary())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # offsets/values straight from the Arrow buffers (zero-copy)
+    buffers = col.buffers()
+    offs = np.frombuffer(buffers[1], dtype=np.int64, count=n + 1,
+                         offset=col.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    starts = offs[:-1]
+    lengths = (offs[1:] - starts).astype(np.int64)
+    total = int(offs[-1] - offs[0])
+    if total == 0:
+        return np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    seg = data[offs[0]:offs[-1]].astype(np.uint64)
+    rel_starts = (starts - offs[0]).astype(np.int64)
+    # exponent per byte = (end-of-string - 1) - global_position
+    ends = np.repeat(rel_starts + lengths, lengths)
+    exp = ends - 1 - np.arange(total, dtype=np.int64)
+    maxlen = int(lengths.max())
+    powers = np.empty(maxlen, dtype=np.uint64)
+    powers[0] = 1
+    np.multiply.accumulate(np.full(maxlen, _HASH_P, dtype=np.uint64),
+                           out=powers[:])
+    powers = np.concatenate([[np.uint64(1)], powers[:-1]])
+    terms = seg * powers[exp]
+    idx = np.minimum(rel_starts, total - 1)
+    sums = np.add.reduceat(terms, idx)
+    sums[lengths == 0] = np.uint64(0xCBF29CE484222325)
+    return sums
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount of a uint64 array (no per-element
+    ``bin(int(v)).count``)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def tune_malloc(threshold: int = 1 << 30) -> None:

@@ -87,19 +87,21 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
     key with ``right.ts <= left.ts`` (inner).  Both sides are co-shuffled
     by key (tagged union → ``groupby(key).map_groups``) and matched with
     ``pd.merge_asof`` over the ts-sorted group — the portable bucketed
-    as-of pattern.  Oracle: DuckDB ``ASOF JOIN``."""
-    import pandas as pd
-    import pyarrow.compute as pc
+    as-of pattern.  Oracle: DuckDB ``ASOF JOIN``.
 
-    def tag(side):
-        def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "side__", pa.array(np.full(batch.num_rows, side, np.int8)))
-        return fn
+    Tie determinism: when several right rows share one (key, ts) the match
+    is unspecified in both pandas and DuckDB — the right side is reduced to
+    ONE row per (key, ts) (max of ``right_cols[0]``) before matching, and
+    all sorts are stable (mergesort), so output is deterministic and the
+    SQL oracle applies the same reduction."""
+    import pandas as pd
 
     # align schemas: right contributes (key, ts, right_cols); left keeps all
     l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
     left_names = list(l_schema.names)
+    r_types = {c: r_schema.types[list(r_schema.names).index(c)]
+               for c in right_cols}
 
     def align_right(batch: pa.Table) -> pa.Table:
         cols = {key_col: batch[key_col], ts_col: batch[ts_col]}
@@ -115,8 +117,7 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
     def align_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in left_names}
         for c in right_cols:
-            cols[f"{c}{suffix}"] = pa.nulls(batch.num_rows,
-                                            pa.int64())
+            cols[f"{c}{suffix}"] = pa.nulls(batch.num_rows, r_types[c])
         return pa.table(cols).append_column(
             "side__", pa.array(np.zeros(batch.num_rows, np.int8)))
 
@@ -126,8 +127,13 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
     rnames = [f"{c}{suffix}" for c in right_cols]
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side__"] == 0].sort_values(ts_col)
-        right = g[g["side__"] == 1].sort_values(ts_col)
+        left = g[g["side__"] == 0].sort_values(
+            [ts_col] + left_names[:1], kind="mergesort")
+        right = g[g["side__"] == 1].sort_values(
+            [ts_col] + rnames[:1], kind="mergesort")
+        # one right row per ts: keep the max right id (deterministic;
+        # mirrored in the SQL oracle)
+        right = right.drop_duplicates(subset=[ts_col], keep="last")
         if len(left) == 0 or len(right) == 0:
             return left.iloc[0:0][left_names + rnames]
         merged = pd.merge_asof(
@@ -135,7 +141,8 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
             on=ts_col, direction="backward")
         merged = merged.dropna(subset=[rnames[0]])  # inner semantics
         for c in rnames:
-            merged[c] = merged[c].astype("int64")
+            if pa.types.is_integer(r_types[c.removesuffix(suffix)]):
+                merged[c] = merged[c].astype("int64")
         # the union carried nulls on the other side, upcasting int columns
         # to float in pandas — restore the left schema's integer dtypes
         for c, t in zip(left_names, (l_schema.types[left_names.index(c)]

@@ -167,6 +167,41 @@ def test_tile_pipeline_and_pyramid(ray_session, small_images_path):
     assert r0["checksum_b"] == gdal_checksum(canvas[:, :, 2])
 
 
+def test_partial_composite_equals_direct():
+    """Two-level composite (within-block combiner + merge) must equal the
+    single map_groups composite bit-for-bit, including overlap order."""
+    import pyarrow as pa
+    from georay.tiles import (composite_tile_group, merge_composite_group,
+                              partial_composite_batch)
+    rng = np.random.default_rng(9)
+    ts = 256
+    frags, ids = [], []
+    for k in range(5):
+        frag = np.zeros((ts, ts, 4), dtype=np.uint8)
+        x0, y0 = rng.integers(0, 128, 2)
+        w, h = rng.integers(64, 128, 2)
+        frag[y0:y0 + h, x0:x0 + w, :3] = rng.integers(1, 255, (h, w, 3))
+        frag[y0:y0 + h, x0:x0 + w, 3] = 255
+        frags.append(frag.tobytes())
+        ids.append(f"img_{rng.integers(0, 10**6):06d}_{k}")
+    t = pa.table({
+        "z": pa.array([12] * 5, pa.int64()),
+        "tile_x": pa.array([100] * 5, pa.int64()),
+        "tile_y": pa.array([200] * 5, pa.int64()),
+        "image_id": pa.array(ids, pa.string()),
+        "frag": pa.array(frags, pa.binary()),
+    })
+    direct = composite_tile_group(t)
+    # split into two "blocks" in an order that differs from id order
+    parts = pa.concat_tables([partial_composite_batch(t.slice(0, 2)),
+                              partial_composite_batch(t.slice(2, 3))])
+    merged = merge_composite_group(parts)
+    assert merged["tile"][0].as_py() == direct["tile"][0].as_py()
+    assert merged["n_frags"][0].as_py() == direct["n_frags"][0].as_py()
+    for c in ("checksum_r", "checksum_g", "checksum_b"):
+        assert merged[c][0].as_py() == direct[c][0].as_py()
+
+
 def test_checkpoint_resume(ray_session, images_path, tmp_path):
     import ray
     from georay.checkpoint import (committed_keys, load_manifest,
