@@ -37,8 +37,30 @@ from .rtree import PackedRTree
 
 __all__ = [
     "PolygonIndex", "SpatialJoinPoints", "spatial_join_points",
-    "cell_census", "salt_map", "spatial_join_partitioned",
+    "cell_census", "salt_map", "spatial_join_partitioned", "equi_join",
 ]
+
+
+def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
+              join_type: str = "inner", num_partitions: int | None = None):
+    """Generic LARGE×LARGE equi-join — the OGR SQL ``JOIN``
+    (ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1510-1531, an index-nested-loop
+    there) re-expressed as Ray Data's native hash-shuffle join: both sides
+    hash-partition by key, each partition joins independently.
+
+    Use THIS path when both sides are big; when one side fits in memory
+    use the broadcast patterns instead (positional lookup as in
+    ``q_revenue_by_nation``, or the R-tree broadcast for spatial keys) —
+    a broadcast join ships the small side once and shuffles nothing.
+
+    ``num_partitions`` defaults to the cluster CPU count; at 100 TB scale
+    size it so each partition's two sides fit a worker's heap
+    (≈ total_bytes / 512 MB)."""
+    import ray
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left_ds.join(right_ds, join_type, num_partitions,
+                        on=(left_on,), right_on=(right_on,))
 
 
 @dataclass

@@ -1,12 +1,27 @@
-"""Layer-algebra overlay operators — the OGR Intersection / Clip / Erase
-family (ogr/ogrsf_frmts/generic/ogrlayer.cpp:2633, 4785, 5094) for the
-subset expressible without GEOS: clipping against CONVEX polygons
-(rect tile boundaries, hexagon cells, convex zones) via Sutherland–Hodgman.
+"""Layer-algebra overlay operators — the OGR Intersection / Union /
+SymDifference / Identity / Update / Clip / Erase family
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:2633, 3051, 3588, 4018, 4436, 4785,
+5094) WITHOUT GEOS:
+
+* Convex fast path: Sutherland–Hodgman clip against convex windows
+  (rect tile boundaries, hexagon cells) — :func:`clip_ring_convex`.
+* GENERAL concave×concave boolean ops — :func:`polygon_boolean`:
+  1. subdivide every edge of A at its intersections with B's edges (one
+     vectorized (nA×nB) 2×2 solve) and vice versa;
+  2. classify each sub-edge by midpoint even-odd PIP against the other
+     polygon (the same parity kernel the spatial join uses);
+  3. select edges per op (∩: A-in-B + B-in-A; ∪: A-out-B + B-out-A;
+     −: A-out-B + reversed B-in-A; ⊕: both differences);
+  4. stitch directed edges into rings, taking the most-counterclockwise
+     turn at multi-degree nodes; CCW rings = outers, CW = holes.
+  O(nA·nB) edge pairs — fine for feature-sized polygons; degenerate
+  shared-boundary inputs are resolved by the half-open parity convention
+  and a deterministic midpoint nudge (documented; snap-rounding is out of
+  scope, same caveat GEOS solves with its own snapping).
 
 Semantics per the reference: envelope pretest first (ogrlayer.cpp:
 2714-2733), then the geometric operation; output keeps the input's
-attributes (Clip/Erase) or both sides' (Intersection).  General
-concave×concave overlay needs a full polygon-clipping kernel (v2).
+attributes (Clip/Erase) or both sides' (Intersection/Union family).
 
 ``polygon_area`` uses the shoelace formula; all ring math is vectorized
 numpy; per-feature loops only at the feature level.
@@ -20,7 +35,8 @@ import pyarrow as pa
 from .geom import parse_wkb_multi, wkb_polygon
 
 __all__ = ["clip_ring_convex", "polygon_area", "is_convex",
-           "clip_layer_convex", "erase_layer_convex"]
+           "clip_layer_convex", "erase_layer_convex",
+           "polygon_boolean", "boolean_area", "overlay_layers"]
 
 
 def polygon_area(ring: np.ndarray) -> float:
@@ -168,3 +184,223 @@ def erase_layer_convex(ds, erase_ring, wkb_col: str = "wkb",
                                    pa.array(areas, pa.float64()))
 
     return ds.map_batches(erase_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# General concave×concave boolean ops (edge-classification overlay)
+# ---------------------------------------------------------------------------
+
+def _normalize_rings(polys):
+    """List of ring-groups → list of (n,2) open rings with outer CCW and
+    holes CW (orientation carries region parity through the stitcher)."""
+    rings = []
+    for group in polys:
+        for j, r in enumerate(group):
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            if len(r) < 3:
+                continue
+            a = polygon_area(r)
+            want_ccw = j == 0
+            if (a > 0) != want_ccw:
+                r = r[::-1]
+            rings.append(r)
+    return rings
+
+
+def _edges_of(rings):
+    """Flatten rings to directed edge arrays (p, q)."""
+    ps, qs = [], []
+    for r in rings:
+        ps.append(r)
+        qs.append(np.roll(r, -1, axis=0))
+    if not ps:
+        z = np.empty((0, 2))
+        return z, z
+    return np.vstack(ps), np.vstack(qs)
+
+
+def _subdivide(p, q, rp, rq, eps=1e-12):
+    """Split every edge (p→q) at its proper intersections with any edge
+    (rp→rq).  Vectorized (n×m) parametric solve; returns new (p, q)."""
+    n, m = len(p), len(rp)
+    if n == 0 or m == 0:
+        return p, q
+    d1 = (q - p)[:, None, :]          # (n,1,2)
+    d2 = (rq - rp)[None, :, :]        # (1,m,2)
+    w = rp[None, :, :] - p[:, None, :]
+    denom = d1[:, :, 0] * d2[:, :, 1] - d1[:, :, 1] * d2[:, :, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (w[:, :, 0] * d2[:, :, 1] - w[:, :, 1] * d2[:, :, 0]) / denom
+        u = (w[:, :, 0] * d1[:, :, 1] - w[:, :, 1] * d1[:, :, 0]) / denom
+    hit = (np.abs(denom) > eps) & (t > eps) & (t < 1 - eps) \
+        & (u >= -eps) & (u <= 1 + eps)
+    out_p, out_q = [], []
+    for i in range(n):
+        ts = np.sort(t[i][hit[i]])
+        if ts.size == 0:
+            out_p.append(p[i]); out_q.append(q[i])
+            continue
+        ts = np.concatenate([[0.0], ts, [1.0]])
+        ts = ts[np.concatenate([[True], np.diff(ts) > eps])]
+        pts = p[i] + ts[:, None] * (q[i] - p[i])
+        for a, b in zip(pts[:-1], pts[1:]):
+            out_p.append(a); out_q.append(b)
+    return np.asarray(out_p), np.asarray(out_q)
+
+
+def _inside_mask(mid, rings):
+    """Even-odd membership of midpoints vs a ring set (all rings count)."""
+    from .geom import PackedPolygons
+    if not rings:
+        return np.zeros(len(mid), dtype=bool)
+    pp = PackedPolygons.from_wkb([wkb_polygon(rings)])
+    idx = np.arange(len(mid), dtype=np.int64)
+    return pp.contains_pairs(mid[:, 0], mid[:, 1], idx,
+                             np.zeros(len(mid), dtype=np.int64))
+
+
+def _stitch(p, q, eps=1e-9):
+    """Connect directed edges into closed rings.  At nodes where several
+    edges leave, take the most-counterclockwise turn relative to the
+    incoming direction — keeps regions simple under even-odd."""
+    if len(p) == 0:
+        return []
+    key = lambda pt: (round(pt[0] / eps) * eps, round(pt[1] / eps) * eps)
+    out_map = {}
+    for i in range(len(p)):
+        out_map.setdefault(key(p[i]), []).append(i)
+    used = np.zeros(len(p), dtype=bool)
+    rings = []
+    for start in range(len(p)):
+        if used[start]:
+            continue
+        chain = [start]
+        used[start] = True
+        cur = start
+        guard = 0
+        while guard < 4 * len(p):
+            guard += 1
+            nk = key(q[cur])
+            cands = [e for e in out_map.get(nk, []) if not used[e]]
+            if not cands and key(p[start]) == nk:
+                break  # closed
+            if not cands:
+                chain = None
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # most-CCW turn: maximize angle from reversed incoming
+                vin = p[cur] - q[cur]
+                ain = np.arctan2(vin[1], vin[0])
+                best, best_ang = None, -1.0
+                for e in cands:
+                    vout = q[e] - p[e]
+                    ang = (np.arctan2(vout[1], vout[0]) - ain) % (2 * np.pi)
+                    if ang > best_ang:
+                        best, best_ang = e, ang
+                nxt = best
+            chain.append(nxt)
+            used[nxt] = True
+            cur = nxt
+            if key(q[cur]) == key(p[start]):
+                break
+        if chain and key(q[chain[-1]]) == key(p[chain[0]]):
+            ring = np.asarray([p[e] for e in chain])
+            if len(ring) >= 3 and abs(polygon_area(ring)) > eps:
+                rings.append(ring)
+    return rings
+
+
+def polygon_boolean(a_polys, b_polys, op: str):
+    """Boolean op of two (multi)polygons given as ring-group lists
+    (``parse_wkb_multi`` output).  ``op`` ∈ {"intersection", "union",
+    "difference", "symdifference"}.  Returns a list of result rings
+    (CCW = outer, CW = hole, even-odd)."""
+    ra = _normalize_rings(a_polys)
+    rb = _normalize_rings(b_polys)
+    pa_, qa = _edges_of(ra)
+    pb, qb = _edges_of(rb)
+    sa_p, sa_q = _subdivide(pa_, qa, pb, qb)
+    sb_p, sb_q = _subdivide(pb, qb, pa_, qa)
+    mid_a = (sa_p + sa_q) * 0.5
+    mid_b = (sb_p + sb_q) * 0.5
+    a_in_b = _inside_mask(mid_a, rb)
+    b_in_a = _inside_mask(mid_b, ra)
+    if op == "intersection":
+        keep_p = np.vstack([sa_p[a_in_b], sb_p[b_in_a]])
+        keep_q = np.vstack([sa_q[a_in_b], sb_q[b_in_a]])
+    elif op == "union":
+        keep_p = np.vstack([sa_p[~a_in_b], sb_p[~b_in_a]])
+        keep_q = np.vstack([sa_q[~a_in_b], sb_q[~b_in_a]])
+    elif op == "difference":
+        keep_p = np.vstack([sa_p[~a_in_b], sb_q[b_in_a]])   # B edges reversed
+        keep_q = np.vstack([sa_q[~a_in_b], sb_p[b_in_a]])
+    elif op == "symdifference":
+        # (A−B) ∪ (B−A) edge sets: kept edges of each difference
+        keep_p = np.vstack([sa_p[~a_in_b], sb_q[b_in_a],
+                            sb_p[~b_in_a], sa_q[a_in_b]])
+        keep_q = np.vstack([sa_q[~a_in_b], sb_p[b_in_a],
+                            sb_q[~b_in_a], sa_p[a_in_b]])
+    else:
+        raise ValueError(f"unknown op {op!r}")
+    return _stitch(keep_p, keep_q)
+
+
+def boolean_area(rings) -> float:
+    """Signed-area sum of a stitched result (outers minus holes)."""
+    return float(sum(polygon_area(r) for r in rings))
+
+
+def overlay_layers(ds, other: pa.Table, op: str = "intersection",
+                   wkb_col: str = "wkb", other_wkb_col: str = "wkb",
+                   other_id_col: str = "polygon_id"):
+    """Layer overlay (OGR Intersection/Union/… semantics): every row of
+    ``ds`` is combined with every OVERLAPPING row of the broadcast
+    ``other`` table (envelope pretest via R-tree), emitting one row per
+    pair with the result WKB + area.  Attributes: input row's columns +
+    the other side's id (Intersection keeps both sides' attrs,
+    ogrlayer.cpp:2633; Clip/Erase callers drop the id)."""
+    import ray
+    from .geom import wkb_envelope
+    from .rtree import PackedRTree
+
+    bboxes = np.array([wkb_envelope(w) for w in
+                       other[other_wkb_col].to_pylist()])
+    tree = PackedRTree.build(bboxes)
+    oref = ray.put((tree, other[other_wkb_col].to_pylist(),
+                    other[other_id_col].to_pylist()))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tree_l, wkbs, ids = ray.get(oref) if not isinstance(oref, tuple) \
+            else oref
+        out_rows = {n: [] for n in batch.schema.names}
+        out_other, out_wkb, out_area = [], [], []
+        for i in range(batch.num_rows):
+            buf = batch[wkb_col][i].as_py()
+            a_polys = parse_wkb_multi(buf)
+            pts = np.vstack([r for g in a_polys for r in g])
+            qi, ii = tree_l.query_boxes(
+                np.array([pts[:, 0].min()]), np.array([pts[:, 1].min()]),
+                np.array([pts[:, 0].max()]), np.array([pts[:, 1].max()]))
+            for j in ii:
+                b_polys = parse_wkb_multi(wkbs[int(j)])
+                rings = polygon_boolean(a_polys, b_polys, op)
+                area = boolean_area(rings)
+                if op == "intersection" and (not rings or area <= 0):
+                    continue
+                for n in batch.schema.names:
+                    out_rows[n].append(batch[n][i].as_py())
+                out_other.append(ids[int(j)])
+                out_wkb.append(wkb_polygon(rings) if rings else b"")
+                out_area.append(area)
+        cols = {n: pa.array(out_rows[n], batch.schema.field(n).type)
+                for n in batch.schema.names}
+        cols["other_id"] = pa.array(out_other, pa.string())
+        cols["result_wkb"] = pa.array(out_wkb, pa.binary())
+        cols["result_area"] = pa.array(out_area, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -90,11 +90,49 @@ def test_image_decode_fidelity_gate():
             assert cd.psnr(src, dec) >= 40.0
 
 
-def test_real_jpeg_without_pil_raises():
-    if cd._HAVE_PIL:
-        pytest.skip("PIL present")
+def test_jpeg_roundtrip_psnr():
+    """Real baseline JPEG (georay.jpeg): encode → decode stays ≥ 40 dB on
+    the worst-case synthetic pattern, is genuinely lossy, and handles
+    non-multiple-of-8 sizes, grayscale and 4:2:0 subsampling."""
+    from georay.jpeg import jpeg_decode, jpeg_encode
+    for i, (w, h) in [(0, (16, 16)), (7, (64, 64)), (9, (256, 256)),
+                      (11, (17, 23))]:
+        arr = fx.pattern(i, w, h)
+        data = jpeg_encode(arr, quality=95)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = jpeg_decode(data)
+        assert dec.shape == arr.shape
+        assert cd.psnr(arr, dec) >= 40.0
+        assert not np.array_equal(dec, arr)  # genuinely lossy
+    gray = fx.pattern(3, 40, 24)[:, :, 0]
+    dg = jpeg_decode(jpeg_encode(gray, quality=95))
+    assert dg.shape == gray.shape and cd.psnr(gray, dg) >= 45.0
+    # 4:2:0 on a smooth gradient stays high-fidelity
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = np.stack([(xx * 3) % 256, (yy * 4) % 256, (xx + yy) % 256],
+                      axis=2).astype(np.uint8)
+    ds = jpeg_decode(jpeg_encode(smooth, quality=95, subsample=True))
+    assert cd.psnr(smooth, ds) >= 40.0
+
+
+def test_jpeg_fixture_rows_are_real_jfif():
+    t = fx.images_table(4)
+    for i in range(4):
+        if t["fmt"][i].as_py() == "jpeg":
+            assert t["bytes"][i].as_py()[:2] == b"\xff\xd8"
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    from georay.jpeg import jpeg_decode
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    # progressive SOF2 marker → explicit NotImplementedError
+    import struct
+    seg = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    data = (b"\xff\xd8" + b"\xff\xc2"
+            + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
-        cd.decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32, "jpeg")
+        jpeg_decode(data)
 
 
 def test_georef_deterministic_and_skewed():
