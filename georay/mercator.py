@@ -258,3 +258,106 @@ def tile_range_for_extent(minx, miny, maxx, maxy, zoom,
     tmaxx = int(np.clip(tmaxx, 0, n))
     tmaxy = int(np.clip(tmaxy, 0, n))
     return tminx, tminy, tmaxx, tmaxy
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (Krüger–Karney series, public formulas; the
+# reference's general path is PROJ via ogr/ogrct.cpp:2266 — its own
+# headline warp bench is EPSG:32631→4326, autotest/benchmark/
+# test_gdalwarp.py:26)
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_TM_E = np.sqrt(_TM_E2)
+_n = _TM_N
+# rectifying radius and the 6th-order alpha/beta series in n
+_TM_A = _WGS84_A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+_ALPHA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440
+    + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+])
+_BETA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+])
+
+
+def tmerc_forward(lat, lon, lon0: float, k0: float = 0.9996,
+                  e0: float = 500000.0, n0: float = 0.0):
+    """Transverse Mercator forward (lat/lon degrees → easting/northing),
+    Krüger series, ~nm accuracy (Karney 2011, public)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _TM_E * np.arctanh(_TM_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    j = np.arange(1, 7, dtype=np.float64)
+    xi = xi_p + (_ALPHA[None, :] * np.sin(2 * j[None, :] * xi_p[..., None])
+                 * np.cosh(2 * j[None, :] * eta_p[..., None])).sum(axis=-1) \
+        if np.ndim(xi_p) else xi_p + float(
+            (_ALPHA * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)).sum())
+    eta = eta_p + (_ALPHA[None, :] * np.cos(2 * j[None, :] * xi_p[..., None])
+                   * np.sinh(2 * j[None, :] * eta_p[..., None])).sum(axis=-1)\
+        if np.ndim(eta_p) else eta_p + float(
+            (_ALPHA * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)).sum())
+    return e0 + k0 * _TM_A * eta, n0 + k0 * _TM_A * xi
+
+
+def tmerc_inverse(easting, northing, lon0: float, k0: float = 0.9996,
+                  e0: float = 500000.0, n0: float = 0.0):
+    """Transverse Mercator inverse (→ lat/lon degrees)."""
+    E = np.asarray(easting, dtype=np.float64)
+    N = np.asarray(northing, dtype=np.float64)
+    xi = (N - n0) / (k0 * _TM_A)
+    eta = (E - e0) / (k0 * _TM_A)
+    j = np.arange(1, 7, dtype=np.float64)
+    xi_p = xi - (_BETA[None, :] * np.sin(2 * j[None, :] * xi[..., None])
+                 * np.cosh(2 * j[None, :] * eta[..., None])).sum(axis=-1)
+    eta_p = eta - (_BETA[None, :] * np.cos(2 * j[None, :] * xi[..., None])
+                   * np.sinh(2 * j[None, :] * eta[..., None])).sum(axis=-1)
+    # conformal latitude -> geodetic latitude (inverse series in e²)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    e2 = _TM_E2
+    phi = (chi
+           + (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360)
+           * np.sin(2 * chi)
+           + (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520)
+           * np.sin(4 * chi)
+           + (7 * e2**3 / 120 + 81 * e2**4 / 1120) * np.sin(6 * chi)
+           + (4279 * e2**4 / 161280) * np.sin(8 * chi))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(phi), np.degrees(lam) + lon0
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone (1-60)."""
+    return zone * 6.0 - 183.0
+
+
+def utm_forward(lat, lon, zone: int, north: bool = True):
+    """lat/lon → UTM easting/northing for ``zone`` (EPSG:326xx / 327xx)."""
+    return tmerc_forward(lat, lon, utm_zone_lon0(zone),
+                         n0=0.0 if north else 10000000.0)
+
+
+def utm_inverse(easting, northing, zone: int, north: bool = True):
+    return tmerc_inverse(easting, northing, utm_zone_lon0(zone),
+                         n0=0.0 if north else 10000000.0)

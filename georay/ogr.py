@@ -129,3 +129,55 @@ class VectorPipeline:
         return pa.concat_tables(
             list(self.ds.iter_batches(batch_size=65536,
                                       batch_format="pyarrow")))
+
+
+def split_list_fields(ds, max_elements: int | None = None):
+    """Explode list-typed fields into scalar subfields ``name_1..name_N``
+    — OGRSplitListFieldLayer (apps/ogr2ogr_lib.cpp:738).
+
+    ``N`` per field = the dataset-wide max list length (computed with a
+    tiny aggregate pass when not given, exactly how the reference's
+    first pass scans the layer).  Missing elements are null."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    schema = ds.schema()
+    list_cols = [n for n, t in zip(schema.names, schema.types)
+                 if pa.types.is_list(t) or pa.types.is_large_list(t)
+                 or pa.types.is_fixed_size_list(t)]
+    if not list_cols:
+        return ds
+    if max_elements is None:
+        def lens(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                c: pa.array([int(pc.max(pc.list_value_length(
+                    batch[c])).as_py() or 0)])
+                for c in list_cols})
+        agg = ds.map_batches(lens, batch_format="pyarrow")
+        maxes = {c: 0 for c in list_cols}
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            for c in list_cols:
+                maxes[c] = max(maxes[c], int(pc.max(b[c]).as_py() or 0))
+    else:
+        maxes = {c: max_elements for c in list_cols}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.schema.names:
+            if name not in list_cols:
+                cols[name] = batch[name]
+                continue
+            col = batch[name].combine_chunks() \
+                if isinstance(batch[name], pa.ChunkedArray) else batch[name]
+            item_t = col.type.value_type
+            n = len(col)
+            for k in range(maxes[name]):
+                vals = [col[i][k].as_py()
+                        if col[i].is_valid and len(col[i]) > k else None
+                        for i in range(n)]
+                cols[f"{name}_{k + 1}"] = pa.array(vals, item_t)
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -230,37 +230,105 @@ class DemDerivatives:
 # closed-form transforms instead of PROJ — SURVEY.md §2.7 "Transformers")
 # ---------------------------------------------------------------------------
 
+def _crs_to_latlon(crs: str, x, y):
+    """Projected coords → (lat, lon); supports EPSG:4326, EPSG:3857 and
+    UTM EPSG:326xx/327xx via the from-scratch Krüger transverse Mercator
+    (georay.mercator.tmerc_*)."""
+    from .mercator import meters_to_latlon, utm_inverse
+    if crs == "EPSG:4326":
+        return y, x
+    if crs == "EPSG:3857":
+        return meters_to_latlon(x, y)
+    if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
+        code = int(crs.split(":")[1])
+        return utm_inverse(x, y, code % 100, north=code < 32700)
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def _latlon_to_crs(crs: str, lat, lon):
+    from .mercator import latlon_to_meters, utm_forward
+    if crs == "EPSG:4326":
+        return lon, lat
+    if crs == "EPSG:3857":
+        return latlon_to_meters(lat, lon)
+    if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
+        code = int(crs.split(":")[1])
+        return utm_forward(lat, lon, code % 100, north=code < 32700)
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def _kernel_weights(kernel: str, t: np.ndarray) -> np.ndarray:
+    if kernel == "cubic":            # Catmull-Rom, a=-0.5 (GDAL GRA_Cubic)
+        a = -0.5
+        at = np.abs(t)
+        return np.where(
+            at <= 1, (a + 2) * at**3 - (a + 3) * at**2 + 1,
+            np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a,
+                     0.0))
+    if kernel == "lanczos":          # a=3 (GRA_Lanczos)
+        return np.where(np.abs(t) < 3, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+    raise ValueError(kernel)
+
+
 def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
                          src_crs: str = "EPSG:4326",
                          dst_crs: str = "EPSG:3857",
-                         kernel: str = "bilinear", nodata=0):
+                         kernel: str = "bilinear", nodata=0,
+                         cutline_rings=None):
     """Inverse-mapping warp: for every destination pixel center, transform
-    dst georef → src georef (closed-form 4326↔3857) → src pixel, then
-    sample with nearest/bilinear.  This is GDALWarpKernel's per-pixel
-    inverse transform, fully vectorized; the approx-transformer subdivision
-    (gdaltransformer.cpp:3702) is unnecessary because the closed form is
-    exact (SURVEY.md §2.7)."""
-    from .mercator import latlon_to_meters, meters_to_latlon
+    dst georef → src georef → src pixel, then sample with
+    near/bilinear/cubic/lanczos (alg/gdalwarper.h:37-69 kernel family).
+    CRS: EPSG:4326, EPSG:3857 (closed form) and UTM EPSG:326xx/327xx
+    (Krüger series — covers the reference's own EPSG:32631→4326 warp
+    bench, autotest/benchmark/test_gdalwarp.py:26).  Fully vectorized; the
+    approx-transformer subdivision (gdaltransformer.cpp:3702) is
+    unnecessary because the transforms are exact.
+
+    ``cutline_rings``: optional polygon rings in DST georef coords
+    (alg/gdalcutline.cpp semantics, center rule): destination pixels whose
+    centers fall outside get ``nodata``."""
     oh, ow = dst_shape
     cols = np.arange(ow) + 0.5
-    rows = np.arange(rows_n := oh) + 0.5
+    rows = np.arange(oh) + 0.5
     dx = dst_gt[0] + cols[None, :] * dst_gt[1]
     dy = dst_gt[3] + rows[:, None] * dst_gt[5]
     dx, dy = np.broadcast_arrays(dx, dy)
     if src_crs == dst_crs:
         sx, sy = dx, dy
-    elif dst_crs == "EPSG:3857" and src_crs == "EPSG:4326":
-        lat, lon = meters_to_latlon(dx, dy)
-        sx, sy = lon, lat
-    elif dst_crs == "EPSG:4326" and src_crs == "EPSG:3857":
-        sx, sy = latlon_to_meters(dy, dx)  # returns (mx, my)
     else:
-        raise ValueError("supported CRS: EPSG:4326, EPSG:3857")
+        lat, lon = _crs_to_latlon(dst_crs, dx, dy)
+        sx, sy = _latlon_to_crs(src_crs, lat, lon)
     # src georef -> fractional src pixel (north-up affine)
     px = (sx - src_gt[0]) / src_gt[1]
     py = (sy - src_gt[3]) / src_gt[5]
     h, w = src.shape[:2]
-    if kernel == "near":
+    if kernel in ("cubic", "lanczos"):
+        fx = px - 0.5
+        fy = py - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        valid = (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) \
+            & (fy <= h - 0.5)
+        taps = (-1, 0, 1, 2) if kernel == "cubic" else (-2, -1, 0, 1, 2, 3)
+        a = src.astype(np.float64)
+        acc = np.zeros(dx.shape + a.shape[2:], dtype=np.float64)
+        wsum = np.zeros(dx.shape, dtype=np.float64)
+        for jy in taps:
+            wy = _kernel_weights(kernel, fy - (y0 + jy))
+            yc = np.clip(y0 + jy, 0, h - 1)
+            for jx in taps:
+                wx = _kernel_weights(kernel, fx - (x0 + jx))
+                xc = np.clip(x0 + jx, 0, w - 1)
+                wgt = wy * wx
+                if a.ndim == 3:
+                    acc += a[yc, xc] * wgt[..., None]
+                else:
+                    acc += a[yc, xc] * wgt
+                wsum += wgt
+        wsum = np.maximum(wsum, 1e-12)
+        out = acc / (wsum[..., None] if a.ndim == 3 else wsum)
+        out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
+    elif kernel == "near":
         xi = np.floor(px).astype(np.int64)
         yi = np.floor(py).astype(np.int64)
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
@@ -285,6 +353,15 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
     else:
         raise ValueError(f"unsupported kernel {kernel!r}")
+    if cutline_rings is not None:
+        from .geom import PackedPolygons, wkb_polygon
+        pp = PackedPolygons.from_wkb([wkb_polygon(cutline_rings)])
+        fx_ = dx.ravel()
+        fy_ = dy.ravel()
+        idx = np.arange(fx_.size, dtype=np.int64)
+        inside = pp.contains_pairs(fx_, fy_, idx,
+                                   np.zeros(fx_.size, dtype=np.int64))
+        valid = valid & inside.reshape(dx.shape)
     if out.ndim == 3:
         out[~valid] = nodata
     else:
