@@ -164,15 +164,34 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 def _bucket_candidate_pairs(ds_keys, id_col: str, key_cols,
-                            max_bucket: int = 512, extra_cols=()):
-    """groupby(bucket key) → candidate (id_a, id_b) pairs.
+                            max_bucket: int = 512, extra_cols=(),
+                            num_partitions: int | None = None):
+    """Bucketed candidate (id_a, id_b) pairs WITHOUT one map_groups call
+    per bucket: buckets are hash-PARTITIONED (``groupby(hash(key) % P)``,
+    P ≈ 4×CPUs) and each partition resolves all its buckets in one
+    vectorized pass (lexsort → run detection → per-run triu) — per-group
+    Python-call overhead at millions of buckets killed the naive
+    ``groupby(bucket).map_groups`` shape.
 
     Buckets larger than ``max_bucket`` are truncated to their first
     ``max_bucket`` ids (sorted) — degenerate boilerplate buckets otherwise
     cost O(b²); the cap is the documented recall cut (VERDICT r1 §wrong-2).
     ``extra_cols`` are carried from both rows (suffixed _a/_b)."""
+    import ray
+    if num_partitions is None:
+        num_partitions = 4 * max(
+            2, int(ray.cluster_resources().get("CPU", 8)))
 
-    def pairs(g: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = (h * np.uint64(1099511628211)
+                 + batch[c].to_numpy().view(np.uint64)) & _MASK
+        return batch.append_column(
+            "part__", pa.array((h % np.uint64(num_partitions))
+                               .astype(np.int64)))
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
         out = {"id_a": pa.array([], pa.int64()),
                "id_b": pa.array([], pa.int64())}
         for c in extra_cols:
@@ -181,31 +200,77 @@ def _bucket_candidate_pairs(ds_keys, id_col: str, key_cols,
             out[f"{c}_b"] = pa.array([], t)
         if g.num_rows < 2:
             return pa.table(out)
-        g = g.sort_by(id_col)
-        if g.num_rows > max_bucket:
-            g = g.slice(0, max_bucket)
+        keys = [g[c].to_numpy() for c in key_cols]
         ids = g[id_col].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        out = {"id_a": pa.array(ids[iu[0]]), "id_b": pa.array(ids[iu[1]])}
+        order = np.lexsort((ids, *reversed(keys)))
+        ks = [k[order] for k in keys]
+        ids_s = ids[order]
+        diff = np.zeros(len(ids_s), dtype=bool)
+        for k in ks:
+            diff[1:] |= k[1:] != k[:-1]
+        starts = np.concatenate([[0], np.nonzero(diff)[0],
+                                 [len(ids_s)]])
+        starts = np.unique(starts)
+        out_a, out_b, out_take_a, out_take_b = [], [], [], []
+        for si in range(len(starts) - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            n = min(e - s, max_bucket)
+            if n < 2:
+                continue
+            iu = np.triu_indices(n, k=1)
+            out_take_a.append(order[s:s + n][iu[0]])
+            out_take_b.append(order[s:s + n][iu[1]])
+        if not out_take_a:
+            return pa.table(out)
+        ta = np.concatenate(out_take_a)
+        tb = np.concatenate(out_take_b)
+        res = {"id_a": pa.array(ids[ta]), "id_b": pa.array(ids[tb])}
         for c in extra_cols:
             col = g[c].to_numpy()
-            out[f"{c}_a"] = pa.array(col[iu[0]])
-            out[f"{c}_b"] = pa.array(col[iu[1]])
-        return pa.table(out)
+            res[f"{c}_a"] = pa.array(col[ta])
+            res[f"{c}_b"] = pa.array(col[tb])
+        return pa.table(res)
 
-    return ds_keys.groupby(list(key_cols)).map_groups(
-        pairs, batch_format="pyarrow")
+    return (ds_keys.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__")
+            .map_groups(pairs_in_partition, batch_format="pyarrow"))
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          col: str = "text", shingle_n: int = 5,
                          threshold: float = 0.5):
     """Exact n-gram-Jaccard verification of candidate ``(id_a, id_b)``
-    pairs WITHOUT broadcasting the corpus: candidates explode to
-    membership rows, union with the document table, one ``groupby(id)``
-    attaches each candidate doc's text to its pairs, one
-    ``groupby(pair)`` computes exact Jaccard.  Only candidate documents'
-    texts move — the rest of the corpus never shuffles."""
+    pairs without shuffling the corpus: the candidate pair list (output-
+    scale, tiny relative to the corpus) is materialized once and its id
+    SET broadcast (``ray.put``); the document table is semi-join-FILTERED
+    to candidate docs inside ``map_batches`` (non-candidates never enter
+    any shuffle), then one small ``groupby(id)`` attaches texts to pairs
+    and one small ``groupby(pair)`` computes exact Jaccard."""
+    import pyarrow.compute as pc
+    import ray
+
+    # materialize candidates (bounded by bucket caps; ≈ output size)
+    cand_rows = pairs_ds.take_all()
+    if not cand_rows:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    cand = pa.table({
+        "id_a": pa.array([r["id_a"] for r in cand_rows], pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in cand_rows], pa.int64()),
+    })
+    id_set = pa.array(sorted(set(cand["id_a"].to_pylist())
+                             | set(cand["id_b"].to_pylist())), pa.int64())
+    ids_ref = ray.put(id_set)
+    pairs_ds = ray.data.from_arrow(cand)
+
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref) if not isinstance(ids_ref, pa.Array) \
+            else ids_ref
+        return batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+
+    docs_ds = docs_ds.map_batches(semi_filter, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy()
@@ -471,7 +536,28 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     keys = ds.map_batches(bucket, batch_format="pyarrow")
     cand = _bucket_candidate_pairs(keys, id_col, ["band", "key"], max_bucket)
 
-    # exact cosine verify via tagged union (vectors of candidate ids only)
+    # exact cosine verify: broadcast the candidate-id set and semi-filter
+    # the vector table so only candidate vectors enter the shuffle
+    import ray
+    cand_rows = cand.take_all()
+    empty_out = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+    if not cand_rows:
+        return ray.data.from_arrow(empty_out)
+    cand = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([r["id_a"] for r in cand_rows], pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in cand_rows], pa.int64())}))
+    id_set = pa.array(sorted({r["id_a"] for r in cand_rows}
+                             | {r["id_b"] for r in cand_rows}), pa.int64())
+    ids_ref = ray.put(id_set)
+
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        return batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+
+    ds = ds.map_batches(semi_filter, batch_format="pyarrow")
+
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy()
         b = batch["id_b"].to_numpy()

@@ -64,6 +64,17 @@ def _rp(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _rp_split(sf_dir: str, table: str, columns=None):
+    """Read + repartition to the CPU count: small-on-disk tables (the 5 MB
+    documents table) arrive as ONE block, which would serialize every
+    downstream compute-heavy stage; an explicit repartition costs one tiny
+    all-to-all and unlocks the pool.  (At 100 TB inputs arrive as many
+    blocks naturally and this is a no-op-sized shuffle.)"""
+    import ray
+    n = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return _rp(sf_dir, table, columns).repartition(n)
+
+
 def _round2(batch: pa.Table, cols) -> pa.Table:
     for c in cols:
         i = batch.schema.get_field_index(c)
@@ -482,7 +493,7 @@ def q_doc_quality(sf_dir: str):
     sides (the oracle reproduces the identical formula in SQL)."""
     from .text import TextFeatures
     from .util import default_concurrency
-    out = (_rp(sf_dir, "documents", ["doc_id", "text"])
+    out = (_rp_split(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(TextFeatures, batch_format="pyarrow",
                         concurrency=default_concurrency(cap=8))
            .select_columns(["doc_id", "n_tokens", "punct_ratio",
@@ -502,7 +513,7 @@ def q_doc_langid(sf_dir: str):
     from ray.data.aggregate import Count
     from .text import LangId
     from .util import default_concurrency
-    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+    return (_rp_split(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(LangId, batch_format="pyarrow",
                          concurrency=default_concurrency(cap=8))
             .groupby("lang_pred").aggregate(Count(alias_name="n")))
@@ -515,7 +526,7 @@ def q_doc_minhash_pairs(sf_dir: str):
     16 bands of 8 rows) has recall ≈1−1e−18 at the fixture's planted
     similarity (≈0.99); the background tops out at ≈0.3."""
     from .dedup import minhash_lsh_pairs
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = _rp_split(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, num_perm=128, bands=16,
                               jaccard_threshold=0.5)
     return pairs.map_batches(
@@ -530,7 +541,7 @@ def q_doc_simhash_pairs(sf_dir: str):
     same oracle as the MinHash path (both must find exactly the true
     near-dup set; candidate generation differs)."""
     from .dedup import simhash_pairs, verify_pairs_jaccard
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    ds = _rp_split(sf_dir, "documents", ["doc_id", "text"])
     cand = simhash_pairs(ds, max_hamming=6, n_blocks=8)
     verified = verify_pairs_jaccard(cand, ds, threshold=0.5)
     return verified.map_batches(
@@ -716,6 +727,19 @@ def q_warp_checksums(sf_dir: str):
 
     ds = georeferenced_images(path, decode=True)
     return ds.map_batches(warp_batch, batch_format="pyarrow")
+
+
+def q_footprint_images(sf_dir: str):
+    """gdal_footprint: per-image valid-data (band0 != 0) footprint polygon
+    + valid-pixel count (rows-only: pixels have no SQL analog)."""
+    from .pipelines import georeferenced_images
+    from .polygonize import FootprintImages
+    from .util import default_concurrency
+    path = _bench_images(sf_dir)
+    ds = georeferenced_images(path, decode=True)
+    out = ds.map_batches(FootprintImages, batch_format="pyarrow",
+                         concurrency=default_concurrency(cap=8))
+    return out.select_columns(["image_id", "n_valid"])
 
 
 def q_hilbert_sort(sf_dir: str):
@@ -921,6 +945,7 @@ QUERIES = {
     "polygonize_images": q_polygonize_images,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
+    "footprint_images": q_footprint_images,
     "hilbert_sort": q_hilbert_sort,
     "sliding_windows": q_sliding_windows,
     "sessions": q_sessions,

@@ -91,3 +91,43 @@ def test_pcm_roundtrip():
     dec, rate = MM.fake_pcm_decode(MM.fake_pcm_encode(sig, 8000))
     assert rate == 8000
     assert np.allclose(dec, sig, atol=1e-4)
+
+
+def test_proximity_tiles_matches_unsplit():
+    """Cross-tile proximity (border-seed relax with nearest-site coords)
+    equals the unsplit exact EDT — including tiles with NO local targets
+    that depend entirely on multi-hop propagation."""
+    import numpy as np
+    from georay.morph import proximity, proximity_tiles
+    from georay.polygonize import split_image_tiles
+    # all targets concentrated in the top-left tile of a 3x3 grid
+    mask = np.zeros((96, 96), dtype=bool)
+    mask[5, 7] = mask[20, 12] = True
+    ref = proximity(mask)
+    tiles = {(ox, oy): t for ox, oy, t in split_image_tiles(mask, 32)}
+    got = proximity_tiles(tiles)
+    for (ox, oy), d in got.items():
+        assert np.allclose(d, ref[oy:oy + 32, ox:ox + 32]), (ox, oy)
+    # random scatter
+    rng = np.random.default_rng(5)
+    mask = rng.random((64, 48)) < 0.02
+    ref = proximity(mask)
+    tiles = {(ox, oy): t for ox, oy, t in split_image_tiles(mask, 16)}
+    got = proximity_tiles(tiles)
+    for (ox, oy), d in got.items():
+        h, w = d.shape
+        assert np.allclose(d, ref[oy:oy + h, ox:ox + w]), (ox, oy)
+
+
+def test_sieve_tiles_matches_unsplit():
+    import numpy as np
+    from georay.morph import sieve_filter, sieve_tiles
+    from georay.polygonize import split_image_tiles
+    rng = np.random.default_rng(7)
+    band = (rng.random((40, 56)) * 3).astype(np.uint8)
+    ref = sieve_filter(band, 15)
+    tiles = {(ox, oy): t for ox, oy, t in split_image_tiles(band, 20)}
+    got = sieve_tiles(tiles, 15)
+    for (ox, oy), t in got.items():
+        h, w = t.shape
+        assert np.array_equal(t, ref[oy:oy + h, ox:ox + w])
