@@ -71,74 +71,111 @@ def wkb_multipolygon(polys) -> bytes:
     return b"".join(out)
 
 
-def _parse_rings(buf: memoryview, off: int):
+def _parse_rings(buf: memoryview, off: int, dims: int = 2):
+    """Ring list at ``off``; ``dims`` = coords per vertex (2 / 3 Z or M /
+    4 ZM).  Output rings are always (n, 2) XY — extra dims are dropped
+    (OGR's flatten/forceTo-2D convention for the PIP/overlay paths)."""
     (n_rings,) = struct.unpack_from("<I", buf, off)
     off += 4
     rings = []
     for _ in range(n_rings):
         (n_pts,) = struct.unpack_from("<I", buf, off)
         off += 4
-        arr = np.frombuffer(buf, dtype="<f8", count=n_pts * 2, offset=off)
-        rings.append(arr.reshape(n_pts, 2).astype(np.float64))
-        off += n_pts * 16
+        arr = np.frombuffer(buf, dtype="<f8", count=n_pts * dims, offset=off)
+        rings.append(arr.reshape(n_pts, dims)[:, :2].astype(np.float64))
+        off += n_pts * 8 * dims
     return rings, off
+
+
+def _wkb_type_dims(raw_type: int):
+    """Decode a WKB geometry type into (base_type, dims) across the ISO
+    (+1000 Z, +2000 M, +3000 ZM) and EWKB (0x80000000 Z, 0x40000000 M)
+    conventions (ogr/ogr_core.h:409-519 wkb variants)."""
+    dims = 2
+    t = raw_type
+    if t & 0x80000000:
+        dims += 1
+        t &= ~0x80000000
+    if t & 0x40000000:
+        dims += 1
+        t &= ~0x40000000
+    t &= ~0x20000000          # EWKB SRID flag (SRID handled by caller)
+    if 1000 <= t < 2000:
+        dims = 3
+        t -= 1000
+    elif 2000 <= t < 3000:
+        dims = 3
+        t -= 2000
+    elif 3000 <= t < 4000:
+        dims = 4
+        t -= 3000
+    return t, dims
+
+
+def _wkb_header(buf: memoryview, off: int = 0):
+    """Parse one geometry header → (base_type, dims, payload offset)."""
+    byte_order, raw_type = struct.unpack_from("<BI", buf, off)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    t, dims = _wkb_type_dims(raw_type)
+    off += 5
+    if raw_type & 0x20000000:   # EWKB embedded SRID
+        off += 4
+    return t, dims, off
 
 
 def parse_wkb_multi(buf: bytes) -> list:
     """Parse polygon/multipolygon WKB preserving per-polygon ring grouping:
     returns ``[[outer, hole, ...], ...]`` — one ring list per polygon.
-    Needed wherever outer-vs-hole roles matter (area, clip);
-    :func:`parse_wkb` flattens rings (fine for even-odd PIP only)."""
+    Z/M/ZM variants (ISO +1000/2000/3000 and EWKB flag bits) parse with
+    the extra ordinates dropped.  Needed wherever outer-vs-hole roles
+    matter (area, clip); :func:`parse_wkb` flattens rings (fine for
+    even-odd PIP only)."""
     buf = memoryview(buf)
-    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
-    if byte_order != 1:
-        raise ValueError("only little-endian WKB supported")
-    geom_type &= 0xFF
-    if geom_type == _WKB_POLYGON:
-        rings, _ = _parse_rings(buf, 5)
+    t, dims, off = _wkb_header(buf)
+    if t == _WKB_POLYGON:
+        rings, _ = _parse_rings(buf, off, dims)
         return [rings]
-    if geom_type == _WKB_MULTIPOLYGON:
-        (n_polys,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+    if t == _WKB_MULTIPOLYGON:
+        (n_polys,) = struct.unpack_from("<I", buf, off)
+        off += 4
         out = []
         for _ in range(n_polys):
-            _, sub_type = struct.unpack_from("<BI", buf, off)
-            if sub_type & 0xFF != _WKB_POLYGON:
+            st, sdims, off = _wkb_header(buf, off)
+            if st != _WKB_POLYGON:
                 raise ValueError("MultiPolygon member is not a Polygon")
-            sub_rings, off = _parse_rings(buf, off + 5)
+            sub_rings, off = _parse_rings(buf, off, sdims)
             out.append(sub_rings)
         return out
-    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+    raise ValueError(f"unsupported WKB geometry type {t}")
 
 
 def parse_wkb(buf: bytes):
     """Parse little-endian WKB → ``("point", (x, y))`` or
     ``("polygon", [rings])`` (MultiPolygon flattens to one ring list —
     sufficient for even-odd PIP; use :func:`parse_wkb_multi` when
-    outer/hole grouping matters)."""
+    outer/hole grouping matters).  Z/M/ZM variants parse with extra
+    ordinates dropped."""
     buf = memoryview(buf)
-    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
-    if byte_order != 1:
-        raise ValueError("only little-endian WKB supported")
-    geom_type &= 0xFF  # strip Z/M/SRID flag space
-    if geom_type == _WKB_POINT:
-        x, y = struct.unpack_from("<dd", buf, 5)
-        return "point", (x, y)
-    if geom_type == _WKB_POLYGON:
-        rings, _ = _parse_rings(buf, 5)
+    t, dims, off = _wkb_header(buf)
+    if t == _WKB_POINT:
+        vals = struct.unpack_from(f"<{dims}d", buf, off)
+        return "point", (vals[0], vals[1])
+    if t == _WKB_POLYGON:
+        rings, _ = _parse_rings(buf, off, dims)
         return "polygon", rings
-    if geom_type == _WKB_MULTIPOLYGON:
-        (n_polys,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+    if t == _WKB_MULTIPOLYGON:
+        (n_polys,) = struct.unpack_from("<I", buf, off)
+        off += 4
         rings = []
         for _ in range(n_polys):
-            sub_order, sub_type = struct.unpack_from("<BI", buf, off)
-            if sub_type & 0xFF != _WKB_POLYGON:
+            st, sdims, off = _wkb_header(buf, off)
+            if st != _WKB_POLYGON:
                 raise ValueError("MultiPolygon member is not a Polygon")
-            sub_rings, off = _parse_rings(buf, off + 5)
+            sub_rings, off = _parse_rings(buf, off, sdims)
             rings.extend(sub_rings)
         return "polygon", rings
-    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+    raise ValueError(f"unsupported WKB geometry type {t}")
 
 
 def wkb_envelope(buf: bytes):

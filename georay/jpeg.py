@@ -15,11 +15,16 @@ reference semantics: frmts/jpeg/jpgdataset.cpp wrapping libjpeg):
 
 Encoder: batched matrix FDCT over all blocks at once, per-symbol Huffman
 in a tight Python bit-writer (the encoder runs only in fixture
-generation, cached on disk).  Decoder is the hot path (actor-pool decode
-stage): Huffman decode uses a 16-bit-window LUT per table and a pointer
-chase over precomputed 32-bit windows (Python list indexing — no numpy
-scalar reads), coefficients land in one vectorized scatter, and
-dequantize/IDCT/level-shift run batched over every block of the image.
+generation, cached on disk); chroma shares the luma AC table so decode
+speculation runs once.  Decoder is the hot path (actor-pool decode
+stage): per BIT position the AC symbol/advance/value are speculated
+VECTORIZED into a per-process reused scratch pool (``_Scratch`` — fresh
+temporaries cost more than the math on slow-fault VMs), packed into one
+int32 ``array.array`` so the sequential Huffman chase is a single
+indexed read per symbol; DC terms decode inline from raw 40-bit windows
+and resolve by per-restart-segment cumsum; coefficients land in one
+vectorized scatter and dequantize/IDCT/level-shift run batched over
+every block of the image.
 
 All tables (quantization, Huffman) are carried IN the file (DQT/DHT),
 so output is valid JPEG for any conformant reader regardless of the
@@ -522,8 +527,6 @@ def jpeg_decode(data) -> np.ndarray:
     scomps = []
     for cs, tdc, tac in scan:
         c = by_id[cs]
-        c["dc"] = _huff_lut(*hufftabs[(0, tdc)])
-        c["ac"] = _huff_lut(*hufftabs[(1, tac)])
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
         scomps.append(c)

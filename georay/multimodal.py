@@ -17,7 +17,9 @@ import pyarrow as pa
 
 __all__ = ["AUDIO_SCHEMA", "VIDEO_SCHEMA", "audio_table", "video_table",
            "AudioFeatures", "VideoFrameSampler", "fake_pcm_encode",
-           "fake_pcm_decode"]
+           "fake_pcm_decode", "wav_encode", "wav_decode", "mulaw_encode",
+           "mulaw_decode", "decode_audio", "mel_filterbank",
+           "MelSpectrogram"]
 
 AUDIO_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
@@ -67,9 +69,13 @@ def audio_table(n: int) -> pa.Table:
         f0 = 110.0 * (1 + (i % 13))
         sig = 0.6 * np.sin(2 * np.pi * f0 * t) \
             + 0.3 * np.sin(2 * np.pi * 2.5 * f0 * t)
-        rows.append((f"aud{i:06d}", fake_pcm_encode(sig, rate), rate,
-                     len(t), "pcm16" if i % 2 == 0 else "opus",
-                     f"transcript of aud{i:06d}"))
+        # cycle REAL codecs (wav RIFF, pcm16 container, G.711 μ-law) with
+        # the opus stub — decoded count = 3n/4
+        codec = ("wav", "pcm16", "mulaw", "opus")[i % 4]
+        enc = {"wav": wav_encode, "pcm16": fake_pcm_encode,
+               "mulaw": mulaw_encode}.get(codec, fake_pcm_encode)
+        rows.append((f"aud{i:06d}", enc(sig, rate), rate,
+                     len(t), codec, f"transcript of aud{i:06d}"))
     cols = list(zip(*rows))
     return pa.Table.from_arrays(
         [pa.array(cols[0], pa.string()), pa.array(cols[1], pa.binary()),
@@ -115,13 +121,9 @@ class AudioFeatures:
         self.window = np.hanning(n_fft)  # per-actor state
 
     def _decode(self, data: bytes, codec: str):
-        if codec == "pcm16":
-            return fake_pcm_decode(data)
-        if _HAVE_AUDIO_LIB:
-            raise NotImplementedError("wire soundfile decode here")
-        raise NotImplementedError(
-            f"codec {codec!r} needs an audio library (absent); "
-            "fixtures use the decodable pcm16 container")
+        # wav / pcm16 / mulaw decode for real (see decode_audio below);
+        # compressed codecs raise unless an audio lib is importable
+        return decode_audio(data, codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -178,3 +180,166 @@ class VideoFrameSampler:
             "frame": pa.array(frames, pa.int64()),
             "frame_checksum": pa.array(sums, pa.int64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codecs: RIFF/WAVE PCM and G.711 μ-law (both public formats,
+# implementable without any audio library — the opus/h264 stubs above are
+# for codecs that genuinely need native libs)
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float[-1,1] mono → 16-bit PCM RIFF/WAVE bytes (canonical 44-byte
+    header; any standard reader decodes this)."""
+    s16 = np.clip(np.asarray(samples, dtype=np.float64) * 32767.0,
+                  -32768, 32767).astype("<i2")
+    data = s16.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" \
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16) \
+        + b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def wav_decode(data: bytes):
+    """RIFF/WAVE → (float64 mono samples in [-1,1], sample_rate).
+    Supports PCM 8/16-bit, any channel count (averaged to mono), and
+    walks chunks properly (fmt may not precede data directly)."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or samples is None:
+        raise ValueError("truncated WAVE (missing fmt/data)")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError("only PCM WAVE supported")
+    if bits == 16:
+        arr = np.frombuffer(samples, dtype="<i2").astype(np.float64) \
+            / 32767.0
+    elif bits == 8:
+        arr = (np.frombuffer(samples, dtype=np.uint8)
+               .astype(np.float64) - 128.0) / 127.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM")
+    if n_ch > 1:
+        arr = arr[: len(arr) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return arr, rate
+
+
+_MULAW_MU = 255.0
+
+
+def mulaw_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """G.711 μ-law companding (real lossy audio codec, ~48 dB SNR on
+    speech-level signals): float[-1,1] → 8-bit codes with a tiny header."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MULAW_MU * np.abs(x)) / np.log1p(_MULAW_MU)
+    codes = np.round((y + 1.0) * 127.5).astype(np.uint8)
+    return b"GMU1" + struct.pack("<Ii", sample_rate, len(codes)) \
+        + codes.tobytes()
+
+
+def mulaw_decode(data: bytes):
+    data = bytes(data)
+    if data[:4] != b"GMU1":
+        raise ValueError("not a GMU1 payload")
+    rate, n = struct.unpack_from("<Ii", data, 4)
+    codes = np.frombuffer(data, dtype=np.uint8, count=n, offset=12)
+    y = codes.astype(np.float64) / 127.5 - 1.0
+    x = np.sign(y) * (np.power(1.0 + _MULAW_MU, np.abs(y)) - 1.0) / _MULAW_MU
+    return x, rate
+
+
+def decode_audio(data: bytes, codec: str):
+    """Dispatch: wav/pcm16/mulaw decode for real; compressed codecs that
+    need native libs raise NotImplementedError (stub documented)."""
+    if codec == "wav":
+        return wav_decode(data)
+    if codec == "pcm16":
+        return fake_pcm_decode(data)
+    if codec == "mulaw":
+        return mulaw_decode(data)
+    raise NotImplementedError(
+        f"codec {codec!r} needs an audio library (absent in this "
+        "container); wav/pcm16/mulaw decode for real")
+
+
+def mel_filterbank(n_mels: int, n_fft: int, rate: float) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale) — (n_mels, n_fft//2+1)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                                 / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64)
+                                 / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bins = np.floor((n_fft + 1) * hz_pts / rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ce, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ce):
+            if ce > lo:
+                fb[m - 1, k] = (k - lo) / (ce - lo)
+        for k in range(ce, hi):
+            if hi > ce:
+                fb[m - 1, k] = (hi - k) / (hi - ce)
+    return fb
+
+
+class MelSpectrogram:
+    """Actor-pool stage: decode → STFT (hann window, hop n_fft//2) → mel
+    power spectrogram → log; emits per-row mean mel vector + frame count.
+    The filterbank and window build ONCE per actor (stateful-stage
+    discipline); all per-batch math is numpy FFT."""
+
+    def __init__(self, n_fft: int = 512, n_mels: int = 20,
+                 rate: float = 16000.0):
+        self.n_fft = n_fft
+        self.n_mels = n_mels
+        self.window = np.hanning(n_fft)
+        self.fb = mel_filterbank(n_mels, n_fft, rate)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        means = np.zeros((n, self.n_mels))
+        frames_n = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        hop = self.n_fft // 2
+        for i in range(n):
+            try:
+                sig, rate = decode_audio(batch["bytes"][i].as_py(),
+                                         batch["codec"][i].as_py())
+            except NotImplementedError:
+                continue
+            ok[i] = True
+            if len(sig) < self.n_fft:
+                sig = np.pad(sig, (0, self.n_fft - len(sig)))
+            n_frames = 1 + (len(sig) - self.n_fft) // hop
+            idx = (np.arange(self.n_fft)[None, :]
+                   + hop * np.arange(n_frames)[:, None])
+            frames = sig[idx] * self.window[None, :]
+            spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            mel = np.log10(np.maximum(spec @ self.fb.T, 1e-12))
+            means[i] = mel.mean(axis=0)
+            frames_n[i] = n_frames
+        batch = batch.append_column("decoded", pa.array(ok))
+        batch = batch.append_column(
+            "mel_mean", pa.array(list(means),
+                                 pa.list_(pa.float64(), self.n_mels)))
+        batch = batch.append_column("n_frames_stft", pa.array(frames_n))
+        return batch.drop_columns(["bytes"])

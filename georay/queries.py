@@ -223,6 +223,25 @@ def q_knn(sf_dir: str):
     return out.select_columns(["c_custkey", "rank", "s_suppkey"])
 
 
+def q_s2_census(sf_dir: str):
+    """Census per REAL S2 cell (level 8; from-scratch cube-face/Hilbert
+    encoder, georay.cells.s2_cell_id) — rows-only: S2's face projection
+    has no SQL analog.  The engine's production global partition key."""
+    from ray.data.aggregate import Sum
+    from .cells import s2_cell_id
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = s2_cell_id(batch["lat"].to_numpy(),
+                           batch["lon"].to_numpy(), level=8)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"s2cell": pa.array(uniq.view(np.int64)),
+                         "pc_": pa.array(counts)})
+
+    return (_customers_with_coords(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("s2cell").aggregate(Sum("pc_", alias_name="n")))
+
+
 def q_hex_census(sf_dir: str):
     """Hex-cell census of customer points (rows-only check: the hex grid
     has no SQL analog).  Also the skew-census input of the north rule."""
@@ -919,6 +938,7 @@ QUERIES = {
     "zone_join_partitioned": q_zone_join_partitioned,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
+    "s2_census": q_s2_census,
     "q1_pricing": q1_pricing,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,

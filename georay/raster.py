@@ -17,7 +17,7 @@ __all__ = [
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
-    "viewshed",
+    "viewshed", "edit_metadata",
 ]
 
 
@@ -302,7 +302,57 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
     px = (sx - src_gt[0]) / src_gt[1]
     py = (sy - src_gt[3]) / src_gt[5]
     h, w = src.shape[:2]
-    if kernel in ("cubic", "lanczos"):
+    if kernel == "average":
+        # GRA_Average: mean of the source pixels under each destination
+        # pixel's FOOTPRINT — dst cell corners transform to src space, the
+        # footprint's bounding box integrates over a summed-area table
+        # (exact fractional box sums via bilinear sampling of the
+        # integral image, same identity resample_average uses)
+        ecols = np.arange(ow + 1.0)
+        erows = np.arange(oh + 1.0)
+        edx = dst_gt[0] + ecols[None, :] * dst_gt[1]
+        edy = dst_gt[3] + erows[:, None] * dst_gt[5]
+        edx, edy = np.broadcast_arrays(edx, edy)
+        if src_crs == dst_crs:
+            esx, esy = edx, edy
+        else:
+            elat, elon = _crs_to_latlon(dst_crs, edx, edy)
+            esx, esy = _latlon_to_crs(src_crs, elat, elon)
+        epx = (esx - src_gt[0]) / src_gt[1]
+        epy = (esy - src_gt[3]) / src_gt[5]
+        x0 = np.minimum.reduce([epx[:-1, :-1], epx[:-1, 1:],
+                                epx[1:, :-1], epx[1:, 1:]])
+        x1 = np.maximum.reduce([epx[:-1, :-1], epx[:-1, 1:],
+                                epx[1:, :-1], epx[1:, 1:]])
+        y0 = np.minimum.reduce([epy[:-1, :-1], epy[:-1, 1:],
+                                epy[1:, :-1], epy[1:, 1:]])
+        y1 = np.maximum.reduce([epy[:-1, :-1], epy[:-1, 1:],
+                                epy[1:, :-1], epy[1:, 1:]])
+        valid = (x1 > 0) & (x0 < w) & (y1 > 0) & (y0 < h)
+        x0c = np.clip(x0, 0, w); x1c = np.clip(x1, 0, w)
+        y0c = np.clip(y0, 0, h); y1c = np.clip(y1, 0, h)
+        a = src.astype(np.float64)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        integ = np.zeros((h + 1, w + 1, a.shape[2]))
+        integ[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+
+        def at(yy, xx):
+            yi = np.clip(np.floor(yy).astype(np.int64), 0, h - 1)
+            xi = np.clip(np.floor(xx).astype(np.int64), 0, w - 1)
+            fy = (yy - yi)[..., None]
+            fx = (xx - xi)[..., None]
+            return (integ[yi, xi] * (1 - fy) * (1 - fx)
+                    + integ[yi, xi + 1] * (1 - fy) * fx
+                    + integ[yi + 1, xi] * fy * (1 - fx)
+                    + integ[yi + 1, xi + 1] * fy * fx)
+
+        sums = at(y1c, x1c) - at(y0c, x1c) - at(y1c, x0c) + at(y0c, x0c)
+        area = np.maximum((y1c - y0c) * (x1c - x0c), 1e-12)[..., None]
+        out = np.clip(np.rint(sums / area), 0, 255).astype(src.dtype)
+        if src.ndim == 2:
+            out = out[:, :, 0]
+    elif kernel in ("cubic", "lanczos"):
         fx = px - 0.5
         fy = py - 0.5
         x0 = np.floor(fx).astype(np.int64)
@@ -490,3 +540,38 @@ def viewshed(dem: np.ndarray, ox: int, oy: int,
     visible = tgt_angle >= max_angle - 1e-12
     visible[oy, ox] = True
     return visible
+
+
+def edit_metadata(ds, *, assign: dict | None = None,
+                  metadata: dict | None = None, rename: dict | None = None,
+                  drop=None):
+    """gdal_edit analog (osgeo_utils/gdal_edit.py): in-place dataset
+    metadata rewrite — here, column-level edits on the image/raster table:
+    ``assign`` sets/overwrites scalar columns (geotransform fields, nodata
+    value, SRS tag …) broadcast to every row; ``metadata`` adds
+    ``meta_<key>`` string columns (the multi-domain metadata analog);
+    ``rename``/``drop`` reshape the schema.  Pure map_batches — no
+    pixel bytes are touched or copied."""
+    import pyarrow as pa
+
+    def edit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if drop:
+            batch = batch.drop_columns([c for c in drop
+                                        if c in batch.schema.names])
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.schema.names])
+        for col, val in (assign or {}).items():
+            arr = pa.array([val] * n)
+            if col in batch.schema.names:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(col), col, arr)
+            else:
+                batch = batch.append_column(col, arr)
+        for key, val in (metadata or {}).items():
+            batch = batch.append_column(
+                f"meta_{key}", pa.array([str(val)] * n, pa.string()))
+        return batch
+
+    return ds.map_batches(edit, batch_format="pyarrow")

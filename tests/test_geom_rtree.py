@@ -134,3 +134,47 @@ def test_segmentize_and_simplify():
     # beyond tolerance keeps detail
     wig2 = np.stack([x, 0.5 * np.sin(x * 3)], axis=1)
     assert len(simplify_dp(wig2, 0.1)) > 5
+
+
+def test_wkb_zm_variants_parse():
+    """ISO (+1000/2000/3000) and EWKB (flag-bit) Z/M/ZM polygons parse
+    with extra ordinates dropped (ogr_core.h:409-519 variant space)."""
+    import struct
+    import numpy as np
+    from georay.geom import parse_wkb, parse_wkb_multi
+
+    def poly_wkb(ring_xy, geom_type, dims, srid=None):
+        out = [struct.pack("<B", 1)]
+        t = geom_type
+        if srid is not None:
+            t |= 0x20000000
+        out.append(struct.pack("<I", t))
+        if srid is not None:
+            out.append(struct.pack("<I", srid))
+        out.append(struct.pack("<I", 1))  # one ring
+        out.append(struct.pack("<I", len(ring_xy)))
+        for (x, y) in ring_xy:
+            vals = [x, y] + [9.9] * (dims - 2)
+            out.append(struct.pack(f"<{dims}d", *vals))
+        return b"".join(out)
+
+    ring = [(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]
+    cases = [
+        (1003, 3),                 # ISO Z
+        (2003, 3),                 # ISO M
+        (3003, 4),                 # ISO ZM
+        (3 | 0x80000000, 3),       # EWKB Z
+        (3 | 0x40000000, 3),       # EWKB M
+        (3 | 0x80000000 | 0x40000000, 4),  # EWKB ZM
+    ]
+    for gt, dims in cases:
+        buf = poly_wkb(ring, gt, dims)
+        kind, rings = parse_wkb(buf)
+        assert kind == "polygon" and len(rings) == 1
+        np.testing.assert_array_equal(rings[0], np.array(ring, float))
+        assert len(parse_wkb_multi(buf)[0]) == 1
+    # EWKB with SRID
+    buf = poly_wkb(ring, 3 | 0x80000000, 3, srid=4326)
+    kind, rings = parse_wkb(buf)
+    assert kind == "polygon"
+    np.testing.assert_array_equal(rings[0], np.array(ring, float))

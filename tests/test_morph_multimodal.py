@@ -60,7 +60,8 @@ def test_audio_features_stage(ray_session):
     assert len(out) == 12
     dec = out[out["decoded"]]
     stub = out[~out["decoded"]]
-    assert len(dec) == 6 and len(stub) == 6  # pcm16 decoded, opus stubbed
+    # wav/pcm16/mulaw decode for REAL; only the opus stub stays undecoded
+    assert len(dec) == 9 and len(stub) == 3
     assert (dec["rms"] > 0).all()
     # dominant frequency lands near the synthesized fundamental (110*(1+i%13))
     row0 = out[out["audio_id"] == "aud000000"].iloc[0]
@@ -131,3 +132,63 @@ def test_sieve_tiles_matches_unsplit():
     for (ox, oy), t in got.items():
         h, w = t.shape
         assert np.array_equal(t, ref[oy:oy + h, ox:ox + w])
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+    import struct
+    from georay.multimodal import wav_decode, wav_encode
+    t = np.arange(4000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = wav_encode(sig, 16000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    dec, rate = wav_decode(data)
+    assert rate == 16000
+    assert np.abs(dec - sig).max() < 1.0 / 32000
+    # stereo 16-bit with an extra chunk before data -> mono average
+    s16 = np.stack([np.ones(100), -np.ones(100)], axis=1)
+    inter = np.clip(s16 * 32767, -32768, 32767).astype("<i2").tobytes()
+    body = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(inter)) + inter)
+    data2 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    dec2, rate2 = wav_decode(data2)
+    assert rate2 == 8000 and len(dec2) == 100
+    assert np.abs(dec2).max() < 1e-4  # L/R cancel
+
+
+def test_mulaw_lossy_but_high_snr():
+    import numpy as np
+    from georay.multimodal import mulaw_decode, mulaw_encode
+    t = np.arange(4000) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 220 * t)
+    dec, rate = mulaw_decode(mulaw_encode(sig, 16000))
+    assert rate == 16000
+    assert not np.array_equal(dec, sig)  # genuinely lossy
+    snr = 10 * np.log10(np.mean(sig ** 2) / np.mean((dec - sig) ** 2))
+    assert snr > 30.0
+
+
+def test_mel_spectrogram_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from georay.multimodal import MelSpectrogram, wav_encode
+    rows = []
+    for i, f0 in enumerate((220.0, 1760.0)):
+        t = np.arange(8000) / 16000.0
+        rows.append((f"a{i}", wav_encode(0.5 * np.sin(2 * np.pi * f0 * t),
+                                         16000), "wav"))
+    rows.append(("a2", b"\x00" * 32, "opus"))  # stub codec -> undecoded
+    tb = pa.table({
+        "audio_id": pa.array([r[0] for r in rows]),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "codec": pa.array([r[2] for r in rows]),
+    })
+    out = ray.data.from_arrow(tb).map_batches(
+        MelSpectrogram, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert out["decoded"].tolist() == [True, True, False]
+    m0 = np.array(out["mel_mean"][0])
+    m1 = np.array(out["mel_mean"][1])
+    # energy centroid moves up with frequency
+    assert np.argmax(m0) < np.argmax(m1)

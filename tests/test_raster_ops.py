@@ -419,3 +419,45 @@ def test_split_list_fields(ray_session):
     assert out["tags_1"].tolist() == ["a", "c", None]
     assert out["tags_2"].tolist() == ["b", None, None]
     assert out["vals_3"].tolist()[1] == 4.5
+
+
+def test_edit_metadata(ray_session):
+    import pyarrow as pa
+    import ray
+    from georay.raster import edit_metadata
+    t = pa.table({"image_id": pa.array(["a", "b"]),
+                  "w": pa.array([4, 8], pa.int32()),
+                  "junk": pa.array([1, 2])})
+    out = edit_metadata(
+        ray.data.from_arrow(t),
+        assign={"nodata": 0, "w": 16},
+        metadata={"SRS": "EPSG:3857", "units": "m"},
+        rename={"image_id": "id"}, drop=["junk"]).to_pandas()
+    assert list(out.columns) == ["id", "w", "nodata",
+                                 "meta_SRS", "meta_units"]
+    assert out["w"].tolist() == [16, 16]
+    assert out["meta_SRS"].tolist() == ["EPSG:3857", "EPSG:3857"]
+
+
+def test_warp_average_kernel():
+    """GRA_Average warp: identity downscale matches the box-filter tile
+    resampler; full coverage mean equals the source mean."""
+    import numpy as np
+    from georay import fixtures as fx
+    from georay.raster import warp_affine_mercator
+    from georay.tiles import resample_average
+    band = fx.pattern(9, 64, 64)[:, :, 0]
+    gt_src = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+    # identity-CRS 2x downscale: dst pixel = 2x2 src box
+    gt_dst = (0.0, 2.0, 0.0, 64.0, 0.0, -2.0)
+    out = warp_affine_mercator(band, gt_src, gt_dst, (32, 32),
+                               src_crs="EPSG:3857", dst_crs="EPSG:3857",
+                               kernel="average")
+    ref = resample_average(band, 32, 32)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # single dst pixel covering everything -> global mean
+    gt_one = (0.0, 64.0, 0.0, 64.0, 0.0, -64.0)
+    one = warp_affine_mercator(band, gt_src, gt_one, (1, 1),
+                               src_crs="EPSG:3857", dst_crs="EPSG:3857",
+                               kernel="average")
+    assert abs(float(one[0, 0]) - band.mean()) < 1.0
