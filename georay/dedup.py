@@ -407,19 +407,20 @@ def simhash_batch(batch: pa.Table, col: str = "text",
     if n_docs == 0:
         return batch.append_column(out_col, pa.array([], pa.int64()))
     sh, offsets = _batch_shingles(texts, shingle_n)
-    # unique shingles per doc (simhash votes once per distinct shingle)
+    # unique shingles per doc (simhash votes once per distinct shingle):
+    # ONE global lexsort over (doc, hash) + run detection — no per-doc
+    # np.unique loop
     bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.empty(n_docs, dtype=np.uint64)
-    starts = offsets[:-1]
     counts = np.diff(offsets)
-    # dedup within each doc by sorting its slice
-    parts = []
-    new_counts = np.empty(n_docs, dtype=np.int64)
-    for i in range(n_docs):
-        u = np.unique(sh[starts[i]:starts[i] + counts[i]])
-        parts.append(u)
-        new_counts[i] = len(u)
-    shu = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((sh, doc_of))
+    sh_s = sh[order]
+    doc_s = doc_of[order]
+    first = np.ones(len(sh_s), dtype=bool)
+    first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    shu = sh_s[first]
+    docu = doc_s[first]
+    new_counts = np.bincount(docu, minlength=n_docs).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(new_counts)])
     bits = ((shu[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
     idx = np.minimum(offs[:-1], max(len(shu) - 1, 0))

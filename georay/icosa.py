@@ -1,0 +1,190 @@
+"""Icosahedral aperture-7 hexagonal cell grid — H3-STYLE global index
+from first principles (gnomonic face projection + aperture-7 hex lattice
+with the Class-III ±arctan(√3/5) rotation per resolution).
+
+Relationship to H3 (honest statement, also in COVERAGE.md): the
+PROJECTION (gnomonic onto an icosahedron) and the HIERARCHY (aperture 7,
+alternating lattice rotation, ~√7 cell-size ratio per res) are H3's; the
+canonical orientation and cell ids are NOT h3lib's — h3lib's base-cell
+tables cannot be reproduced or verified offline (no h3 library exists in
+this container).  Two deliberate divergences:
+
+* icosahedron orientation: poles are vertices (the mathematically
+  canonical placement) instead of h3lib's Dymaxion-like rotation;
+* cells are clipped by face Voronoi boundaries: every lat/lon maps to
+  exactly ONE ``(res, face, q, r)`` cell (argmax face, then hex
+  cube-round), so the grid is a deterministic PARTITION of the sphere —
+  the engine's requirement — but a hex straddling a face edge appears as
+  two face-local cells rather than h3's stitched pentagon-adjacent cell.
+
+Compared to the Mercator-plane aperture-4 grid (georay.cells.hex_*),
+cell areas here are near-uniform GLOBALLY (gnomonic distortion ≤ ~1.6×
+within a face vs Mercator's unbounded polar blow-up) — the right
+partition key for planetary corpora.  All math is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["icosa_cell", "icosa_cell_center", "icosa_parent",
+           "icosa_polyfill", "icosa_res_radius", "ICOSA_MAX_RES"]
+
+ICOSA_MAX_RES = 15
+
+# --- icosahedron: poles + two rings at ±atan(1/2) -------------------------
+
+_RING_LAT = np.degrees(np.arctan(0.5))
+
+
+def _unit(lat_deg, lon_deg):
+    la = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lo = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)],
+                    axis=-1)
+
+
+def _build_faces():
+    top = _unit(90.0, 0.0)
+    bot = _unit(-90.0, 0.0)
+    upper = _unit(np.full(5, _RING_LAT), np.arange(5) * 72.0)
+    lower = _unit(np.full(5, -_RING_LAT), np.arange(5) * 72.0 + 36.0)
+    tris = []
+    for i in range(5):
+        j = (i + 1) % 5
+        tris.append((top, upper[i], upper[j]))            # polar cap N
+        tris.append((upper[i], lower[i], upper[j]))       # mid, point-down
+        tris.append((lower[i], upper[j], lower[j]))       # mid, point-up
+        tris.append((bot, lower[j], lower[i]))            # polar cap S
+    centers = np.array([(a + b + c) / 3.0 for a, b, c in tris])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # local tangent basis per face: e1 toward the first listed vertex
+    e1 = np.array([t[0] for t in tris]) - centers \
+        * np.sum(np.array([t[0] for t in tris]) * centers,
+                 axis=1, keepdims=True)
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(centers, e1)
+    return centers, e1, e2
+
+
+_F_CENTERS, _F_E1, _F_E2 = _build_faces()
+
+# gnomonic radius of a face circumscribed circle: angle center→vertex
+_FACE_ANG = float(np.arccos(np.clip(
+    np.dot(_F_CENTERS[0], _unit(90.0, 0.0)), -1, 1)))
+# base hex circumradius at res 0 (gnomonic plane units): half the face
+_R0 = np.tan(_FACE_ANG) / 2.0
+_SQRT3 = np.sqrt(3.0)
+_ROT = np.arctan2(_SQRT3, 5.0)   # aperture-7 Class-III rotation
+
+
+def icosa_res_radius(res) -> np.ndarray:
+    """Hex circumradius at ``res`` in gnomonic plane units (≈ radians on
+    the sphere near face centers): shrinks by √7 per level."""
+    return _R0 / np.sqrt(7.0) ** np.asarray(res, dtype=np.float64)
+
+
+_OFF = np.int64(1) << np.int64(23)
+
+
+def _pack(res, face, q, r):
+    return ((np.asarray(res, dtype=np.int64) << np.int64(53))
+            | (np.asarray(face, dtype=np.int64) << np.int64(48))
+            | ((np.asarray(q, dtype=np.int64) + _OFF) << np.int64(24))
+            | (np.asarray(r, dtype=np.int64) + _OFF))
+
+
+def _unpack(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> np.int64(53)
+    face = (cell >> np.int64(48)) & np.int64(31)
+    q = ((cell >> np.int64(24)) & np.int64((1 << 24) - 1)) - _OFF
+    r = (cell & np.int64((1 << 24) - 1)) - _OFF
+    return res, face, q, r
+
+
+def _face_of(v):
+    """Face index per unit vector: argmax dot with face centers."""
+    return np.argmax(v @ _F_CENTERS.T, axis=-1)
+
+
+def _cube_round(qf, rf):
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def icosa_cell(lat, lon, res: int):
+    """lat/lon degrees → icosahedral aperture-7 cell id at ``res``.
+    Deterministic partition: gnomonic projection onto the argmax face,
+    axial hex coords in the res-rotated lattice, cube rounding."""
+    v = _unit(np.atleast_1d(lat), np.atleast_1d(lon))
+    face = _face_of(v)
+    c = _F_CENTERS[face]
+    denom = np.sum(v * c, axis=-1, keepdims=True)
+    p = v / denom - c                      # gnomonic, tangent at center
+    x = np.sum(p * _F_E1[face], axis=-1)
+    y = np.sum(p * _F_E2[face], axis=-1)
+    ang = res * _ROT
+    xr = x * np.cos(ang) + y * np.sin(ang)
+    yr = -x * np.sin(ang) + y * np.cos(ang)
+    R = float(icosa_res_radius(res))
+    qf = (_SQRT3 / 3.0 * xr - yr / 3.0) / R
+    rf = (2.0 / 3.0 * yr) / R
+    q, r = _cube_round(qf, rf)
+    return _pack(np.full(len(q), res), face, q, r)
+
+
+def icosa_cell_center(cell):
+    """Cell id → (lat, lon) of the hex lattice center (on the sphere via
+    inverse gnomonic).  Face-boundary cells report their lattice center
+    even where the face Voronoi clip applies."""
+    res, face, q, r = _unpack(np.atleast_1d(cell))
+    R = icosa_res_radius(res)
+    xr = R * _SQRT3 * (q.astype(np.float64) + r.astype(np.float64) / 2.0)
+    yr = R * 1.5 * r.astype(np.float64)
+    ang = res.astype(np.float64) * _ROT
+    x = xr * np.cos(ang) - yr * np.sin(ang)
+    y = xr * np.sin(ang) + yr * np.cos(ang)
+    c = _F_CENTERS[face]
+    v = c + x[:, None] * _F_E1[face] + y[:, None] * _F_E2[face]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    lat = np.degrees(np.arcsin(np.clip(v[:, 2], -1, 1)))
+    lon = np.degrees(np.arctan2(v[:, 1], v[:, 0]))
+    return lat, lon
+
+
+def icosa_parent(cell, parent_res: int):
+    """Containing cell at a coarser res (via center re-assignment — the
+    same approximation H3 documents for its aperture-7 hierarchy)."""
+    lat, lon = icosa_cell_center(cell)
+    return icosa_cell(lat, lon, parent_res)
+
+
+def icosa_polyfill(rings, res: int):
+    """Cells at ``res`` whose center lies inside the lon/lat polygon —
+    candidate cells from a bbox point sweep at sub-cell spacing, then
+    center-in-polygon (even-odd)."""
+    from .geom import PackedPolygons, wkb_polygon
+    pts = np.vstack(rings)
+    minx, maxx = pts[:, 0].min(), pts[:, 0].max()
+    miny, maxy = pts[:, 1].min(), pts[:, 1].max()
+    # sample spacing ≈ half the cell size in degrees (gnomonic units ≈ rad)
+    step = max(np.degrees(float(icosa_res_radius(res))) * 0.5, 1e-4)
+    xs = np.arange(minx - 2 * step, maxx + 2 * step, step)
+    ys = np.arange(miny - 2 * step, maxy + 2 * step, step)
+    gx, gy = np.meshgrid(xs, ys)
+    cand = np.unique(icosa_cell(gy.ravel(), gx.ravel(), res))
+    clat, clon = icosa_cell_center(cand)
+    pp = PackedPolygons.from_wkb([wkb_polygon(rings)])
+    idx = np.arange(len(cand), dtype=np.int64)
+    inside = pp.contains_pairs(clon, clat, idx,
+                               np.zeros(len(cand), dtype=np.int64))
+    return cand[inside]

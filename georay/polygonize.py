@@ -601,3 +601,57 @@ class FootprintImages:
             "footprint_wkb": pa.array(wkbs, pa.binary()),
             "n_valid": pa.array(counts, pa.int64()),
         })
+
+
+def contour_tiled(tiles_ds, levels, *, source_col: str = "source_id"):
+    """Distributed contour with CROSS-TILE stitching: per-tile raw
+    marching-squares segments (map_batches; caller supplies tiles with a
+    1-px halo row/col so each cell is owned by exactly one tile, see
+    :func:`contour_segments`) → ``groupby(source, level)`` →
+    global endpoint chaining.  Output rows: ``(source_id, level, n_lines,
+    total_length, wkb_lines…)`` — one row per (source, level).
+
+    Input rows: ``(source_id, ox, oy, h, w, band)`` float64-able uint8
+    tiles."""
+    import pyarrow as pa
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        srcs, lvls, segs_col = [], [], []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            ox = float(batch["ox"][i].as_py())
+            oy = float(batch["oy"][i].as_py())
+            band = np.frombuffer(batch["band"][i].as_buffer(),
+                                 dtype=np.uint8).reshape(h, w)
+            segs = contour_segments(band, levels, ox=ox, oy=oy)
+            for lv, ss in segs.items():
+                srcs.append(batch[source_col][i].as_py())
+                lvls.append(float(lv))
+                segs_col.append(np.asarray(ss, dtype=np.float64)
+                                .reshape(-1).tobytes())
+        return pa.table({
+            source_col: pa.array(srcs, pa.string()),
+            "level": pa.array(lvls, pa.float64()),
+            "segs": pa.array(segs_col, pa.binary()),
+        })
+
+    def stitch(group: pa.Table) -> pa.Table:
+        segs = []
+        for i in range(group.num_rows):
+            arr = np.frombuffer(group["segs"][i].as_buffer(),
+                                dtype=np.float64).reshape(-1, 4)
+            segs.extend(map(tuple, arr))
+        lines = chain_contour_segments(segs)
+        total = sum(float(np.hypot(*(np.diff(l, axis=0).T)).sum())
+                    for l in lines)
+        return pa.table({
+            source_col: group[source_col][:1],
+            "level": group["level"][:1],
+            "n_lines": pa.array([len(lines)], pa.int64()),
+            "total_length": pa.array([round(total, 9)], pa.float64()),
+        })
+
+    return (tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+            .groupby([source_col, "level"])
+            .map_groups(stitch, batch_format="pyarrow"))

@@ -242,6 +242,25 @@ def q_s2_census(sf_dir: str):
             .groupby("s2cell").aggregate(Sum("pc_", alias_name="n")))
 
 
+def q_icosa_census(sf_dir: str):
+    """Census per ICOSAHEDRAL aperture-7 cell (georay.icosa — H3-style
+    gnomonic grid, res 4) — rows-only: the face projection has no SQL
+    analog.  Globally near-uniform cell areas, unlike Mercator grids."""
+    from ray.data.aggregate import Sum
+    from .icosa import icosa_cell
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = icosa_cell(batch["lat"].to_numpy(),
+                           batch["lon"].to_numpy(), 4)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"icosacell": pa.array(uniq),
+                         "pc_": pa.array(counts)})
+
+    return (_customers_with_coords(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("icosacell").aggregate(Sum("pc_", alias_name="n")))
+
+
 def q_hex_census(sf_dir: str):
     """Hex-cell census of customer points (rows-only check: the hex grid
     has no SQL analog).  Also the skew-census input of the north rule."""
@@ -939,6 +958,7 @@ QUERIES = {
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
     "s2_census": q_s2_census,
+    "icosa_census": q_icosa_census,
     "q1_pricing": q1_pricing,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,

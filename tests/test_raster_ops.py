@@ -461,3 +461,32 @@ def test_warp_average_kernel():
                                src_crs="EPSG:3857", dst_crs="EPSG:3857",
                                kernel="average")
     assert abs(float(one[0, 0]) - band.mean()) < 1.0
+
+
+def test_contour_tiled_operator(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from georay import fixtures as fx
+    from georay.polygonize import (chain_contour_segments, contour_segments,
+                                   contour_tiled)
+    band = fx.pattern(5, 48, 48)[:, :, 0]
+    levels = [64.0, 128.0]
+    # tiles with 1-px halo: rows [0:25] and [24:48]
+    rows = {"source_id": ["img0", "img0"], "ox": [0, 0], "oy": [0, 24],
+            "h": [25, 24], "w": [48, 48],
+            "band": [band[:25].tobytes(), band[24:].tobytes()]}
+    ds = ray.data.from_arrow(pa.table({
+        "source_id": pa.array(rows["source_id"]),
+        "ox": pa.array(rows["ox"], pa.int64()),
+        "oy": pa.array(rows["oy"], pa.int64()),
+        "h": pa.array(rows["h"], pa.int64()),
+        "w": pa.array(rows["w"], pa.int64()),
+        "band": pa.array(rows["band"], pa.binary())}))
+    out = contour_tiled(ds, levels).to_pandas().set_index("level")
+    for lv in levels:
+        ref = chain_contour_segments(
+            contour_segments(band.astype(np.float64), [lv])[lv])
+        total = sum(float(np.hypot(*(np.diff(l, axis=0).T)).sum())
+                    for l in ref)
+        assert abs(out.loc[lv, "total_length"] - round(total, 9)) < 1e-6
