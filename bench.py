@@ -32,10 +32,11 @@ N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "200000"))
 # pyramid is benchmarked separately as part of the headline family)
 BENCH_QUERIES = [
     "tile_assign", "tile_census", "zone_join", "zone_join_agg",
-    "knn_customer_supplier", "hex_census", "q1_pricing",
-    "top_revenue_orders", "revenue_by_nation", "events_hourly",
-    "doc_tokens", "doc_quality", "doc_minhash_pairs", "ann_topk",
-    "image_dedup",
+    "knn_customer_supplier", "hex_census", "s2_census", "q1_pricing",
+    "top_revenue_orders", "revenue_by_nation", "join_lineitem_orders",
+    "events_hourly", "doc_tokens", "doc_quality", "doc_dedup",
+    "doc_minhash_pairs", "ann_topk", "embedding_dups", "image_dedup",
+    "overlay_intersection",
 ]
 
 

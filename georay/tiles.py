@@ -454,15 +454,100 @@ def write_tiles_png(tiles_ds, out_dir: str):
     return tiles_ds.map_batches(write_batch, batch_format="pyarrow")
 
 
+def partial_overview_batch(batch: pa.Table,
+                           tile_size: int = TILE_SIZE) -> pa.Table:
+    """WITHIN-BLOCK combiner for the overview reduce: a block's children
+    of the same parent pack into ONE row carrying their (quadrant, tile)
+    pairs — the ``groupby(parent)`` moves ~1 row per (parent, block)
+    instead of up to 4 child rows, with no byte inflation (quadrants
+    never overlap, so merging is pure placement)."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "pz": pa.array([], pa.int64()),
+            "px": pa.array([], pa.int64()),
+            "py": pa.array([], pa.int64()),
+            "quads": pa.array([], pa.list_(pa.int64())),
+            "tiles": pa.array([], pa.list_(pa.binary())),
+            "n_children": pa.array([], pa.int64()),
+        })
+    batch = _parent_key(batch)
+    pz = batch["pz"].to_numpy()
+    px = batch["px"].to_numpy()
+    py = batch["py"].to_numpy()
+    xs = batch["tile_x"].to_numpy()
+    ys = batch["tile_y"].to_numpy()
+    key = (pz.astype(np.int64) << 48) ^ (px.astype(np.int64) << 24) \
+        ^ py.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    out = {"pz": [], "px": [], "py": [], "quads": [], "tiles": [],
+           "n_children": []}
+    i = 0
+    n = batch.num_rows
+    tile_col = batch["tile"]
+    while i < n:
+        j = i
+        while j < n and key[order[j]] == key[order[i]]:
+            j += 1
+        rows = order[i:j]
+        out["pz"].append(int(pz[rows[0]]))
+        out["px"].append(int(px[rows[0]]))
+        out["py"].append(int(py[rows[0]]))
+        out["quads"].append([int((ys[r] & 1) * 2 + (xs[r] & 1))
+                             for r in rows])
+        out["tiles"].append([tile_col[int(r)].as_py() for r in rows])
+        out["n_children"].append(len(rows))
+        i = j
+    return pa.table({
+        "pz": pa.array(out["pz"], pa.int64()),
+        "px": pa.array(out["px"], pa.int64()),
+        "py": pa.array(out["py"], pa.int64()),
+        "quads": pa.array(out["quads"], pa.list_(pa.int64())),
+        "tiles": pa.array(out["tiles"], pa.list_(pa.binary())),
+        "n_children": pa.array(out["n_children"], pa.int64()),
+    })
+
+
+def merge_overview_group(group: pa.Table,
+                         tile_size: int = TILE_SIZE) -> pa.Table:
+    """Place the partials' (quadrant, tile) pairs on the 2× canvas and
+    box-downsample — output schema identical to
+    :func:`overview_reduce_group`."""
+    from .stats import gdal_checksum
+    ts = tile_size
+    canvas = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
+    for r in range(group.num_rows):
+        quads = group["quads"][r].as_py()
+        tiles = group["tiles"][r]
+        for k, q in enumerate(quads):
+            qy, qx = divmod(int(q), 2)
+            child = np.frombuffer(tiles[k].as_buffer(),
+                                  dtype=np.uint8).reshape(ts, ts, 4)
+            canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = child
+    shrunk = resample_average(canvas, ts, ts)
+    checks = [int(gdal_checksum(shrunk[:, :, b])) for b in range(3)]
+    return pa.table({
+        "z": group["pz"][:1], "tile_x": group["px"][:1],
+        "tile_y": group["py"][:1],
+        "tile": pa.array([shrunk.tobytes()], pa.binary()),
+        "n_frags": pa.array([int(np.sum(group["n_children"].to_numpy()))],
+                            pa.int64()),
+        "checksum_r": pa.array([checks[0]], pa.int64()),
+        "checksum_g": pa.array([checks[1]], pa.int64()),
+        "checksum_b": pa.array([checks[2]], pa.int64()),
+    })
+
+
 def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int):
     """tmaxz-1 … tminz overview levels; returns {z: Dataset}.  One
     groupby per level = gdal2tiles' per-zoom barrier (gdal2tiles.py:1708
-    group_overview_base_tiles)."""
+    group_overview_base_tiles), each with the within-block combiner so
+    the shuffle moves ~1 partial per (parent, block), not every child."""
     levels = {tmaxz: base_tiles_ds}
     cur = base_tiles_ds
     for z in range(tmaxz - 1, tminz - 1, -1):
-        cur = (cur.map_batches(_parent_key, batch_format="pyarrow")
+        cur = (cur.map_batches(partial_overview_batch,
+                               batch_format="pyarrow")
                   .groupby(["pz", "px", "py"])
-                  .map_groups(overview_reduce_group, batch_format="pyarrow"))
+                  .map_groups(merge_overview_group, batch_format="pyarrow"))
         levels[z] = cur
     return levels
