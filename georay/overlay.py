@@ -165,9 +165,9 @@ def clip_layer_convex(ds, clip_ring, wkb_col: str = "wkb"):
 def erase_layer_convex(ds, erase_ring, wkb_col: str = "wkb",
                        grid: int = 64):
     """Layer Erase (ogrlayer.cpp:5094) against a convex window, reported as
-    the remaining AREA per feature (geometry difference of concave results
-    needs a general clipper — v2; the area is exact via inclusion-
-    exclusion: area(f) − area(f ∩ window))."""
+    the remaining AREA per feature — exact via inclusion-exclusion:
+    area(f) − area(f ∩ window).  For erase GEOMETRY (incl. concave erase
+    shapes) use :func:`polygon_boolean` with op="difference"."""
     erase_arr = np.asarray(erase_ring, dtype=np.float64)
 
     def erase_batch(batch: pa.Table) -> pa.Table:

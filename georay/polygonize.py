@@ -1,11 +1,13 @@
-"""Raster → vector: polygonize (connected same-value regions → polygons)
-and contour (marching squares) — per-tile kernels (SURVEY.md §2.7;
-alg/polygonize.cpp, alg/contour.cpp + alg/marching_squares/ analogs).
+"""Raster → vector: polygonize (connected same-value regions → polygons),
+contour (marching squares), footprint — per-tile kernels AND their
+cross-tile distributed forms (SURVEY.md §2.7; alg/polygonize.cpp,
+alg/contour.cpp + alg/marching_squares/, apps/gdal_footprint_lib.cpp).
 
-Per-tile semantics: each image row is an independent raster; cross-tile
-merge of regions that span tiles (groupby on shared-border segment keys,
-SURVEY.md §2.7 "cross-tile merge") is deliberately deferred — the per-tile
-kernels here are the building block it would dissolve.
+Cross-tile: :func:`polygonize_tiled` dissolves regions spanning tile
+borders by cancelling shared border unit-edges in a ``groupby(source)``
+(only boundary rings shuffle, never pixels); :func:`contour_tiled`
+unions per-tile raw segments and chains globally.  Both are pinned
+4-tile == unsplit by tests.
 """
 
 from __future__ import annotations
