@@ -672,8 +672,10 @@ def embedding_dup_pairs_exact(ds, full: pa.Table, *, threshold: float,
     mat = fsl_to_numpy(full[vec_col])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
+    # cap the pool: per-batch work is one matmul — actor spin-up would
+    # dominate a wide autoscaled pool on small inputs
     return ds.map_batches(
         _ExactDupScore, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs=dict(ref=ref, threshold=threshold,
                                    id_col=id_col, vec_col=vec_col),
-        concurrency=concurrency or default_concurrency())
+        concurrency=concurrency or default_concurrency(cap=8))

@@ -35,6 +35,9 @@ __all__ = [
     "box_ring",
     "segmentize",
     "simplify_dp",
+    "set_precision",
+    "wrapdateline_rings",
+    "force_to_multipolygon",
 ]
 
 _WKB_POINT = 1
@@ -387,3 +390,56 @@ def simplify_dp(ring: np.ndarray, tol: float) -> np.ndarray:
             stack.append((a, m))
             stack.append((m, b))
     return r[keep]
+
+
+def set_precision(ring: np.ndarray, grid: float) -> np.ndarray:
+    """OGR SetPrecision (ogr2ogr geometry chain, apps/ogr2ogr_lib.cpp:
+    6850-7040): snap every coordinate to a ``grid`` increment, then drop
+    consecutive duplicate vertices the snapping produced."""
+    r = np.asarray(ring, dtype=np.float64)
+    snapped = np.round(r / grid) * grid
+    keep = np.ones(len(snapped), dtype=bool)
+    keep[1:] = (snapped[1:] != snapped[:-1]).any(axis=1)
+    return snapped[keep]
+
+
+def wrapdateline_rings(rings, split_lon: float = 180.0):
+    """ogr2ogr ``-wrapdateline``: split polygon rings that span the
+    antimeridian into a west part (lon ≤ 180) and an east part wrapped to
+    lon ≥ −180.  Detection: the ring's longitudes occupy both ends of the
+    [−180, 180] range with a gap > 180° when read unshifted — the classic
+    dateline-crossing signature.  Returns a list of ring LISTS (one per
+    output polygon); non-crossing input comes back unchanged."""
+    from .overlay import clip_ring_convex
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        lons = r[:, 0]
+        if lons.max() - lons.min() <= split_lon:
+            out.append([r])
+            continue
+        # unwrap: shift western hemisphere +360 so the ring is contiguous
+        shifted = r.copy()
+        shifted[:, 0] = np.where(lons < 0, lons + 360.0, lons)
+        lat_lo = r[:, 1].min() - 1.0
+        lat_hi = r[:, 1].max() + 1.0
+        east = clip_ring_convex(shifted, box_ring(0.0, lat_lo, 180.0,
+                                                  lat_hi))
+        west = clip_ring_convex(shifted, box_ring(180.0, lat_lo, 360.0,
+                                                  lat_hi))
+        parts = []
+        if len(east) >= 3:
+            parts.append([east])
+        if len(west) >= 3:
+            w = west.copy()
+            w[:, 0] -= 360.0
+            parts.append([w])
+        out.extend(parts if parts else [[r]])
+    return out
+
+
+def force_to_multipolygon(buf: bytes) -> bytes:
+    """OGR forceTo(wkbMultiPolygon) (ogr2ogr -nlt PROMOTE_TO_MULTI):
+    Polygon WKB → MultiPolygon WKB; MultiPolygon passes through."""
+    polys = parse_wkb_multi(bytes(buf))
+    return wkb_multipolygon(polys)

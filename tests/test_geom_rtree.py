@@ -178,3 +178,37 @@ def test_wkb_zm_variants_parse():
     kind, rings = parse_wkb(buf)
     assert kind == "polygon"
     np.testing.assert_array_equal(rings[0], np.array(ring, float))
+
+
+def test_wrapdateline_set_precision_force_multi():
+    import numpy as np
+    from georay.geom import (force_to_multipolygon, parse_wkb_multi,
+                             set_precision, wkb_polygon,
+                             wrapdateline_rings)
+    # polygon spanning the antimeridian: lon 175..-175 (10 deg wide)
+    ring = np.array([[175.0, -5.0], [-175.0, -5.0], [-175.0, 5.0],
+                     [175.0, 5.0], [175.0, -5.0]])
+    parts = wrapdateline_rings([ring])
+    assert len(parts) == 2
+    areas = []
+    for p in parts:
+        r = p[0]
+        assert (r[:, 0] <= 180.0 + 1e-9).all()
+        assert (r[:, 0] >= -180.0 - 1e-9).all()
+        x, y = r[:, 0], r[:, 1]
+        areas.append(abs(0.5 * float(
+            np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))))
+    assert abs(sum(areas) - 100.0) < 1e-6  # 10 x 10 deg split exactly
+    # non-crossing polygon passes through unchanged
+    simple = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    assert len(wrapdateline_rings([simple])) == 1
+    # SetPrecision snaps + dedups
+    snapped = set_precision(np.array([[0.12, 0.18], [0.14, 0.21],
+                                      [0.55, 0.61]]), 0.1)
+    assert snapped.shape == (2, 2)
+    np.testing.assert_allclose(snapped[0], [0.1, 0.2])
+    # forceTo(MultiPolygon)
+    buf = wkb_polygon([simple])
+    multi = force_to_multipolygon(buf)
+    assert multi[1:5] == (6).to_bytes(4, "little")
+    assert len(parse_wkb_multi(multi)) == 1
