@@ -290,3 +290,35 @@ def phash64(arr: np.ndarray) -> np.int64:
     if packed >= 1 << 63:  # two's-complement wrap into int64
         packed -= 1 << 64
     return np.int64(packed)
+
+
+def phash64_batch(arrs) -> np.ndarray:
+    """pHash of many images: per-image gray+resize (inherently per-image —
+    variable sizes), then ONE batched 32×32 DCT / median / bit-pack for
+    the whole batch (``(k,32,32) @`` broadcasting + vectorized packing)
+    instead of k full :func:`phash64` Python round-trips.
+
+    Bit-exact with :func:`phash64` (same op order per slice; the round(6)
+    quantization absorbs any BLAS accumulation-order difference —
+    asserted in tests)."""
+    k = len(arrs)
+    if k == 0:
+        return np.empty(0, dtype=np.int64)
+    smalls = np.empty((k, 32, 32), dtype=np.float64)
+    for i, arr in enumerate(arrs):
+        arr = np.asarray(arr)
+        if arr.ndim == 3:
+            chan = np.add.reduce(arr.astype(np.int32), axis=2)
+            divisor = 3.0
+        else:
+            chan = arr.astype(np.int32)
+            divisor = 1.0
+        smalls[i] = _block_mean_resize_int(chan, 32) / divisor
+    d = _DCT32.T[None, :, :] @ smalls @ _DCT32[None, :, :]
+    vals = np.round(d[:, :8, :8].reshape(k, 64)[:, 1:], 6)  # drop DC
+    med = np.median(vals, axis=1, keepdims=True)
+    bits = vals > med  # (k, 63); DC slot = 0
+    weights = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))
+    packed = (bits.astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    return packed.view(np.int64)

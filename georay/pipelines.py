@@ -99,16 +99,15 @@ class FlagshipStage:
         if self.verify:
             # BASELINE per-row invariant: the stored phash must match the
             # hash of the decoded pixels (decoded-pixel fidelity check)
-            import pyarrow.compute as _pc
+            from .codecs import phash64_batch
             h_arr = batch["h"].to_numpy()
             w_arr = batch["w"].to_numpy()
             stored = batch["phash"].to_numpy()
-            ok = np.empty(batch.num_rows, dtype=bool)
             pix = batch["pixels"]
-            for i in range(batch.num_rows):
-                arr = np.frombuffer(pix[i].as_buffer(), dtype=np.uint8)\
+            arrs = [np.frombuffer(pix[i].as_buffer(), dtype=np.uint8)
                     .reshape(int(h_arr[i]), int(w_arr[i]), 3)
-                ok[i] = int(self._phash(arr)) == int(stored[i])
+                    for i in range(batch.num_rows)]
+            ok = phash64_batch(arrs) == stored
             batch = batch.append_column("phash_ok", pa.array(ok))
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()

@@ -492,11 +492,22 @@ def q_doc_dedup(sf_dir: str):
     """Exact dedup census: min doc_id + count per distinct text — grouped
     by a 64-bit CONTENT HASH (vectorized off the Arrow buffers) so whole
     documents never enter the shuffle; only (hash, id) partials do.  The
-    oracle groups by text itself; outputs (keep_id, n_copies) compare."""
+    oracle groups by text itself; outputs (keep_id, n_copies) compare.
+
+    Collision assumption: grouping by the 64-bit polynomial hash treats a
+    hash collision between DISTINCT texts as a duplicate (the oracle would
+    then diverge).  Expected collisions at n docs ≈ n²/2^65 — negligible
+    below ~10^8 docs; the hash is non-cryptographic, so an ADVERSARIAL
+    corpus can force collisions (use a second independent hash or verify
+    within-group text equality if that matters for your data)."""
     from ray.data.aggregate import Min, Sum
     from .dedup import content_hash_batch
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"content_hash": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
         batch = content_hash_batch(batch, "text")
         h = batch["content_hash"].to_numpy()
         ids = batch["doc_id"].to_numpy()

@@ -272,8 +272,12 @@ def partial_composite_batch(batch: pa.Table,
     tx = batch["tile_x"].to_numpy()
     ty = batch["tile_y"].to_numpy()
     ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
-    key = (z.astype(np.int64) << 48) ^ (tx.astype(np.int64) << 24) \
-        ^ ty.astype(np.int64)
+    if z.size and int(z.max()) > 29:
+        raise ValueError(
+            f"tile composite key packs (z,tx,ty) into 64 bits — supports "
+            f"z ≤ 29, got z={int(z.max())}")
+    key = (z.astype(np.uint64) << np.uint64(58)) \
+        | (tx.astype(np.uint64) << np.uint64(29)) | ty.astype(np.uint64)
     order = np.lexsort((ids, key))
     out = {"z": [], "tile_x": [], "tile_y": [], "tile": [], "idmap": [],
            "ids": [], "n_frags": []}

@@ -19,11 +19,21 @@ def fsl_to_numpy(col, dtype=np.float64) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    flat = col.flatten()
-    vals = flat.to_numpy(zero_copy_only=False)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
-    d = len(vals) // n
+    if col.null_count:
+        raise ValueError(
+            f"fsl_to_numpy: column has {col.null_count} null rows — "
+            "filter or fill nulls before converting to a matrix")
+    flat = col.flatten()
+    vals = flat.to_numpy(zero_copy_only=False)
+    d, rem = divmod(len(vals), n)
+    if rem or (not pa.types.is_fixed_size_list(col.type)
+               and n > 1
+               and len(np.unique(np.diff(col.offsets.to_numpy()))) > 1):
+        raise ValueError(
+            "fsl_to_numpy: ragged list column (row lengths differ) — "
+            "a reshape would silently scramble rows")
     return np.ascontiguousarray(vals.reshape(n, d)).astype(dtype, copy=False)
 
 

@@ -220,3 +220,43 @@ def test_ann_ivf_recall(ray_session):
         assert q in a
         hits += len(e & a)
     assert hits >= 12
+
+
+def test_jaccard_texts_batch_matches_scalar():
+    from georay.dedup import jaccard_texts_batch, ngram_jaccard
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 20)))
+             for _ in range(30)]
+    texts += ["", "ab", texts[0], texts[0] + " tail"]
+    ta = [texts[i] for i in rng.integers(0, len(texts), 40)]
+    tb = [texts[i] for i in rng.integers(0, len(texts), 40)]
+    got = jaccard_texts_batch(ta, tb, n=5)
+    want = np.array([ngram_jaccard(a, b, 5) for a, b in zip(ta, tb)])
+    assert np.allclose(got, want)
+
+
+def test_fsl_to_numpy_rejects_ragged_and_null():
+    import pytest
+    from georay.util import fsl_to_numpy
+    ragged = pa.array([[1.0, 2.0, 3.0], [4.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="ragged"):
+        fsl_to_numpy(ragged)
+    withnull = pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="null"):
+        fsl_to_numpy(withnull)
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]],
+                  pa.list_(pa.float64(), 2))
+    assert fsl_to_numpy(ok).tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_distinct_pairs_partitioned(ray_session):
+    import ray
+    from georay.dedup import _distinct_pairs
+    t = pa.table({"id_a": pa.array([1, 1, 2, 1, 3], pa.int64()),
+                  "id_b": pa.array([2, 2, 3, 2, 4], pa.int64()),
+                  "tag": pa.array([10, 11, 12, 13, 14], pa.int64())})
+    out = _distinct_pairs(ray.data.from_arrow(t)).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(zip(out["id_a"], out["id_b"])) == [(1, 2), (2, 3), (3, 4)]
+    assert set(out.columns) == {"id_a", "id_b", "tag"}
