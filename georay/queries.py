@@ -791,6 +791,62 @@ def q_footprint_images(sf_dir: str):
     return out.select_columns(["image_id", "n_valid"])
 
 
+def q_proximity_images(sf_dir: str):
+    """GDALComputeProximity through the DISTRIBUTED Ray path: each image's
+    band 0 (threshold ≥ 192 = target) splits into 32-px tiles, per-tile
+    exact EDT runs in ``map_batches`` and ``groupby(image)`` relaxes
+    border seeds — 4-tile == unsplit pinned in tests (rows-only: pixels
+    have no SQL analog).  Output: per-tile mean distance."""
+    from .fixtures import write_images_parquet
+    from .morph import proximity_tiled
+    from .pipelines import georeferenced_images
+    from .polygonize import split_image_tiles
+    path = write_images_parquet("/tmp/georay_images_prox", 200)
+    ds = georeferenced_images(path, decode=True)
+
+    def to_tiles(batch: pa.Table) -> pa.Table:
+        rows = {"source_id": [], "ox": [], "oy": [], "h": [], "w": [],
+                "band": []}
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            band0 = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                  dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+            mask = (band0 >= 192).astype(np.uint8)
+            for ox, oy, t in split_image_tiles(mask, 32):
+                rows["source_id"].append(batch["image_id"][i].as_py())
+                rows["ox"].append(ox)
+                rows["oy"].append(oy)
+                rows["h"].append(t.shape[0])
+                rows["w"].append(t.shape[1])
+                rows["band"].append(np.ascontiguousarray(t).tobytes())
+        return pa.table({
+            "source_id": pa.array(rows["source_id"], pa.string()),
+            "ox": pa.array(rows["ox"], pa.int64()),
+            "oy": pa.array(rows["oy"], pa.int64()),
+            "h": pa.array(rows["h"], pa.int64()),
+            "w": pa.array(rows["w"], pa.int64()),
+            "band": pa.array(rows["band"], pa.binary()),
+        })
+
+    tiles = ds.map_batches(to_tiles, batch_format="pyarrow")
+    out = proximity_tiled(tiles)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        means = []
+        for i in range(batch.num_rows):
+            d = np.frombuffer(batch["dist"][i].as_buffer(), np.float64)
+            d = np.minimum(d, 1e6)  # tiles with no site anywhere: clamp
+            means.append(round(float(d.mean()), 6))
+        return pa.table({
+            "image_id": batch["source_id"],
+            "ox": batch["ox"], "oy": batch["oy"],
+            "mean_dist": pa.array(means, pa.float64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_hilbert_sort(sf_dir: str):
     """Spatial clustering order — Hilbert key per customer point (the
     FlatGeobuf packed-R-tree / GeoParquet SORT_BY_BBOX ordering key,
@@ -994,6 +1050,7 @@ QUERIES = {
     "attribute_filter": q_attribute_filter,
     "dem_hillshade": q_dem_hillshade,
     "polygonize_images": q_polygonize_images,
+    "proximity_images": q_proximity_images,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,

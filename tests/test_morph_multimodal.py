@@ -192,3 +192,82 @@ def test_mel_spectrogram_stage(ray_session):
     m1 = np.array(out["mel_mean"][1])
     # energy centroid moves up with frequency
     assert np.argmax(m0) < np.argmax(m1)
+
+
+def _tiles_dataset(band, tile, dtype=None):
+    import pyarrow as pa
+    import ray
+    from georay.polygonize import split_image_tiles
+    rows = {"source_id": [], "ox": [], "oy": [], "h": [], "w": [],
+            "band": []}
+    for ox, oy, t in split_image_tiles(band, tile):
+        rows["source_id"].append("img0")
+        rows["ox"].append(ox); rows["oy"].append(oy)
+        rows["h"].append(t.shape[0]); rows["w"].append(t.shape[1])
+        rows["band"].append(np.ascontiguousarray(t).tobytes())
+    return ray.data.from_arrow(pa.table({
+        "source_id": pa.array(rows["source_id"], pa.string()),
+        "ox": pa.array(rows["ox"], pa.int64()),
+        "oy": pa.array(rows["oy"], pa.int64()),
+        "h": pa.array(rows["h"], pa.int64()),
+        "w": pa.array(rows["w"], pa.int64()),
+        "band": pa.array(rows["band"], pa.binary()),
+    }))
+
+
+def _reassemble(df, col, dtype, shape):
+    out = np.zeros(shape, dtype=dtype)
+    for _, r in df.iterrows():
+        t = np.frombuffer(r[col], dtype=dtype).reshape(r["h"], r["w"])
+        out[r["oy"]:r["oy"] + r["h"], r["ox"]:r["ox"] + r["w"]] = t
+    return out
+
+
+def test_proximity_tiled_operator_matches_unsplit(ray_session):
+    from georay.morph import proximity, proximity_tiled
+    rng = np.random.default_rng(4)
+    mask = (rng.random((48, 48)) < 0.01)
+    mask[5, 7] = True  # ensure at least one site
+    ds = _tiles_dataset(mask.astype(np.uint8), 24)
+    out = proximity_tiled(ds).to_pandas()
+    got = _reassemble(out, "dist", np.float64, mask.shape)
+    want = proximity(mask)
+    assert np.allclose(got, want)
+
+
+def test_sieve_tiled_operator_matches_unsplit(ray_session):
+    from georay.morph import sieve_filter, sieve_tiled
+    rng = np.random.default_rng(5)
+    band = (rng.random((48, 48)) < 0.4).astype(np.uint8) * 3
+    ds = _tiles_dataset(band, 24)
+    out = sieve_tiled(ds, 15).to_pandas()
+    got = _reassemble(out, "band", np.uint8, band.shape)
+    want = sieve_filter(band, 15)
+    assert (got == want).all()
+
+
+def test_sieve_tiled_pyramid_fallback(ray_session):
+    # max_pixels below the band size forces the approximate pyramid path;
+    # it must still run and return the full tile set
+    from georay.morph import sieve_tiled
+    rng = np.random.default_rng(6)
+    band = (rng.random((48, 48)) < 0.4).astype(np.uint8) * 3
+    ds = _tiles_dataset(band, 24)
+    out = sieve_tiled(ds, 15, max_pixels=500).to_pandas()
+    got = _reassemble(out, "band", np.uint8, band.shape)
+    assert got.shape == band.shape
+    assert set(np.unique(got)) <= {0, 3}
+
+
+def test_fillnodata_tiled_matches_unsplit(ray_session):
+    from georay.morph import fill_nodata, fillnodata_tiled
+    rng = np.random.default_rng(7)
+    band = rng.random((48, 48)) * 100.0 + 1.0  # valid values > 0
+    holes = rng.random((48, 48)) < 0.1
+    band[holes] = 0.0
+    ds = _tiles_dataset(band, 24)
+    out = fillnodata_tiled(ds, tile_size=24, max_search=6,
+                           nodata=0.0).to_pandas()
+    got = _reassemble(out, "band", np.float64, band.shape)
+    want = fill_nodata(band, band == 0.0, max_search=6)
+    assert np.allclose(got, want)
