@@ -231,10 +231,13 @@ class DemDerivatives:
 # ---------------------------------------------------------------------------
 
 def _crs_to_latlon(crs: str, x, y):
-    """Projected coords → (lat, lon); supports EPSG:4326, EPSG:3857 and
-    UTM EPSG:326xx/327xx via the from-scratch Krüger transverse Mercator
-    (georay.mercator.tmerc_*)."""
-    from .mercator import meters_to_latlon, utm_inverse
+    """Projected coords → (lat, lon); supports EPSG:4326, EPSG:3857, UTM
+    EPSG:326xx/327xx (from-scratch Krüger transverse Mercator) and the
+    named Lambert-conformal-conic / Albers CRS
+    (georay.mercator._CONIC_CRS: EPSG:2154, EPSG:5070 — Snyder
+    ellipsoidal forms)."""
+    from .mercator import _CONIC_CRS, conic_crs_inverse, meters_to_latlon, \
+        utm_inverse
     if crs == "EPSG:4326":
         return y, x
     if crs == "EPSG:3857":
@@ -242,11 +245,14 @@ def _crs_to_latlon(crs: str, x, y):
     if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
         code = int(crs.split(":")[1])
         return utm_inverse(x, y, code % 100, north=code < 32700)
+    if crs in _CONIC_CRS:
+        return conic_crs_inverse(crs, x, y)
     raise ValueError(f"unsupported CRS {crs}")
 
 
 def _latlon_to_crs(crs: str, lat, lon):
-    from .mercator import latlon_to_meters, utm_forward
+    from .mercator import _CONIC_CRS, conic_crs_forward, latlon_to_meters, \
+        utm_forward
     if crs == "EPSG:4326":
         return lon, lat
     if crs == "EPSG:3857":
@@ -254,6 +260,9 @@ def _latlon_to_crs(crs: str, lat, lon):
     if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
         code = int(crs.split(":")[1])
         return utm_forward(lat, lon, code % 100, north=code < 32700)
+    if crs in _CONIC_CRS:
+        x, y = conic_crs_forward(crs, lat, lon)
+        return x, y
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -350,6 +359,94 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         sums = at(y1c, x1c) - at(y0c, x1c) - at(y1c, x0c) + at(y0c, x0c)
         area = np.maximum((y1c - y0c) * (x1c - x0c), 1e-12)[..., None]
         out = np.clip(np.rint(sums / area), 0, 255).astype(src.dtype)
+        if src.ndim == 2:
+            out = out[:, :, 0]
+    elif kernel in ("mode", "med", "q1", "q3", "min", "max"):
+        # GRA_Mode/Med/Q1/Q3/Min/Max (alg/gdalwarper.h:37-69): order
+        # statistics over the source pixels whose CENTERS fall inside the
+        # destination pixel's footprint box.  uint8 sources → exact
+        # per-pixel 256-bin histograms (row-chunked to bound memory);
+        # quantiles interpolate like np.quantile/GWKGetQuantile; mode
+        # ties break to the smallest value (deterministic).
+        ecols = np.arange(ow + 1.0)
+        erows = np.arange(oh + 1.0)
+        edx = dst_gt[0] + ecols[None, :] * dst_gt[1]
+        edy = dst_gt[3] + erows[:, None] * dst_gt[5]
+        edx, edy = np.broadcast_arrays(edx, edy)
+        if src_crs == dst_crs:
+            esx, esy = edx, edy
+        else:
+            elat, elon = _crs_to_latlon(dst_crs, edx, edy)
+            esx, esy = _latlon_to_crs(src_crs, elat, elon)
+        epx = (esx - src_gt[0]) / src_gt[1]
+        epy = (esy - src_gt[3]) / src_gt[5]
+        bx0 = np.minimum.reduce([epx[:-1, :-1], epx[:-1, 1:],
+                                 epx[1:, :-1], epx[1:, 1:]])
+        bx1 = np.maximum.reduce([epx[:-1, :-1], epx[:-1, 1:],
+                                 epx[1:, :-1], epx[1:, 1:]])
+        by0 = np.minimum.reduce([epy[:-1, :-1], epy[:-1, 1:],
+                                 epy[1:, :-1], epy[1:, 1:]])
+        by1 = np.maximum.reduce([epy[:-1, :-1], epy[:-1, 1:],
+                                 epy[1:, :-1], epy[1:, 1:]])
+        valid = (bx1 > 0) & (bx0 < w) & (by1 > 0) & (by0 < h)
+        # integer ranges of source pixels with centers in the box; a
+        # footprint narrower than one pixel keeps its nearest center
+        ix0 = np.ceil(bx0 - 0.5).astype(np.int64)
+        ix1 = np.floor(bx1 - 0.5).astype(np.int64)
+        iy0 = np.ceil(by0 - 0.5).astype(np.int64)
+        iy1 = np.floor(by1 - 0.5).astype(np.int64)
+        cx = np.clip(np.floor(px).astype(np.int64), 0, w - 1)
+        cy = np.clip(np.floor(py).astype(np.int64), 0, h - 1)
+        deg = ix1 < ix0
+        ix0[deg] = cx[deg]; ix1[deg] = cx[deg]
+        deg = iy1 < iy0
+        iy0[deg] = cy[deg]; iy1[deg] = cy[deg]
+        ix0 = np.clip(ix0, 0, w - 1); ix1 = np.clip(ix1, 0, w - 1)
+        iy0 = np.clip(iy0, 0, h - 1); iy1 = np.clip(iy1, 0, h - 1)
+        a = src if src.ndim == 3 else src[:, :, None]
+        if a.dtype != np.uint8:
+            raise ValueError(f"{kernel} warp kernel requires uint8 source")
+        nb = a.shape[2]
+        out = np.zeros((oh, ow, nb), dtype=np.uint8)
+        rows_chunk = max(1, int(64_000_000 // max(ow * 256 * 4, 1)))
+        for r0 in range(0, oh, rows_chunk):
+            r1 = min(oh, r0 + rows_chunk)
+            cix0, cix1 = ix0[r0:r1], ix1[r0:r1]
+            ciy0, ciy1 = iy0[r0:r1], iy1[r0:r1]
+            npx = (r1 - r0) * ow
+            flat = np.arange(npx).reshape(r1 - r0, ow)
+            khm = int((ciy1 - ciy0).max()) + 1
+            kwm = int((cix1 - cix0).max()) + 1
+            for b in range(nb):
+                hist = np.zeros((npx, 256), dtype=np.uint32)
+                for jy in range(khm):
+                    yy = np.minimum(ciy0 + jy, ciy1)
+                    okY = ciy0 + jy <= ciy1
+                    for jx in range(kwm):
+                        xx = np.minimum(cix0 + jx, cix1)
+                        ok = okY & (cix0 + jx <= cix1)
+                        vals = a[yy, xx, b]
+                        np.add.at(hist, (flat[ok], vals[ok]), 1)
+                count = hist.sum(axis=1)
+                count = np.maximum(count, 1)
+                if kernel == "mode":
+                    res = hist.argmax(axis=1)
+                elif kernel == "min":
+                    res = (hist > 0).argmax(axis=1)
+                elif kernel == "max":
+                    res = 255 - (hist[:, ::-1] > 0).argmax(axis=1)
+                else:
+                    q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[kernel]
+                    cum = hist.cumsum(axis=1)
+                    tgt = q * (count - 1)
+                    lo = np.floor(tgt).astype(np.int64)
+                    frac = tgt - lo
+                    v_lo = (cum > lo[:, None]).argmax(axis=1)
+                    v_hi = (cum > np.minimum(lo + 1, count - 1)[:, None])\
+                        .argmax(axis=1)
+                    res = np.rint(v_lo + frac * (v_hi - v_lo))
+                out[r0:r1, :, b] = res.reshape(r1 - r0, ow)\
+                    .astype(np.uint8)
         if src.ndim == 2:
             out = out[:, :, 0]
     elif kernel in ("cubic", "lanczos"):

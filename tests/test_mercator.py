@@ -124,3 +124,96 @@ def test_tile_range_for_extent():
     assert r[0] <= r[2] and r[1] <= r[3]
     n = (1 << 8) - 1
     assert all(0 <= v <= n for v in r)
+
+
+def test_lcc_lambert93_known_anchor_and_roundtrip():
+    """Lambert-93 (EPSG:2154): published coordinate of Paris Notre-Dame
+    (RGF93≈WGS84) matches to < 0.5 m; dense roundtrip to 1e-12°."""
+    import numpy as np
+    from georay.mercator import lcc_forward, lcc_inverse
+    p = dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+             e0=700000.0, n0=6600000.0)
+    x, y = lcc_forward(48.8566, 2.3522, **p)
+    assert abs(float(x) - 652469.02) < 0.5
+    assert abs(float(y) - 6862035.26) < 0.5
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(41, 51, 500)
+    lon = rng.uniform(-5, 10, 500)
+    la, lo = lcc_inverse(*lcc_forward(lat, lon, **p), **p)
+    assert np.abs(la - lat).max() < 1e-12
+    assert np.abs(lo - lon).max() < 1e-12
+
+
+def test_lcc_conformal_scale_on_standard_parallels():
+    """On the standard parallels an LCC has scale factor exactly 1 (the
+    defining property) — checked by finite differences along the
+    meridian and the parallel against ellipsoidal arc lengths."""
+    import numpy as np
+    from georay.mercator import _TM_E2, _WGS84_A, lcc_forward
+    p = dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0)
+    for lat in (49.0, 44.0):
+        d = 1e-6  # degrees
+        x0, y0 = lcc_forward(lat, 5.0, **p)
+        x1, y1 = lcc_forward(lat, 5.0 + d, **p)
+        ground = np.radians(d) * _WGS84_A * np.cos(np.radians(lat)) \
+            / np.sqrt(1 - _TM_E2 * np.sin(np.radians(lat)) ** 2)
+        k = float(np.hypot(x1 - x0, y1 - y0)) / ground
+        assert abs(k - 1.0) < 1e-6
+    # off the standard parallels the scale departs from 1
+    x0, y0 = lcc_forward(55.0, 5.0, **p)
+    x1, y1 = lcc_forward(55.0, 5.0 + 1e-6, **p)
+    ground = np.radians(1e-6) * _WGS84_A * np.cos(np.radians(55.0)) \
+        / np.sqrt(1 - _TM_E2 * np.sin(np.radians(55.0)) ** 2)
+    assert abs(float(np.hypot(x1 - x0, y1 - y0)) / ground - 1.0) > 1e-3
+
+
+def test_albers_equal_area_jacobian_and_roundtrip():
+    """Albers (EPSG:5070 params): the projection Jacobian equals the
+    ellipsoidal area element everywhere (defining property), and the
+    inverse roundtrips to 1e-11°."""
+    import numpy as np
+    from georay.mercator import (_TM_E2, _WGS84_A, albers_forward,
+                                 albers_inverse)
+    p = dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0)
+    rng = np.random.default_rng(1)
+    lat = rng.uniform(25, 49, 200)
+    lon = rng.uniform(-124, -66, 200)
+    la, lo = albers_inverse(*albers_forward(lat, lon, **p), **p)
+    assert np.abs(la - lat).max() < 1e-11
+    assert np.abs(lo - lon).max() < 1e-11
+    d = 1e-6
+    for la0, lo0 in [(30.0, -100.0), (45.0, -80.0), (38.0, -120.0)]:
+        x0, y0 = albers_forward(la0, lo0, **p)
+        xe, ye = albers_forward(la0, lo0 + d, **p)
+        xn, yn = albers_forward(la0 + d, lo0, **p)
+        jac = abs((xe - x0) * (yn - y0) - (xn - x0) * (ye - y0))
+        s = np.sin(np.radians(la0))
+        # ellipsoidal area of a d×d degree cell at la0
+        M = _WGS84_A * (1 - _TM_E2) / (1 - _TM_E2 * s * s) ** 1.5
+        N = _WGS84_A / np.sqrt(1 - _TM_E2 * s * s)
+        truth = (np.radians(d) ** 2) * M * N * np.cos(np.radians(la0))
+        assert abs(jac / truth - 1.0) < 1e-4
+
+
+def test_warp_lcc_to_4326():
+    """gdalwarp shape EPSG:2154→EPSG:4326 through the conic dispatch —
+    same discipline as the UTM warp test."""
+    import numpy as np
+    from georay import fixtures as fx
+    from georay.mercator import conic_crs_forward, conic_crs_inverse
+    from georay.raster import warp_affine_mercator
+    band = fx.pattern(3, 64, 64)[:, :, 0]
+    E0, N0 = conic_crs_forward("EPSG:2154", 46.0, 4.0)
+    ps = 30.0
+    src_gt = (float(E0), ps, 0.0, float(N0), 0.0, -ps)
+    lat1, lon0 = conic_crs_inverse("EPSG:2154", E0, N0)
+    lat0, lon1 = conic_crs_inverse("EPSG:2154", E0 + 64 * ps,
+                                   N0 - 64 * ps)
+    dst_gt = (float(lon0), (float(lon1) - float(lon0)) / 64, 0.0,
+              float(lat1), 0.0, (float(lat0) - float(lat1)) / 64)
+    for k in ("near", "bilinear"):
+        out = warp_affine_mercator(band, src_gt, dst_gt, (64, 64),
+                                   src_crs="EPSG:2154",
+                                   dst_crs="EPSG:4326", kernel=k)
+        assert out.shape == (64, 64)
+        assert out[8:-8, 8:-8].std() > 10

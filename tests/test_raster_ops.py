@@ -490,3 +490,52 @@ def test_contour_tiled_operator(ray_session):
         total = sum(float(np.hypot(*(np.diff(l, axis=0).T)).sum())
                     for l in ref)
         assert abs(out.loc[lv, "total_length"] - round(total, 9)) < 1e-6
+
+
+def test_warp_order_statistic_kernels():
+    """GRA_Mode/Med/Q1/Q3/Min/Max warp kernels: an identity-CRS warp whose
+    destination cells tile the source in exact 2x2 blocks must equal the
+    directly-computed per-block statistics (np.quantile semantics for
+    med/q1/q3; smallest-value tie-break for mode)."""
+    import numpy as np
+    from georay.raster import warp_affine_mercator
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    src_gt = (0.0, 1.0, 0.0, 32.0, 0.0, -1.0)
+    dst_gt = (0.0, 2.0, 0.0, 32.0, 0.0, -2.0)  # 2x2 blocks
+    blocks = src.reshape(16, 2, 16, 2).transpose(0, 2, 1, 3).reshape(16, 16, 4)
+    for kernel, ref_fn in [
+        ("min", lambda b: b.min(axis=2)),
+        ("max", lambda b: b.max(axis=2)),
+        ("med", lambda b: np.rint(np.quantile(b, 0.5, axis=2))),
+        ("q1", lambda b: np.rint(np.quantile(b, 0.25, axis=2))),
+        ("q3", lambda b: np.rint(np.quantile(b, 0.75, axis=2))),
+    ]:
+        out = warp_affine_mercator(src, src_gt, dst_gt, (16, 16),
+                                   src_crs="EPSG:4326",
+                                   dst_crs="EPSG:4326", kernel=kernel)
+        want = ref_fn(blocks).astype(np.uint8)
+        assert (out == want).all(), kernel
+    # mode: smallest most-frequent value per block
+    out = warp_affine_mercator(src, src_gt, dst_gt, (16, 16),
+                               src_crs="EPSG:4326", dst_crs="EPSG:4326",
+                               kernel="mode")
+    for i in range(16):
+        for j in range(16):
+            vals, cnts = np.unique(blocks[i, j], return_counts=True)
+            assert out[i, j] == vals[cnts == cnts.max()].min()
+    # 3-band passthrough + a real reprojection smoke (UTM -> 4326)
+    src3 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    from georay.mercator import utm_forward
+    E0, N0 = utm_forward(np.array([45.0]), np.array([3.5]), 31)
+    sgt = (float(E0[0]), 30.0, 0.0, float(N0[0]), 0.0, -30.0)
+    from georay.mercator import utm_inverse
+    lat1, lon0 = utm_inverse(np.array([E0[0]]), np.array([N0[0]]), 31)
+    lat0, lon1 = utm_inverse(np.array([E0[0] + 64 * 30]),
+                             np.array([N0[0] - 64 * 30]), 31)
+    dgt = (float(lon0[0]), (float(lon1[0]) - float(lon0[0])) / 32, 0.0,
+           float(lat1[0]), 0.0, (float(lat0[0]) - float(lat1[0])) / 32)
+    out = warp_affine_mercator(src3, sgt, dgt, (32, 32),
+                               src_crs="EPSG:32631", dst_crs="EPSG:4326",
+                               kernel="med")
+    assert out.shape == (32, 32, 3) and out[4:-4, 4:-4].std() > 10
