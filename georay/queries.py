@@ -1016,6 +1016,63 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_id_purchase"])
 
 
+# ---------------------------------------------------------------------------
+# SQL text front-end (georay.sql) — the same green shapes expressed as SQL
+# strings compiled onto the engine's operators (ogr/swq.cpp scope)
+# ---------------------------------------------------------------------------
+
+def _sql_tables(sf_dir: str, *names):
+    return {n: _rp(sf_dir, n) for n in names}
+
+
+def q_sql_filter_group(sf_dir: str):
+    """WHERE + GROUP BY + COUNT/SUM through the SQL front-end; the oracle
+    runs the IDENTICAL SQL text in DuckDB (integer modulo keeps the SUM
+    exact across engines)."""
+    from .sql import execute_sql
+    return execute_sql(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_orderkey % 97) AS s FROM orders "
+        "WHERE o_totalprice > 50000 GROUP BY o_orderpriority",
+        _sql_tables(sf_dir, "orders"))
+
+
+def q_sql_topk(sf_dir: str):
+    """ORDER BY multi-key + LIMIT through the SQL front-end."""
+    from .sql import execute_sql
+    return execute_sql(
+        "SELECT p_partkey, p_size FROM part WHERE p_size >= 10 "
+        "ORDER BY p_size DESC, p_partkey LIMIT 15",
+        _sql_tables(sf_dir, "part"))
+
+
+def q_sql_distinct(sf_dir: str):
+    """SELECT DISTINCT through the SQL front-end."""
+    from .sql import execute_sql
+    return execute_sql(
+        "SELECT DISTINCT c_mktsegment FROM customer",
+        _sql_tables(sf_dir, "customer"))
+
+
+def q_sql_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT) through the SQL front-end."""
+    from .sql import execute_sql
+    return execute_sql(
+        "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+        _sql_tables(sf_dir, "orders"))
+
+
+def q_sql_having(sf_dir: str):
+    """GROUP BY + HAVING through the SQL front-end (the HAVING aggregate
+    rewrites to its SELECT output column)."""
+    from .sql import execute_sql
+    return execute_sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS hi "
+        "FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 100",
+        _sql_tables(sf_dir, "orders"))
+
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -1051,6 +1108,11 @@ QUERIES = {
     "dem_hillshade": q_dem_hillshade,
     "polygonize_images": q_polygonize_images,
     "proximity_images": q_proximity_images,
+    "sql_filter_group": q_sql_filter_group,
+    "sql_topk": q_sql_topk,
+    "sql_distinct": q_sql_distinct,
+    "sql_count_distinct": q_sql_count_distinct,
+    "sql_having": q_sql_having,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,
@@ -1082,6 +1144,24 @@ def _zone_sql() -> str:
 
 
 ORACLE_SQL = {
+    "sql_filter_group": """
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey % 97) AS s
+        FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
+    """,
+    "sql_topk": """
+        SELECT p_partkey, p_size FROM part WHERE p_size >= 10
+        ORDER BY p_size DESC, p_partkey LIMIT 15
+    """,
+    "sql_distinct": """
+        SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "sql_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n FROM orders
+    """,
+    "sql_having": """
+        SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS hi
+        FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 100
+    """,
     "tile_assign": f"""
         SELECT o_orderkey,
                {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=12)} AS tile_x,

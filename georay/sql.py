@@ -1,0 +1,463 @@
+"""SQL text front-end — compiles a single-table OGR-SQL-style SELECT onto
+the engine's existing Ray Data operators (VERDICT r2 next-6; scope =
+ogr/swq.cpp:42-97 operator set + the SELECT/GROUP BY/ORDER BY/LIMIT
+surface of gcore/gdaldataset.cpp:5386's OGR SQL dialect).
+
+Grammar::
+
+    SELECT [DISTINCT] item (',' item)*
+    FROM table
+    [WHERE expr]                      -- georay.expr grammar
+    [GROUP BY col (',' col)*]
+    [HAVING expr-with-aggregates]
+    [ORDER BY col [ASC|DESC] (',' ...)*]
+    [LIMIT n [OFFSET m]]
+
+    item := agg | expr [AS name]
+    agg  := (COUNT '(' '*' ')' | COUNT '(' [DISTINCT] expr ')'
+            | SUM|AVG|MIN|MAX '(' expr ')') [AS name]
+
+Compilation is Ray-Data-first: WHERE → vectorized ``map_batches`` filter;
+scalar projections → one ``map_batches``; GROUP BY + aggregates → one
+``map_batches`` computing key/input columns then ``groupby().aggregate``
+(Sum/Count/Min/Max/Mean — Ray's native distributed partials); DISTINCT →
+``groupby(all).map_groups`` first-row; ORDER BY → ``Dataset.sort``;
+HAVING → a post-aggregate filter (its aggregates must also appear in the
+SELECT list).  ``LIMIT n OFFSET m`` slices the (small, post-ORDER BY)
+result.  Joins and subqueries are out of scope — the engine's join
+operators (georay.join) cover those shapes as pipelines.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .expr import FilterSyntaxError, _eval, _Parser, _tokenize
+
+__all__ = ["execute_sql", "SqlError"]
+
+
+class SqlError(FilterSyntaxError):
+    pass
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+               "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT"}
+
+
+def _split_clauses(sql: str):
+    """Token-level clause splitter (string literals already tokenized, so
+    keywords inside strings can't confuse it)."""
+    toks = _tokenize(sql)
+    # classify keywords our expr tokenizer labels as identifiers
+    norm = []
+    for k, v in toks:
+        if k == "ident" and v.upper() in (_CLAUSE_KWS | _AGG_FUNCS):
+            norm.append(("sqlkw", v.upper()))
+        else:
+            norm.append((k, v))
+    return norm
+
+
+class _SelectItem:
+    __slots__ = ("kind", "func", "distinct", "expr_toks", "name", "star")
+
+    def __init__(self, kind, func=None, distinct=False, expr_toks=None,
+                 name=None, star=False):
+        self.kind = kind            # "agg" | "expr"
+        self.func = func
+        self.distinct = distinct
+        self.expr_toks = expr_toks  # token list of the inner expression
+        self.name = name
+        self.star = star
+
+
+def _parse_expr_tokens(toks):
+    p = _Parser(toks)
+    node = p.or_()
+    return node, p.i
+
+
+class _SqlParser:
+    def __init__(self, sql: str):
+        self.toks = _split_clauses(sql)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw):
+        k, v = self.next()
+        if (k, v) != ("sqlkw", kw):
+            raise SqlError(f"expected {kw}, got {v!r}")
+
+    def _expr_until(self, stop_preds):
+        """Collect raw tokens until a top-level stop keyword / comma."""
+        depth = 0
+        out = []
+        while True:
+            k, v = self.peek()
+            if k is None:
+                break
+            if depth == 0 and any(p(k, v) for p in stop_preds):
+                break
+            if (k, v) == ("op", "("):
+                depth += 1
+            elif (k, v) == ("op", ")"):
+                if depth == 0:
+                    break
+                depth -= 1
+            out.append(self.next())
+        return out
+
+    def parse(self):
+        self.expect_kw("SELECT")
+        distinct = False
+        if self.peek() == ("sqlkw", "DISTINCT"):
+            self.next()
+            distinct = True
+        items = [self._select_item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            items.append(self._select_item())
+        self.expect_kw("FROM")
+        k, table = self.next()
+        if k not in ("ident", "sqlkw"):
+            raise SqlError(f"expected table name, got {table!r}")
+        where = group = having = None
+        order = []
+        limit = offset = None
+        stop = [lambda k, v: k == "sqlkw" and v in
+                ("GROUP", "HAVING", "ORDER", "LIMIT")]
+        if self.peek() == ("sqlkw", "WHERE"):
+            self.next()
+            where = self._expr_until(stop)
+        if self.peek() == ("sqlkw", "GROUP"):
+            self.next()
+            self.expect_kw("BY")
+            group = [self._ident()]
+            while self.peek() == ("op", ","):
+                self.next()
+                group.append(self._ident())
+        if self.peek() == ("sqlkw", "HAVING"):
+            self.next()
+            having = self._expr_until(stop)
+        if self.peek() == ("sqlkw", "ORDER"):
+            self.next()
+            self.expect_kw("BY")
+            order = [self._order_item()]
+            while self.peek() == ("op", ","):
+                self.next()
+                order.append(self._order_item())
+        if self.peek() == ("sqlkw", "LIMIT"):
+            self.next()
+            k, v = self.next()
+            if k != "num":
+                raise SqlError("LIMIT needs a number")
+            limit = int(v)
+            if self.peek() == ("sqlkw", "OFFSET"):
+                self.next()
+                k, v = self.next()
+                if k != "num":
+                    raise SqlError("OFFSET needs a number")
+                offset = int(v)
+        if self.peek() != (None, None):
+            raise SqlError(f"trailing tokens: {self.peek()!r}")
+        return dict(items=items, distinct=distinct, table=table,
+                    where=where, group=group, having=having, order=order,
+                    limit=limit, offset=offset)
+
+    def _ident(self):
+        k, v = self.next()
+        if k != "ident":
+            raise SqlError(f"expected column name, got {v!r}")
+        return v
+
+    def _order_item(self):
+        col = self._ident()
+        desc = False
+        if self.peek() == ("sqlkw", "DESC"):
+            self.next()
+            desc = True
+        elif self.peek() == ("sqlkw", "ASC"):
+            self.next()
+        return col, desc
+
+    def _select_item(self):
+        k, v = self.peek()
+        if k == "sqlkw" and v in _AGG_FUNCS:
+            self.next()
+            func = v
+            kk, vv = self.next()
+            if (kk, vv) != ("op", "("):
+                raise SqlError(f"{func} needs (...)")
+            distinct = False
+            if self.peek() == ("sqlkw", "DISTINCT"):
+                self.next()
+                distinct = True
+            if func == "COUNT" and self.peek() == ("op", "*"):
+                self.next()
+                item = _SelectItem("agg", func=func, star=True)
+            else:
+                toks = self._expr_until([lambda k, v: False])
+                item = _SelectItem("agg", func=func, distinct=distinct,
+                                   expr_toks=toks)
+            kk, vv = self.next()
+            if (kk, vv) != ("op", ")"):
+                raise SqlError(f"{func}: expected ), got {vv!r}")
+        else:
+            stop = [lambda k, v: k == "sqlkw" and v in ("FROM", "AS"),
+                    lambda k, v: (k, v) == ("op", ",")]
+            toks = self._expr_until(stop)
+            if not toks:
+                raise SqlError("empty select item")
+            item = _SelectItem("expr", expr_toks=toks)
+        if self.peek() == ("sqlkw", "AS"):
+            self.next()
+            item.name = self._ident()
+        return item
+
+
+def _item_default_name(item: _SelectItem, idx: int) -> str:
+    if item.name:
+        return item.name
+    if item.kind == "expr" and len(item.expr_toks) == 1 \
+            and item.expr_toks[0][0] == "ident":
+        return item.expr_toks[0][1]
+    return f"col{idx}"
+
+
+def _agg_signature(item: _SelectItem) -> tuple:
+    toks = tuple(item.expr_toks) if item.expr_toks else ()
+    return (item.func, item.distinct, item.star, toks)
+
+
+def execute_sql(sql: str, tables: dict):
+    """Run a SELECT against ``tables`` ({name: ray.data.Dataset}); returns
+    a Dataset for streaming shapes, or a pyarrow table for global
+    aggregates / OFFSET slices (small results)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    q = _SqlParser(sql).parse()
+    if q["table"] not in tables:
+        raise SqlError(f"unknown table {q['table']!r}")
+    ds = tables[q["table"]]
+    if q["where"]:
+        wnode, used = _parse_expr_tokens(q["where"])
+        if used != len(q["where"]):
+            raise SqlError("trailing tokens in WHERE")
+
+        def filt(batch: pa.Table, _n=wnode) -> pa.Table:
+            return batch.filter(pc.fill_null(_eval(_n, batch), False))
+
+        ds = ds.map_batches(filt, batch_format="pyarrow")
+
+    items = q["items"]
+    names = [_item_default_name(it, i) for i, it in enumerate(items)]
+    if len(set(names)) != len(names):
+        raise SqlError(f"duplicate output column names: {names}")
+    has_agg = any(it.kind == "agg" for it in items)
+
+    if not has_agg and not q["group"]:
+        # pure projection
+        nodes = []
+        for it in items:
+            node, used = _parse_expr_tokens(it.expr_toks)
+            if used != len(it.expr_toks):
+                raise SqlError("bad select expression")
+            nodes.append(node)
+
+        def project(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for name, node in zip(names, nodes):
+                v = _eval(node, batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                cols[name] = v
+            return pa.table(cols)
+
+        out = ds.map_batches(project, batch_format="pyarrow")
+        if q["distinct"]:
+            def first(g: pa.Table) -> pa.Table:
+                return g.slice(0, 1)
+            out = out.groupby(names).map_groups(
+                first, batch_format="pyarrow")
+        return _finish(out, q, names)
+
+    # aggregate shapes ------------------------------------------------------
+    group_cols = q["group"] or []
+    agg_items = [(i, it) for i, it in enumerate(items) if it.kind == "agg"]
+    plain_items = [(i, it) for i, it in enumerate(items)
+                   if it.kind == "expr"]
+    # non-aggregated select items must be GROUP BY columns
+    for i, it in plain_items:
+        if not (len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
+                and it.expr_toks[0][1] in group_cols):
+            raise SqlError(
+                f"non-aggregated select item {names[i]!r} must be a "
+                f"GROUP BY column")
+
+    # COUNT(DISTINCT x): supported as global or grouped via a pre-distinct
+    cd = [(i, it) for i, it in agg_items
+          if it.func == "COUNT" and it.distinct]
+    if cd:
+        if len(items) != 1 or group_cols:
+            raise SqlError("COUNT(DISTINCT) is supported only as the "
+                           "single select item without GROUP BY")
+        i, it = cd[0]
+        node, _ = _parse_expr_tokens(it.expr_toks)
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            return pa.table({"k__": _eval(node, batch)})
+
+        distinct = ds.map_batches(keyed, batch_format="pyarrow") \
+            .groupby("k__").map_groups(lambda g: g.slice(0, 1),
+                                       batch_format="pyarrow")
+        n = distinct.count()
+        return pa.table({names[i]: pa.array([n], pa.int64())})
+
+    # evaluate group keys + aggregate inputs in one projection
+    agg_nodes = {}
+    for i, it in agg_items:
+        if not it.star:
+            node, used = _parse_expr_tokens(it.expr_toks)
+            if used != len(it.expr_toks):
+                raise SqlError("bad aggregate expression")
+            agg_nodes[i] = node
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for g in group_cols:
+            cols[g] = batch[g]
+        for i, it in agg_items:
+            if it.star:
+                continue
+            cols[f"a{i}__"] = _eval(agg_nodes[i], batch)
+        if not cols:  # COUNT(*) only, no groups
+            cols["one__"] = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    aggs = []
+    for i, it in agg_items:
+        alias = names[i]
+        col = f"a{i}__"
+        if it.func == "COUNT" and it.star:
+            aggs.append(Count(alias_name=alias))
+        elif it.func == "COUNT":
+            aggs.append(Count(col, ignore_nulls=True, alias_name=alias))
+        elif it.func == "SUM":
+            aggs.append(Sum(col, alias_name=alias))
+        elif it.func == "AVG":
+            aggs.append(Mean(col, alias_name=alias))
+        elif it.func == "MIN":
+            aggs.append(Min(col, alias_name=alias))
+        elif it.func == "MAX":
+            aggs.append(Max(col, alias_name=alias))
+        else:
+            raise SqlError(f"unsupported aggregate {it.func}")
+
+    if group_cols:
+        out = prepped.groupby(group_cols).aggregate(*aggs)
+
+        def proj2(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for i, it in enumerate(items):
+                if it.kind == "agg":
+                    cols[names[i]] = batch[names[i]]
+                else:
+                    cols[names[i]] = batch[it.expr_toks[0][1]]
+            return pa.table(cols)
+
+        out = out.map_batches(proj2, batch_format="pyarrow")
+        if q["having"]:
+            hnode = _parse_having(q["having"], items, names)
+
+            def hav(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.fill_null(_eval(hnode, batch), False))
+
+            out = out.map_batches(hav, batch_format="pyarrow")
+        return _finish(out, q, names)
+
+    # global aggregate → one-row table
+    if q["having"]:
+        raise SqlError("HAVING requires GROUP BY")
+    res = prepped.aggregate(*aggs)
+    row = {names[i]: [res[names[i]]] for i, _ in agg_items}
+    return pa.table(row)
+
+
+def _parse_having(toks, items, names):
+    """HAVING: rewrite aggregate calls to references to their SELECT
+    output columns (each aggregate used in HAVING must appear in the
+    SELECT list), then parse as a normal expression."""
+    sigs = {}
+    for i, it in enumerate(items):
+        if it.kind == "agg":
+            sigs[_agg_signature(it)] = names[i]
+    out = []
+    i = 0
+    while i < len(toks):
+        k, v = toks[i]
+        if k == "sqlkw" and v in _AGG_FUNCS:
+            # collect FUNC ( ... )
+            j = i + 1
+            if j >= len(toks) or toks[j] != ("op", "("):
+                raise SqlError(f"{v} needs (...) in HAVING")
+            depth = 1
+            j += 1
+            inner = []
+            while j < len(toks) and depth:
+                if toks[j] == ("op", "("):
+                    depth += 1
+                elif toks[j] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                inner.append(toks[j])
+                j += 1
+            star = inner == [("op", "*")]
+            distinct = bool(inner) and inner[0] == ("sqlkw", "DISTINCT")
+            if distinct:
+                inner = inner[1:]
+            sig = (v, distinct, star, tuple(() if star else inner))
+            if sig not in sigs:
+                raise SqlError(
+                    f"HAVING aggregate {v} must also appear in SELECT")
+            out.append(("ident", sigs[sig]))
+            i = j + 1
+        else:
+            out.append((k, v))
+            i += 1
+    node, used = _parse_expr_tokens(out)
+    if used != len(out):
+        raise SqlError("trailing tokens in HAVING")
+    return node
+
+
+def _finish(out, q, names):
+    if q["order"]:
+        cols = [c for c, _ in q["order"]]
+        for c in cols:
+            if c not in names:
+                raise SqlError(f"ORDER BY column {c!r} not in SELECT list")
+        out = out.sort(cols, descending=[d for _, d in q["order"]])
+    if q["limit"] is not None:
+        off = q["offset"] or 0
+        out = out.limit(q["limit"] + off)
+        if off:
+            # OFFSET applies to a small post-LIMIT result: slice driver-side
+            tbl = pa.concat_tables(
+                [b for b in out.iter_batches(batch_format="pyarrow")]
+                or [pa.table({n: pa.array([]) for n in names})])
+            return tbl.slice(off)
+    return out

@@ -1,0 +1,98 @@
+"""SQL front-end (georay.sql): parser errors + 3-way parity with DuckDB
+running the identical SQL text over the same parquet tables."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        t = os.path.basename(p).removesuffix(".parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols].sort_values(cols).reset_index(drop=True)
+    for c in out.columns:
+        if out[c].dtype.kind in "iu":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def _run(sql: str, tables):
+    import ray
+    from georay.sql import execute_sql
+    tabs = {t: ray.data.read_parquet(f"{SF}/{t}.parquet") for t in tables}
+    res = execute_sql(sql, tabs)
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+CASES = [
+    ("SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey % 97) AS s "
+     "FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority",
+     ["orders"]),
+    ("SELECT p_partkey, p_size FROM part WHERE p_size >= 10 "
+     "ORDER BY p_size DESC, p_partkey LIMIT 15", ["part"]),
+    ("SELECT DISTINCT c_mktsegment FROM customer", ["customer"]),
+    ("SELECT COUNT(DISTINCT o_custkey) AS n FROM orders", ["orders"]),
+    ("SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS hi "
+     "FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 20",
+     ["orders"]),
+    ("SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi, "
+     "COUNT(*) AS n FROM orders", ["orders"]),
+    ("SELECT o_orderkey, o_totalprice / 2 AS half FROM orders "
+     "WHERE o_orderkey < 20 AND o_orderpriority LIKE '1-%'", ["orders"]),
+]
+
+
+@pytest.mark.parametrize("sql,tables", CASES,
+                         ids=[f"case{i}" for i in range(len(CASES))])
+def test_sql_matches_duckdb(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_sql_errors(ray_session):
+    import ray
+    from georay.sql import SqlError, execute_sql
+    tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
+    for bad in [
+        "SELECT FROM orders",
+        "SELECT o_orderkey FROM nope",
+        "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey",
+        "SELECT COUNT(*) AS n FROM orders HAVING SUM(o_orderkey) > 5",
+        "SELECT o_orderkey FROM orders ORDER BY zzz",
+    ]:
+        with pytest.raises(SqlError):
+            r = execute_sql(bad, tabs)
+            if not isinstance(r, pa.Table):
+                r.materialize()
+
+
+def test_sql_limit_offset(ray_session):
+    import ray
+    from georay.sql import execute_sql
+    tabs = {"part": ray.data.read_parquet(f"{SF}/part.parquet")}
+    full = execute_sql("SELECT p_partkey FROM part ORDER BY p_partkey "
+                       "LIMIT 10", tabs).to_pandas()
+    off = execute_sql("SELECT p_partkey FROM part ORDER BY p_partkey "
+                      "LIMIT 7 OFFSET 3", tabs)
+    off = off.to_pandas()
+    assert list(off["p_partkey"]) == list(full["p_partkey"][3:10])
