@@ -149,15 +149,30 @@ def spatial_join_points(points_ds, polygons: pa.Table, *,
 # Skew census + salting (BASELINE north rule)
 # ---------------------------------------------------------------------------
 
-def cell_census(ds, res: int = 7, lat_col="lat", lon_col="lon"):
-    """Row count per hex cell, computed as per-block partials (one row per
+def _grid_cell_fn(grid: str):
+    """Cell assignment for a named grid family: the planar aperture-4 hex
+    grid ("hex") or the icosahedral aperture-7 grid ("icosa",
+    georay.icosa — the H3-analog adopted as a partition key per VERDICT
+    r2 next-7)."""
+    if grid == "hex":
+        return lambda lat, lon, res: np.asarray(hex_cell(lat, lon, res))
+    if grid == "icosa":
+        from .icosa import icosa_cell
+        return lambda lat, lon, res: np.asarray(icosa_cell(lat, lon, res))
+    raise ValueError(f"unknown grid {grid!r}")
+
+
+def cell_census(ds, res: int = 7, lat_col="lat", lon_col="lon",
+                grid: str = "hex"):
+    """Row count per cell, computed as per-block partials (one row per
     cell per block emitted from ``map_batches``) + a small ``groupby.sum``
     — the pre-aggregation pattern that avoids shuffling every row."""
     from ray.data.aggregate import Sum
+    cell_fn = _grid_cell_fn(grid)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cells = hex_cell(batch[lat_col].to_numpy(),
-                         batch[lon_col].to_numpy(), res)
+        cells = cell_fn(batch[lat_col].to_numpy(),
+                        batch[lon_col].to_numpy(), res)
         uniq, counts = np.unique(cells, return_counts=True)
         return pa.table({"hexcell": uniq, "partial_count": counts})
 
@@ -200,11 +215,39 @@ def _polygon_cell_cover(polygons: pa.Table, res: int) -> tuple:
     return np.concatenate(poly_idx), np.concatenate(cover)
 
 
+def _icosa_polygon_cell_cover(polygons: pa.Table, res: int) -> tuple:
+    """Icosa-grid envelope cover: sweep cell-center candidates over each
+    polygon's bbox plus a 3-cell margin at half-cell spacing (lon spacing
+    widened by 1/cos lat) — every icosa cell overlapping the polygon has
+    its center inside the swept region, so the cover is a superset
+    (extra cells just join nothing)."""
+    from .icosa import icosa_cell, icosa_res_radius
+    minx = polygons["minx"].to_numpy()
+    miny = polygons["miny"].to_numpy()
+    maxx = polygons["maxx"].to_numpy()
+    maxy = polygons["maxy"].to_numpy()
+    rad_deg = float(np.degrees(float(icosa_res_radius(res))))
+    poly_idx, cover = [], []
+    for i in range(len(minx)):
+        lat_mid = 0.5 * (miny[i] + maxy[i])
+        step_lat = max(rad_deg * 0.4, 1e-4)
+        step_lon = step_lat / max(np.cos(np.radians(lat_mid)), 0.2)
+        m = 3.0 * rad_deg
+        xs = np.arange(minx[i] - m, maxx[i] + m, step_lon)
+        ys = np.arange(miny[i] - m, maxy[i] + m, step_lat)
+        gx, gy = np.meshgrid(xs, ys)
+        cells = np.unique(icosa_cell(np.clip(gy.ravel(), -89.9, 89.9),
+                                     gx.ravel(), res))
+        cover.append(cells)
+        poly_idx.append(np.full(cells.shape, i, dtype=np.int64))
+    return np.concatenate(poly_idx), np.concatenate(cover)
+
+
 def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
                              lon_col="lon", lat_col="lat",
                              salt_threshold: int | None = None,
                              payload_cols=("polygon_id", "category"),
-                             keep_cols=None):
+                             keep_cols=None, grid: str = "hex"):
     """Cell-partitioned spatial join: shuffle-based path for a large
     polygon side.  Both sides are keyed by hex cell (polygons replicated to
     their envelope cover), co-grouped with ``groupby(cell)`` and joined
@@ -214,13 +257,18 @@ def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
     """
     import ray
 
-    pidx, pcells = _polygon_cell_cover(polygons, res)
+    if grid == "icosa":
+        pidx, pcells = _icosa_polygon_cell_cover(polygons, res)
+    else:
+        pidx, pcells = _polygon_cell_cover(polygons, res)
+    cell_fn = _grid_cell_fn(grid)
     wkbs = polygons["wkb"].to_numpy(zero_copy_only=False)
     payload_cols = [c for c in payload_cols if c in polygons.schema.names]
 
     salts: dict = {}
     if salt_threshold:
-        census = cell_census(points_ds, res, lat_col, lon_col).take_all()
+        census = cell_census(points_ds, res, lat_col, lon_col,
+                             grid=grid).take_all()
         census_t = pa.table({
             "hexcell": [r["hexcell"] for r in census],
             "n": [r["n"] for r in census]})
@@ -255,8 +303,8 @@ def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
 
     def key_points(batch: pa.Table) -> pa.Table:
         salts_l = salts
-        cells = np.asarray(hex_cell(batch[lat_col].to_numpy(),
-                                    batch[lon_col].to_numpy(), res))
+        cells = cell_fn(batch[lat_col].to_numpy(),
+                        batch[lon_col].to_numpy(), res)
         n = len(cells)
         cols = {nm: batch[nm] for nm, _ in point_cols}
         cols["wkb"] = pa.nulls(n, pa.binary())

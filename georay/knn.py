@@ -250,3 +250,84 @@ def knn_points(queries_ds, neighbors: pa.Table, k: int = 5, *,
                       keep_cols=keep_cols, neighbor_id_name=neighbor_id_name),
                   concurrency=concurrency or default_concurrency())
     return queries_ds.map_batches(KnnPoints, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# kNN on the ICOSAHEDRAL grid (VERDICT r2 next-7: cross-face k-ring so kNN
+# can leave the planar aperture-4 grid near poles / dateline / face edges)
+# ---------------------------------------------------------------------------
+
+def build_icosa_index(lat, lon, ids, res: int = 5):
+    """Cell-bucketed CSR index keyed by icosa cell (same shape as
+    :class:`NeighborIndex`; broadcast with ``ray.put`` for the
+    distributed form — the actor wiring mirrors :class:`KnnPoints`)."""
+    from .icosa import icosa_cell
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    cell = np.asarray(icosa_cell(lat, lon, res))
+    order = np.argsort(cell, kind="stable")
+    sc = cell[order]
+    uniq, starts = np.unique(sc, return_index=True)
+    offsets = np.concatenate([starts, [len(sc)]])
+    return dict(res=res, cells=uniq, offsets=offsets, order=order,
+                lat=lat, lon=lon, ids=np.asarray(ids))
+
+
+def knn_points_icosa(q_lat, q_lon, index: dict, k: int = 5):
+    """EXACT kNN via icosa metric-disc expansion (cross-face by
+    construction — ``icosa_disc`` samples the sphere, so face edges,
+    poles and the dateline need no special cases).
+
+    Termination bound: a disc of ring-radius ``kr`` contains every cell
+    whose center lies within sphere angle ``ρ = (kr+0.5)·√3·R`` of the
+    query's cell center; a point OUTSIDE the gathered cells therefore
+    sits at angle > ``ρ − 2·1.7R`` from the query (1.7R bounds both
+    point-to-own-center and query-to-own-center, icosa._CELL_STRETCH).
+    When the kth candidate distance is below that bound the answer is
+    exact.  Queries sharing a cell reuse one disc (the batch-level
+    optimization the distributed actor applies per batch).
+
+    Returns ``(query_idx, rank, neighbor_id, dist_m)`` arrays."""
+    from .icosa import _CELL_STRETCH, icosa_cell, icosa_disc, \
+        icosa_res_radius
+    res = index["res"]
+    R = float(icosa_res_radius(res))
+    spacing = np.sqrt(3.0) * R
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    q_lon = np.asarray(q_lon, dtype=np.float64)
+    nq = len(q_lat)
+    qcells = np.asarray(icosa_cell(q_lat, q_lon, res))
+    out_q, out_rank, out_id, out_d = [], [], [], []
+    disc_cache: dict = {}
+    for i in range(nq):
+        kr = 1
+        while True:
+            key = (int(qcells[i]), kr)
+            if key not in disc_cache:
+                disc_cache[key] = icosa_disc(qcells[i], kr)
+            cells = disc_cache[key]
+            pos = np.searchsorted(index["cells"], cells)
+            pos = np.minimum(pos, len(index["cells"]) - 1)
+            hit = index["cells"][pos] == cells
+            cand = np.concatenate([
+                index["order"][index["offsets"][p]:
+                               index["offsets"][p + 1]]
+                for p in pos[hit]]) if hit.any() else \
+                np.empty(0, np.int64)
+            if len(cand) >= k or kr >= 64:
+                d = haversine_m(q_lat[i], q_lon[i],
+                                index["lat"][cand], index["lon"][cand])
+                top = np.argsort(d, kind="stable")[:k]
+                rho = (kr + 0.5) * spacing
+                safe = (rho - 2 * _CELL_STRETCH * R) * _EARTH_MEAN_R
+                if (len(top) and d[top[-1]] <= safe
+                        and len(cand) >= k) or kr >= 64:
+                    for rank, t in enumerate(top):
+                        out_q.append(i)
+                        out_rank.append(rank)
+                        out_id.append(index["ids"][cand[t]])
+                        out_d.append(d[t])
+                    break
+            kr *= 2
+    return (np.array(out_q), np.array(out_rank),
+            np.array(out_id), np.array(out_d))

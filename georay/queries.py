@@ -204,6 +204,21 @@ def q_zone_join_partitioned(sf_dir: str):
     return out.select_columns(["c_custkey", "n_name"])
 
 
+def q_zone_join_icosa(sf_dir: str):
+    """The SAME zone join partitioned by the ICOSAHEDRAL aperture-7 grid
+    (georay.icosa) at res 5 with skew census + salting — the H3-analog
+    cells as an internal partition key, so the identical SQL zone oracle
+    still applies (VERDICT r2 next-7: icosa adopted as a join key)."""
+    from .join import spatial_join_partitioned
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir)
+    out = spatial_join_partitioned(
+        pts, zones, res=5, salt_threshold=100, grid="icosa",
+        payload_cols=("n_name",),
+        keep_cols=["c_custkey", "lon", "lat"])
+    return out.select_columns(["c_custkey", "n_name"])
+
+
 def q_knn(sf_dir: str):
     """k=3 nearest suppliers per customer by haversine over derived
     coordinates — the H3-style k-ring + refinement operator."""
@@ -1079,6 +1094,7 @@ QUERIES = {
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
     "zone_join_partitioned": q_zone_join_partitioned,
+    "zone_join_icosa": q_zone_join_icosa,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
     "s2_census": q_s2_census,
@@ -1178,6 +1194,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_partitioned": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "zone_join_icosa": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""

@@ -212,3 +212,61 @@ def test_icosa_parent_contains_children_mostly():
     # parent-of-cell vs direct coarse assignment agree for most points
     # (aperture-7 hierarchies don't nest exactly — H3's own caveat)
     assert (p5 == direct).mean() > 0.85
+
+
+def test_icosa_disc_cross_face_and_coverage():
+    """The metric disc crosses face boundaries (pole cell discs span
+    several faces) and contains every cell whose center is within the
+    disc radius (verified by dense random sampling)."""
+    import numpy as np
+    from georay.icosa import (_unpack, icosa_cell, icosa_cell_center,
+                              icosa_disc, icosa_res_radius)
+    c = icosa_cell(np.array([89.0]), np.array([10.0]), 5)
+    d = icosa_disc(c, 2)
+    faces = set(_unpack(d)[1].tolist())
+    assert len(faces) >= 2  # crossed a face boundary at the pole
+    # coverage: sample points within the disc radius; their cells must
+    # all be in the disc
+    R = float(icosa_res_radius(5))
+    rho = 2.5 * np.sqrt(3.0) * R
+    clat, clon = icosa_cell_center(c)
+    rng = np.random.default_rng(3)
+    ang = rng.uniform(0, 2 * np.pi, 500)
+    rr = rho * 0.95 * np.sqrt(rng.uniform(0, 1, 500))
+    lat_s = np.degrees(np.radians(clat[0]) + rr * np.cos(ang))
+    lon_s = clon[0] + np.degrees(rr * np.sin(ang)
+                                 / np.cos(np.radians(clat[0])))
+    cells_s = icosa_cell(np.clip(lat_s, -90, 90), lon_s, 5)
+    centers = icosa_cell_center(cells_s)
+    from georay.geom import haversine_m
+    dist = haversine_m(clat[0], clon[0], centers[0], centers[1])
+    inside = dist <= rho * 6371008.8 * 0.999
+    assert np.isin(cells_s[inside], d).all()
+
+
+def test_knn_icosa_exact_vs_bruteforce():
+    """Icosa-grid kNN equals brute-force haversine on a global point set
+    loaded with face-edge / polar / dateline cases."""
+    import numpy as np
+    from georay.geom import haversine_m
+    from georay.knn import build_icosa_index, knn_points_icosa
+    rng = np.random.default_rng(0)
+    n = 2000
+    lat = np.concatenate([rng.uniform(-89.9, 89.9, n // 2),
+                          rng.uniform(85, 89.9, n // 6),
+                          rng.uniform(26, 27, n // 6),
+                          rng.uniform(-40, 40,
+                                      n - n // 2 - 2 * (n // 6))])
+    lon = rng.uniform(-180, 180, n)
+    ids = np.arange(n)
+    idx = build_icosa_index(lat, lon, ids, res=4)
+    qs = rng.choice(n, 25, replace=False)
+    qi, qr, qid, qd = knn_points_icosa(lat[qs], lon[qs], idx, k=5)
+    for j, q in enumerate(qs):
+        d = haversine_m(lat[q], lon[q], lat, lon)
+        want = np.argsort(d, kind="stable")[:5]
+        got = qid[qi == j]
+        if set(got.tolist()) != set(ids[want].tolist()):
+            gd = np.sort(qd[qi == j])
+            wd = np.sort(d[want])
+            assert np.allclose(gd, wd)  # distance ties only
