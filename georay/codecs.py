@@ -269,7 +269,7 @@ def phash64(arr: np.ndarray) -> np.int64:
     materialized (4 bytes/px instead of 8, one fewer pass)."""
     arr = np.asarray(arr)
     if arr.ndim == 3:
-        chan = np.add.reduce(arr.astype(np.int32), axis=2)  # r+g+b, exact
+        chan = np.add.reduce(arr, axis=2, dtype=np.int32)  # r+g+b, exact
         divisor = 3.0
     else:
         chan = arr.astype(np.int32)
@@ -308,7 +308,7 @@ def phash64_batch(arrs) -> np.ndarray:
     for i, arr in enumerate(arrs):
         arr = np.asarray(arr)
         if arr.ndim == 3:
-            chan = np.add.reduce(arr.astype(np.int32), axis=2)
+            chan = np.add.reduce(arr, axis=2, dtype=np.int32)
             divisor = 3.0
         else:
             chan = arr.astype(np.int32)

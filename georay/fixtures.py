@@ -251,7 +251,7 @@ def write_images_parquet(path: str, n: int, rows_per_file: int = 2048,
     import pyarrow.parquet as pq
     # v2: fmt="jpeg" rows carry real JFIF bytes (georay.jpeg) — older GRJ1
     # caches are stale and rebuilt
-    marker = os.path.join(path, f".complete-v2-{n}-{unique or 0}")
+    marker = os.path.join(path, f".complete-v3-{n}-{unique or 0}")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)

@@ -379,20 +379,13 @@ class _Scratch:
         self.sb = np.empty(cap, dtype=np.uint8)
         self.u40 = np.empty(cap, dtype=np.uint64)
         self.tb = np.empty(cap, dtype=np.uint64)
-        self.w32 = np.empty(npos, dtype=np.uint64)
-        self.t1 = np.empty(npos, dtype=np.uint64)
-        self.t2 = np.empty(npos, dtype=np.uint64)
+        self.w64 = np.empty(npos, dtype=np.uint64)
+        self.w32 = np.empty(npos, dtype=np.int32)
         self.w16 = np.empty(npos, dtype=np.int32)
-        self.s16 = np.empty(npos, dtype=np.int16)
-        self.l8 = np.empty(npos, dtype=np.int8)
-        self.sz16 = np.empty(npos, dtype=np.int16)
-        self.e32 = np.empty(npos, dtype=np.int32)
-        self.h32 = np.empty(npos, dtype=np.int32)
-        self.f32 = np.empty(npos, dtype=np.int32)
+        self.x1 = np.empty(npos, dtype=np.int32)
+        self.x2 = np.empty(npos, dtype=np.int32)
+        self.x3 = np.empty(npos, dtype=np.int32)
         self.b1 = np.empty(npos, dtype=bool)
-        self.adv8 = [np.empty(npos, dtype=np.int8) for _ in range(2)]
-        self.val16 = [np.empty(npos, dtype=np.int16) for _ in range(2)]
-        self.rs8 = [np.empty(npos, dtype=np.uint8) for _ in range(2)]
         self.p32 = [np.empty(npos, dtype=np.int32) for _ in range(2)]
 
 
@@ -425,13 +418,54 @@ def _huff_lut(bits, vals):
     return out
 
 
+def _huff_pk_lut(bits, vals):
+    """Packed speculation LUTs over the 16-bit left-aligned window —
+    everything derivable from the window index is PRECOMPUTED so the
+    per-bit-position vector pass is two gathers plus a handful of int32
+    ops (the earlier ~17-op mixed-width pipeline saturated the memory
+    bus under 32-way actor concurrency):
+
+      ``pk_lut``: (rs << 8) | adv   with adv = code_len + size
+      ``vx_lut``: (shift << 16) | mask  with shift = 32-adv, mask = 2^size-1
+    """
+    key = ("pk", bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym, ln = _huff_lut(bits, vals)
+    rs = sym.astype(np.int32) & 0xFF
+    size = rs & 15
+    adv = ln.astype(np.int32) + size
+    pk_lut = (rs << 8) | adv
+    shift = np.clip(32 - adv, 0, 31)
+    mask = (1 << size) - 1
+    vx_lut = (shift << 16) | mask
+    out = (pk_lut, vx_lut)
+    _LUT_CACHE[key] = out
+    return out
+
+
+_C32 = None
+
+
 def _idct_blocks(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(n, 64) zigzag ints → (n, 8, 8) float spatial samples (+128)."""
-    deq = zz.astype(np.float64) * q[_ZZ][None, :].astype(np.float64)
+    """(n, 64) zigzag ints → (n, 8, 8) float32 spatial samples (+128).
+
+    float32 throughout: the IDCT error is ~1e-3 of a code value — far
+    inside the uint8 rounding budget and the 40 dB PSNR gate — and it
+    halves the memory traffic of the densest numpy stage (decisive under
+    32-way concurrency on a shared memory bus)."""
+    global _C32
+    if _C32 is None:
+        _C32 = _C.astype(np.float32)
+    deq = zz.astype(np.float32)
+    deq *= q[_ZZ].astype(np.float32)[None, :]
     rast = np.empty_like(deq)
     rast[:, _ZZ] = deq
     f = rast.reshape(-1, 8, 8)
-    return _C.T[None] @ f @ _C[None] + 128.0
+    out = _C32.T[None] @ f @ _C32[None]
+    out += np.float32(128.0)
+    return out
 
 
 def jpeg_decode(data) -> np.ndarray:
@@ -580,80 +614,57 @@ def jpeg_decode(data) -> np.ndarray:
             if shift:
                 np.left_shift(t0, np.uint64(shift), out=t0)
             np.bitwise_or(u40, t0, out=u40)
-        w32m = sc.w32[:npos].reshape(nb4, 8)
-        np.right_shift(u40[:, None], sc.k8[None, :], out=w32m)
+        w64m = sc.w64[:npos].reshape(nb4, 8)
+        np.right_shift(u40[:, None], sc.k8[None, :], out=w64m)
+        # low 32 bits as int32 — the speculation math below runs entirely
+        # in int32 (half the traffic of the uint64 pipeline); arithmetic
+        # >> is safe because every masked field lies strictly below the
+        # bits the sign-fill can reach (adv = L+size >= size+1)
         w32 = sc.w32[:npos]
-        np.bitwise_and(w32, np.uint64(0xFFFFFFFF), out=w32)
+        np.copyto(w32, sc.w64[:npos], casting="unsafe")
         w16 = sc.w16[:npos]
-        np.right_shift(w32, np.uint64(16), out=sc.t1[:npos])
-        np.copyto(w16, sc.t1[:npos], casting="unsafe")
+        np.right_shift(w32, 16, out=w16)
+        np.bitwise_and(w16, 0xFFFF, out=w16)
         out = {}
         for slot, key in enumerate(dict.fromkeys(ac_keys)):
             while slot >= len(sc.p32):  # >2 distinct AC tables in one scan
-                for pool, dt in ((sc.adv8, np.int8), (sc.val16, np.int16),
-                                 (sc.rs8, np.uint8), (sc.p32, np.int32)):
-                    pool.append(np.empty(8 * sc.cap, dtype=dt))
-            sym_np, len_np = np_luts[key]
-            s = sc.s16[:npos]
-            np.take(sym_np, w16, out=s)
-            rs8 = sc.rs8[slot][:npos]
-            np.copyto(rs8, s, casting="unsafe")
-            np.take(len_np, w16, out=sc.l8[:npos])
-            size = sc.sz16[:npos]
-            np.bitwise_and(s, 15, out=size)
-            adv8 = sc.adv8[slot][:npos]
-            np.add(sc.l8[:npos], size, out=adv8, casting="unsafe")
-            # ebits = (w32 >> (32 - L - size)) & (2^size - 1)
-            tot = sc.t1[:npos]
-            np.copyto(tot, adv8, casting="unsafe")
-            np.subtract(np.uint64(32), tot, out=tot)
-            np.right_shift(w32, tot, out=sc.t2[:npos])
-            mask = sc.t1[:npos]
-            np.copyto(mask, size, casting="unsafe")
-            np.left_shift(np.uint64(1), mask, out=mask)
-            np.subtract(mask, np.uint64(1), out=mask)
-            np.bitwise_and(sc.t2[:npos], mask, out=sc.t2[:npos])
-            ebits = sc.e32[:npos]
-            np.copyto(ebits, sc.t2[:npos], casting="unsafe")
-            # sign-extend: value = ebits - 2^size + 1 when below 2^(size-1)
-            half = sc.h32[:npos]
-            np.maximum(size, 1, out=sc.sz16[:npos])
-            np.copyto(half, sc.sz16[:npos], casting="unsafe")
-            np.subtract(half, 1, out=half)
-            np.left_shift(1, half, out=half)
-            full = sc.f32[:npos]
-            np.left_shift(half, 1, out=full)
+                sc.p32.append(np.empty(8 * sc.cap, dtype=np.int32))
+            pk_lut, vx_lut = np_pk_luts[key]
+            pk = sc.p32[slot][:npos]
+            np.take(pk_lut, w16, out=pk)          # rs<<8 | adv
+            vx = sc.x1[:npos]
+            np.take(vx_lut, w16, out=vx)          # shift<<16 | mask
+            sh = sc.x2[:npos]
+            np.right_shift(vx, 16, out=sh)
+            mask = sc.x3[:npos]
+            np.bitwise_and(vx, 0xFFFF, out=mask)
+            t = vx                                 # vx dead: reuse as ebits
+            np.right_shift(w32, sh, out=t)
+            np.bitwise_and(t, mask, out=t)
+            # sign-extend: val = ebits - (2^size - 1) when ebits < 2^(size-1)
+            half = sh                              # sh dead: reuse
+            np.right_shift(mask, 1, out=half)      # 2^(size-1) - 1
             neg = sc.b1[:npos]
-            np.less(ebits, half, out=neg)
-            np.subtract(ebits, full, out=full)   # full := ebits - 2^size
-            np.add(full, 1, out=full)            # full := ebits - 2^size + 1
-            val16 = sc.val16[slot][:npos]
-            np.copyto(val16, ebits, casting="unsafe")
-            np.copyto(val16, full, where=neg, casting="unsafe")
-            # size==0 (EOB/ZRL) rows carry no value
-            np.bitwise_and(rs8, 15, out=sc.l8[:npos], casting="unsafe")
-            np.equal(sc.l8[:npos], 0, out=neg)
-            np.copyto(val16, 0, where=neg, casting="unsafe")
+            np.less_equal(t, half, out=neg)
+            np.subtract(t, mask, out=t, where=neg)
             # pack (val<<16 | rs<<8 | adv) into ONE int32 array so each
             # chase hop costs a single indexed read; array.array indexing
             # is several times faster than memoryview's
-            pk = sc.p32[slot][:npos]
-            np.copyto(pk, val16, casting="unsafe")
-            np.left_shift(pk, 16, out=pk)
-            np.copyto(sc.e32[:npos], rs8, casting="unsafe")
-            np.left_shift(sc.e32[:npos], 8, out=sc.e32[:npos])
-            np.bitwise_or(pk, sc.e32[:npos], out=pk)
-            np.copyto(sc.e32[:npos], adv8, casting="unsafe")
-            np.bitwise_or(pk, sc.e32[:npos], out=pk)
+            np.left_shift(t, 16, out=t)
+            np.bitwise_or(pk, t, out=pk)
             out[key] = _array.array("i", pk.tobytes())
         return out, _array.array("Q", u40.tobytes())
 
     # numpy LUTs per distinct (class, id) table in the scan (cached)
     np_luts = {}
+    np_pk_luts = {}
     for cs, tdc, tac in scan:
         for key in ((0, tdc), (1, tac)):
             if key not in np_luts:
                 np_luts[key] = _huff_lut(*hufftabs[key])
+        ackey = (1, tac)
+        if ackey not in np_pk_luts:
+            np_pk_luts[ackey] = _huff_pk_lut(*hufftabs[ackey])
     scan_keys = [((0, tdc), (1, tac)) for _, tdc, tac in scan]
 
     # DC LUTs as plain lists (fast scalar indexing), cached per process
@@ -762,10 +773,39 @@ def jpeg_decode(data) -> np.ndarray:
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        p = planes[0]
+        np.rint(p, out=p)
+        np.clip(p, 0, 255, out=p)
+        return p.astype(np.uint8)
+    # YCbCr -> RGB with two float32 scratch planes and in-place passes —
+    # the naive float64 expression tree allocates ~10 full-resolution
+    # temporaries and is memory-bound, not compute-bound, at 32-way
+    # concurrency.  Final strided uint8 store truncates, which is exact
+    # because every value is already rint-ed and clipped.
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    out = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    np.subtract(cb, np.float32(128.0), out=cb)
+    np.subtract(cr, np.float32(128.0), out=cr)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    t = np.empty((h, w), dtype=np.float32)
+    t2 = np.empty((h, w), dtype=np.float32)
+    # R = y + 1.402 cr
+    np.multiply(cr, np.float32(1.402), out=t)
+    np.add(t, y, out=t)
+    np.rint(t, out=t)
+    np.clip(t, 0, 255, out=t)
+    out[:, :, 0] = t
+    # G = y - 0.344136286 cb - 0.714136286 cr
+    np.multiply(cb, np.float32(-0.344136286), out=t)
+    np.multiply(cr, np.float32(-0.714136286), out=t2)
+    np.add(t, t2, out=t)
+    np.add(t, y, out=t)
+    np.rint(t, out=t)
+    np.clip(t, 0, 255, out=t)
+    out[:, :, 1] = t
+    # B = y + 1.772 cb
+    np.multiply(cb, np.float32(1.772), out=t)
+    np.add(t, y, out=t)
+    np.rint(t, out=t)
+    np.clip(t, 0, 255, out=t)
+    out[:, :, 2] = t
+    return out

@@ -70,14 +70,18 @@ def resample_average(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
         else:
             out = src.reshape(oh, fy, ow, fx).mean(axis=(1, 3))
         return np.clip(np.rint(out), 0, 255).astype(src.dtype)
-    a = src.astype(np.float64)
-    if a.ndim == 2:
-        a = a[:, :, None]
+    a = src if src.ndim == 3 else src[:, :, None]
     # integral image with zero row/col; the double integral of a
     # piecewise-constant image is piecewise-BILINEAR, so bilinear sampling
-    # of it at fractional coords yields EXACT fractional box sums
-    integ = np.zeros((h + 1, w + 1, a.shape[2]), dtype=np.float64)
-    integ[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+    # of it at fractional coords yields EXACT fractional box sums.
+    # Integer cumsum (int32 when it fits): bit-identical to the float64
+    # path (both are exact integer arithmetic at these magnitudes) at
+    # half/quarter the memory traffic — this runs per tile fragment in
+    # the headline stage, where the bus, not the ALU, is the bottleneck.
+    idt = np.int32 if h * w < (1 << 23) else np.int64
+    integ = np.zeros((h + 1, w + 1, a.shape[2]), dtype=idt)
+    np.cumsum(a, axis=0, dtype=idt, out=integ[1:, 1:])
+    np.cumsum(integ[1:, 1:], axis=1, out=integ[1:, 1:])
 
     def box_sum(y0, y1, x0, x1):
         # fractional box sums via bilinear sampling of the integral image
