@@ -77,7 +77,12 @@ def run_headline() -> dict:
     t0 = time.perf_counter()
     out = flagship_join(path, zoom=12, n_polygons=500, decode=True, cut=True,
                         verify=True, source="direct")
-    rows = _consume(out)
+    # consume DISTRIBUTED: count() executes the full pipeline but leaves
+    # result blocks in the object store — the 100 TB shape is a
+    # distributed sink (write_parquet), not a driver pull, and iter_batches
+    # here serialized every caption/fragment row through ONE process (a
+    # measured multi-second Amdahl tail at 32 CPUs)
+    rows = out.count()
     dt = time.perf_counter() - t0
     return {"sec": dt, "images": N_IMAGES, "rows": rows,
             "images_per_sec": N_IMAGES / dt}

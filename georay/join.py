@@ -247,7 +247,8 @@ def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
                              lon_col="lon", lat_col="lat",
                              salt_threshold: int | None = None,
                              payload_cols=("polygon_id", "category"),
-                             keep_cols=None, grid: str = "hex"):
+                             keep_cols=None, grid: str = "hex",
+                             n_buckets: int = 64):
     """Cell-partitioned spatial join: shuffle-based path for a large
     polygon side.  Both sides are keyed by hex cell (polygons replicated to
     their envelope cover), co-grouped with ``groupby(cell)`` and joined
@@ -317,29 +318,87 @@ def spatial_join_partitioned(points_ds, polygons: pa.Table, *, res: int = 6,
         cols["side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # splitmix-style mix of (hexcell, salt) → one of n_buckets shuffle
+        # keys.  groupby(hexcell, salt) directly would pay ~0.1-1 ms of
+        # Python-call overhead PER CELL (NOTES.md rule; tens of thousands
+        # of cells at icosa res 5) — buckets amortize it to n_buckets
+        # calls, and cells stay resolvable vectorized inside each bucket.
+        k = (batch["hexcell"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + batch["salt"].to_numpy().astype(np.uint64)
+             * np.uint64(0xBF58476D1CE4E5B9))
+        k ^= k >> np.uint64(31)
+        return batch.append_column(
+            "bucket", pa.array((k % np.uint64(n_buckets)).astype(np.int64)))
+
     pts = points_ds.map_batches(key_points, batch_format="pyarrow")
-    both = pts.union(poly_ds)
+    both = pts.union(poly_ds).map_batches(add_bucket, batch_format="pyarrow")
     out_names = [nm for nm, _ in point_cols] + payload_cols
 
-    def join_cell(group: pa.Table) -> pa.Table:
+    def join_bucket(group: pa.Table) -> pa.Table:
+        """All (cell, salt) groups of one bucket in ONE call: merge-join
+        the two sides over sorted composite keys, nested-join each run."""
         is_poly = pc.equal(group["side"], pa.scalar(1, pa.int8()))
         pol_t = group.filter(is_poly)
         pts_t = group.filter(pc.invert(is_poly))
-        if pts_t.num_rows and pol_t.num_rows:
-            pp = PackedPolygons.from_wkb(pol_t["wkb"].to_pylist())
-            lon = pts_t[lon_col].to_numpy()
-            lat = pts_t[lat_col].to_numpy()
+        empty = pa.table(
+            {nm: pa.nulls(0, t) for nm, t in point_cols}
+            | {c: pa.nulls(0, poly_payload_types[c]) for c in payload_cols}
+        ).select(out_names)
+        if not (pts_t.num_rows and pol_t.num_rows):
+            return empty
+        pcell = pol_t["hexcell"].to_numpy()
+        psalt = pol_t["salt"].to_numpy()
+        tcell = pts_t["hexcell"].to_numpy()
+        tsalt = pts_t["salt"].to_numpy()
+        po = np.lexsort((psalt, pcell))
+        to = np.lexsort((tsalt, tcell))
+        lon_all = pts_t[lon_col].to_numpy()
+        lat_all = pts_t[lat_col].to_numpy()
+        wkb_np = pol_t["wkb"].to_numpy(zero_copy_only=False)
+        # run boundaries per side over the sorted (cell, salt) keys
+        def runs(cells, salt, order):
+            c, s = cells[order], salt[order]
+            b = np.flatnonzero((c[1:] != c[:-1]) | (s[1:] != s[:-1])) + 1
+            starts = np.concatenate(([0], b))
+            ends = np.concatenate((b, [len(order)]))
+            return c[starts], s[starts], starts, ends
+        pc_k, ps_k, p_s, p_e = runs(pcell, psalt, po)
+        tc_k, ts_k, t_s, t_e = runs(tcell, tsalt, to)
+        qi_parts, ii_parts = [], []
+        pi = ti = 0
+        while pi < len(pc_k) and ti < len(tc_k):
+            ka = (pc_k[pi], ps_k[pi])
+            kb = (tc_k[ti], ts_k[ti])
+            if ka < kb:
+                pi += 1
+                continue
+            if kb < ka:
+                ti += 1
+                continue
+            pidx_run = po[p_s[pi]:p_e[pi]]
+            tidx_run = to[t_s[ti]:t_e[ti]]
+            pp = PackedPolygons.from_wkb([wkb_np[j] for j in pidx_run])
+            lon = lon_all[tidx_run]
+            lat = lat_all[tidx_run]
             qi, ii = PackedRTree.build(pp.bbox).query_points(lon, lat)
             if qi.size:
                 m = pp.contains_pairs(lon, lat, qi, ii)
                 qi, ii = qi[m], ii[m]
-        else:
-            qi = ii = np.empty(0, dtype=np.int64)
-        out = {nm: pts_t[nm].take(pa.array(qi)) for nm, _ in point_cols}
+            if qi.size:
+                qi_parts.append(tidx_run[qi])
+                ii_parts.append(pidx_run[ii])
+            pi += 1
+            ti += 1
+        if not qi_parts:
+            return empty
+        qi = pa.array(np.concatenate(qi_parts))
+        ii = pa.array(np.concatenate(ii_parts))
+        out = {nm: pts_t[nm].take(qi) for nm, _ in point_cols}
         for c in payload_cols:
-            out[c] = pol_t[c].take(pa.array(ii))
+            out[c] = pol_t[c].take(ii)
         return pa.table(out).select(out_names)
 
-    # map_groups with a pyarrow batch — cell-local nested join
-    return both.groupby(["hexcell", "salt"]).map_groups(
-        join_cell, batch_format="pyarrow")
+    return both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow")

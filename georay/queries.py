@@ -1077,6 +1077,25 @@ def q_sql_count_distinct(sf_dir: str):
         _sql_tables(sf_dir, "orders"))
 
 
+_SQL_JOIN_TEXT = (
+    "SELECT o_orderpriority, COUNT(*) AS n_items, "
+    "MIN(l_orderkey) AS min_ok, MAX(l_extendedprice) AS max_price "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_quantity > 45 GROUP BY o_orderpriority "
+    "ORDER BY o_orderpriority")
+
+
+def q_sql_join(sf_dir: str):
+    """Two-table JOIN through the SQL front-end: the FROM clause compiles
+    onto the engine's hash-shuffle ``equi_join`` and the rest of the
+    pipeline (WHERE / GROUP BY / ORDER BY) runs over the joined Dataset.
+    The oracle runs the IDENTICAL SQL text in DuckDB (COUNT/MIN/MAX only
+    — no float accumulation, so values are exact across engines)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_JOIN_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "orders"))
+
+
 def q_sql_having(sf_dir: str):
     """GROUP BY + HAVING through the SQL front-end (the HAVING aggregate
     rewrites to its SELECT output column)."""
@@ -1129,6 +1148,7 @@ QUERIES = {
     "sql_distinct": q_sql_distinct,
     "sql_count_distinct": q_sql_count_distinct,
     "sql_having": q_sql_having,
+    "sql_join": q_sql_join,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,
@@ -1178,6 +1198,7 @@ ORACLE_SQL = {
         SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS hi
         FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 100
     """,
+    "sql_join": _SQL_JOIN_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,
                {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=12)} AS tile_x,

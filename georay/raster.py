@@ -283,7 +283,7 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
                          src_crs: str = "EPSG:4326",
                          dst_crs: str = "EPSG:3857",
                          kernel: str = "bilinear", nodata=0,
-                         cutline_rings=None):
+                         cutline_rings=None, src_transformer=None):
     """Inverse-mapping warp: for every destination pixel center, transform
     dst georef → src georef → src pixel, then sample with
     near/bilinear/cubic/lanczos (alg/gdalwarper.h:37-69 kernel family).
@@ -295,7 +295,15 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
 
     ``cutline_rings``: optional polygon rings in DST georef coords
     (alg/gdalcutline.cpp semantics, center rule): destination pixels whose
-    centers fall outside get ``nodata``."""
+    centers fall outside get ``nodata``.
+
+    ``src_transformer``: optional GCP-based transformer
+    (georay.transformers: polynomial / TPS / RPC) replacing the SOURCE
+    affine geotransform — src pixel coords come from its
+    ``geo_to_pixel`` over src-CRS coordinates (for RPC use
+    ``src_crs="EPSG:4326"``: x, y are lon, lat), exactly where
+    alg/gdaltransformer.cpp chains GCP/TPS/RPC transforms instead of the
+    geotransform."""
     oh, ow = dst_shape
     cols = np.arange(ow) + 0.5
     rows = np.arange(oh) + 0.5
@@ -307,9 +315,13 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
     else:
         lat, lon = _crs_to_latlon(dst_crs, dx, dy)
         sx, sy = _latlon_to_crs(src_crs, lat, lon)
-    # src georef -> fractional src pixel (north-up affine)
-    px = (sx - src_gt[0]) / src_gt[1]
-    py = (sy - src_gt[3]) / src_gt[5]
+    # src georef -> fractional src pixel (north-up affine, or a GCP-based
+    # transformer's geo→pixel fit)
+    if src_transformer is not None:
+        px, py = src_transformer.geo_to_pixel(sx, sy)
+    else:
+        px = (sx - src_gt[0]) / src_gt[1]
+        py = (sy - src_gt[3]) / src_gt[5]
     h, w = src.shape[:2]
     if kernel == "average":
         # GRA_Average: mean of the source pixels under each destination
@@ -327,8 +339,11 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         else:
             elat, elon = _crs_to_latlon(dst_crs, edx, edy)
             esx, esy = _latlon_to_crs(src_crs, elat, elon)
-        epx = (esx - src_gt[0]) / src_gt[1]
-        epy = (esy - src_gt[3]) / src_gt[5]
+        if src_transformer is not None:
+            epx, epy = src_transformer.geo_to_pixel(esx, esy)
+        else:
+            epx = (esx - src_gt[0]) / src_gt[1]
+            epy = (esy - src_gt[3]) / src_gt[5]
         x0 = np.minimum.reduce([epx[:-1, :-1], epx[:-1, 1:],
                                 epx[1:, :-1], epx[1:, 1:]])
         x1 = np.maximum.reduce([epx[:-1, :-1], epx[:-1, 1:],
@@ -378,8 +393,11 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         else:
             elat, elon = _crs_to_latlon(dst_crs, edx, edy)
             esx, esy = _latlon_to_crs(src_crs, elat, elon)
-        epx = (esx - src_gt[0]) / src_gt[1]
-        epy = (esy - src_gt[3]) / src_gt[5]
+        if src_transformer is not None:
+            epx, epy = src_transformer.geo_to_pixel(esx, esy)
+        else:
+            epx = (esx - src_gt[0]) / src_gt[1]
+            epy = (esy - src_gt[3]) / src_gt[5]
         bx0 = np.minimum.reduce([epx[:-1, :-1], epx[:-1, 1:],
                                  epx[1:, :-1], epx[1:, 1:]])
         bx1 = np.maximum.reduce([epx[:-1, :-1], epx[:-1, 1:],

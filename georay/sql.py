@@ -6,7 +6,7 @@ surface of gcore/gdaldataset.cpp:5386's OGR SQL dialect).
 Grammar::
 
     SELECT [DISTINCT] item (',' item)*
-    FROM table
+    FROM table ([INNER|LEFT] JOIN table ON col '=' col)*
     [WHERE expr]                      -- georay.expr grammar
     [GROUP BY col (',' col)*]
     [HAVING expr-with-aggregates]
@@ -24,8 +24,10 @@ scalar projections → one ``map_batches``; GROUP BY + aggregates → one
 ``groupby(all).map_groups`` first-row; ORDER BY → ``Dataset.sort``;
 HAVING → a post-aggregate filter (its aggregates must also appear in the
 SELECT list).  ``LIMIT n OFFSET m`` slices the (small, post-ORDER BY)
-result.  Joins and subqueries are out of scope — the engine's join
-operators (georay.join) cover those shapes as pipelines.
+result.  ``JOIN ... ON`` folds left through the engine's hash-shuffle
+``equi_join`` (ogr_gensql.cpp:1510-1531's JOIN re-expressed); subqueries
+are out of scope — the engine's operators cover those shapes as
+pipelines.
 """
 
 from __future__ import annotations
@@ -44,7 +46,8 @@ class SqlError(FilterSyntaxError):
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-               "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT"}
+               "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
+               "JOIN", "INNER", "LEFT", "ON"}
 
 
 def _split_clauses(sql: str):
@@ -131,6 +134,26 @@ class _SqlParser:
         k, table = self.next()
         if k not in ("ident", "sqlkw"):
             raise SqlError(f"expected table name, got {table!r}")
+        joins = []
+        while self.peek()[0] == "sqlkw" and self.peek()[1] in (
+                "JOIN", "INNER", "LEFT"):
+            k, v = self.next()
+            jtype = "inner"
+            if v == "LEFT":
+                jtype = "left_outer"
+                self.expect_kw("JOIN")
+            elif v == "INNER":
+                self.expect_kw("JOIN")
+            kk, t2 = self.next()
+            if kk not in ("ident", "sqlkw"):
+                raise SqlError(f"expected table name, got {t2!r}")
+            self.expect_kw("ON")
+            ca = self._on_col()
+            kk, vv = self.next()
+            if (kk, vv) != ("op", "="):
+                raise SqlError(f"JOIN ON needs col = col, got {vv!r}")
+            cb = self._on_col()
+            joins.append((jtype, t2, ca, cb))
         where = group = having = None
         order = []
         limit = offset = None
@@ -171,8 +194,18 @@ class _SqlParser:
         if self.peek() != (None, None):
             raise SqlError(f"trailing tokens: {self.peek()!r}")
         return dict(items=items, distinct=distinct, table=table,
-                    where=where, group=group, having=having, order=order,
-                    limit=limit, offset=offset)
+                    joins=joins, where=where, group=group, having=having,
+                    order=order, limit=limit, offset=offset)
+
+    def _on_col(self):
+        """JOIN ON column — a plain (table-unqualified) name; the two
+        sides are resolved against the table schemas at compile time, so
+        names must be unambiguous across the joined tables (dotted
+        qualification is not in the expr token grammar)."""
+        k, v = self.next()
+        if k != "ident":
+            raise SqlError(f"expected ON column name, got {v!r}")
+        return v
 
     def _ident(self):
         k, v = self.next()
@@ -250,6 +283,32 @@ def execute_sql(sql: str, tables: dict):
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
+    if q["joins"]:
+        # FROM a JOIN b ON x = y — fold left through the engine's
+        # hash-shuffle equi_join (byte-sized partitions); column names
+        # across the joined tables must be disjoint so unqualified
+        # references stay unambiguous (the TPC-H / OGR naming style)
+        from .join import equi_join
+        left_names = set(ds.schema().names)
+        for jtype, t2, ca, cb in q["joins"]:
+            if t2 not in tables:
+                raise SqlError(f"unknown table {t2!r}")
+            rds = tables[t2]
+            rnames = set(rds.schema().names)
+            dup = left_names & rnames
+            if dup:
+                raise SqlError(
+                    f"ambiguous columns across joined tables: {sorted(dup)}")
+            if ca in left_names and cb in rnames:
+                lk, rk = ca, cb
+            elif cb in left_names and ca in rnames:
+                lk, rk = cb, ca
+            else:
+                raise SqlError(
+                    f"JOIN ON {ca} = {cb}: columns not found one per side")
+            ds = equi_join(ds, rds, left_on=lk, right_on=rk,
+                           join_type=jtype)
+            left_names |= rnames
     if q["where"]:
         wnode, used = _parse_expr_tokens(q["where"])
         if used != len(q["where"]):
