@@ -1010,6 +1010,58 @@ def q_overlay_intersection(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_geom_measures(sf_dir: str):
+    """Geometry measure surface — OGRGeometry::get_Area (ogr/ogrsurface.cpp),
+    get_Length (ogr/ogrcurve.cpp), Centroid (ogr/ogrgeometry.cpp:3024),
+    ConvexHull (:3933) and Buffer (:3853, GEOS-delegated in the reference)
+    as one streaming ``map_batches`` over polygons derived deterministically
+    from ``c_custkey``: axis-aligned rects (kind 0), regular hexagons
+    (kind 1), rect-with-concentric-hole (kind 2).
+
+    Oracle: closed-form geometry — regular-k-gon area (k/2)r²sin(2π/k);
+    convex Minkowski-sum buffer area A + Σ|e|·s_Q(n_e) + A_Q with the
+    32-gon support s_Q(θ) = d·cos(θ − nearest vertex angle), which is d on
+    rect normals (multiples of π/2 are 32-gon vertices) and d·cos(π/48) on
+    the four non-axis hexagon normals.  round(6) both sides; the kernels
+    compute ring-locally so cross-engine float error stays ~1e-14 ≪ the
+    1e-6 rounding grid (NOTES.md parity discipline)."""
+    from .measures import measures_batch
+
+    def build(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        u3 = ((k * 69069 + 12345) % 4294967296) / 4294967296.0
+        cx, cy = derived_lon(k), derived_lat(k)
+        kind = k % 3
+        ang6 = np.pi / 3.0 * np.arange(6)
+        co6, si6 = np.cos(ang6), np.sin(ang6)
+        wkbs = []
+        for j in range(len(k)):
+            if kind[j] == 0:
+                dw = 0.05 + u3[j] * 0.25
+                dh = 0.30 - u3[j] * 0.25
+                rings = [box_ring(cx[j] - dw, cy[j] - dh,
+                                  cx[j] + dw, cy[j] + dh)]
+            elif kind[j] == 1:
+                r = 0.05 + u3[j] * 0.2
+                rings = [np.stack([cx[j] + r * co6, cy[j] + r * si6],
+                                  axis=1)]
+            else:
+                dw = 0.2 + u3[j] * 0.2
+                dh = 0.4 - u3[j] * 0.2
+                rings = [box_ring(cx[j] - dw, cy[j] - dh,
+                                  cx[j] + dw, cy[j] + dh),
+                         box_ring(cx[j] - dw / 2.0, cy[j] - dh / 2.0,
+                                  cx[j] + dw / 2.0, cy[j] + dh / 2.0)]
+            wkbs.append(wkb_polygon(rings))
+        t = pa.table({"c_custkey": pa.array(k),
+                      "wkb": pa.array(wkbs, pa.binary())})
+        return measures_batch(t, "wkb", buffer_dist=0.1,
+                              round_to=6).drop_columns(["wkb"])
+
+    return _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join on the event log: each 'click' matched to the same
     user's most recent 'purchase' at or before it (inner).  Oracle:
@@ -1160,6 +1212,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "clip_zones": q_clip_zones,
     "asof_join": q_asof_join,
+    "geom_measures": q_geom_measures,
 }
 
 
@@ -1518,6 +1571,49 @@ ORACLE_SQL = {
                    FROM events WHERE event_type = 'purchase'
                    GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "geom_measures": f"""
+        WITH g AS (
+            SELECT c_custkey,
+                   ((c_custkey * 69069 + 12345) % 4294967296)
+                       / 4294967296.0 AS u3,
+                   {_SQL_LON.format(k='c_custkey')} AS cx,
+                   {_SQL_LAT.format(k='c_custkey')} AS cy,
+                   c_custkey % 3 AS kind
+            FROM customer),
+        p AS (
+            SELECT c_custkey, cx, cy, kind,
+                   CASE WHEN kind = 0 THEN 0.05 + u3 * 0.25
+                        WHEN kind = 2 THEN 0.2 + u3 * 0.2 END AS dw,
+                   CASE WHEN kind = 0 THEN 0.30 - u3 * 0.25
+                        WHEN kind = 2 THEN 0.4 - u3 * 0.2 END AS dh,
+                   CASE WHEN kind = 1 THEN 0.05 + u3 * 0.2 END AS r
+            FROM g)
+        SELECT c_custkey,
+               round(CASE WHEN kind = 0 THEN 4.0 * dw * dh
+                          WHEN kind = 1 THEN 3.0 * sin(pi() / 3.0) * r * r
+                          ELSE 4.0 * dw * dh
+                               - 4.0 * (dw / 2.0) * (dh / 2.0) END,
+                     6) AS st_area,
+               round(CASE WHEN kind = 0 THEN 4.0 * (dw + dh)
+                          WHEN kind = 1 THEN 6.0 * r
+                          ELSE 4.0 * (dw + dh)
+                               + 4.0 * (dw / 2.0 + dh / 2.0) END,
+                     6) AS st_length,
+               round(cx, 6) AS st_cx,
+               round(cy, 6) AS st_cy,
+               round(CASE WHEN kind = 1 THEN 3.0 * sin(pi() / 3.0) * r * r
+                          ELSE 4.0 * dw * dh END, 6) AS hull_area,
+               cast(CASE WHEN kind = 1 THEN 6 ELSE 4 END AS bigint)
+                   AS hull_npoints,
+               round(CASE WHEN kind = 1
+                          THEN 3.0 * sin(pi() / 3.0) * r * r
+                               + r * 0.1 * (2.0 + 4.0 * cos(pi() / 48.0))
+                               + 16.0 * 0.01 * sin(pi() / 16.0)
+                          ELSE 4.0 * dw * dh + 4.0 * 0.1 * (dw + dh)
+                               + 16.0 * 0.01 * sin(pi() / 16.0) END,
+                     6) AS buf_area
+        FROM p
     """,
     "overlay_intersection": """
         WITH n AS (SELECT n_nationkey AS k,
