@@ -19,6 +19,15 @@ Supported grammar (case-insensitive keywords)::
     add    := mul (('+'|'-') mul)*
     mul    := prim (('*'|'/'|'%') prim)*
     prim   := number | 'string' | identifier | '(' add ')'
+            | NAME '(' [expr (',' expr)*] ')'      -- scalar functions
+
+Scalar functions (see ``_FUNCS``): the numeric/string set (ABS CEIL FLOOR
+SQRT EXP LN LOG10 trig ATAN2 POWER ROUND UPPER LOWER LENGTH TRIM SUBSTR
+CONCAT COALESCE, DuckDB/OGR semantics) and geometry measures over WKB
+columns (ST_AREA ST_PERIMETER ST_CENTROID_X/Y ST_CONVEXHULL_AREA
+ST_HULL_NPOINTS ST_BUFFER_AREA — the SQLite-dialect ST_* /
+OGR_GEOM_AREA special-field surface, ogr/ogr_gensql.cpp, backed by
+georay.measures kernels).
 
 Usage::
 
@@ -197,6 +206,19 @@ class _Parser:
         if k == "kw" and v == "NULL":
             return ("lit", None)
         if k == "ident":
+            if self.peek() == ("op", "("):          # scalar function call
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.or_())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.or_())
+                self.expect("op", ")")
+                name = v.upper()
+                if name not in _FUNCS:
+                    raise FilterSyntaxError(f"unknown function {v!r}")
+                return ("func", name, args)
             return ("col", v)
         if (k, v) == ("op", "("):
             node = self.or_()
@@ -237,6 +259,133 @@ _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
           "/": _sql_divide, "%": _sql_modulo}
 
 
+# ------------------------------------------------------------ functions
+#
+# Scalar function surface: the OGR SQL built-ins (CONCAT/SUBSTR/UPPER/
+# LOWER — ogr/swq_op_general.cpp) + the numeric set every SQL dialect
+# shares, all vectorized pyarrow.compute; plus the geometry measures the
+# SQLite dialect exposes as ST_Area()/ST_Perimeter() and OGR SQL as the
+# OGR_GEOM_AREA special field (ogr/ogr_gensql.cpp) — here taking an
+# explicit WKB column and returning scalars via georay.measures kernels
+# (centroid/hull decomposed into scalar-valued functions; null WKB rows
+# yield 0 area / NaN centroid, matching measures_batch).
+# ROUND matches DuckDB/OGR half-away-from-zero (not banker's).
+
+def _n_args(name, args, lo, hi=None):
+    hi = lo if hi is None else hi
+    if not (lo <= len(args) <= hi):
+        raise FilterSyntaxError(f"{name} takes {lo}"
+                                + (f"-{hi}" if hi != lo else "")
+                                + f" arguments, got {len(args)}")
+
+
+def _lit_int(node, what):
+    if node[0] != "lit" or isinstance(node[1], str) or node[1] is None:
+        raise FilterSyntaxError(f"{what} must be an integer literal")
+    return int(node[1])
+
+
+def _fn_round(args, batch):
+    _n_args("ROUND", args, 1, 2)
+    nd = _lit_int(args[1], "ROUND ndigits") if len(args) == 2 else 0
+    return pc.round(_eval(args[0], batch), ndigits=nd,
+                    round_mode="half_towards_infinity")
+
+
+def _fn_substr(args, batch):
+    _n_args("SUBSTR", args, 2, 3)
+    start = _lit_int(args[1], "SUBSTR start") - 1      # SQL is 1-based
+    stop = (start + _lit_int(args[2], "SUBSTR length")
+            if len(args) == 3 else None)
+    return pc.utf8_slice_codeunits(_eval(args[0], batch), start, stop)
+
+
+def _fn_concat(args, batch):
+    _n_args("CONCAT", args, 1, 64)
+    vals = [_eval(a, batch) for a in args]
+    return pc.binary_join_element_wise(
+        *vals, "", null_handling="replace", null_replacement="")
+
+
+def _elementwise(fn, nargs=1):
+    def call(args, batch, _fn=fn, _n=nargs):
+        _n_args("function", args, _n)
+        return _fn(*[_eval(a, batch) for a in args])
+    return call
+
+
+def _wkb_packed(arg, batch):
+    col = _eval(arg, batch)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from .measures import pack_rings
+    return pack_rings(col.to_pylist())
+
+
+def _geom_fn(which):
+    def call(args, batch):
+        from . import measures as m
+        if which == "buffer_area":
+            _n_args("ST_BUFFER_AREA", args, 2)
+            d = args[1]
+            if d[0] != "lit" or isinstance(d[1], str):
+                raise FilterSyntaxError("ST_BUFFER_AREA distance must be a "
+                                        "numeric literal")
+            return pa.array(m.buffer_areas(_wkb_packed(args[0], batch),
+                                           float(d[1])))
+        _n_args(f"ST_{which.upper()}", args, 1)
+        p = _wkb_packed(args[0], batch)
+        if which == "area":
+            return pa.array(m.feature_areas(p))
+        if which == "perimeter":
+            return pa.array(m.feature_lengths(p))
+        if which == "centroid_x":
+            return pa.array(m.feature_centroids(p)[0])
+        if which == "centroid_y":
+            return pa.array(m.feature_centroids(p)[1])
+        if which == "convexhull_area":
+            return pa.array(m.hull_areas_npoints(p)[0])
+        if which == "npoints":
+            return pa.array(m.hull_areas_npoints(p)[1])
+        raise FilterSyntaxError(which)
+    return call
+
+
+_FUNCS = {
+    "ABS": _elementwise(pc.abs),
+    "CEIL": _elementwise(pc.ceil), "CEILING": _elementwise(pc.ceil),
+    "FLOOR": _elementwise(pc.floor),
+    "SQRT": _elementwise(pc.sqrt),
+    "EXP": _elementwise(pc.exp),
+    "LN": _elementwise(pc.ln),
+    "LOG10": _elementwise(pc.log10),
+    "SIN": _elementwise(pc.sin), "COS": _elementwise(pc.cos),
+    "TAN": _elementwise(pc.tan),
+    "ASIN": _elementwise(pc.asin), "ACOS": _elementwise(pc.acos),
+    "ATAN": _elementwise(pc.atan),
+    "ATAN2": _elementwise(pc.atan2, 2),
+    "POWER": _elementwise(pc.power, 2), "POW": _elementwise(pc.power, 2),
+    "ROUND": _fn_round,
+    "UPPER": _elementwise(pc.utf8_upper),
+    "LOWER": _elementwise(pc.utf8_lower),
+    "LENGTH": _elementwise(pc.utf8_length),
+    "TRIM": _elementwise(pc.utf8_trim_whitespace),
+    "SUBSTR": _fn_substr, "SUBSTRING": _fn_substr,
+    "CONCAT": _fn_concat,
+    "COALESCE": lambda args, batch: (
+        _n_args("COALESCE", args, 1, 64),
+        pc.coalesce(*[_eval(a, batch) for a in args]))[1],
+    "ST_AREA": _geom_fn("area"),
+    "ST_PERIMETER": _geom_fn("perimeter"),
+    "ST_LENGTH": _geom_fn("perimeter"),
+    "ST_CENTROID_X": _geom_fn("centroid_x"),
+    "ST_CENTROID_Y": _geom_fn("centroid_y"),
+    "ST_CONVEXHULL_AREA": _geom_fn("convexhull_area"),
+    "ST_HULL_NPOINTS": _geom_fn("npoints"),
+    "ST_BUFFER_AREA": _geom_fn("buffer_area"),
+}
+
+
 def _like_to_regex(pat: str) -> str:
     out = []
     for ch in pat:
@@ -257,6 +406,8 @@ def _eval(node, batch: pa.Table):
         return batch[node[1]]
     if kind == "arith":
         return _ARITH[node[1]](_eval(node[2], batch), _eval(node[3], batch))
+    if kind == "func":
+        return _FUNCS[node[1]](node[2], batch)
     if kind == "cmp":
         return _CMP[node[1]](_eval(node[2], batch), _eval(node[3], batch))
     if kind == "and":

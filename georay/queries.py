@@ -1158,6 +1158,27 @@ def q_sql_having(sf_dir: str):
         _sql_tables(sf_dir, "orders"))
 
 
+_SQL_FUNCS_TEXT = (
+    "SELECT o_orderkey, round(sqrt(o_totalprice), 2) AS root_price, "
+    "upper(substr(o_orderpriority, 1, 4)) AS pri4, "
+    "abs(o_orderkey % 7 - 3) AS wob, "
+    "concat(o_orderstatus, '/', o_orderpriority) AS tag "
+    "FROM orders "
+    "WHERE floor(o_totalprice / 10000.0) = 3 "
+    "AND length(o_orderpriority) >= 5 AND substr(o_orderpriority, 1, 1) <> '3' "
+    "ORDER BY o_orderkey LIMIT 500")
+
+
+def q_sql_functions(sf_dir: str):
+    """Scalar functions through the SQL front-end (expr._FUNCS — the OGR
+    SQL built-in surface, ogr/swq_op_general.cpp): numeric (sqrt/round/
+    abs/floor) and string (upper/substr/length/concat) functions in both
+    the SELECT list and WHERE, compiled to pyarrow.compute kernels.  The
+    oracle runs the IDENTICAL SQL text in DuckDB (all row-wise scalar
+    ops — IEEE-exact parity, no float accumulation)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_FUNCS_TEXT, _sql_tables(sf_dir, "orders"))
+
 
 QUERIES = {
     "tile_assign": q_tile_assign,
@@ -1201,6 +1222,7 @@ QUERIES = {
     "sql_count_distinct": q_sql_count_distinct,
     "sql_having": q_sql_having,
     "sql_join": q_sql_join,
+    "sql_functions": q_sql_functions,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,
@@ -1252,6 +1274,7 @@ ORACLE_SQL = {
         FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 100
     """,
     "sql_join": _SQL_JOIN_TEXT,
+    "sql_functions": _SQL_FUNCS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,
                {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=12)} AS tile_x,

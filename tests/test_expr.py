@@ -61,3 +61,75 @@ def test_attribute_filter_on_dataset(ray_session):
     ds = ray.data.from_arrow(T)
     out = attribute_filter(ds, "a > 1 AND s IS NOT NULL").to_pandas()
     assert sorted(out["a"].tolist()) == [2, 3, 5]
+
+
+# --------------------------------------------------- scalar functions
+
+FUNC_CASES = [
+    "round(sqrt(a * 1.0), 2) = 1.41",
+    "abs(a - 3) <= 1",
+    "floor(a / 2.0) = 1",
+    "ceil(a / 2.0) = 2",
+    "upper(s) = 'FIG'",
+    "length(s) = 3",
+    "substr(s, 1, 2) = 'fi'",
+    "concat(s, '!') = 'fig!'",
+    "power(a, 2) > 5",
+    "coalesce(s, 'zz') = 'zz'",
+]
+
+
+@pytest.mark.parametrize("where", FUNC_CASES)
+def test_function_filter_matches_duckdb(where):
+    f = compile_filter(where)
+    got = T.filter(f(T))
+    con = duckdb.connect()
+    con.register("t", T.to_pandas())
+    want = con.sql(f"SELECT * FROM t WHERE {where}").df()
+    got_ids = sorted(x for x in got["a"].to_pylist() if x is not None)
+    want_ids = sorted(int(x) for x in want["a"].dropna().tolist())
+    assert got_ids == want_ids, where
+
+
+def test_round_matches_duckdb_half_mode():
+    import pyarrow as pa
+    from georay.expr import _Parser, _eval, _tokenize
+    t = pa.table({"x": [2.5, -2.5, 1.25, 0.5, 1.005]})
+    got = _eval(_Parser(_tokenize("round(x, 0)")).parse(), t).to_pylist()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql("SELECT round(x, 0) AS r FROM t").df()["r"].tolist()
+    assert got == want
+
+
+def test_geometry_functions():
+    import numpy as np
+    import pyarrow as pa
+    from georay.expr import _Parser, _eval, _tokenize
+    from georay.geom import box_ring, wkb_polygon
+    t = pa.table({"wkb": pa.array(
+        [wkb_polygon([box_ring(0, 0, 2, 3)]),
+         wkb_polygon([box_ring(0, 0, 10, 10), box_ring(4, 4, 6, 6)])],
+        pa.binary())})
+
+    def ev(src):
+        return _eval(_Parser(_tokenize(src)).parse(), t).to_pylist()
+
+    assert ev("st_area(wkb)") == pytest.approx([6.0, 96.0])
+    assert ev("st_perimeter(wkb)") == pytest.approx([10.0, 48.0])
+    assert ev("st_centroid_x(wkb)") == pytest.approx([1.0, 5.0])
+    assert ev("st_centroid_y(wkb)") == pytest.approx([1.5, 5.0])
+    assert ev("st_convexhull_area(wkb)") == pytest.approx([6.0, 100.0])
+    assert ev("st_hull_npoints(wkb)") == [4, 4]
+    kgon = 16.0 * 0.25 * np.sin(np.pi / 16.0)
+    assert ev("st_buffer_area(wkb, 0.5)") == pytest.approx(
+        [6.0 + 5.0 + kgon, 100.0 + 20.0 + kgon])
+    # functions compose with comparisons into filters
+    f = compile_filter("st_area(wkb) > 50")
+    assert t.filter(f(t)).num_rows == 1
+
+
+def test_function_errors():
+    for bad in ["nosuch(a)", "round(a, b)", "substr(s)", "atan2(a)"]:
+        with pytest.raises(FilterSyntaxError):
+            compile_filter(bad)(T)
