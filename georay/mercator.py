@@ -486,6 +486,51 @@ def albers_inverse(easting, northing, *, lat1: float, lat2: float,
     return np.degrees(phi), np.degrees(lam)
 
 
+def ps_forward(lat, lon, *, lat_ts: float, lon0: float, south: bool,
+               e0: float = 0.0, n0: float = 0.0):
+    """Polar stereographic variant B (standard-parallel form, Snyder
+    21-33/21-34 ellipsoidal).  South aspect per Snyder's sign-reversal
+    note (φ, λ0, λ, x, y all negated), which reduces to
+    x = ρ·sin(λ−λ0), y = +ρ·cos(λ−λ0)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    if south:
+        phi = -phi
+    tc = _snyder_t(np.radians(abs(lat_ts)))
+    mc = _snyder_m(np.radians(abs(lat_ts)))
+    rho = _WGS84_A * mc * _snyder_t(phi) / tc
+    if south:
+        return e0 + rho * np.sin(lam), n0 + rho * np.cos(lam)
+    return e0 + rho * np.sin(lam), n0 - rho * np.cos(lam)
+
+
+def ps_inverse(easting, northing, *, lat_ts: float, lon0: float,
+               south: bool, e0: float = 0.0, n0: float = 0.0):
+    """Polar stereographic variant B inverse (Snyder 21-39/21-40 + 7-9
+    conformal-latitude iteration to <1e-12 rad)."""
+    x = np.asarray(easting, dtype=np.float64) - e0
+    y = np.asarray(northing, dtype=np.float64) - n0
+    if south:
+        y = -y  # reduce to the north-aspect geometry
+    tc = _snyder_t(np.radians(abs(lat_ts)))
+    mc = _snyder_m(np.radians(abs(lat_ts)))
+    rho = np.hypot(x, y)
+    t = rho * tc / (_WGS84_A * mc)
+    lam = np.arctan2(x, -y)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = _TM_E * np.sin(phi)
+        phi_new = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (_TM_E / 2.0))
+        if np.max(np.abs(phi_new - phi)) < 1e-13:
+            phi = phi_new
+            break
+        phi = phi_new
+    if south:
+        phi = -phi
+    return np.degrees(phi), np.degrees(lam) + lon0
+
+
 # named CRS parameter sets (datum treated as WGS84-equivalent, the same
 # approximation the repo applies throughout; see docstrings)
 _CONIC_CRS = {
@@ -495,16 +540,27 @@ _CONIC_CRS = {
     # NAD83 / Conus Albers — EPSG:5070
     "EPSG:5070": ("albers", dict(lat1=29.5, lat2=45.5, lat0=23.0,
                                  lon0=-96.0, e0=0.0, n0=0.0)),
+    # NSIDC Sea Ice Polar Stereographic North — EPSG:3413
+    "EPSG:3413": ("ps", dict(lat_ts=70.0, lon0=-45.0, south=False,
+                             e0=0.0, n0=0.0)),
+    # Antarctic Polar Stereographic — EPSG:3031
+    "EPSG:3031": ("ps", dict(lat_ts=-71.0, lon0=0.0, south=True,
+                             e0=0.0, n0=0.0)),
+    # Arctic Polar Stereographic — EPSG:3995
+    "EPSG:3995": ("ps", dict(lat_ts=71.0, lon0=0.0, south=False,
+                             e0=0.0, n0=0.0)),
 }
+
+_PROJ_FNS = {"lcc": (lcc_forward, lcc_inverse),
+             "albers": (albers_forward, albers_inverse),
+             "ps": (ps_forward, ps_inverse)}
 
 
 def conic_crs_forward(crs: str, lat, lon):
     kind, p = _CONIC_CRS[crs]
-    fwd = lcc_forward if kind == "lcc" else albers_forward
-    return fwd(lat, lon, **p)
+    return _PROJ_FNS[kind][0](lat, lon, **p)
 
 
 def conic_crs_inverse(crs: str, easting, northing):
     kind, p = _CONIC_CRS[crs]
-    inv = lcc_inverse if kind == "lcc" else albers_inverse
-    return inv(easting, northing, **p)
+    return _PROJ_FNS[kind][1](easting, northing, **p)

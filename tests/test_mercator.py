@@ -217,3 +217,82 @@ def test_warp_lcc_to_4326():
                                    dst_crs="EPSG:4326", kernel=k)
         assert out.shape == (64, 64)
         assert out[8:-8, 8:-8].std() > 10
+
+
+def test_polar_stereographic_properties_and_roundtrip():
+    """Polar stereographic B (EPSG:3413/3031/3995): scale exactly 1 on the
+    standard parallel, conformal (meridian scale == parallel scale) away
+    from it, pole maps to (e0,n0), grid-south along lon0 for the north
+    aspect, and dense roundtrip to 1e-11 degrees."""
+    import numpy as np
+    from georay.mercator import (_TM_E2, _WGS84_A, conic_crs_forward,
+                                 conic_crs_inverse, ps_forward, ps_inverse)
+    p = dict(lat_ts=70.0, lon0=-45.0, south=False)
+    # pole at origin; λ=lon0 lies on the −y axis (grid south)
+    x, y = ps_forward(90.0, 12.0, **p)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    x, y = ps_forward(80.0, -45.0, **p)
+    assert abs(float(x)) < 1e-6 and float(y) < 0
+    # scale on the standard parallel == 1; conformality at 60N
+    for lat, expect_one in [(70.0, True), (60.0, False)]:
+        d = 1e-6
+        x0, y0 = ps_forward(lat, 30.0, **p)
+        xe, ye = ps_forward(lat, 30.0 + d, **p)
+        xn, yn = ps_forward(lat + d, 30.0, **p)
+        s = np.sin(np.radians(lat))
+        m = np.cos(np.radians(lat)) / np.sqrt(1 - _TM_E2 * s * s)
+        k_par = float(np.hypot(xe - x0, ye - y0)) / (
+            np.radians(d) * _WGS84_A * m)
+        M = _WGS84_A * (1 - _TM_E2) / (1 - _TM_E2 * s * s) ** 1.5
+        k_mer = float(np.hypot(xn - x0, yn - y0)) / (np.radians(d) * M)
+        assert abs(k_par / k_mer - 1.0) < 1e-5          # conformal
+        assert (abs(k_par - 1.0) < 1e-6) == expect_one  # k(lat_ts) == 1
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(55, 89.9, 400)
+    lon = rng.uniform(-180, 180, 400)
+    la, lo = ps_inverse(*ps_forward(lat, lon, **p), **p)
+    assert np.abs(la - lat).max() < 1e-11
+    assert np.abs(((lo - lon + 180) % 360) - 180).max() < 1e-11
+    # south aspect (EPSG:3031): mirror symmetry with the north aspect and
+    # roundtrip; grid-north along lon0
+    ps_s = dict(lat_ts=-71.0, lon0=0.0, south=True)
+    xs, ys = ps_forward(-80.0, 0.0, **ps_s)
+    assert abs(float(xs)) < 1e-6 and float(ys) > 0
+    xn_, yn_ = ps_forward(80.0, 0.0, lat_ts=71.0, lon0=0.0, south=False)
+    xs2, ys2 = ps_forward(-80.0, 0.0, lat_ts=-71.0, lon0=0.0, south=True)
+    assert float(xs2) == pytest.approx(float(xn_), abs=1e-9)
+    assert float(ys2) == pytest.approx(-float(yn_), abs=1e-9)
+    lat = rng.uniform(-89.9, -55, 300)
+    lon = rng.uniform(-180, 180, 300)
+    la, lo = ps_inverse(*ps_forward(lat, lon, **ps_s), **ps_s)
+    assert np.abs(la - lat).max() < 1e-11
+    assert np.abs(((lo - lon + 180) % 360) - 180).max() < 1e-11
+    # named-CRS dispatch
+    for crs, la0, lo0 in [("EPSG:3413", 75.0, -30.0),
+                          ("EPSG:3031", -75.0, 120.0),
+                          ("EPSG:3995", 78.0, 60.0)]:
+        la1, lo1 = conic_crs_inverse(crs, *conic_crs_forward(crs, la0, lo0))
+        assert (float(la1), float(lo1)) == pytest.approx((la0, lo0),
+                                                         abs=1e-10)
+
+
+def test_warp_polar_stereographic_to_4326():
+    """gdalwarp shape EPSG:3413→EPSG:4326 through the dispatch (the NSIDC
+    sea-ice grid case)."""
+    import numpy as np
+    from georay import fixtures as fx
+    from georay.mercator import conic_crs_forward, conic_crs_inverse
+    from georay.raster import warp_affine_mercator
+    band = fx.pattern(5, 64, 64)[:, :, 0]
+    E0, N0 = conic_crs_forward("EPSG:3413", 75.0, -45.0)
+    ps = 100.0
+    src_gt = (float(E0), ps, 0.0, float(N0), 0.0, -ps)
+    lat1, lon0 = conic_crs_inverse("EPSG:3413", E0, N0)
+    lat0, lon1 = conic_crs_inverse("EPSG:3413", E0 + 64 * ps, N0 - 64 * ps)
+    dst_gt = (float(lon0), (float(lon1) - float(lon0)) / 64, 0.0,
+              float(lat1), 0.0, (float(lat0) - float(lat1)) / 64)
+    out = warp_affine_mercator(band, src_gt, dst_gt, (64, 64),
+                               src_crs="EPSG:3413", dst_crs="EPSG:4326",
+                               kernel="bilinear")
+    assert out.shape == (64, 64)
+    assert out[8:-8, 8:-8].std() > 10
