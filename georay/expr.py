@@ -206,6 +206,20 @@ class _Parser:
         if k == "kw" and v == "NULL":
             return ("lit", None)
         if k == "ident":
+            if v.upper() == "CAST" and self.peek() == ("op", "("):
+                self.next()
+                inner = self.or_()
+                kk, vv = self.next()
+                if not (isinstance(vv, str) and vv.upper() == "AS"):
+                    raise FilterSyntaxError("CAST needs 'AS type'")
+                kk, tname = self.next()
+                if kk not in ("ident", "kw", "sqlkw"):
+                    raise FilterSyntaxError("CAST: bad type name")
+                tname = tname.upper()
+                if tname not in _CAST_TYPES:
+                    raise FilterSyntaxError(f"CAST: unknown type {tname!r}")
+                self.expect("op", ")")
+                return ("cast", tname, inner)
             if self.peek() == ("op", "("):          # scalar function call
                 self.next()
                 args = []
@@ -351,6 +365,15 @@ def _geom_fn(which):
     return call
 
 
+_CAST_TYPES = {
+    "BIGINT": pa.int64(), "INTEGER": pa.int32(), "INT": pa.int32(),
+    "SMALLINT": pa.int16(),
+    "DOUBLE": pa.float64(), "FLOAT8": pa.float64(),
+    "REAL": pa.float32(), "FLOAT": pa.float32(),
+    "VARCHAR": pa.string(), "TEXT": pa.string(), "STRING": pa.string(),
+    "BOOLEAN": pa.bool_(), "BOOL": pa.bool_(),
+}
+
 _FUNCS = {
     "ABS": _elementwise(pc.abs),
     "CEIL": _elementwise(pc.ceil), "CEILING": _elementwise(pc.ceil),
@@ -408,6 +431,16 @@ def _eval(node, batch: pa.Table):
         return _ARITH[node[1]](_eval(node[2], batch), _eval(node[3], batch))
     if kind == "func":
         return _FUNCS[node[1]](node[2], batch)
+    if kind == "cast":
+        v = _eval(node[2], batch)
+        target = _CAST_TYPES[node[1]]
+        vt = getattr(v, "type", None)
+        if (pa.types.is_integer(target) and vt is not None
+                and pa.types.is_floating(vt)):
+            # SQL CAST(float AS int) rounds to nearest, ties away from
+            # zero (DuckDB/OGR); Arrow cast would truncate
+            v = pc.round(v, ndigits=0, round_mode="half_towards_infinity")
+        return pc.cast(v, target)
     if kind == "cmp":
         return _CMP[node[1]](_eval(node[2], batch), _eval(node[3], batch))
     if kind == "and":

@@ -1169,6 +1169,22 @@ _SQL_FUNCS_TEXT = (
     "ORDER BY o_orderkey LIMIT 500")
 
 
+_SQL_GROUP_ALIAS_TEXT = (
+    "SELECT upper(substr(o_orderpriority, 3, 8)) AS pri, count(*) AS n, "
+    "max(cast(round(o_totalprice * 100.0, 0) AS BIGINT)) AS max_cents, "
+    "min(o_orderkey) AS min_ok "
+    "FROM orders GROUP BY pri ORDER BY pri")
+
+
+def q_sql_group_alias(sf_dir: str):
+    """GROUP BY a select alias of a scalar-function expression + CAST
+    inside an aggregate input (DuckDB/OGR alias-grouping semantics); the
+    oracle runs the IDENTICAL text in DuckDB.  MAX/MIN int-cents keep both
+    engines in int64 (DuckDB SUM(BIGINT) would widen to HUGEINT)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_GROUP_ALIAS_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 def q_sql_functions(sf_dir: str):
     """Scalar functions through the SQL front-end (expr._FUNCS — the OGR
     SQL built-in surface, ogr/swq_op_general.cpp): numeric (sqrt/round/
@@ -1223,6 +1239,7 @@ QUERIES = {
     "sql_having": q_sql_having,
     "sql_join": q_sql_join,
     "sql_functions": q_sql_functions,
+    "sql_group_alias": q_sql_group_alias,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,
@@ -1275,6 +1292,7 @@ ORACLE_SQL = {
     """,
     "sql_join": _SQL_JOIN_TEXT,
     "sql_functions": _SQL_FUNCS_TEXT,
+    "sql_group_alias": _SQL_GROUP_ALIAS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,
                {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=12)} AS tile_x,

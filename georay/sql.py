@@ -356,10 +356,24 @@ def execute_sql(sql: str, tables: dict):
     agg_items = [(i, it) for i, it in enumerate(items) if it.kind == "agg"]
     plain_items = [(i, it) for i, it in enumerate(items)
                    if it.kind == "expr"]
-    # non-aggregated select items must be GROUP BY columns
+    # a GROUP BY name may be a table column OR the alias of a scalar
+    # select item (DuckDB/OGR alias-grouping) — aliased expressions are
+    # computed into the key column inside ``prep``
+    alias_nodes = {}
     for i, it in plain_items:
-        if not (len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
-                and it.expr_toks[0][1] in group_cols):
+        if names[i] in group_cols and not (
+                len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
+                and it.expr_toks[0][1] == names[i]):
+            node, used = _parse_expr_tokens(it.expr_toks)
+            if used != len(it.expr_toks):
+                raise SqlError("bad select expression")
+            alias_nodes[names[i]] = node
+    # non-aggregated select items must be GROUP BY columns (or aliases)
+    for i, it in plain_items:
+        ok = names[i] in group_cols or (
+            len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
+            and it.expr_toks[0][1] in group_cols)
+        if not ok:
             raise SqlError(
                 f"non-aggregated select item {names[i]!r} must be a "
                 f"GROUP BY column")
@@ -395,7 +409,13 @@ def execute_sql(sql: str, tables: dict):
     def prep(batch: pa.Table) -> pa.Table:
         cols = {}
         for g in group_cols:
-            cols[g] = batch[g]
+            if g in alias_nodes:
+                v = _eval(alias_nodes[g], batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                cols[g] = v
+            else:
+                cols[g] = batch[g]
         for i, it in agg_items:
             if it.star:
                 continue
@@ -430,7 +450,7 @@ def execute_sql(sql: str, tables: dict):
         def proj2(batch: pa.Table) -> pa.Table:
             cols = {}
             for i, it in enumerate(items):
-                if it.kind == "agg":
+                if it.kind == "agg" or names[i] in group_cols:
                     cols[names[i]] = batch[names[i]]
                 else:
                     cols[names[i]] = batch[it.expr_toks[0][1]]

@@ -96,3 +96,46 @@ def test_sql_limit_offset(ray_session):
                       "LIMIT 7 OFFSET 3", tabs)
     off = off.to_pandas()
     assert list(off["p_partkey"]) == list(full["p_partkey"][3:10])
+
+
+def test_cast_and_group_by_alias(ray_session, sf_dir):
+    """CAST + scalar functions + GROUP BY alias through the front-end,
+    checked against DuckDB running the identical text (SUM kept int64 via
+    CAST; DuckDB SUM(BIGINT)→HUGEINT handled by value comparison)."""
+    import duckdb
+    import ray
+    sql = ("SELECT upper(substr(o_orderpriority, 3, 8)) AS pri, "
+           "count(*) AS n, "
+           "sum(cast(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents "
+           "FROM orders GROUP BY pri ORDER BY pri")
+    tables = {"orders": ray.data.read_parquet(f"{sf_dir}/orders.parquet")}
+    from georay.sql import execute_sql
+    got = execute_sql(sql, tables)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')")
+    want = con.sql(sql).df()
+    assert got["pri"].tolist() == want["pri"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert [float(x) for x in got["cents"]] == \
+        [float(x) for x in want["cents"]]
+
+
+def test_cast_semantics():
+    """CAST rounds float→int to nearest (ties away) like DuckDB, and
+    casts between string/number types."""
+    import pyarrow as pa
+    from georay.expr import FilterSyntaxError, _Parser, _eval, _tokenize
+
+    t = pa.table({"x": [2.5, -2.5, 2.4, 2.6], "s": ["10", "11", "12", "13"]})
+
+    def ev(src):
+        return _eval(_Parser(_tokenize(src)).parse(), t).to_pylist()
+
+    assert ev("cast(x AS BIGINT)") == [3, -3, 2, 3]
+    assert ev("cast(s AS INTEGER)") == [10, 11, 12, 13]
+    assert ev("cast(x AS VARCHAR)")[2] == "2.4"
+    import pytest as _pt
+    with _pt.raises(FilterSyntaxError):
+        ev("cast(x AS NOSUCHTYPE)")
