@@ -1,0 +1,312 @@
+"""Curve geometry types — CircularString / CompoundCurve / CurvePolygon /
+MultiCurve / MultiSurface (ISO WKB types 8-12, ogr/ogr_core.h:409-519)
+parsed and linearized to the engine's ring/line model, mirroring
+``OGRGeometry::getLinearGeometry`` (ogr/ogrgeometryfactory.cpp
+curveToLineString; OGR's arc stepping is OGR_ARC_STEPSIZE, default 4°).
+
+Arcs are defined by point triples (start, intermediate, end).  The
+linearizer emits vertices every ≤ ``max_step_deg`` of arc sweep (end
+points exact), and collinear triples degrade to straight segments —
+both OGR behaviors.  Lengths of circular segments are computed EXACTLY
+(radius × sweep), matching ``OGRCurve::get_Length`` on non-linearized
+curves, while linearized output is what the rest of the engine (PIP,
+overlay, measures) consumes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .geom import _wkb_header
+
+__all__ = [
+    "arc_center", "linearize_arc", "arc_length",
+    "parse_curve_wkb", "linearize_wkb", "curve_lengths",
+    "wkb_circularstring", "wkb_compoundcurve", "wkb_curvepolygon",
+    "wkb_linestring", "linearize_batch",
+]
+
+_LINESTRING = 2
+_POLYGON = 3
+_MULTILINESTRING = 5
+_MULTIPOLYGON = 6
+_CIRCULARSTRING = 8
+_COMPOUNDCURVE = 9
+_CURVEPOLYGON = 10
+_MULTICURVE = 11
+_MULTISURFACE = 12
+
+
+# ------------------------------------------------------------------ arcs
+
+def arc_center(p0, p1, p2):
+    """Circle through three points → (center (2,), radius) or ``None``
+    when (near-)collinear (the straight-segment degenerate, same test
+    OGR applies before emitting a line)."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    # relative collinearity test: |cross| vs the span scale
+    span = max(abs(bx - ax), abs(by - ay), abs(cx - ax), abs(cy - ay), 1e-300)
+    if abs(d) < 1e-11 * span * span:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    return np.array([ux, uy]), float(np.hypot(ax - ux, ay - uy))
+
+
+def _arc_sweep(p0, p1, p2, ctr):
+    """Signed sweep (radians) from p0 to p2 passing through p1 (CCW
+    positive); |sweep| in (0, 2π)."""
+    a0 = np.arctan2(p0[1] - ctr[1], p0[0] - ctr[0])
+    a1 = np.arctan2(p1[1] - ctr[1], p1[0] - ctr[0])
+    a2 = np.arctan2(p2[1] - ctr[1], p2[0] - ctr[0])
+    ccw1 = (a1 - a0) % (2.0 * np.pi)
+    ccw2 = (a2 - a0) % (2.0 * np.pi)
+    if ccw1 <= ccw2:           # travelling CCW passes p1 before p2
+        return ccw2 if ccw2 > 0 else 2.0 * np.pi
+    return ccw2 - 2.0 * np.pi  # travelling CW
+
+
+def linearize_arc(p0, p1, p2, max_step_deg: float = 4.0):
+    """Arc p0→p1→p2 as an (n, 2) polyline INCLUDING both endpoints."""
+    p0 = np.asarray(p0, float)
+    p1 = np.asarray(p1, float)
+    p2 = np.asarray(p2, float)
+    cr = arc_center(p0, p1, p2)
+    if cr is None:
+        return np.vstack([p0, p2])
+    ctr, r = cr
+    sweep = _arc_sweep(p0, p1, p2, ctr)
+    n = max(2, int(np.ceil(abs(sweep) / np.radians(max_step_deg))) + 1)
+    a0 = np.arctan2(p0[1] - ctr[1], p0[0] - ctr[0])
+    ang = a0 + np.linspace(0.0, sweep, n)
+    pts = np.stack([ctr[0] + r * np.cos(ang), ctr[1] + r * np.sin(ang)],
+                   axis=1)
+    pts[0] = p0
+    pts[-1] = p2               # endpoints bit-exact (ring closure relies on it)
+    return pts
+
+
+def arc_length(p0, p1, p2) -> float:
+    """EXACT circular-arc length (radius × |sweep|); chord length for the
+    collinear degenerate."""
+    p0 = np.asarray(p0, float)
+    p1 = np.asarray(p1, float)
+    p2 = np.asarray(p2, float)
+    cr = arc_center(p0, p1, p2)
+    if cr is None:
+        return float(np.hypot(*(p2 - p0)))
+    ctr, r = cr
+    return float(r * abs(_arc_sweep(p0, p1, p2, ctr)))
+
+
+# ----------------------------------------------------------------- parse
+
+def _read_points(buf, off, dims):
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype="<f8", count=n * dims, offset=off)
+    return arr.reshape(n, dims)[:, :2].astype(np.float64), off + n * 8 * dims
+
+
+def _parse_curve(buf, off=0):
+    """One curve geometry at ``off`` → (('line'|'arcs'|'compound', data),
+    next offset).  'line' data = (n,2) vertices; 'arcs' data = (n,2)
+    control points (odd n, triples chained); 'compound' = list of either."""
+    t, dims, off = _wkb_header(buf, off)
+    if t == _LINESTRING:
+        pts, off = _read_points(buf, off, dims)
+        return ("line", pts), off
+    if t == _CIRCULARSTRING:
+        pts, off = _read_points(buf, off, dims)
+        return ("arcs", pts), off
+    if t == _COMPOUNDCURVE:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        segs = []
+        for _ in range(n):
+            seg, off = _parse_curve(buf, off)
+            segs.append(seg)
+        return ("compound", segs), off
+    raise ValueError(f"not a curve WKB type: {t}")
+
+
+def parse_curve_wkb(buf: bytes):
+    """Parse any curve/surface WKB → ``(kind, payload)``:
+
+    * ``("lines", [curve, ...])`` for LineString / CircularString /
+      CompoundCurve / MultiLineString / MultiCurve
+    * ``("polygons", [[curve-ring, ...], ...])`` for Polygon /
+      CurvePolygon / MultiPolygon / MultiSurface
+
+    where each *curve* is the ('line'|'arcs'|'compound', data) form."""
+    buf = memoryview(bytes(buf))
+    t, dims, off = _wkb_header(buf)
+    if t in (_LINESTRING, _CIRCULARSTRING, _COMPOUNDCURVE):
+        c, _ = _parse_curve(buf, 0)
+        return "lines", [c]
+    if t in (_MULTILINESTRING, _MULTICURVE):
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        out = []
+        for _ in range(n):
+            c, off = _parse_curve(buf, off)
+            out.append(c)
+        return "lines", out
+    if t in (_POLYGON, _CURVEPOLYGON, _MULTIPOLYGON, _MULTISURFACE):
+        polys = []
+
+        def parse_poly(t_poly, dims_poly, off):
+            (nr,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            rings = []
+            for _ in range(nr):
+                if t_poly == _POLYGON:
+                    pts, off = _read_points(buf, off, dims_poly)
+                    rings.append(("line", pts))
+                else:                      # CurvePolygon: full curve rings
+                    c, off = _parse_curve(buf, off)
+                    rings.append(c)
+            return rings, off
+
+        if t in (_POLYGON, _CURVEPOLYGON):
+            rings, _ = parse_poly(t, dims, off)
+            return "polygons", [rings]
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        for _ in range(n):
+            st, sdims, off = _wkb_header(buf, off)
+            if st not in (_POLYGON, _CURVEPOLYGON):
+                raise ValueError(f"bad member type {st} in multisurface")
+            rings, off = parse_poly(st, sdims, off)
+            polys.append(rings)
+        return "polygons", polys
+    raise ValueError(f"unsupported curve WKB type {t}")
+
+
+# ------------------------------------------------------------- linearize
+
+def _linearize_curve(curve, max_step_deg):
+    kind, data = curve
+    if kind == "line":
+        return np.asarray(data, float)
+    if kind == "arcs":
+        pts = np.asarray(data, float)
+        if len(pts) < 3:
+            return pts
+        parts = [pts[:1]]
+        for i in range(0, len(pts) - 2, 2):
+            seg = linearize_arc(pts[i], pts[i + 1], pts[i + 2], max_step_deg)
+            parts.append(seg[1:])
+        return np.vstack(parts)
+    # compound: concatenate segments, dropping duplicated joints
+    parts = []
+    for i, seg in enumerate(data):
+        lin = _linearize_curve(seg, max_step_deg)
+        parts.append(lin if i == 0 else lin[1:])
+    return np.vstack(parts)
+
+
+def _curve_len(curve) -> float:
+    kind, data = curve
+    if kind == "line":
+        pts = np.asarray(data, float)
+        return float(np.hypot(*(np.diff(pts, axis=0).T)).sum()) \
+            if len(pts) > 1 else 0.0
+    if kind == "arcs":
+        pts = np.asarray(data, float)
+        return sum(arc_length(pts[i], pts[i + 1], pts[i + 2])
+                   for i in range(0, len(pts) - 2, 2))
+    return sum(_curve_len(seg) for seg in data)
+
+
+def linearize_wkb(buf: bytes, max_step_deg: float = 4.0):
+    """Curve WKB → ``("lines", [(n,2) arrays])`` or
+    ``("polygons", [[(n,2) rings], ...])`` with all arcs stroked."""
+    kind, payload = parse_curve_wkb(buf)
+    if kind == "lines":
+        return kind, [_linearize_curve(c, max_step_deg) for c in payload]
+    return kind, [[_linearize_curve(r, max_step_deg) for r in rings]
+                  for rings in payload]
+
+
+def curve_lengths(wkb_list) -> np.ndarray:
+    """Exact curve length per feature (arc segments analytic, linear
+    segments Euclidean) — ``OGRCurve::get_Length`` over curve types."""
+    out = np.zeros(len(wkb_list))
+    for i, b in enumerate(wkb_list):
+        if b is None:
+            continue
+        kind, payload = parse_curve_wkb(bytes(b))
+        if kind == "lines":
+            out[i] = sum(_curve_len(c) for c in payload)
+        else:
+            out[i] = sum(_curve_len(r) for rings in payload for r in rings)
+    return out
+
+
+# --------------------------------------------------------------- writers
+
+def wkb_linestring(pts) -> bytes:
+    pts = np.asarray(pts, float)
+    return (struct.pack("<BII", 1, _LINESTRING, len(pts))
+            + pts.astype("<f8").tobytes())
+
+
+def wkb_circularstring(pts) -> bytes:
+    pts = np.asarray(pts, float)
+    if len(pts) % 2 == 0 or len(pts) < 3:
+        raise ValueError("CircularString needs an odd point count >= 3")
+    return (struct.pack("<BII", 1, _CIRCULARSTRING, len(pts))
+            + pts.astype("<f8").tobytes())
+
+
+def wkb_compoundcurve(segment_wkbs) -> bytes:
+    return (struct.pack("<BII", 1, _COMPOUNDCURVE, len(segment_wkbs))
+            + b"".join(segment_wkbs))
+
+
+def wkb_curvepolygon(ring_wkbs) -> bytes:
+    return (struct.pack("<BII", 1, _CURVEPOLYGON, len(ring_wkbs))
+            + b"".join(ring_wkbs))
+
+
+# ------------------------------------------------------------- Ray stage
+
+def linearize_batch(batch, wkb_col: str = "wkb",
+                    max_step_deg: float = 4.0):
+    """Replace curve WKB with linearized Polygon/LineString WKB so every
+    downstream operator (PIP, overlay, measures, rasterize) consumes it —
+    the ``ogr2ogr -nlt CONVERT_TO_LINEAR`` stage as a batch transform."""
+    import pyarrow as pa
+
+    from .geom import wkb_polygon
+    out = []
+    for b in batch.column(wkb_col).to_pylist():
+        if b is None:
+            out.append(None)
+            continue
+        kind, parts = linearize_wkb(bytes(b), max_step_deg)
+        if kind == "polygons":
+            if len(parts) == 1:
+                out.append(wkb_polygon(parts[0]))
+            else:
+                from .geom import wkb_multipolygon
+                out.append(wkb_multipolygon(parts))
+        else:
+            out.append(wkb_linestring(parts[0]) if len(parts) == 1 else
+                       _wkb_multilinestring(parts))
+    i = batch.schema.get_field_index(wkb_col)
+    return batch.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+
+def _wkb_multilinestring(lines) -> bytes:
+    return (struct.pack("<BII", 1, _MULTILINESTRING, len(lines))
+            + b"".join(wkb_linestring(ln) for ln in lines))

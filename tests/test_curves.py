@@ -1,0 +1,108 @@
+"""Curve geometry types (georay.curves): CircularString / CompoundCurve /
+CurvePolygon parse, exact arc lengths, linearization quality, and the
+batch linearize stage feeding downstream measure kernels."""
+
+import numpy as np
+import pytest
+
+from georay.curves import (
+    arc_center, arc_length, curve_lengths, linearize_arc, linearize_batch,
+    linearize_wkb, wkb_circularstring, wkb_compoundcurve, wkb_curvepolygon,
+    wkb_linestring,
+)
+
+R2 = np.sqrt(0.5)
+
+
+def _poly_area(r):
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def test_arc_center_and_degenerate():
+    ctr, r = arc_center([2, 0], [0, 2], [-2, 0])
+    assert ctr == pytest.approx([0.0, 0.0], abs=1e-12)
+    assert r == pytest.approx(2.0, abs=1e-12)
+    assert arc_center([0, 0], [1, 1], [2, 2]) is None
+    # translation far from origin keeps precision
+    ctr, r = arc_center([1002, 500], [1000, 502], [998, 500])
+    assert ctr == pytest.approx([1000.0, 500.0], abs=1e-9)
+
+
+def test_arc_sweep_directions():
+    # CCW quarter: (1,0) via (r2,r2) to (0,1)
+    a = linearize_arc([1, 0], [R2, R2], [0, 1], max_step_deg=4.0)
+    assert np.allclose(a[0], [1, 0]) and np.allclose(a[-1], [0, 1])
+    assert np.abs(np.hypot(a[:, 0], a[:, 1]) - 1.0).max() < 1e-12
+    # sweep ~90° at ≤4° steps → ≥23 points, monotone CCW angles
+    ang = np.unwrap(np.arctan2(a[:, 1], a[:, 0]))
+    assert (np.diff(ang) > 0).all()
+    # CW quarter: (0,1) via (r2,r2) to (1,0) goes the short way clockwise
+    b = linearize_arc([0, 1], [R2, R2], [1, 0], max_step_deg=4.0)
+    ang = np.unwrap(np.arctan2(b[:, 1], b[:, 0]))
+    assert (np.diff(ang) < 0).all()
+    # major arc: (1,0) via (0,-1) to (0,1) sweeps 270° clockwise
+    c = linearize_arc([1, 0], [0, -1], [0, 1], max_step_deg=4.0)
+    assert len(c) > len(a) * 2
+    assert arc_length([1, 0], [0, -1], [0, 1]) == pytest.approx(
+        1.5 * np.pi, abs=1e-12)
+
+
+def test_exact_curve_lengths():
+    circle = wkb_circularstring([[2, 0], [0, 2], [-2, 0], [0, -2], [2, 0]])
+    semi = wkb_circularstring([[2, 0], [0, 2], [-2, 0]])
+    diam = wkb_linestring([[-2, 0], [2, 0]])
+    compound = wkb_compoundcurve([semi, diam])
+    got = curve_lengths([circle, semi, compound, None])
+    assert got == pytest.approx([4 * np.pi, 2 * np.pi, 2 * np.pi + 4, 0.0],
+                                abs=1e-12)
+
+
+def test_curvepolygon_linearize_area():
+    circle = wkb_circularstring([[2, 0], [0, 2], [-2, 0], [0, -2], [2, 0]])
+    kind, polys = linearize_wkb(wkb_curvepolygon([circle]))
+    assert kind == "polygons"
+    area = _poly_area(polys[0][0])
+    # 4°-step stroking under-covers by ≤ the sagitta band
+    assert abs(area - np.pi * 4.0) / (np.pi * 4.0) < 1e-3
+    # finer stepping converges
+    kind, polys = linearize_wkb(wkb_curvepolygon([circle]), max_step_deg=0.5)
+    assert abs(_poly_area(polys[0][0]) - np.pi * 4.0) / (np.pi * 4.0) < 2e-5
+
+
+def test_curvepolygon_with_hole_and_compound_ring():
+    semi = wkb_circularstring([[2, 0], [0, 2], [-2, 0]])
+    diam = wkb_linestring([[-2, 0], [2, 0]])
+    outer = wkb_compoundcurve([semi, diam])
+    hole = wkb_circularstring([[0.5, 0.5], [0.0, 1.0], [-0.5, 0.5],
+                               [0.0, 0.0], [0.5, 0.5]])
+    kind, polys = linearize_wkb(wkb_curvepolygon([outer, hole]))
+    assert kind == "polygons" and len(polys[0]) == 2
+    a_outer = _poly_area(polys[0][0])
+    a_hole = _poly_area(polys[0][1])
+    assert a_outer == pytest.approx(2 * np.pi, rel=1e-3)
+    assert a_hole == pytest.approx(np.pi * 0.25, rel=1e-3)
+
+
+def test_linearize_batch_feeds_measures():
+    import pyarrow as pa
+    from georay.measures import feature_areas, pack_rings
+    circle = wkb_circularstring([[3, 0], [0, 3], [-3, 0], [0, -3], [3, 0]])
+    t = pa.table({"id": [1], "wkb": pa.array([wkb_curvepolygon([circle])],
+                                             pa.binary())})
+    out = linearize_batch(t, max_step_deg=1.0)
+    areas = feature_areas(pack_rings([out["wkb"][0].as_py()]))
+    assert areas[0] == pytest.approx(np.pi * 9.0, rel=1e-4)
+
+
+def test_multicurve_and_multisurface():
+    import struct
+    semi = wkb_circularstring([[1, 0], [0, 1], [-1, 0]])
+    ln = wkb_linestring([[0, 0], [3, 4]])
+    mc = struct.pack("<BII", 1, 11, 2) + semi + ln
+    assert curve_lengths([mc])[0] == pytest.approx(np.pi + 5.0, abs=1e-12)
+    circ = wkb_circularstring([[1, 0], [0, 1], [-1, 0], [0, -1], [1, 0]])
+    ms = struct.pack("<BII", 1, 12, 1) + wkb_curvepolygon([circ])
+    kind, polys = linearize_wkb(ms)
+    assert kind == "polygons" and len(polys) == 1
+    assert _poly_area(polys[0][0]) == pytest.approx(np.pi, rel=1e-3)
