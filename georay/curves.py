@@ -37,6 +37,9 @@ _COMPOUNDCURVE = 9
 _CURVEPOLYGON = 10
 _MULTICURVE = 11
 _MULTISURFACE = 12
+_POLYHEDRALSURFACE = 15
+_TIN = 16
+_TRIANGLE = 17
 
 
 # ------------------------------------------------------------------ arcs
@@ -160,7 +163,8 @@ def parse_curve_wkb(buf: bytes):
             c, off = _parse_curve(buf, off)
             out.append(c)
         return "lines", out
-    if t in (_POLYGON, _CURVEPOLYGON, _MULTIPOLYGON, _MULTISURFACE):
+    if t in (_POLYGON, _CURVEPOLYGON, _MULTIPOLYGON, _MULTISURFACE,
+             _POLYHEDRALSURFACE, _TIN):
         polys = []
 
         def parse_poly(t_poly, dims_poly, off):
