@@ -163,6 +163,8 @@ def parse_curve_wkb(buf: bytes):
             c, off = _parse_curve(buf, off)
             out.append(c)
         return "lines", out
+    if t == _TRIANGLE:
+        t = _POLYGON
     if t in (_POLYGON, _CURVEPOLYGON, _MULTIPOLYGON, _MULTISURFACE,
              _POLYHEDRALSURFACE, _TIN):
         polys = []
@@ -187,8 +189,10 @@ def parse_curve_wkb(buf: bytes):
         off += 4
         for _ in range(n):
             st, sdims, off = _wkb_header(buf, off)
-            if st not in (_POLYGON, _CURVEPOLYGON):
+            if st not in (_POLYGON, _CURVEPOLYGON, _TRIANGLE):
                 raise ValueError(f"bad member type {st} in multisurface")
+            if st == _TRIANGLE:            # triangles parse as polygons
+                st = _POLYGON
             rings, off = parse_poly(st, sdims, off)
             polys.append(rings)
         return "polygons", polys

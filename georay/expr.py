@@ -348,6 +348,11 @@ def _geom_fn(which):
             return pa.array(m.buffer_areas(_wkb_packed(args[0], batch),
                                            float(d[1])))
         _n_args(f"ST_{which.upper()}", args, 1)
+        if which == "length_any":
+            col = _eval(args[0], batch)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.array(m.lengths_any_wkb(col.to_pylist()))
         p = _wkb_packed(args[0], batch)
         if which == "area":
             return pa.array(m.feature_areas(p))
@@ -400,7 +405,7 @@ _FUNCS = {
         pc.coalesce(*[_eval(a, batch) for a in args]))[1],
     "ST_AREA": _geom_fn("area"),
     "ST_PERIMETER": _geom_fn("perimeter"),
-    "ST_LENGTH": _geom_fn("perimeter"),
+    "ST_LENGTH": _geom_fn("length_any"),
     "ST_CENTROID_X": _geom_fn("centroid_x"),
     "ST_CENTROID_Y": _geom_fn("centroid_y"),
     "ST_CONVEXHULL_AREA": _geom_fn("convexhull_area"),

@@ -357,6 +357,37 @@ def buffer_areas(packed, d: float, quadseg: int = 8):
 
 # ------------------------------------------------------------- Ray stage
 
+def lengths_any_wkb(wkb_list) -> np.ndarray:
+    """``get_Length`` across geometry families: polygons/multipolygons go
+    through the packed-ring perimeter kernel; linestring and curve types
+    (WKB 2/5/8/9/11) through the analytic curve-length path (exact arc
+    lengths, ogr/ogrcurve.cpp).  Mixed-type columns dispatch per row on
+    the WKB type word."""
+    import struct as _struct
+
+    from .geom import _wkb_type_dims
+
+    poly_idx, curve_idx = [], []
+    for i, b in enumerate(wkb_list):
+        if b is None:
+            continue
+        bb = bytes(b[:9])
+        if len(bb) < 5:
+            continue
+        (raw,) = _struct.unpack_from("<I" if bb[0] == 1 else ">I", bb, 1)
+        base, _ = _wkb_type_dims(raw)
+        (poly_idx if base in (3, 6) else curve_idx).append(i)
+    out = np.zeros(len(wkb_list))
+    if poly_idx:
+        packed = pack_rings([wkb_list[i] for i in poly_idx])
+        out[np.asarray(poly_idx)] = feature_lengths(packed)
+    if curve_idx:
+        from .curves import curve_lengths
+        out[np.asarray(curve_idx)] = curve_lengths(
+            [wkb_list[i] for i in curve_idx])
+    return out
+
+
 def measures_batch(batch: pa.Table, wkb_col: str = "wkb",
                    buffer_dist: float | None = None,
                    round_to: int | None = None) -> pa.Table:

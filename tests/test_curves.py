@@ -106,3 +106,42 @@ def test_multicurve_and_multisurface():
     kind, polys = linearize_wkb(ms)
     assert kind == "polygons" and len(polys) == 1
     assert _poly_area(polys[0][0]) == pytest.approx(np.pi, rel=1e-3)
+
+
+def test_tin_and_polyhedralsurface():
+    import struct
+    from georay.curves import linearize_wkb, curve_lengths
+    tri = (struct.pack("<BII", 1, 17, 1)            # Triangle, 1 ring
+           + struct.pack("<I", 4)
+           + np.array([[0, 0], [1, 0], [0, 1], [0, 0]],
+                      float).astype("<f8").tobytes())
+    tin = struct.pack("<BII", 1, 16, 2) + tri + tri
+    # TIN members parse like polygons? — triangles carry ring counts, so
+    # reuse of parse_poly requires the member header type to be accepted
+    try:
+        kind, polys = linearize_wkb(tin)
+        assert kind == "polygons" and len(polys) == 2
+    except ValueError:
+        import pytest as _pt
+        _pt.fail("TIN WKB not parsed")
+
+
+def test_lengths_any_wkb_mixed_column():
+    from georay.geom import box_ring, wkb_polygon
+    from georay.measures import lengths_any_wkb
+    ln = wkb_linestring([[0, 0], [3, 4]])
+    semi = wkb_circularstring([[1, 0], [0, 1], [-1, 0]])
+    poly = wkb_polygon([box_ring(0, 0, 2, 3)])
+    got = lengths_any_wkb([ln, semi, poly, None])
+    assert got == pytest.approx([5.0, np.pi, 10.0, 0.0], abs=1e-12)
+
+
+def test_st_length_mixed_types_in_expr():
+    import pyarrow as pa
+    from georay.expr import _Parser, _eval, _tokenize
+    from georay.geom import box_ring, wkb_polygon
+    t = pa.table({"wkb": pa.array(
+        [wkb_linestring([[0, 0], [0, 7]]),
+         wkb_polygon([box_ring(0, 0, 1, 1)])], pa.binary())})
+    v = _eval(_Parser(_tokenize("st_length(wkb)")).parse(), t)
+    assert v.to_pylist() == pytest.approx([7.0, 4.0])
