@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "events_hourly", "doc_tokens", "doc_quality", "doc_dedup",
     "doc_minhash_pairs", "ann_topk", "embedding_dups", "image_dedup",
     "overlay_intersection", "zone_join_icosa", "sql_filter_group",
-    "proximity_images", "sessions",
+    "proximity_images", "sessions", "geom_measures", "sql_functions",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on
