@@ -1062,6 +1062,47 @@ def q_geom_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_curve_measures(sf_dir: str):
+    """Curve geometry path — CircularString circles (ISO WKB 8, three 120°
+    arcs) built per customer, measured both EXACTLY on the curve
+    (``curves.curve_lengths`` analytic arc length → 2πr) and through the
+    ``linearize_batch`` → measures pipeline (ogrgeometryfactory.cpp
+    curveToLineString analog).
+
+    Arc stepping 3.7° keeps ceil(120/3.7)=33 steps per arc STABLE against
+    the ~1e-13 jitter of the numeric arc sweep (a 4° step would sit on the
+    ceil(30.0±ε) boundary), so the stroked ring is a regular 99-gon and
+    the oracle is closed-form: area (99/2)r²sin(2π/99), perimeter
+    2·99·r·sin(π/99).  round(6) both sides."""
+    from .curves import curve_lengths, linearize_batch
+    from .measures import measures_batch
+
+    def build(batch: pa.Table) -> pa.Table:
+        from .curves import wkb_circularstring, wkb_curvepolygon
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        u3 = ((k * 69069 + 12345) % 4294967296) / 4294967296.0
+        r = 0.1 + u3 * 0.4
+        cx, cy = derived_lon(k), derived_lat(k)
+        ang7 = np.pi / 3.0 * np.arange(7)       # 0,60,...,360 degrees
+        co7, si7 = np.cos(ang7), np.sin(ang7)
+        co7[6], si7[6] = 1.0, 0.0               # exact ring closure
+        wkbs = [wkb_curvepolygon([wkb_circularstring(
+            np.stack([cx[j] + r[j] * co7, cy[j] + r[j] * si7], axis=1))])
+            for j in range(len(k))]
+        t = pa.table({"c_custkey": pa.array(k),
+                      "wkb": pa.array(wkbs, pa.binary())})
+        exact_len = np.round(curve_lengths(t["wkb"].to_pylist()), 6)
+        t = linearize_batch(t, max_step_deg=3.7)
+        out = measures_batch(t, "wkb", round_to=6).drop_columns(["wkb"])
+        keep = ["c_custkey", "st_area", "st_length", "st_cx", "st_cy",
+                "hull_npoints"]
+        out = out.select(keep)
+        return out.append_column("curve_len", pa.array(exact_len))
+
+    return _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join on the event log: each 'click' matched to the same
     user's most recent 'purchase' at or before it (inner).  Oracle:
@@ -1252,6 +1293,7 @@ QUERIES = {
     "clip_zones": q_clip_zones,
     "asof_join": q_asof_join,
     "geom_measures": q_geom_measures,
+    "curve_measures": q_curve_measures,
 }
 
 
@@ -1612,6 +1654,24 @@ ORACLE_SQL = {
                    FROM events WHERE event_type = 'purchase'
                    GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "curve_measures": f"""
+        WITH g AS (
+            SELECT c_custkey,
+                   0.1 + ((c_custkey * 69069 + 12345) % 4294967296)
+                       / 4294967296.0 * 0.4 AS r,
+                   {_SQL_LON.format(k='c_custkey')} AS cx,
+                   {_SQL_LAT.format(k='c_custkey')} AS cy
+            FROM customer)
+        SELECT c_custkey,
+               round(99.0 / 2.0 * r * r * sin(2.0 * pi() / 99.0), 6)
+                   AS st_area,
+               round(2.0 * 99.0 * r * sin(pi() / 99.0), 6) AS st_length,
+               round(cx, 6) AS st_cx,
+               round(cy, 6) AS st_cy,
+               cast(99 AS bigint) AS hull_npoints,
+               round(2.0 * pi() * r, 6) AS curve_len
+        FROM g
     """,
     "geom_measures": f"""
         WITH g AS (
