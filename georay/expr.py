@@ -59,8 +59,8 @@ _TOKEN_RE = re.compile(r"""
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
     )""", re.X)
 
-_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "IS", "NULL",
-             "TRUE", "FALSE"}
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS",
+             "NULL", "TRUE", "FALSE"}
 
 
 def _tokenize(src: str):
@@ -143,12 +143,12 @@ class _Parser:
         if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             node = ("cmp", v, left, self.add())
-        elif (k, v) == ("kw", "LIKE"):
+        elif (k, v) in (("kw", "LIKE"), ("kw", "ILIKE")):
             self.next()
             kk, pat = self.next()
             if kk != "str":
-                raise FilterSyntaxError("LIKE needs a string pattern")
-            node = ("like", left, pat)
+                raise FilterSyntaxError(f"{v} needs a string pattern")
+            node = ("like" if v == "LIKE" else "ilike", left, pat)
         elif (k, v) == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
@@ -457,6 +457,11 @@ def _eval(node, batch: pa.Table):
     if kind == "like":
         return pc.match_substring_regex(_eval(node[1], batch),
                                         _like_to_regex(node[2]))
+    if kind == "ilike":
+        # OGR SWQ_ILIKE / DuckDB ILIKE: case-insensitive pattern match
+        return pc.match_substring_regex(_eval(node[1], batch),
+                                        _like_to_regex(node[2]),
+                                        ignore_case=True)
     if kind == "in":
         v = _eval(node[1], batch)
         hit = pc.is_in(v, value_set=pa.array(node[2]))

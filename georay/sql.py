@@ -44,7 +44,8 @@ class SqlError(FilterSyntaxError):
     pass
 
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
+              "STDDEV_POP", "STDDEV_SAMP"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
                "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
                "JOIN", "INNER", "LEFT", "ON"}
@@ -277,7 +278,7 @@ def execute_sql(sql: str, tables: dict):
     a Dataset for streaming shapes, or a pyarrow table for global
     aggregates / OFFSET slices (small results)."""
     import ray
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
     q = _SqlParser(sql).parse()
     if q["table"] not in tables:
@@ -441,6 +442,10 @@ def execute_sql(sql: str, tables: dict):
             aggs.append(Min(col, alias_name=alias))
         elif it.func == "MAX":
             aggs.append(Max(col, alias_name=alias))
+        elif it.func == "STDDEV_POP":
+            aggs.append(Std(col, ddof=0, alias_name=alias))
+        elif it.func == "STDDEV_SAMP":
+            aggs.append(Std(col, ddof=1, alias_name=alias))
         else:
             raise SqlError(f"unsupported aggregate {it.func}")
 

@@ -139,3 +139,28 @@ def test_cast_semantics():
     import pytest as _pt
     with _pt.raises(FilterSyntaxError):
         ev("cast(x AS NOSUCHTYPE)")
+
+
+def test_ilike_and_stddev(ray_session, sf_dir):
+    import duckdb
+    import ray
+    from georay.sql import execute_sql
+    tables = {"customer": ray.data.read_parquet(f"{sf_dir}/customer.parquet")}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/customer.parquet')")
+    sql = ("SELECT c_custkey FROM customer "
+           "WHERE c_mktsegment ILIKE 'bui%' ORDER BY c_custkey")
+    got = execute_sql(sql, tables)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(sql).df()
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert len(got) > 0
+    sql2 = ("SELECT c_mktsegment, STDDEV_SAMP(c_acctbal) AS sd "
+            "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    got2 = execute_sql(sql2, tables)
+    got2 = got2.to_pandas() if hasattr(got2, "to_pandas") else got2
+    want2 = con.sql(sql2).df()
+    assert got2["c_mktsegment"].tolist() == want2["c_mktsegment"].tolist()
+    import numpy as np
+    assert np.allclose(got2["sd"], want2["sd"], rtol=1e-9)
