@@ -323,12 +323,13 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         px = (sx - src_gt[0]) / src_gt[1]
         py = (sy - src_gt[3]) / src_gt[5]
     h, w = src.shape[:2]
-    if kernel == "average":
-        # GRA_Average: mean of the source pixels under each destination
-        # pixel's FOOTPRINT — dst cell corners transform to src space, the
-        # footprint's bounding box integrates over a summed-area table
-        # (exact fractional box sums via bilinear sampling of the
-        # integral image, same identity resample_average uses)
+    if kernel in ("average", "rms"):
+        # GRA_Average / GRA_RMS: mean (or root-mean-square) of the source
+        # pixels under each destination pixel's FOOTPRINT — dst cell
+        # corners transform to src space, the footprint's bounding box
+        # integrates over a summed-area table (exact fractional box sums
+        # via bilinear sampling of the integral image, same identity
+        # resample_average uses; RMS integrates squares and roots the mean)
         ecols = np.arange(ow + 1.0)
         erows = np.arange(oh + 1.0)
         edx = dst_gt[0] + ecols[None, :] * dst_gt[1]
@@ -356,6 +357,8 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
         x0c = np.clip(x0, 0, w); x1c = np.clip(x1, 0, w)
         y0c = np.clip(y0, 0, h); y1c = np.clip(y1, 0, h)
         a = src.astype(np.float64)
+        if kernel == "rms":
+            a = a * a
         if a.ndim == 2:
             a = a[:, :, None]
         integ = np.zeros((h + 1, w + 1, a.shape[2]))
@@ -373,7 +376,10 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
 
         sums = at(y1c, x1c) - at(y0c, x1c) - at(y1c, x0c) + at(y0c, x0c)
         area = np.maximum((y1c - y0c) * (x1c - x0c), 1e-12)[..., None]
-        out = np.clip(np.rint(sums / area), 0, 255).astype(src.dtype)
+        vals = sums / area
+        if kernel == "rms":
+            vals = np.sqrt(np.maximum(vals, 0.0))
+        out = np.clip(np.rint(vals), 0, 255).astype(src.dtype)
         if src.ndim == 2:
             out = out[:, :, 0]
     elif kernel in ("mode", "med", "q1", "q3", "min", "max"):

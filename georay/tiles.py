@@ -128,8 +128,48 @@ def resample_bilinear(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(src.dtype)
 
 
+def resample_rms(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """GDAL RMS kernel (gcore/overview.cpp RMS dispatch, alg/gdalwarper.h
+    GRA_RMS): square root of the footprint mean of squared values —
+    the radiometrically-correct reduce for magnitude-like bands."""
+    h, w = src.shape[:2]
+    if oh > h or ow > w:
+        return resample_nearest(src, oh, ow)
+    a = src.astype(np.float64)
+    a = a * a
+    if h % oh == 0 and w % ow == 0:
+        fy, fx = h // oh, w // ow
+        if src.ndim == 3:
+            out = a.reshape(oh, fy, ow, fx, src.shape[2]).mean(axis=(1, 3))
+        else:
+            out = a.reshape(oh, fy, ow, fx).mean(axis=(1, 3))
+        return np.clip(np.rint(np.sqrt(out)), 0, 255).astype(src.dtype)
+    aa = a if a.ndim == 3 else a[:, :, None]
+    integ = np.zeros((h + 1, w + 1, aa.shape[2]))
+    integ[1:, 1:] = aa.cumsum(axis=0).cumsum(axis=1)
+
+    def at(yy, xx):
+        yi = np.clip(np.floor(yy).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.floor(xx).astype(np.int64), 0, w - 1)
+        fy = (yy - yi)[:, None, None]
+        fx = (xx - xi)[None, :, None]
+        return (integ[yi][:, xi] * (1 - fy) * (1 - fx)
+                + integ[yi][:, xi + 1] * (1 - fy) * fx
+                + integ[yi + 1][:, xi] * fy * (1 - fx)
+                + integ[yi + 1][:, xi + 1] * fy * fx)
+
+    ye = np.linspace(0, h, oh + 1)
+    xe = np.linspace(0, w, ow + 1)
+    sums = (at(ye[1:], xe[1:]) - at(ye[:-1], xe[1:])
+            - at(ye[1:], xe[:-1]) + at(ye[:-1], xe[:-1]))
+    area = ((ye[1:] - ye[:-1])[:, None]
+            * (xe[1:] - xe[:-1])[None, :])[:, :, None]
+    out = np.clip(np.rint(np.sqrt(sums / area)), 0, 255).astype(src.dtype)
+    return out[:, :, 0] if src.ndim == 2 else out
+
+
 _KERNELS = {"average": resample_average, "near": resample_nearest,
-            "bilinear": resample_bilinear}
+            "bilinear": resample_bilinear, "rms": resample_rms}
 
 
 def _scale_to(src: np.ndarray, oh: int, ow: int, kernel: str) -> np.ndarray:

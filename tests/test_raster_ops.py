@@ -539,3 +539,28 @@ def test_warp_order_statistic_kernels():
                                src_crs="EPSG:32631", dst_crs="EPSG:4326",
                                kernel="med")
     assert out.shape == (32, 32, 3) and out[4:-4, 4:-4].std() > 10
+
+
+def test_rms_resampler_tile_and_warp():
+    """GRA_RMS (alg/gdalwarper.h) — sqrt of footprint mean of squares; the
+    tile kernel and the warp footprint path agree on an identity grid."""
+    import numpy as np
+    from georay.raster import warp_affine_mercator
+    from georay.tiles import resample_average, resample_rms
+    src = np.zeros((4, 4), np.uint8)
+    src[::2, ::2] = 255
+    src[1::2, 1::2] = 255
+    assert (resample_rms(src, 2, 2) == 180).all()      # sqrt(255^2/2)
+    assert (resample_average(src, 2, 2) == 128).all()
+    band = (np.arange(64 * 64, dtype=np.uint8) % 251).reshape(64, 64)
+    gt = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+    dst = (0.0, 2.0, 0.0, 64.0, 0.0, -2.0)
+    o = warp_affine_mercator(band, gt, dst, (32, 32), src_crs="EPSG:3857",
+                             dst_crs="EPSG:3857", kernel="rms")
+    assert (o == resample_rms(band, 32, 32)).all()
+    # fractional-footprint cell spot check
+    src2 = (np.arange(36, dtype=np.uint8) * 7 % 256).reshape(6, 6)
+    r = resample_rms(src2, 4, 4)
+    a = src2.astype(float) ** 2
+    s = a[0, 0] + a[0, 1] * 0.5 + a[1, 0] * 0.5 + a[1, 1] * 0.25
+    assert r[0, 0] == round(np.sqrt(s / 2.25))
