@@ -17,6 +17,7 @@ __all__ = [
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
+    "color_relief",
     "viewshed", "edit_metadata",
 ]
 
@@ -188,6 +189,36 @@ def roughness(dem):
     """max − min of the 3×3 window."""
     n = _neighbors(dem)
     return np.max(np.stack(n), axis=0) - np.min(np.stack(n), axis=0)
+
+
+def color_relief(dem: np.ndarray, ramp, mode: str = "interpolate"):
+    """gdaldem color-relief (apps/gdaldem_lib.cpp ColorAssociation):
+    elevation → RGB via a color ramp [(elev, r, g, b), ...].  Modes:
+    ``interpolate`` (default linear blend between entries, clamped at the
+    ends), ``nearest`` (-nearest_color_entry), ``exact``
+    (-exact_color_entry: unmatched elevations → 0,0,0)."""
+    ramp = sorted(ramp, key=lambda t: t[0])
+    elev = np.asarray([t[0] for t in ramp], dtype=np.float64)
+    cols = np.asarray([t[1:4] for t in ramp], dtype=np.float64)
+    d = np.asarray(dem, dtype=np.float64)
+    out = np.empty(d.shape + (3,), dtype=np.uint8)
+    if mode == "interpolate":
+        for c in range(3):
+            out[..., c] = np.clip(
+                np.rint(np.interp(d, elev, cols[:, c])), 0, 255)
+        return out
+    if mode == "nearest":
+        idx = np.clip(np.searchsorted(elev, d), 0, len(elev) - 1)
+        lo = np.maximum(idx - 1, 0)
+        use_lo = np.abs(d - elev[lo]) <= np.abs(elev[idx] - d)
+        idx = np.where(use_lo, lo, idx)
+        return np.clip(np.rint(cols[idx]), 0, 255).astype(np.uint8)
+    if mode == "exact":
+        out[:] = 0
+        for e, col in zip(elev, cols):
+            out[d == e] = np.clip(np.rint(col), 0, 255)
+        return out
+    raise ValueError(f"unknown color-relief mode {mode!r}")
 
 
 _DEM_FUNCS = {"hillshade": hillshade, "slope": slope, "aspect": aspect,

@@ -16,6 +16,7 @@ from .geom import PackedPolygons
 __all__ = [
     "rasterize_polygons", "zonal_stats_image", "ZonalStats",
     "sample_at_points", "grid_invdist", "grid_nearest", "grid_average",
+    "grid_metrics",
 ]
 
 
@@ -262,4 +263,57 @@ def grid_average(px, py, pv, gt, shape, radius: float,
         cnt = m.sum(axis=1)
         tot = (m * pv[None, :]).sum(axis=1)
         out[s:s + block] = np.where(cnt > 0, tot / np.maximum(cnt, 1), nodata)
+    return out.reshape(shape)
+
+
+def grid_metrics(px, py, pv, gt, shape, radius: float, metric: str,
+                 nodata: float = 0.0) -> np.ndarray:
+    """Data-metrics gridding (GGA_MetricMinimum/Maximum/Range/Count/
+    AverageDistance/AverageDistancePts, alg/gdalgrid.h:65-87): per grid
+    node, the statistic over the points inside the circular search radius.
+    ``metric`` ∈ minimum|maximum|range|count|average_distance (node→point
+    distances) | average_distance_pts (pairwise point distances)."""
+    gx, gy = _grid_coords(gt, shape)
+    fx, fy = gx.ravel(), gy.ravel()
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    out = np.empty(fx.shape, dtype=np.float64)
+    block = max(1, 2_000_000 // max(len(px), 1))
+    for s in range(0, len(fx), block):
+        dx = fx[s:s + block, None] - px[None, :]
+        dy = fy[s:s + block, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        m = d2 <= radius * radius
+        cnt = m.sum(axis=1)
+        ok = cnt > 0
+        if metric == "count":
+            out[s:s + block] = cnt.astype(np.float64)
+            continue
+        if metric == "minimum":
+            v = np.where(m, pv[None, :], np.inf).min(axis=1)
+        elif metric == "maximum":
+            v = np.where(m, pv[None, :], -np.inf).max(axis=1)
+        elif metric == "range":
+            v = (np.where(m, pv[None, :], -np.inf).max(axis=1)
+                 - np.where(m, pv[None, :], np.inf).min(axis=1))
+        elif metric == "average_distance":
+            v = np.where(m, np.sqrt(d2), 0.0).sum(axis=1) \
+                / np.maximum(cnt, 1)
+        elif metric == "average_distance_pts":
+            # mean pairwise distance among the in-radius points
+            v = np.empty(len(cnt))
+            for j in range(len(cnt)):
+                sel = np.flatnonzero(m[j])
+                if len(sel) < 2:
+                    v[j] = 0.0 if len(sel) else np.nan
+                    continue
+                qx, qy = px[sel], py[sel]
+                dd = np.hypot(qx[:, None] - qx[None, :],
+                              qy[:, None] - qy[None, :])
+                iu = np.triu_indices(len(sel), 1)
+                v[j] = dd[iu].mean()
+        else:
+            raise ValueError(f"unknown grid metric {metric!r}")
+        out[s:s + block] = np.where(ok, v, nodata)
     return out.reshape(shape)

@@ -564,3 +564,44 @@ def test_rms_resampler_tile_and_warp():
     a = src2.astype(float) ** 2
     s = a[0, 0] + a[0, 1] * 0.5 + a[1, 0] * 0.5 + a[1, 1] * 0.25
     assert r[0, 0] == round(np.sqrt(s / 2.25))
+
+
+def test_color_relief_modes():
+    import numpy as np
+    from georay.raster import color_relief
+    ramp = [(0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 0, 0)]
+    dem = np.array([[0.0, 50.0], [150.0, 300.0]])
+    out = color_relief(dem, ramp)
+    assert out[0, 0].tolist() == [0, 0, 255]
+    assert out[0, 1].tolist() in ([0, 127, 128], [0, 128, 128],
+                                  [0, 127, 127], [0, 128, 127])  # halfway
+    assert out[1, 0, 2] == 0 and 127 <= out[1, 0, 0] <= 128
+    assert out[1, 1].tolist() == [255, 0, 0]          # clamped past the end
+    near = color_relief(dem, ramp, mode="nearest")
+    assert near[0, 1].tolist() == [0, 0, 255]         # 50 → nearest 0
+    assert near[1, 0].tolist() in ([0, 255, 0], [255, 0, 0])  # 150 is a tie
+    exact = color_relief(dem, ramp, mode="exact")
+    assert exact[0, 0].tolist() == [0, 0, 255]
+    assert exact[0, 1].tolist() == [0, 0, 0]
+
+
+def test_grid_metrics():
+    import numpy as np
+    from georay.rasterize import grid_metrics
+    px = np.array([0.5, 1.5, 0.5])
+    py = np.array([0.5, 0.5, 1.5])
+    pv = np.array([10.0, 30.0, 20.0])
+    gt = (0.0, 1.0, 0.0, 2.0, 0.0, -1.0)       # 2x2 grid, centers at .5/1.5
+    cnt = grid_metrics(px, py, pv, gt, (2, 2), radius=0.1, metric="count")
+    assert cnt.tolist() == [[1.0, 0.0], [1.0, 1.0]]
+    mx = grid_metrics(px, py, pv, gt, (2, 2), radius=1.2, metric="maximum",
+                      nodata=-1)
+    assert mx[1][0] == 30.0                    # (.5,.5) sees 10,30,20
+    rg = grid_metrics(px, py, pv, gt, (2, 2), radius=1.2, metric="range")
+    assert rg[1][0] == 20.0
+    ad = grid_metrics(px, py, pv, gt, (2, 2), radius=0.1,
+                      metric="average_distance")
+    assert ad[1][0] == pytest.approx(0.0, abs=1e-12)
+    adp = grid_metrics(px, py, pv, gt, (2, 2), radius=1.2,
+                       metric="average_distance_pts")
+    assert adp[1][0] == pytest.approx((1.0 + 1.0 + np.sqrt(2.0)) / 3.0)
