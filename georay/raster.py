@@ -17,7 +17,7 @@ __all__ = [
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
-    "color_relief",
+    "color_relief", "pixel_function",
     "viewshed", "edit_metadata",
 ]
 
@@ -44,6 +44,68 @@ def pixel_calc(expr: str, **bands) -> np.ndarray:
     ns = dict(_CALC_NAMESPACE)
     ns.update(bands)
     return eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — restricted ns
+
+
+# Named VRT pixel functions (frmts/vrt/pixelfunctions.cpp:1618-1690
+# registry).  Each takes the source band list (float64 arrays) + keyword
+# args and returns one band — ``pixel_function(name, bands, **kw)``.
+_VRT_PIXEL_FUNCS = {
+    "real": lambda b: np.real(b[0]),
+    "imag": lambda b: np.imag(b[0]),
+    "complex": lambda b: b[0] + 1j * b[1],
+    "polar": lambda b, amplitude_type="AMPLITUDE": (
+        (b[0] if amplitude_type == "AMPLITUDE" else
+         np.sqrt(np.maximum(b[0], 0)) if amplitude_type == "INTENSITY"
+         else 10.0 ** (b[0] / 20.0)) * np.exp(1j * b[1])),
+    "mod": lambda b: np.abs(b[0]),
+    "phase": lambda b: np.angle(b[0]),
+    "conj": lambda b: np.conjugate(b[0]),
+    "sum": lambda b, k=0.0: sum(b) + k,
+    "diff": lambda b: b[0] - b[1],
+    "mul": lambda b, k=1.0: np.prod(np.stack(b), axis=0) * k,
+    "div": lambda b: np.divide(b[0], b[1],
+                               out=np.full_like(np.asarray(b[0], float),
+                                                np.nan),
+                               where=np.asarray(b[1]) != 0),
+    "cmul": lambda b: b[0] * np.conjugate(b[1]),
+    "inv": lambda b, k=1.0: np.divide(
+        k, b[0], out=np.full_like(np.asarray(b[0], float), np.nan),
+        where=np.asarray(b[0]) != 0),
+    "intensity": lambda b: (b[0] * np.conjugate(b[0])).real,
+    "sqrt": lambda b: np.sqrt(b[0]),
+    "log10": lambda b: np.log10(b[0]),
+    "dB": lambda b, fact=20.0: fact * np.log10(np.abs(b[0])),
+    "exp": lambda b, base=np.e, fact=1.0: base ** (fact * b[0]),
+    "dB2amp": lambda b: 10.0 ** (b[0] / 20.0),
+    "dB2pow": lambda b: 10.0 ** (b[0] / 10.0),
+    "pow": lambda b, power=1.0: b[0] ** power,
+    "interpolate_linear": lambda b, t0=0.0, dt=1.0, t=0.0: (
+        b[0] + (b[1] - b[0]) * ((t - t0) / dt if dt else 0.0)),
+    "interpolate_exp": lambda b, t0=0.0, dt=1.0, t=0.0: (
+        b[0] * np.exp(np.log(np.maximum(b[1], 1e-300)
+                             / np.maximum(b[0], 1e-300))
+                      * ((t - t0) / dt if dt else 0.0))),
+    "scale": lambda b, offset=0.0, scale=1.0: b[0] * scale + offset,
+    "nan": lambda b, to_nan=0.0: np.where(b[0] == to_nan, np.nan, b[0]),
+    "min": lambda b: np.minimum.reduce(list(b)),
+    "max": lambda b: np.maximum.reduce(list(b)),
+    "norm_diff": lambda b: np.divide(
+        b[0] - b[1], b[0] + b[1],
+        out=np.full_like(np.asarray(b[0], float), np.nan),
+        where=(np.asarray(b[0]) + np.asarray(b[1])) != 0),
+}
+
+
+def pixel_function(name: str, bands, **kwargs) -> np.ndarray:
+    """Apply a named VRT pixel function (the reference's built-in registry,
+    pixelfunctions.cpp) to a list of band arrays.  Custom functions can be
+    registered by inserting into ``_VRT_PIXEL_FUNCS`` — the
+    GDALAddDerivedBandPixelFunc extension point."""
+    fn = _VRT_PIXEL_FUNCS.get(name)
+    if fn is None:
+        raise KeyError(f"unknown VRT pixel function {name!r}")
+    bands = [np.asarray(b) for b in bands]
+    return fn(bands, **kwargs) if kwargs else fn(bands)
 
 
 # ---------------------------------------------------------------------------

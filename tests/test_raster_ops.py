@@ -605,3 +605,33 @@ def test_grid_metrics():
     adp = grid_metrics(px, py, pv, gt, (2, 2), radius=1.2,
                        metric="average_distance_pts")
     assert adp[1][0] == pytest.approx((1.0 + 1.0 + np.sqrt(2.0)) / 3.0)
+
+
+def test_vrt_named_pixel_functions():
+    import numpy as np
+    from georay.raster import pixel_function
+    a = np.array([[3.0, 4.0]])
+    b = np.array([[1.0, 2.0]])
+    assert pixel_function("sum", [a, b], k=1.0).tolist() == [[5.0, 7.0]]
+    assert pixel_function("diff", [a, b]).tolist() == [[2.0, 2.0]]
+    assert pixel_function("mul", [a, b]).tolist() == [[3.0, 8.0]]
+    assert pixel_function("div", [a, b]).tolist() == [[3.0, 2.0]]
+    assert pixel_function("norm_diff", [a, b]).tolist() == \
+        [[0.5, 1.0 / 3.0]]
+    assert pixel_function("min", [a, b]).tolist() == [[1.0, 2.0]]
+    assert pixel_function("scale", [a], offset=1.0, scale=2.0).tolist() \
+        == [[7.0, 9.0]]
+    assert pixel_function("pow", [a], power=2.0).tolist() == [[9.0, 16.0]]
+    z = pixel_function("complex", [a, b])
+    assert pixel_function("mod", [z])[0].tolist() == \
+        pytest.approx([np.hypot(3, 1), np.hypot(4, 2)])
+    assert pixel_function("intensity", [z]).tolist() == [[10.0, 20.0]]
+    assert pixel_function("dB", [np.array([[10.0]])]).tolist() == [[20.0]]
+    assert pixel_function("dB2amp", [np.array([[20.0]])]).tolist() == [[10.0]]
+    nanv = pixel_function("nan", [np.array([[0.0, 1.0]])])
+    assert np.isnan(nanv[0, 0]) and nanv[0, 1] == 1.0
+    mid = pixel_function("interpolate_linear", [a, b], t0=0.0, dt=2.0, t=1.0)
+    assert mid.tolist() == [[2.0, 3.0]]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        pixel_function("nosuch", [a])
