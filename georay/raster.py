@@ -14,6 +14,7 @@ import pyarrow as pa
 
 __all__ = [
     "pixel_calc", "translate_window", "translate_scale",
+    "expand_palette", "translate_unscale",
     "hillshade", "slope", "aspect", "tri", "tpi", "roughness",
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
@@ -137,6 +138,27 @@ def translate_scale(arr: np.ndarray, src_min=None, src_max=None,
     out = dst_min + t * (dst_max - dst_min)
     return np.clip(np.rint(out), min(dst_min, dst_max),
                    max(dst_min, dst_max)).astype(np.uint8)
+
+
+def expand_palette(indices: np.ndarray, palette: np.ndarray,
+                   alpha: bool = False) -> np.ndarray:
+    """gdal_translate ``-expand rgb|rgba`` (apps/gdal_translate_lib.cpp
+    nRGBExpand): palette-indexed band → RGB(A) via table gather."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] not in (3, 4):
+        raise ValueError("palette must be (n, 3) or (n, 4)")
+    if alpha and pal.shape[1] == 3:
+        pal = np.concatenate(
+            [pal, np.full((len(pal), 1), 255, np.uint8)], axis=1)
+    out = pal[np.asarray(indices, dtype=np.int64)]
+    return out if alpha or pal.shape[1] == 3 else out[..., :3]
+
+
+def translate_unscale(arr: np.ndarray, scale: float = 1.0,
+                      offset: float = 0.0) -> np.ndarray:
+    """gdal_translate ``-unscale``: apply the band's scale/offset metadata
+    to produce physical values (value*scale + offset, float64)."""
+    return np.asarray(arr, dtype=np.float64) * scale + offset
 
 
 class TranslateImages:

@@ -635,3 +635,18 @@ def test_vrt_named_pixel_functions():
     import pytest as _pt
     with _pt.raises(KeyError):
         pixel_function("nosuch", [a])
+
+
+def test_expand_palette_and_unscale():
+    import numpy as np
+    from georay.raster import expand_palette, translate_unscale
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]])
+    rgb = expand_palette(idx, pal)
+    assert rgb.shape == (2, 2, 3)
+    assert rgb[0, 1].tolist() == [0, 255, 0]
+    rgba = expand_palette(idx, pal, alpha=True)
+    assert rgba.shape == (2, 2, 4) and rgba[1, 0].tolist() == [0, 0, 255, 255]
+    v = translate_unscale(np.array([[0, 100]], np.uint8), scale=0.5,
+                          offset=-10.0)
+    assert v.tolist() == [[-10.0, 40.0]] and v.dtype == np.float64
