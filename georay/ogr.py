@@ -117,6 +117,26 @@ class VectorPipeline:
         return VectorPipeline(
             self.ds.map_batches(key, batch_format="pyarrow").sort("hilbert_key"))
 
+    def linearize(self, wkb_col: str = "wkb",
+                  max_step_deg: float = 4.0) -> "VectorPipeline":
+        """Stroke curve geometries (CircularString/CompoundCurve/
+        CurvePolygon/TIN) to linear WKB — ``ogr2ogr -nlt CONVERT_TO_LINEAR``
+        as a pipeline step."""
+        from .curves import linearize_batch
+        return VectorPipeline(self.ds.map_batches(
+            lambda b: linearize_batch(b, wkb_col, max_step_deg),
+            batch_format="pyarrow"))
+
+    def measure(self, wkb_col: str = "wkb", buffer_dist=None,
+                round_to=None) -> "VectorPipeline":
+        """Append st_area/st_length/st_cx/st_cy/hull_area/hull_npoints
+        (+ buf_area) measure columns — the OGRGeometry measure surface as
+        a pipeline step."""
+        from .measures import measures_batch
+        return VectorPipeline(self.ds.map_batches(
+            lambda b: measures_batch(b, wkb_col, buffer_dist, round_to),
+            batch_format="pyarrow"))
+
     def limit(self, n: int) -> "VectorPipeline":
         return VectorPipeline(self.ds.limit(n))
 

@@ -118,3 +118,21 @@ def test_write_tiles_png_resume(ray_session, tmp_path):
     base2 = tile_pipeline(p, zoom=12)[12]
     status2 = write_tiles_png(base2, out_dir).take_all()
     assert all(r["status"] == "skipped" for r in status2)
+
+
+def test_pipeline_linearize_and_measure(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from georay.curves import wkb_circularstring, wkb_curvepolygon
+    from georay.ogr import VectorPipeline
+    circ = wkb_curvepolygon([wkb_circularstring(
+        [[2, 0], [0, 2], [-2, 0], [0, -2], [2, 0]])])
+    ds = ray.data.from_arrow(pa.table(
+        {"id": [1], "wkb": pa.array([circ], pa.binary())}))
+    out = (VectorPipeline.from_dataset(ds)
+           .linearize(max_step_deg=1.0)
+           .measure(round_to=6)
+           .to_table())
+    assert out["st_area"][0].as_py() == pytest.approx(np.pi * 4.0, rel=1e-4)
+    assert out["st_length"][0].as_py() == pytest.approx(4 * np.pi, rel=1e-4)
