@@ -4,8 +4,9 @@ GDAL's query/data-processing capabilities (reference analyzed in SURVEY.md).
 Layers:
 
 * pure-math kernels (no Ray): :mod:`georay.mercator`, :mod:`georay.cells`,
-  :mod:`georay.geom`, :mod:`georay.rtree`, :mod:`georay.png`,
-  :mod:`georay.codecs`
+  :mod:`georay.icosa`, :mod:`georay.geom`, :mod:`georay.measures`,
+  :mod:`georay.curves`, :mod:`georay.rtree`, :mod:`georay.transformers`,
+  :mod:`georay.codecs`, :mod:`georay.jpeg`
 * fixtures: :mod:`georay.fixtures` (deterministic image/polygon/point tables)
 * Ray Data stages & pipelines: :mod:`georay.decode`, :mod:`georay.join`,
   :mod:`georay.knn`, :mod:`georay.tiles`, :mod:`georay.stats`,
