@@ -152,12 +152,19 @@ class _Parser:
         elif (k, v) == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
-            vals = [self._literal()]
-            while self.peek() == ("op", ","):
-                self.next()
-                vals.append(self._literal())
-            self.expect("op", ")")
-            node = ("in", left, vals)
+            if self.peek()[0] == "vset":
+                # pre-resolved IN-subquery value set (georay.sql splices
+                # these in): broadcast membership test, no shuffle
+                _, arr = self.next()
+                self.expect("op", ")")
+                node = ("inset", left, arr)
+            else:
+                vals = [self._literal()]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    vals.append(self._literal())
+                self.expect("op", ")")
+                node = ("in", left, vals)
         elif (k, v) == ("kw", "BETWEEN"):
             self.next()
             lo = self.add()
@@ -466,6 +473,10 @@ def _eval(node, batch: pa.Table):
         v = _eval(node[1], batch)
         hit = pc.is_in(v, value_set=pa.array(node[2]))
         # SQL: NULL IN (...) is NULL (is_in would say false) — re-null it
+        return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
+    if kind == "inset":
+        v = _eval(node[1], batch)
+        hit = pc.is_in(v, value_set=node[2])
         return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
     if kind == "between":
         v = _eval(node[1], batch)

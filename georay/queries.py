@@ -1237,6 +1237,65 @@ def q_sql_functions(sf_dir: str):
     return execute_sql(_SQL_FUNCS_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+_SQL_WINDOW_TEXT = (
+    "SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn, "
+    "SUM(CAST(o_orderkey % 89 AS DOUBLE)) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey) AS run_s, "
+    "COUNT(*) OVER (PARTITION BY o_custkey) AS n_ord "
+    "FROM orders WHERE o_custkey % 3 = 0")
+
+
+def q_sql_window(sf_dir: str):
+    """SQL window functions (the SQLite-dialect surface OGR reaches via
+    gcore/gdaldataset.cpp:5386): ROW_NUMBER, a running SUM (default RANGE
+    frame), and a whole-partition COUNT, compiled onto
+    ``windows.window_compute`` — PARTITION BY keys hash-partitioned, one
+    vectorized lexsort+segment pass per partition (never per key).  The
+    oracle runs the IDENTICAL text in DuckDB; the ORDER BY key is unique
+    per partition so every window value is deterministic."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_WINDOW_TEXT, _sql_tables(sf_dir, "orders"))
+
+
+_SQL_WINDOW_LAG_TEXT = (
+    "SELECT user_id, event_id, "
+    "LAG(value, 1, 0.0) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS pv, "
+    "LEAD(event_id) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt, "
+    "RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS tr "
+    "FROM events WHERE user_id % 5 = 0")
+
+
+def q_sql_window_lag(sf_dir: str):
+    """LAG (with default) / LEAD (null at the partition edge) / RANK over
+    the event log; two distinct OVER orderings compile to two window
+    passes.  (ts, event_id) is unique per user so shifts are
+    deterministic; LAG returns stored doubles (no arithmetic), exact
+    across engines."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_WINDOW_LAG_TEXT, _sql_tables(sf_dir, "events"))
+
+
+_SQL_SUBQ_TEXT = (
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+    "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.8) "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
+def q_sql_subquery(sf_dir: str):
+    """Uncorrelated subqueries: a scalar subquery (MAX — exact, no float
+    accumulation) nested inside an IN-subquery whose distinct key set is
+    resolved once and broadcast as a vectorized ``pc.is_in`` value set
+    (the engine-side analog of a broadcast semi-join; size-guarded,
+    sql._SUBQ_LIMIT).  The oracle runs the IDENTICAL text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_SUBQ_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -1281,6 +1340,9 @@ QUERIES = {
     "sql_join": q_sql_join,
     "sql_functions": q_sql_functions,
     "sql_group_alias": q_sql_group_alias,
+    "sql_window": q_sql_window,
+    "sql_window_lag": q_sql_window_lag,
+    "sql_subquery": q_sql_subquery,
     "zonal_stats": q_zonal_stats,
     "warp_checksums": q_warp_checksums,
     "footprint_images": q_footprint_images,
@@ -1334,6 +1396,9 @@ ORACLE_SQL = {
     """,
     "sql_join": _SQL_JOIN_TEXT,
     "sql_functions": _SQL_FUNCS_TEXT,
+    "sql_window": _SQL_WINDOW_TEXT,
+    "sql_window_lag": _SQL_WINDOW_LAG_TEXT,
+    "sql_subquery": _SQL_SUBQ_TEXT,
     "sql_group_alias": _SQL_GROUP_ALIAS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,

@@ -13,9 +13,18 @@ Grammar::
     [ORDER BY col [ASC|DESC] (',' ...)*]
     [LIMIT n [OFFSET m]]
 
-    item := agg | expr [AS name]
+    item := agg | win | expr [AS name]
     agg  := (COUNT '(' '*' ')' | COUNT '(' [DISTINCT] expr ')'
             | SUM|AVG|MIN|MAX '(' expr ')') [AS name]
+    win  := (agg | ROW_NUMBER() | RANK() | DENSE_RANK()
+            | LAG|LEAD '(' col [',' offset [',' default]] ')')
+            OVER '(' PARTITION BY col (',' col)*
+                     [ORDER BY col [ASC|DESC] (',' ...)*] ')' [AS name]
+
+    WHERE additionally accepts uncorrelated subqueries:
+    ``col IN (SELECT ...)`` (distinct key set resolved once, broadcast
+    as a vectorized membership test — a broadcast semi-join) and scalar
+    subqueries ``(SELECT agg(...) ...)`` spliced in as literals.
 
 Compilation is Ray-Data-first: WHERE → vectorized ``map_batches`` filter;
 scalar projections → one ``map_batches``; GROUP BY + aggregates → one
@@ -25,9 +34,12 @@ scalar projections → one ``map_batches``; GROUP BY + aggregates → one
 HAVING → a post-aggregate filter (its aggregates must also appear in the
 SELECT list).  ``LIMIT n OFFSET m`` slices the (small, post-ORDER BY)
 result.  ``JOIN ... ON`` folds left through the engine's hash-shuffle
-``equi_join`` (ogr_gensql.cpp:1510-1531's JOIN re-expressed); subqueries
-are out of scope — the engine's operators cover those shapes as
-pipelines.
+``equi_join`` (ogr_gensql.cpp:1510-1531's JOIN re-expressed).  Window
+functions compile onto :func:`georay.windows.window_compute` — the
+SQLite-dialect window surface OGR reaches via its SQLite VFS
+(gcore/gdaldataset.cpp:5386); a window call must be a top-level select
+item (not nested in an expression).  Correlated subqueries are out of
+scope — rewrite as a JOIN.
 """
 
 from __future__ import annotations
@@ -46,9 +58,10 @@ class SqlError(FilterSyntaxError):
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
               "STDDEV_POP", "STDDEV_SAMP"}
+_WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
                "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
-               "JOIN", "INNER", "LEFT", "ON"}
+               "JOIN", "INNER", "LEFT", "ON", "OVER", "PARTITION"}
 
 
 def _split_clauses(sql: str):
@@ -66,16 +79,19 @@ def _split_clauses(sql: str):
 
 
 class _SelectItem:
-    __slots__ = ("kind", "func", "distinct", "expr_toks", "name", "star")
+    __slots__ = ("kind", "func", "distinct", "expr_toks", "name", "star",
+                 "over", "win_args")
 
     def __init__(self, kind, func=None, distinct=False, expr_toks=None,
-                 name=None, star=False):
-        self.kind = kind            # "agg" | "expr"
+                 name=None, star=False, over=None, win_args=None):
+        self.kind = kind            # "agg" | "expr" | "window"
         self.func = func
         self.distinct = distinct
         self.expr_toks = expr_toks  # token list of the inner expression
         self.name = name
         self.star = star
+        self.over = over            # (partition_by, order_by) for windows
+        self.win_args = win_args    # extra literal args (LAG offset/default)
 
 
 def _parse_expr_tokens(toks):
@@ -85,8 +101,8 @@ def _parse_expr_tokens(toks):
 
 
 class _SqlParser:
-    def __init__(self, sql: str):
-        self.toks = _split_clauses(sql)
+    def __init__(self, sql):
+        self.toks = _split_clauses(sql) if isinstance(sql, str) else sql
         self.i = 0
 
     def peek(self):
@@ -246,17 +262,101 @@ class _SqlParser:
             kk, vv = self.next()
             if (kk, vv) != ("op", ")"):
                 raise SqlError(f"{func}: expected ), got {vv!r}")
+            if self.peek() == ("sqlkw", "OVER"):
+                if item.distinct:
+                    raise SqlError("DISTINCT not supported in window "
+                                   "aggregates")
+                item.kind = "window"
+                item.func = func.lower()
+                item.over = self._over_clause()
         else:
-            stop = [lambda k, v: k == "sqlkw" and v in ("FROM", "AS"),
+            stop = [lambda k, v: k == "sqlkw" and v in
+                    ("FROM", "AS", "OVER"),
                     lambda k, v: (k, v) == ("op", ",")]
             toks = self._expr_until(stop)
             if not toks:
                 raise SqlError("empty select item")
             item = _SelectItem("expr", expr_toks=toks)
+            if self.peek() == ("sqlkw", "OVER"):
+                item = self._window_item(toks)
+                item.over = self._over_clause()
         if self.peek() == ("sqlkw", "AS"):
             self.next()
             item.name = self._ident()
         return item
+
+    def _window_item(self, toks):
+        """Classify ``FUNC(args)`` tokens preceding OVER as a window-only
+        function (ROW_NUMBER/RANK/DENSE_RANK/LAG/LEAD)."""
+        if not toks or toks[0][0] != "ident" \
+                or toks[0][1].upper() not in _WINDOW_ONLY_FUNCS \
+                or len(toks) < 3 or toks[1] != ("op", "(") \
+                or toks[-1] != ("op", ")"):
+            raise SqlError("OVER must follow an aggregate or "
+                           "ROW_NUMBER/RANK/DENSE_RANK/LAG/LEAD call")
+        func = toks[0][1].upper()
+        inner = toks[2:-1]
+        if func in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+            if inner:
+                raise SqlError(f"{func} takes no arguments")
+            return _SelectItem("window", func=func.lower())
+        # LAG/LEAD(col [, offset [, default]])
+        parts, depth, cur = [], 0, []
+        for t in inner:
+            if t == ("op", "(") :
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            if depth == 0 and t == ("op", ","):
+                parts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            parts.append(cur)
+        if not 1 <= len(parts) <= 3:
+            raise SqlError(f"{func} takes 1-3 arguments")
+        def lit(toks_, what):
+            neg = False
+            if len(toks_) == 2 and toks_[0] == ("op", "-"):
+                neg, toks_ = True, toks_[1:]
+            if len(toks_) != 1 or toks_[0][0] not in ("num", "str"):
+                raise SqlError(f"{func} {what} must be a literal")
+            v = toks_[0][1]
+            return -v if neg else v
+
+        win_args = {}
+        if len(parts) >= 2:
+            win_args["offset"] = int(lit(parts[1], "offset"))
+        if len(parts) == 3:
+            win_args["default"] = lit(parts[2], "default")
+        return _SelectItem("window", func=func.lower(),
+                           expr_toks=parts[0], win_args=win_args)
+
+    def _over_clause(self):
+        self.expect_kw("OVER")
+        kk, vv = self.next()
+        if (kk, vv) != ("op", "("):
+            raise SqlError("OVER needs (...)")
+        part, order = [], []
+        if self.peek() == ("sqlkw", "PARTITION"):
+            self.next()
+            self.expect_kw("BY")
+            part.append(self._ident())
+            while self.peek() == ("op", ","):
+                self.next()
+                part.append(self._ident())
+        if self.peek() == ("sqlkw", "ORDER"):
+            self.next()
+            self.expect_kw("BY")
+            order.append(self._order_item())
+            while self.peek() == ("op", ","):
+                self.next()
+                order.append(self._order_item())
+        kk, vv = self.next()
+        if (kk, vv) != ("op", ")"):
+            raise SqlError(f"OVER: expected ), got {vv!r}")
+        return (part, order)
 
 
 def _item_default_name(item: _SelectItem, idx: int) -> str:
@@ -273,14 +373,88 @@ def _agg_signature(item: _SelectItem) -> tuple:
     return (item.func, item.distinct, item.star, toks)
 
 
+def _collect(res) -> pa.Table:
+    """Materialize a (small, reduced) query result to one pyarrow table."""
+    if isinstance(res, pa.Table):
+        return res
+    batches = list(res.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        schema = res.schema()
+        return pa.table({n: pa.array([], t) for n, t in
+                         zip(schema.names, schema.types)})
+    return pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in batches])
+
+
+_SUBQ_LIMIT = 5_000_000
+
+
+def _resolve_subqueries(toks, tables):
+    """Execute uncorrelated ``( SELECT ... )`` groups in a WHERE token
+    stream and splice their results back as literals: an IN-subquery
+    becomes a broadcast value set (``vset`` token — vectorized
+    ``pc.is_in`` downstream, the engine-side analog of a broadcast
+    semi-join), a scalar subquery becomes a plain literal.  The subquery
+    result is a REDUCED set (distinct keys / one aggregate row) — it is
+    materialized driver-side and size-guarded; correlated subqueries are
+    out of scope (use a join)."""
+    out = []
+    i = 0
+    while i < len(toks):
+        if toks[i] == ("op", "(") and i + 1 < len(toks) \
+                and toks[i + 1] == ("sqlkw", "SELECT"):
+            depth = 1
+            j = i + 1
+            while j < len(toks) and depth:
+                if toks[j] == ("op", "("):
+                    depth += 1
+                elif toks[j] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth:
+                raise SqlError("unbalanced parens around subquery")
+            inner = toks[i + 1:j]
+            res = _collect(_execute(_SqlParser(list(inner)).parse(),
+                                    tables))
+            if res.num_columns != 1:
+                raise SqlError("subquery must return exactly one column")
+            if out and out[-1] == ("kw", "IN"):
+                if res.num_rows > _SUBQ_LIMIT:
+                    raise SqlError(
+                        f"IN-subquery returned {res.num_rows} rows "
+                        f"(> {_SUBQ_LIMIT}); rewrite as a JOIN")
+                vals = res.column(0).combine_chunks().unique()
+                out.extend([("op", "("), ("vset", vals), ("op", ")")])
+            else:
+                if res.num_rows != 1:
+                    raise SqlError("scalar subquery must return one row")
+                v = res.column(0)[0].as_py()
+                if v is None:
+                    out.extend([("op", "("), ("kw", "NULL"), ("op", ")")])
+                elif isinstance(v, str):
+                    out.extend([("op", "("), ("str", v), ("op", ")")])
+                else:
+                    out.extend([("op", "("), ("num", v), ("op", ")")])
+            i = j + 1
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT against ``tables`` ({name: ray.data.Dataset}); returns
     a Dataset for streaming shapes, or a pyarrow table for global
     aggregates / OFFSET slices (small results)."""
-    import ray
+    return _execute(_SqlParser(sql).parse(), tables)
+
+
+def _execute(q: dict, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
-    q = _SqlParser(sql).parse()
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
@@ -311,8 +485,9 @@ def execute_sql(sql: str, tables: dict):
                            join_type=jtype)
             left_names |= rnames
     if q["where"]:
-        wnode, used = _parse_expr_tokens(q["where"])
-        if used != len(q["where"]):
+        wtoks = _resolve_subqueries(q["where"], tables)
+        wnode, used = _parse_expr_tokens(wtoks)
+        if used != len(wtoks):
             raise SqlError("trailing tokens in WHERE")
 
         def filt(batch: pa.Table, _n=wnode) -> pa.Table:
@@ -325,6 +500,14 @@ def execute_sql(sql: str, tables: dict):
     if len(set(names)) != len(names):
         raise SqlError(f"duplicate output column names: {names}")
     has_agg = any(it.kind == "agg" for it in items)
+
+    win_items = [(i, it) for i, it in enumerate(items)
+                 if it.kind == "window"]
+    if win_items:
+        if q["group"] or has_agg:
+            raise SqlError("window functions cannot mix with GROUP BY or "
+                           "plain aggregates in one SELECT")
+        return _execute_window(ds, q, items, names, win_items)
 
     if not has_agg and not q["group"]:
         # pure projection
@@ -421,7 +604,9 @@ def execute_sql(sql: str, tables: dict):
             if it.star:
                 continue
             cols[f"a{i}__"] = _eval(agg_nodes[i], batch)
-        if not cols:  # COUNT(*) only, no groups
+        if any(it.star for _, it in agg_items) or not cols:
+            # COUNT(*) needs a concrete column: Ray's Count() without
+            # `on` yields 0 in the global-aggregate path
             cols["one__"] = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(cols)
 
@@ -431,7 +616,8 @@ def execute_sql(sql: str, tables: dict):
         alias = names[i]
         col = f"a{i}__"
         if it.func == "COUNT" and it.star:
-            aggs.append(Count(alias_name=alias))
+            aggs.append(Count(alias_name=alias) if group_cols
+                        else Sum("one__", alias_name=alias))
         elif it.func == "COUNT":
             aggs.append(Count(col, ignore_nulls=True, alias_name=alias))
         elif it.func == "SUM":
@@ -476,8 +662,81 @@ def execute_sql(sql: str, tables: dict):
     if q["having"]:
         raise SqlError("HAVING requires GROUP BY")
     res = prepped.aggregate(*aggs)
-    row = {names[i]: [res[names[i]]] for i, _ in agg_items}
+    row = {}
+    for i, it in agg_items:
+        v = res[names[i]]
+        if v is None and it.func == "COUNT":
+            v = 0   # SQL COUNT over an empty input is 0, not NULL
+        row[names[i]] = [v]
     return pa.table(row)
+
+
+def _execute_window(ds, q, items, names, win_items):
+    """SELECT with window functions: WHERE has already been applied; the
+    windows run through ``georay.windows.window_compute`` (hash-partition
+    the PARTITION BY keys, one vectorized lexsort+segment pass per
+    partition), then a plain projection emits the select list."""
+    from .windows import window_compute
+
+    specs = []
+    prep_nodes = {}
+    for i, it in win_items:
+        arg = None
+        if it.expr_toks:
+            if len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident":
+                arg = it.expr_toks[0][1]
+            else:
+                node, used = _parse_expr_tokens(it.expr_toks)
+                if used != len(it.expr_toks):
+                    raise SqlError("bad window-function argument")
+                arg = f"w{i}__"
+                prep_nodes[arg] = node
+        part, order = it.over
+        if not part:
+            raise SqlError("OVER() needs PARTITION BY (a global window "
+                           "would serialize the whole dataset)")
+        spec = dict(func=it.func, arg=arg, name=f"wout{i}__",
+                    partition_by=part, order_by=order, star=it.star)
+        spec.update(it.win_args or {})
+        specs.append(spec)
+
+    if prep_nodes:
+        def addcols(batch: pa.Table, _nodes=prep_nodes) -> pa.Table:
+            for cname, node in _nodes.items():
+                v = _eval(node, batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                batch = batch.append_column(cname, v)
+            return batch
+
+        ds = ds.map_batches(addcols, batch_format="pyarrow")
+
+    ds = window_compute(ds, specs)
+
+    nodes = []
+    for i, it in enumerate(items):
+        if it.kind == "window":
+            nodes.append(("col", f"wout{i}__"))
+        else:
+            node, used = _parse_expr_tokens(it.expr_toks)
+            if used != len(it.expr_toks):
+                raise SqlError("bad select expression")
+            nodes.append(node)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, node in zip(names, nodes):
+            v = _eval(node, batch)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * batch.num_rows)
+            cols[name] = v
+        return pa.table(cols)
+
+    out = ds.map_batches(project, batch_format="pyarrow")
+    if q["distinct"]:
+        out = out.groupby(names).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _finish(out, q, names)
 
 
 def _parse_having(toks, items, names):

@@ -164,3 +164,96 @@ def test_ilike_and_stddev(ray_session, sf_dir):
     assert got2["c_mktsegment"].tolist() == want2["c_mktsegment"].tolist()
     import numpy as np
     assert np.allclose(got2["sd"], want2["sd"], rtol=1e-9)
+
+
+WINDOW_CASES = [
+    # peer-tied running SUM: the default RANGE frame gives equal order
+    # keys the same cumulative value (o_orderpriority has heavy ties)
+    ("SELECT o_custkey, o_orderkey, "
+     "SUM(CAST(o_orderkey % 13 AS DOUBLE)) OVER "
+     "(PARTITION BY o_custkey ORDER BY o_orderpriority) AS s "
+     "FROM orders WHERE o_custkey % 4 = 0", ["orders"]),
+    # RANK vs DENSE_RANK on a tied key
+    ("SELECT o_custkey, o_orderkey, "
+     "RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS r, "
+     "DENSE_RANK() OVER "
+     "(PARTITION BY o_custkey ORDER BY o_orderstatus) AS dr "
+     "FROM orders WHERE o_custkey % 6 = 0", ["orders"]),
+    # LEAD null at the partition edge; LAG with a default
+    ("SELECT user_id, event_id, "
+     "LAG(value, 2, -1.0) OVER "
+     "(PARTITION BY user_id ORDER BY ts, event_id) AS pv, "
+     "LEAD(event_id) OVER "
+     "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+     "FROM events WHERE user_id % 9 = 0", ["events"]),
+    # whole-partition aggregates (no ORDER BY): AVG/MIN/MAX/COUNT
+    ("SELECT o_custkey, o_orderkey, "
+     "AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS m, "
+     "MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS lo, "
+     "MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS hi, "
+     "COUNT(*) OVER (PARTITION BY o_custkey) AS n "
+     "FROM orders WHERE o_custkey % 8 = 0", ["orders"]),
+    # DESC ordering + multi-key ORDER BY in OVER
+    ("SELECT o_custkey, o_orderkey, "
+     "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+     "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+     "FROM orders WHERE o_custkey % 7 = 0", ["orders"]),
+]
+
+
+@pytest.mark.parametrize("sql,tables", WINDOW_CASES,
+                         ids=[f"win{i}" for i in range(len(WINDOW_CASES))])
+def test_sql_window_matches_duckdb(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+
+SUBQ_CASES = [
+    ("SELECT c_name FROM customer WHERE c_custkey IN "
+     "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000) "
+     "ORDER BY c_name", ["customer", "orders"]),
+    ("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > "
+     "(SELECT AVG(l_quantity) FROM lineitem)", ["lineitem"]),
+    # NOT IN + empty result → COUNT(*) must be 0, not NULL
+    ("SELECT COUNT(*) AS n FROM customer WHERE c_custkey NOT IN "
+     "(SELECT o_custkey FROM orders)", ["customer", "orders"]),
+    # scalar subquery inside an IN-subquery (nested resolution)
+    ("SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+     "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+     "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.8) "
+     "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+     ["customer", "orders"]),
+]
+
+
+@pytest.mark.parametrize("sql,tables", SUBQ_CASES,
+                         ids=[f"subq{i}" for i in range(len(SUBQ_CASES))])
+def test_sql_subquery_matches_duckdb(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_sql_window_errors(ray_session):
+    import ray
+    from georay.sql import SqlError, execute_sql
+    tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
+    for bad in [
+        # no PARTITION BY → would serialize the dataset
+        "SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders",
+        # window + GROUP BY mix
+        "SELECT o_custkey, COUNT(*) AS n, ROW_NUMBER() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_custkey) AS rn "
+        "FROM orders GROUP BY o_custkey",
+        # OVER after a plain column
+        "SELECT o_custkey OVER (PARTITION BY o_custkey) FROM orders",
+    ]:
+        with pytest.raises(SqlError):
+            r = execute_sql(bad, tabs)
+            if not isinstance(r, pa.Table):
+                r.materialize()
