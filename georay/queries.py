@@ -552,6 +552,31 @@ def q_doc_tokens(sf_dir: str):
             .select_columns(["doc_id", "token_count"]))
 
 
+def q_doc_redact(sf_dir: str):
+    """Pattern-redaction scrub (the PII-masking stage of a corpus
+    pipeline) over the documents table; the fixture vocabulary has no
+    emails/phones, so the query demonstrates the stage with a
+    corpus-hitting word pattern.  Both engines run the IDENTICAL RE2
+    pattern (pyarrow replace_substring_regex / DuckDB regexp_replace
+    share RE2 semantics), so output strings match byte-for-byte."""
+    from .text import Redactor
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(Redactor(pattern=r"\b(customer|key|value)\b"),
+                         batch_format="pyarrow")
+            .select_columns(["doc_id", "n_redactions", "redacted"]))
+
+
+def q_doc_distinct_ratio(sf_dir: str):
+    """Type-token ratio (Gopher-style repetition quality signal):
+    distinct words / total words per document, vectorized via one regex
+    split + (row, word-hash) lexsort per batch.  The oracle computes the
+    identical tokenization in SQL (string_split_regex + list_distinct)."""
+    from .text import distinct_ratio_batch
+    return (_rp(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(distinct_ratio_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens", "n_distinct", "ttr"]))
+
+
 def q_doc_quality(sf_dir: str):
     """Quality-scoring actor stage; ratios rounded to 6 digits on both
     sides (the oracle reproduces the identical formula in SQL)."""
@@ -1319,6 +1344,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "doc_dedup": q_doc_dedup,
     "doc_tokens": q_doc_tokens,
+    "doc_redact": q_doc_redact,
+    "doc_distinct_ratio": q_doc_distinct_ratio,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1681,6 +1708,26 @@ ORACLE_SQL = {
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token_count
         FROM documents
+    """,
+    "doc_redact": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\b(customer|key|value)\b'))
+                   AS n_redactions,
+               regexp_replace(text, '\b(customer|key|value)\b',
+                              '<redacted>', 'g') AS redacted
+        FROM documents
+    """,
+    "doc_distinct_ratio": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+        SELECT doc_id, len(ws) AS n_tokens,
+               len(list_distinct(ws)) AS n_distinct,
+               len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) AS ttr
+        FROM toks
     """,
     "sliding_windows": """
         WITH e AS (SELECT event_type,

@@ -13,9 +13,10 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["TextFeatures", "LangId", "token_count_batch",
-           "fingerprint_batch"]
+           "fingerprint_batch", "Redactor", "distinct_ratio_batch"]
 
 _TOKEN_RE = r"[A-Za-z0-9]+"
 
@@ -107,6 +108,76 @@ def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     counts = np.array([len(token_re.findall(t))
                        for t in batch[col].to_pylist()], dtype=np.int64)
     return batch.append_column("token_count", pa.array(counts))
+
+
+class Redactor:
+    """Pattern-redaction stage — the PII-scrub shape of a training-data
+    pipeline (emails/phones/ids masked before the corpus ships).  The
+    regex is an RE2 pattern evaluated by ``pc.replace_substring_regex``
+    (the same regex engine family DuckDB's ``regexp_replace`` uses, so
+    the SQL oracle runs the IDENTICAL pattern); compiled/validated once
+    per actor in ``__init__``.  Emits ``redacted`` plus ``n_redactions``
+    (non-overlapping match count, = ``len(regexp_extract_all(...))``)."""
+
+    # the shapes a real corpus scrub starts from (RE2-safe, no lookaround)
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+    def __init__(self, col: str = "text", pattern: str | None = None,
+                 replacement: str = "<redacted>"):
+        self.col = col
+        self.pattern = pattern if pattern is not None \
+            else f"({self.EMAIL})|({self.PHONE})"
+        re.compile(self.pattern)   # fail fast on a bad pattern
+        self.replacement = replacement
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.col]
+        hits = pc.count_substring_regex(col, self.pattern)
+        red = pc.replace_substring_regex(
+            col, pattern=self.pattern, replacement=self.replacement)
+        return (batch.append_column("n_redactions",
+                                    pc.cast(hits, pa.int64()))
+                     .append_column("redacted", red))
+
+
+def distinct_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Type-token ratio (distinct words / total words) — the
+    repetition-quality signal of the Gopher filtering rules, fully
+    vectorized: one regex split per batch, then distinct-per-row via a
+    single (row, word-hash) lexsort (64-bit content hashes; collision
+    odds ~n²/2⁶⁵ per document are negligible against real vocabularies).
+    Emits ``n_tokens``, ``n_distinct``, ``ttr`` (null when a document
+    has no tokens, matching SQL x/0 → NULL)."""
+    from .util import hash_strings
+    n = batch.num_rows
+    if n == 0:
+        return (batch.append_column("n_tokens", pa.array([], pa.int64()))
+                     .append_column("n_distinct", pa.array([], pa.int64()))
+                     .append_column("ttr", pa.array([], pa.float64())))
+    lists = pc.split_pattern_regex(pc.utf8_lower(batch[col]),
+                                   pattern="[^a-z0-9]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    words = flat.filter(keep)
+    rows = rows[keep.to_numpy(zero_copy_only=False)]
+    h = hash_strings(words)
+    n_tokens = np.bincount(rows, minlength=n).astype(np.int64)
+    order = np.lexsort((h, rows))
+    rs, hs = rows[order], h[order]
+    first = np.ones(len(rs), dtype=bool)
+    first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    n_distinct = np.bincount(rs[first], minlength=n).astype(np.int64)
+    ttr = pa.array(n_distinct / np.where(n_tokens > 0, n_tokens, 1)
+                   .astype(np.float64), mask=n_tokens == 0)
+    return (batch.append_column("n_tokens", pa.array(n_tokens))
+                 .append_column("n_distinct", pa.array(n_distinct))
+                 .append_column("ttr", ttr))
 
 
 def fingerprint_batch(batch: pa.Table, col: str = "text",

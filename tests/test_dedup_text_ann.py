@@ -260,3 +260,33 @@ def test_distinct_pairs_partitioned(ray_session):
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert list(zip(out["id_a"], out["id_b"])) == [(1, 2), (2, 3), (3, 4)]
     assert set(out.columns) == {"id_a", "id_b", "tag"}
+
+
+def test_redactor_default_pii_patterns():
+    from georay.text import Redactor
+    t = pa.table({"text": pa.array([
+        "mail me at a.user+x@example.org or call +1 (555) 123-4567 now",
+        "no pii here",
+        "two mails: x@y.io and z@w.co",
+    ])})
+    out = Redactor()(t)
+    assert out["n_redactions"].to_pylist() == [2, 0, 2]
+    red = out["redacted"].to_pylist()
+    assert "@" not in red[0] and "555" not in red[0]
+    assert red[1] == "no pii here"
+
+
+def test_distinct_ratio_kernel():
+    from georay.text import distinct_ratio_batch
+    t = pa.table({"text": pa.array([
+        "a b c a b a",       # 6 tokens, 3 distinct
+        "x",                 # 1 / 1
+        "... !!!",           # no tokens -> null ttr
+        "Word word WORD",    # case-folded: 3 / 1
+    ])})
+    out = distinct_ratio_batch(t)
+    assert out["n_tokens"].to_pylist() == [6, 1, 0, 3]
+    assert out["n_distinct"].to_pylist() == [3, 1, 0, 1]
+    ttr = out["ttr"].to_pylist()
+    assert abs(ttr[0] - 0.5) < 1e-12 and ttr[1] == 1.0
+    assert ttr[2] is None and abs(ttr[3] - 1 / 3) < 1e-12
