@@ -470,8 +470,14 @@ def albers_inverse(easting, northing, *, lat1: float, lat2: float,
     q = (C - (rho * n / _WGS84_A) ** 2) / n
     th = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
     lam = th / n + np.radians(lon0)
-    # Newton for phi: q(phi) = q  (Snyder 3-16)
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    return np.degrees(_authalic_phi_from_q(q)), np.degrees(lam)
+
+
+def _authalic_phi_from_q(q):
+    """Geodetic latitude from the authalic q (Snyder 3-16 Newton
+    iteration to <1e-13 rad) — shared by Albers/LAEA/CEA/Equal Earth."""
+    phi = np.arcsin(np.clip(np.asarray(q, dtype=np.float64) / 2.0,
+                            -1.0, 1.0))
     for _ in range(12):
         s = np.sin(phi)
         es = _TM_E * s
@@ -483,7 +489,7 @@ def albers_inverse(easting, northing, *, lat1: float, lat2: float,
         phi = phi - step
         if np.max(np.abs(step)) < 1e-13:
             break
-    return np.degrees(phi), np.degrees(lam)
+    return phi
 
 
 def ps_forward(lat, lon, *, lat_ts: float, lon0: float, south: bool,
@@ -531,6 +537,137 @@ def ps_inverse(easting, northing, *, lat_ts: float, lon0: float,
     return np.degrees(phi), np.degrees(lam) + lon0
 
 
+# ---------------------------------------------------------------------------
+# Equal-area families beyond Albers: Lambert azimuthal (LAEA, Snyder
+# 24-2..24-27 ellipsoidal — ETRS89 LAEA Europe is the EU INSPIRE grid),
+# cylindrical equal-area (CEA, Snyder 10-1/10-2 — EASE-Grid 2.0), and
+# Equal Earth (Šavrič, Patterson & Jenny 2019, IJGIS — published
+# polynomial, applied on the authalic sphere so the equal-area property
+# is exact on the ellipsoid).  All share the authalic-latitude machinery
+# (_snyder_q / _authalic_phi_from_q).
+# ---------------------------------------------------------------------------
+
+def laea_forward(lat, lon, *, lat0: float, lon0: float,
+                 e0: float = 0.0, n0: float = 0.0):
+    """Lambert azimuthal equal-area, oblique ellipsoidal aspect
+    (Snyder 24-2..24-15)."""
+    qp = _snyder_q(np.pi / 2.0)
+    p0 = np.radians(lat0)
+    beta1 = np.arcsin(np.clip(_snyder_q(p0) / qp, -1.0, 1.0))
+    rq = _WGS84_A * np.sqrt(qp / 2.0)
+    d = _WGS84_A * _snyder_m(p0) / (rq * np.cos(beta1))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    beta = np.arcsin(np.clip(_snyder_q(phi) / qp, -1.0, 1.0))
+    denom = (1.0 + np.sin(beta1) * np.sin(beta)
+             + np.cos(beta1) * np.cos(beta) * np.cos(lam))
+    b = rq * np.sqrt(2.0 / np.maximum(denom, 1e-300))
+    x = b * d * np.cos(beta) * np.sin(lam)
+    y = (b / d) * (np.cos(beta1) * np.sin(beta)
+                   - np.sin(beta1) * np.cos(beta) * np.cos(lam))
+    return e0 + x, n0 + y
+
+
+def laea_inverse(easting, northing, *, lat0: float, lon0: float,
+                 e0: float = 0.0, n0: float = 0.0):
+    """LAEA inverse (Snyder 24-16..24-27 + authalic Newton)."""
+    qp = _snyder_q(np.pi / 2.0)
+    p0 = np.radians(lat0)
+    beta1 = np.arcsin(np.clip(_snyder_q(p0) / qp, -1.0, 1.0))
+    rq = _WGS84_A * np.sqrt(qp / 2.0)
+    d = _WGS84_A * _snyder_m(p0) / (rq * np.cos(beta1))
+    x = np.asarray(easting, dtype=np.float64) - e0
+    y = np.asarray(northing, dtype=np.float64) - n0
+    rho = np.hypot(x / d, d * y)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    safe_rho = np.where(rho > 0, rho, 1.0)
+    q = qp * (np.cos(ce) * np.sin(beta1)
+              + d * y * np.sin(ce) * np.cos(beta1) / safe_rho)
+    q = np.where(rho > 0, q, qp * np.sin(beta1))
+    lam = np.arctan2(x * np.sin(ce),
+                     d * safe_rho * np.cos(beta1) * np.cos(ce)
+                     - d * d * y * np.sin(beta1) * np.sin(ce))
+    lam = np.where(rho > 0, lam, 0.0)
+    return (np.degrees(_authalic_phi_from_q(q)),
+            np.degrees(lam) + lon0)
+
+
+def cea_forward(lat, lon, *, lat_ts: float, lon0: float,
+                e0: float = 0.0, n0: float = 0.0):
+    """Cylindrical equal-area, ellipsoidal (Snyder 10-1/10-2) —
+    the EASE-Grid 2.0 shape (lat_ts=30)."""
+    k0 = _snyder_m(np.radians(lat_ts))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return (e0 + _WGS84_A * k0 * lam,
+            n0 + _WGS84_A * _snyder_q(phi) / (2.0 * k0))
+
+
+def cea_inverse(easting, northing, *, lat_ts: float, lon0: float,
+                e0: float = 0.0, n0: float = 0.0):
+    k0 = _snyder_m(np.radians(lat_ts))
+    x = np.asarray(easting, dtype=np.float64) - e0
+    y = np.asarray(northing, dtype=np.float64) - n0
+    q = 2.0 * y * k0 / _WGS84_A
+    phi = _authalic_phi_from_q(q)
+    return np.degrees(phi), np.degrees(x / (_WGS84_A * k0)) + lon0
+
+
+# Equal Earth polynomial coefficients (Šavrič/Patterson/Jenny 2019)
+_EE_A1, _EE_A2, _EE_A3, _EE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EE_M = np.sqrt(3.0) / 2.0
+
+
+def _ee_poly(theta):
+    t2 = theta * theta
+    return theta * (_EE_A1 + _EE_A2 * t2
+                    + t2 * t2 * t2 * (_EE_A3 + _EE_A4 * t2))
+
+
+def _ee_dpoly(theta):
+    t2 = theta * theta
+    return (_EE_A1 + 3.0 * _EE_A2 * t2
+            + t2 * t2 * t2 * (7.0 * _EE_A3 + 9.0 * _EE_A4 * t2))
+
+
+def eqearth_forward(lat, lon, *, lon0: float = 0.0,
+                    e0: float = 0.0, n0: float = 0.0):
+    """Equal Earth forward: the published spherical polynomial applied on
+    the authalic sphere (radius R_q, authalic latitude β), which makes
+    the equal-area property exact on the ellipsoid — PROJ's +proj=eqearth
+    construction for EPSG:8857."""
+    qp = _snyder_q(np.pi / 2.0)
+    rq = _WGS84_A * np.sqrt(qp / 2.0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    beta = np.arcsin(np.clip(_snyder_q(phi) / qp, -1.0, 1.0))
+    theta = np.arcsin(_EE_M * np.sin(beta))
+    x = rq * lam * np.cos(theta) / (_EE_M * _ee_dpoly(theta))
+    y = rq * _ee_poly(theta)
+    return e0 + x, n0 + y
+
+
+def eqearth_inverse(easting, northing, *, lon0: float = 0.0,
+                    e0: float = 0.0, n0: float = 0.0):
+    """Equal Earth inverse: Newton on the y-polynomial, then authalic →
+    geodetic latitude."""
+    qp = _snyder_q(np.pi / 2.0)
+    rq = _WGS84_A * np.sqrt(qp / 2.0)
+    x = np.asarray(easting, dtype=np.float64) - e0
+    y = np.asarray(northing, dtype=np.float64) - n0
+    py = y / rq
+    theta = np.clip(py / _EE_A1, -np.pi / 2, np.pi / 2)
+    for _ in range(12):
+        step = (_ee_poly(theta) - py) / _ee_dpoly(theta)
+        theta = theta - step
+        if np.max(np.abs(step)) < 1e-15:
+            break
+    beta = np.arcsin(np.clip(np.sin(theta) / _EE_M, -1.0, 1.0))
+    phi = _authalic_phi_from_q(qp * np.sin(beta))
+    lam = x * _EE_M * _ee_dpoly(theta) / (rq * np.cos(theta))
+    return np.degrees(phi), np.degrees(lam) + lon0
+
+
 # named CRS parameter sets (datum treated as WGS84-equivalent, the same
 # approximation the repo applies throughout; see docstrings)
 _CONIC_CRS = {
@@ -549,11 +686,21 @@ _CONIC_CRS = {
     # Arctic Polar Stereographic — EPSG:3995
     "EPSG:3995": ("ps", dict(lat_ts=71.0, lon0=0.0, south=False,
                              e0=0.0, n0=0.0)),
+    # ETRS89-extended / LAEA Europe (the EU INSPIRE grid) — EPSG:3035
+    "EPSG:3035": ("laea", dict(lat0=52.0, lon0=10.0,
+                               e0=4321000.0, n0=3210000.0)),
+    # WGS84 / NSIDC EASE-Grid 2.0 Global — EPSG:6933
+    "EPSG:6933": ("cea", dict(lat_ts=30.0, lon0=0.0, e0=0.0, n0=0.0)),
+    # WGS84 / Equal Earth Greenwich — EPSG:8857
+    "EPSG:8857": ("eqearth", dict(lon0=0.0, e0=0.0, n0=0.0)),
 }
 
 _PROJ_FNS = {"lcc": (lcc_forward, lcc_inverse),
              "albers": (albers_forward, albers_inverse),
-             "ps": (ps_forward, ps_inverse)}
+             "ps": (ps_forward, ps_inverse),
+             "laea": (laea_forward, laea_inverse),
+             "cea": (cea_forward, cea_inverse),
+             "eqearth": (eqearth_forward, eqearth_inverse)}
 
 
 def conic_crs_forward(crs: str, lat, lon):

@@ -296,3 +296,83 @@ def test_warp_polar_stereographic_to_4326():
                                kernel="bilinear")
     assert out.shape == (64, 64)
     assert out[8:-8, 8:-8].std() > 10
+
+
+def test_equal_area_families_jacobian_roundtrip_anchor():
+    """LAEA (EPSG:3035), CEA (EASE-Grid 2.0, EPSG:6933) and Equal Earth
+    (EPSG:8857): the projection Jacobian equals the ellipsoidal area
+    element everywhere (the defining property of every member), inverses
+    roundtrip to 1e-10°, and the 3035 false origin maps (52N,10E) →
+    exactly (4321000, 3210000) by definition of the CRS."""
+    import numpy as np
+    from georay.mercator import (_TM_E2, _WGS84_A, cea_forward,
+                                 cea_inverse, conic_crs_forward,
+                                 eqearth_forward, eqearth_inverse,
+                                 laea_forward, laea_inverse)
+    x, y = conic_crs_forward("EPSG:3035", 52.0, 10.0)
+    assert abs(x - 4321000.0) < 1e-6 and abs(y - 3210000.0) < 1e-6
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (laea_forward, laea_inverse, dict(lat0=52.0, lon0=10.0,
+                                          e0=4321000.0, n0=3210000.0)),
+        (cea_forward, cea_inverse, dict(lat_ts=30.0, lon0=0.0)),
+        (eqearth_forward, eqearth_inverse, dict(lon0=0.0)),
+    ]
+    for fwd, inv, p in cases:
+        lat = rng.uniform(-80, 80, 200)
+        lon = rng.uniform(-170, 170, 200)
+        la, lo = inv(*fwd(lat, lon, **p), **p)
+        assert np.abs(la - lat).max() < 1e-10
+        assert np.abs(lo - lon).max() < 1e-10
+        d = 1e-6
+        for la0, lo0 in [(0.0, 0.0), (45.0, 60.0), (-60.0, -120.0)]:
+            x0, y0 = fwd(la0, lo0, **p)
+            xe, ye = fwd(la0, lo0 + d, **p)
+            xn, yn = fwd(la0 + d, lo0, **p)
+            jac = abs((xe - x0) * (yn - y0) - (xn - x0) * (ye - y0))
+            s = np.sin(np.radians(la0))
+            M = _WGS84_A * (1 - _TM_E2) / (1 - _TM_E2 * s * s) ** 1.5
+            N = _WGS84_A / np.sqrt(1 - _TM_E2 * s * s)
+            truth = (np.radians(d) ** 2) * M * N * np.cos(np.radians(la0))
+            assert abs(jac / truth - 1.0) < 1e-4
+
+
+def test_equal_earth_shape_constants():
+    """Equal Earth pins: equator maps to y=0, the map half-width at
+    (0,180) is R_q·π/(M·A1) ≈ 17,243.959 km (the published aspect), the
+    pole is a LINE (pseudocylindrical: x(90°,180°)/x(0°,180°) ≈ 0.40,
+    cosθ_pole/dpoly ratio), and symmetry x(-λ)=-x(λ), y(-φ)=-y(φ)."""
+    import numpy as np
+    from georay.mercator import eqearth_forward
+    x, y = eqearth_forward(0.0, 180.0, lon0=0.0)
+    assert abs(y) < 1e-9
+    assert abs(x - 17243959.06) < 1.0
+    xp, yp = eqearth_forward(90.0, 180.0, lon0=0.0)
+    assert 0.0 < xp < x and yp > 0
+    x1, y1 = eqearth_forward(37.0, 55.0, lon0=0.0)
+    x2, y2 = eqearth_forward(-37.0, -55.0, lon0=0.0)
+    assert abs(x1 + x2) < 1e-6 and abs(y1 + y2) < 1e-6
+
+
+def test_warp_laea_to_4326():
+    """gdalwarp shape EPSG:3035→EPSG:4326 through the CRS dispatch —
+    same discipline as the LCC/UTM warp tests."""
+    from georay import fixtures as fx
+    from georay.mercator import conic_crs_forward, conic_crs_inverse
+    from georay.raster import warp_affine_mercator
+    band = fx.pattern(3, 64, 64)[:, :, 0]
+    E0, N0 = conic_crs_forward("EPSG:3035", 50.0, 8.0)
+    ps = 40.0
+    src_gt = (float(E0), ps, 0.0, float(N0), 0.0, -ps)
+    lat1, lon0 = conic_crs_inverse("EPSG:3035", E0, N0)
+    lat0, lon1 = conic_crs_inverse("EPSG:3035", E0 + 64 * ps,
+                                   N0 - 64 * ps)
+    dst_gt = (float(lon0), (float(lon1) - float(lon0)) / 64, 0.0,
+              float(lat1), 0.0, (float(lat0) - float(lat1)) / 64)
+    for k in ("near", "bilinear"):
+        out = warp_affine_mercator(band, src_gt, dst_gt, (64, 64),
+                                   src_crs="EPSG:3035",
+                                   dst_crs="EPSG:4326", kernel=k)
+        assert out.shape == (64, 64)
+        assert out[8:-8, 8:-8].std() > 10
