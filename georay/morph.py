@@ -17,7 +17,8 @@ from .polygonize import label_components
 
 __all__ = ["sieve_filter", "proximity", "fill_nodata",
            "proximity_tiles", "sieve_tiles",
-           "proximity_tiled", "sieve_tiled", "fillnodata_tiled"]
+           "proximity_tiled", "sieve_tiled", "fillnodata_tiled",
+           "halo_map_tiled"]
 
 
 def sieve_filter(band: np.ndarray, threshold: int,
@@ -442,24 +443,29 @@ def sieve_tiled(tiles_ds, threshold: int, *, source_col: str = "source_id",
         per_source, batch_format="pyarrow")
 
 
-def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
-                     tile_size: int = 256, max_search: int = 16,
-                     power: float = 2.0, nodata: float = 0.0):
-    """Distributed GDALFillNodata (alg/rasterfill.cpp semantics) — EXACT
-    across tile borders via a ONE-round halo exchange: because the IDW
-    search radius is bounded by ``max_search``, each tile only ever needs
-    its neighbors' border strips of that width.  Stage 1 emits every tile
-    once plus ≤8 thin strips addressed to its grid neighbors (key =
-    neighbor offsets); stage 2 groups by ``(source, ox, oy)`` and fills
-    each tile against its assembled halo — identical valid-pixel sets to
-    the unsplit fill (pinned in tests).  Only O(perimeter·max_search)
-    bytes cross tiles; tiles must lie on a regular ``tile_size`` grid.
+def halo_map_tiled(tiles_ds, fn, *, margin: int,
+                   source_col: str = "source_id", tile_size: int = 256,
+                   in_dtype=np.float64, out_dtype=np.float64):
+    """Generic ONE-round halo exchange over a regular tile grid: any
+    raster operator whose output pixel depends only on a bounded
+    ``margin``-pixel neighborhood becomes exact across tile borders.
 
-    Input rows: ``(source_id, ox, oy, h, w, band)`` with ``band`` float64
-    bytes; pixels equal to ``nodata`` are holes.  Output: same schema,
-    holes filled."""
+    Stage 1 (map_batches) emits every tile once plus ≤8 border strips of
+    width ``margin`` addressed to its grid neighbors; stage 2 groups by
+    ``(source, ox, oy)`` and assembles a ``(h+2m)×(w+2m)`` canvas —
+    pre-filled by edge replication of the base tile (so GLOBAL raster
+    edges see the same replicate-pad the unsplit kernels use), then
+    overwritten with true neighbor values wherever a strip arrived.
+    ``fn(canvas, known)`` computes the operator over the canvas
+    (``known`` marks cells backed by real data); the base ``h×w`` window
+    of its result is emitted.  Only O(perimeter·margin) bytes cross
+    tiles; tiles must lie on a regular ``tile_size`` grid.
+
+    Input rows: ``(source_id, ox, oy, h, w, band)`` with ``band`` bytes
+    of ``in_dtype``; output: same schema, ``band`` bytes of
+    ``out_dtype``."""
     import pyarrow as pa
-    m = max_search
+    m = margin
     T = tile_size
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -481,7 +487,7 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
             oy = int(batch["oy"][i].as_py())
             src = batch[source_col][i].as_py()
             band = np.frombuffer(batch["band"][i].as_buffer(),
-                                 dtype=np.float64).reshape(h, w)
+                                 dtype=in_dtype).reshape(h, w)
             push(src, ox, oy, 0, ox, oy, band)
             for dx in (-T, 0, T):
                 for dy in (-T, 0, T):
@@ -519,7 +525,7 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
             "band": pa.array(out["band"], pa.binary()),
         })
 
-    def fill_group(group: pa.Table) -> pa.Table:
+    def run_group(group: pa.Table) -> pa.Table:
         empty = pa.table({
             source_col: pa.array([], pa.string()),
             "ox": pa.array([], pa.int64()),
@@ -538,9 +544,10 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
         ox = int(group["gox"][i].as_py())
         oy = int(group["goy"][i].as_py())
         base = np.frombuffer(group["band"][i].as_buffer(),
-                             dtype=np.float64).reshape(h, w)
-        canvas = np.full((h + 2 * m, w + 2 * m), nodata, dtype=np.float64)
+                             dtype=in_dtype).reshape(h, w)
+        canvas = np.pad(base.astype(np.float64), m, mode="edge")
         known = np.zeros(canvas.shape, dtype=bool)
+        known[m:m + h, m:m + w] = True
         for j in range(group.num_rows):
             if int(group["kind"][j].as_py()) != 1:
                 continue
@@ -549,7 +556,7 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
             sy = int(group["soy"][j].as_py()) - oy + m
             sx = int(group["sox"][j].as_py()) - ox + m
             strip = np.frombuffer(group["band"][j].as_buffer(),
-                                  dtype=np.float64).reshape(sh, sw)
+                                  dtype=in_dtype).reshape(sh, sw)
             yl, xl = max(0, sy), max(0, sx)
             yh = min(canvas.shape[0], sy + sh)
             xh = min(canvas.shape[1], sx + sw)
@@ -557,14 +564,30 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
                 continue
             canvas[yl:yh, xl:xh] = strip[yl - sy:yh - sy, xl - sx:xh - sx]
             known[yl:yh, xl:xh] = True
-        canvas[m:m + h, m:m + w] = base
-        known[m:m + h, m:m + w] = True
-        # holes: nodata pixels anywhere known; unknown margin stays hole
-        # (excluded from the valid set) so IDW sees exactly the unsplit
-        # valid pixels within every base-area window
-        mask = (canvas == nodata) | ~known
-        filled = fill_nodata(canvas, mask, max_search=m, power=power)
-        out = filled[m:m + h, m:m + w]
+        if not known.all():
+            # margin cells with no strip lie OUTSIDE the global raster:
+            # replicate the nearest assembled value inside-out, rows then
+            # columns — exactly np.pad(mode="edge")'s clamp order against
+            # the full raster, so global-edge windows match the unsplit
+            # kernels (the plain base-tile pad is wrong next to a seam,
+            # where the clamped row passes through a NEIGHBOR's column)
+            kn = known.copy()
+            H, W = canvas.shape
+            for r in range(m - 1, -1, -1):
+                np.copyto(canvas[r], canvas[r + 1], where=~kn[r])
+                kn[r] |= kn[r + 1]
+            for r in range(H - m, H):
+                np.copyto(canvas[r], canvas[r - 1], where=~kn[r])
+                kn[r] |= kn[r - 1]
+            for c in range(m - 1, -1, -1):
+                np.copyto(canvas[:, c], canvas[:, c + 1], where=~kn[:, c])
+                kn[:, c] |= kn[:, c + 1]
+            for c in range(W - m, W):
+                np.copyto(canvas[:, c], canvas[:, c - 1], where=~kn[:, c])
+                kn[:, c] |= kn[:, c - 1]
+        out = np.ascontiguousarray(
+            fn(canvas, known)[m:m + h, m:m + w]).astype(out_dtype,
+                                                        copy=False)
         src = group[source_col][0].as_py()
         return pa.table({
             source_col: pa.array([src], pa.string()),
@@ -577,4 +600,28 @@ def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
 
     return (tiles_ds.map_batches(emit, batch_format="pyarrow")
             .groupby([source_col, "gox", "goy"])
-            .map_groups(fill_group, batch_format="pyarrow"))
+            .map_groups(run_group, batch_format="pyarrow"))
+
+
+def fillnodata_tiled(tiles_ds, *, source_col: str = "source_id",
+                     tile_size: int = 256, max_search: int = 16,
+                     power: float = 2.0, nodata: float = 0.0):
+    """Distributed GDALFillNodata (alg/rasterfill.cpp semantics) — EXACT
+    across tile borders via ``halo_map_tiled``: the IDW search radius is
+    bounded by ``max_search``, so each tile only ever needs its
+    neighbors' border strips of that width.  Cells of the halo canvas
+    not backed by real data (global raster margin) are excluded from the
+    valid set, so IDW sees exactly the unsplit valid pixels within every
+    base-area window (pinned in tests).
+
+    Input rows: ``(source_id, ox, oy, h, w, band)`` with ``band`` float64
+    bytes; pixels equal to ``nodata`` are holes.  Output: same schema,
+    holes filled."""
+
+    def fill(canvas, known):
+        mask = (canvas == nodata) | ~known
+        return fill_nodata(canvas, mask, max_search=max_search,
+                           power=power)
+
+    return halo_map_tiled(tiles_ds, fill, margin=max_search,
+                          source_col=source_col, tile_size=tile_size)

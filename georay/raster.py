@@ -309,12 +309,39 @@ _DEM_FUNCS = {"hillshade": hillshade, "slope": slope, "aspect": aspect,
               "tri": tri, "tpi": tpi, "roughness": roughness}
 
 
+def dem_tiled(tiles_ds, mode: str = "hillshade", *,
+              source_col: str = "source_id", tile_size: int = 256,
+              **kwargs):
+    """Distributed gdaldem over a tiled raster (apps/gdaldem_lib.cpp) —
+    EXACT across tile borders via the generic one-round 1-px halo
+    exchange (every derivative here is a 3×3 window): each tile fetches
+    its neighbors' single border rows/columns, so interior borders see
+    true neighbor values while global raster edges keep the replicate-pad
+    the unsplit kernels use.  4-tile == unsplit pinned in tests.
+
+    Input rows: ``(source_id, ox, oy, h, w, band)`` with ``band`` float64
+    DEM bytes on a regular ``tile_size`` grid.  Output: same schema;
+    ``band`` is uint8 for hillshade, float64 otherwise.  ``kwargs`` pass
+    through to the kernel (xres/yres/azimuth/altitude/...)."""
+    from .morph import halo_map_tiled
+    f = _DEM_FUNCS[mode]
+
+    def derive(canvas, known):
+        # the kernels replicate-pad internally; only windows fully inside
+        # the canvas survive the [m:-m] crop, so that pad never leaks in
+        return f(canvas, **kwargs)
+
+    return halo_map_tiled(
+        tiles_ds, derive, margin=1, source_col=source_col,
+        tile_size=tile_size,
+        out_dtype=np.uint8 if mode == "hillshade" else np.float64)
+
+
 class DemDerivatives:
     """map_batches stage: treat band 0 of ``pixels`` as a DEM and emit the
     requested derivative (+ its GDAL checksum) per row — the gdaldem
-    pipeline, one tile per row, embarrassingly parallel.  Cross-tile halo
-    exchange (SURVEY.md §2.2 "1-px halo") is future work; per-row tiles
-    here are independent rasters."""
+    pipeline, one tile per row, embarrassingly parallel.  For tiled
+    multi-row rasters use ``dem_tiled`` (exact cross-tile 1-px halo)."""
 
     def __init__(self, mode: str = "hillshade", **kwargs):
         self.fn = _DEM_FUNCS[mode]

@@ -271,3 +271,24 @@ def test_fillnodata_tiled_matches_unsplit(ray_session):
     got = _reassemble(out, "band", np.float64, band.shape)
     want = fill_nodata(band, band == 0.0, max_search=6)
     assert np.allclose(got, want)
+
+
+def test_dem_tiled_matches_unsplit(ray_session):
+    """Distributed gdaldem: 4-tile halo path == unsplit kernel, exact,
+    for every derivative mode (incl. the global-edge replicate rows)."""
+    from georay.raster import _DEM_FUNCS, dem_tiled
+    rng = np.random.default_rng(11)
+    dem = np.cumsum(rng.standard_normal((48, 48)), axis=0) * 5.0 + 100.0
+    for mode, kwargs in [("hillshade", {"xres": 2.0, "yres": 2.0}),
+                         ("slope", {"xres": 2.0, "yres": 2.0}),
+                         ("aspect", {}), ("tri", {}), ("tpi", {}),
+                         ("roughness", {})]:
+        ds = _tiles_dataset(dem, 24)
+        out = dem_tiled(ds, mode, tile_size=24, **kwargs).to_pandas()
+        dt = np.uint8 if mode == "hillshade" else np.float64
+        got = _reassemble(out, "band", dt, dem.shape)
+        want = _DEM_FUNCS[mode](dem, **kwargs)
+        if mode == "hillshade":
+            assert np.array_equal(got, want), mode
+        else:
+            assert np.allclose(got, want), mode
