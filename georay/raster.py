@@ -389,6 +389,9 @@ def _crs_to_latlon(crs: str, x, y):
         return utm_inverse(x, y, code % 100, north=code < 32700)
     if crs in _CONIC_CRS:
         return conic_crs_inverse(crs, x, y)
+    if crs in ("EPSG:27700",) or crs.startswith("EPSG:230"):
+        from .datum import datum_crs_inverse
+        return datum_crs_inverse(crs, x, y)
     raise ValueError(f"unsupported CRS {crs}")
 
 
@@ -405,6 +408,9 @@ def _latlon_to_crs(crs: str, lat, lon):
     if crs in _CONIC_CRS:
         x, y = conic_crs_forward(crs, lat, lon)
         return x, y
+    if crs in ("EPSG:27700",) or crs.startswith("EPSG:230"):
+        from .datum import datum_crs_forward
+        return datum_crs_forward(crs, lat, lon)
     raise ValueError(f"unsupported CRS {crs}")
 
 
