@@ -172,6 +172,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return jpeg_encode(arr, quality=_JPEG_QUALITY)
     if fmt == "grj1":
         return lossy_encode(arr)
+    if fmt == "tiff":
+        from .gtiff import tiff_encode
+        return tiff_encode(arr, predictor=2 if arr.dtype.kind in "ui"
+                           else 1)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -191,6 +195,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         raise ValueError("unrecognized jpeg payload")
     if fmt == "grj1":
         return lossy_decode(data)
+    if fmt == "tiff":
+        from .gtiff import tiff_decode
+        return tiff_decode(data)[0]
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

@@ -1,0 +1,528 @@
+"""GeoTIFF raster driver — the reference's flagship format
+(frmts/gtiff, which wraps libtiff/libgeotiff), re-implemented from
+scratch against the public TIFF 6.0 specification and the OGC GeoTIFF
+1.1 standard.
+
+* ``tiff_decode``: bytes → (array, meta).  Both byte orders; striped
+  and tiled layouts; compression none / Deflate / PackBits / LZW (the
+  TIFF variant with early code-size change); horizontal-differencing
+  predictor; uint8/uint16/uint32/float32/float64 chunky samples.
+  ``meta`` carries ``geotransform`` (GDAL 6-tuple) and ``crs``
+  ("EPSG:xxxx") recovered from ModelPixelScale/ModelTiepoint and the
+  GeoKey directory, plus decoded overview levels.
+* ``tiff_encode``: array → striped TIFF (Deflate by default) with
+  GeoTIFF tags.
+* ``cog_encode``: array → Cloud-Optimized GeoTIFF layout: 256×256
+  Deflate tiles, 2× average overviews as reduced-resolution IFDs
+  (NewSubfileType=1), ALL IFDs at the head of the file before pixel
+  data — the property that makes range-request reads cheap, which is
+  exactly what a remote-first engine wants from its sink.
+
+Arrays are (h, w) single-band or (h, w, s) chunky multi-band, matching
+the engine's decoded-pixels convention (codecs.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["tiff_decode", "tiff_encode", "cog_encode",
+           "packbits_encode", "packbits_decode",
+           "lzw_encode", "lzw_decode"]
+
+_T_BYTE, _T_ASCII, _T_SHORT, _T_LONG, _T_RATIONAL = 1, 2, 3, 4, 5
+_T_SBYTE, _T_UNDEF, _T_SSHORT, _T_SLONG = 6, 7, 8, 9
+_T_FLOAT, _T_DOUBLE = 11, 12
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9) and TIFF-LZW (TIFF 6.0 §13, early change)
+# ---------------------------------------------------------------------------
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:                      # literal run of h+1 bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                    # repeat next byte 257-h times
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:                        # run of j-i+1 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:                            # literal run until next repeat
+            j = i
+            while (j + 1 < n and j - i < 127
+                   and not (j + 2 < n and data[j + 1] == data[j + 2])):
+                j += 1
+            out.append(j - i)
+            out += data[i:j + 1]
+            i = j + 1
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, 9→12 bits with EARLY change
+    (width grows one code before the table strictly requires it)."""
+    out = bytearray()
+    table = []
+    width = 9
+    acc = bits = 0
+    prev = None
+    pos = 0
+    n = len(data)
+    while pos < n or bits >= width:
+        while bits < width and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        if bits < width:
+            break
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                            # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change, one entry EARLIER than the encoder because the
+        # decoder's table lags the encoder's by exactly one entry
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code, width):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1                   # early change, mirror of decode
+        elif next_code == 4094:          # table full: clear
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(_LZW_EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _read_ifd(data: memoryview, off: int, e: str):
+    n = struct.unpack_from(e + "H", data, off)[0]
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data,
+                                           off + 2 + 12 * i)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        voff = off + 2 + 12 * i + 8
+        if size > 4:
+            voff = struct.unpack_from(e + "I", data, voff)[0]
+        if typ in _TYPE_FMT:
+            vals = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ],
+                                      data, voff)
+        elif typ == _T_RATIONAL:
+            raw = struct.unpack_from(e + str(2 * cnt) + "I", data, voff)
+            vals = tuple(raw[2 * k] / max(raw[2 * k + 1], 1)
+                         for k in range(cnt))
+        elif typ == _T_ASCII:
+            vals = (bytes(data[voff:voff + cnt]).split(b"\0")[0]
+                    .decode("ascii", "replace"),)
+        else:
+            vals = (bytes(data[voff:voff + cnt]),)
+        tags[tag] = vals
+    nxt = struct.unpack_from(e + "I", data, off + 2 + 12 * n)[0]
+    return tags, nxt
+
+
+def _dtype_of(tags, e: str):
+    bps = tags.get(258, (8,))[0]
+    fmt = tags.get(339, (1,))[0]
+    kind = {1: "u", 2: "i", 3: "f"}[fmt]
+    return np.dtype(e.replace("<", "<").replace(">", ">")
+                    + kind + str(bps // 8)) if False else \
+        np.dtype((e if e != "=" else "<") + kind + str(bps // 8))
+
+
+def _decompress(chunk: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp in (8, 32946):
+        return zlib.decompress(chunk)
+    if comp == 32773:
+        return packbits_decode(chunk, expected)
+    if comp == 5:
+        return lzw_decode(chunk, expected)
+    raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    return np.cumsum(arr, axis=1, dtype=arr.dtype)
+
+
+def _decode_one(data: memoryview, tags, e: str):
+    w = int(tags[256][0])
+    h = int(tags[257][0])
+    spp = int(tags.get(277, (1,))[0])
+    comp = int(tags.get(259, (1,))[0])
+    pred = int(tags.get(317, (1,))[0])
+    dt = _dtype_of(tags, e)
+    if 322 in tags:                      # tiled
+        tw, th = int(tags[322][0]), int(tags[323][0])
+        offs, cnts = tags[324], tags[325]
+        across = -(-w // tw)
+        out = np.zeros((h, w, spp), dtype=dt)
+        nbytes = tw * th * spp * dt.itemsize
+        for k, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
+            tile = np.frombuffer(raw, dtype=dt,
+                                 count=tw * th * spp).reshape(th, tw, spp)
+            if pred == 2:
+                tile = _undo_predictor(tile)
+            ty, tx = divmod(k, across)
+            y0, x0 = ty * th, tx * tw
+            out[y0:y0 + th, x0:x0 + tw] = \
+                tile[:min(th, h - y0), :min(tw, w - x0)]
+        return out[..., 0] if spp == 1 else out
+    rps = int(tags.get(278, (h,))[0])
+    offs, cnts = tags[273], tags[279]
+    rows = []
+    for k, (o, c) in enumerate(zip(offs, cnts)):
+        nrows = min(rps, h - k * rps)
+        nbytes = nrows * w * spp * dt.itemsize
+        raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
+        strip = np.frombuffer(raw, dtype=dt,
+                              count=nrows * w * spp).reshape(nrows, w, spp)
+        if pred == 2:
+            strip = _undo_predictor(strip)
+        rows.append(strip)
+    out = np.vstack(rows)
+    return out[..., 0] if spp == 1 else out
+
+
+def _geo_meta(tags):
+    meta = {}
+    if 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        i, j, _, x, y, _ = tags[33922][:6]
+        meta["geotransform"] = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+    if 34735 in tags:
+        keys = tags[34735]
+        for k in range(4, len(keys), 4):
+            kid, loc, cnt, val = keys[k:k + 4]
+            if kid in (3072, 2048) and loc == 0:     # PCS / GCS code
+                meta["crs"] = f"EPSG:{val}"
+    return meta
+
+
+def tiff_decode(data: bytes, overview: int | None = None):
+    """TIFF/GeoTIFF bytes → (array, meta).  ``overview=k`` selects the
+    k-th reduced-resolution IFD (0 = full resolution); meta lists all
+    levels as ``meta['levels'] = [(h, w), ...]``."""
+    data = memoryview(data)
+    bom = bytes(data[:2])
+    e = {"II": "<", "MM": ">"}.get(bom.decode("ascii", "replace"))
+    if e is None or struct.unpack_from(e + "H", data, 2)[0] != 42:
+        raise ValueError("not a TIFF file")
+    off = struct.unpack_from(e + "I", data, 4)[0]
+    ifds = []
+    while off:
+        tags, off = _read_ifd(data, off, e)
+        ifds.append(tags)
+    levels = [(int(t[257][0]), int(t[256][0])) for t in ifds]
+    pick = ifds[overview or 0]
+    arr = _decode_one(data, pick, e)
+    meta = _geo_meta(ifds[0])
+    meta["levels"] = levels
+    return arr, meta
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+_COMP_CODE = {"none": 1, "deflate": 8, "packbits": 32773, "lzw": 5}
+
+
+def _compress(raw: bytes, comp: str) -> bytes:
+    if comp == "none":
+        return raw
+    if comp == "deflate":
+        return zlib.compress(raw, 6)
+    if comp == "packbits":
+        return packbits_encode(raw)
+    if comp == "lzw":
+        return lzw_encode(raw)
+    raise ValueError(comp)
+
+
+def _sample_format(dt: np.dtype) -> int:
+    return {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+
+def _geo_tags(geotransform, crs):
+    tags = []
+    if geotransform is not None:
+        gt = geotransform
+        if gt[2] or gt[4]:
+            raise ValueError("rotated geotransforms need ModelTransform "
+                             "— not supported")
+        tags.append((33550, _T_DOUBLE, (gt[1], -gt[5], 0.0)))
+        tags.append((33922, _T_DOUBLE, (0.0, 0.0, 0.0,
+                                        gt[0], gt[3], 0.0)))
+    if crs is not None:
+        code = int(str(crs).split(":")[1])
+        geographic = code == 4326 or 4000 <= code < 5000
+        key = 2048 if geographic else 3072
+        model = 2 if geographic else 1
+        tags.append((34735, _T_SHORT,
+                     (1, 1, 0, 3,
+                      1024, 0, 1, model,       # GTModelType
+                      1025, 0, 1, 1,           # GTRasterType = PixelIsArea
+                      key, 0, 1, code)))
+    return tags
+
+
+def _pack_ifds(ifd_specs, data_blocks):
+    """Assemble header + all IFDs (up front, COG-style) + value arrays +
+    pixel data; patch chunk-offset tags once positions are known."""
+    # layout: 8-byte header | IFDs | oversize tag values | pixel data
+    ifd_sizes = [2 + 12 * len(tags) + 4 for tags, _ in ifd_specs]
+    pos_ifd = [8]
+    for s in ifd_sizes[:-1]:
+        pos_ifd.append(pos_ifd[-1] + s)
+    val_pos = pos_ifd[-1] + ifd_sizes[-1]
+    # first pass: compute oversize-value area size
+    def vbytes(typ, vals):
+        if typ == _T_ASCII:
+            return len(vals[0]) + 1
+        return _TYPE_SIZE[typ] * len(vals)
+    val_area = 0
+    for tags, _ in ifd_specs:
+        for tag, typ, vals in tags:
+            b = vbytes(typ, vals)
+            if b > 4:
+                val_area += b + (b & 1)
+    data_pos = val_pos + val_area
+    # assign chunk offsets
+    chunk_offsets = []
+    p = data_pos
+    for blocks in data_blocks:
+        offs = []
+        for b in blocks:
+            offs.append(p)
+            p += len(b) + (len(b) & 1)
+        chunk_offsets.append(offs)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    vcursor = val_pos
+    vbuf = bytearray()
+    for idx, (tags, chunk_tag) in enumerate(ifd_specs):
+        full = []
+        for tag, typ, vals in tags:
+            if tag == chunk_tag:
+                vals = tuple(chunk_offsets[idx])
+            full.append((tag, typ, vals))
+        full.sort()
+        out += struct.pack("<H", len(full))
+        for tag, typ, vals in full:
+            if typ == _T_ASCII:
+                payload = vals[0].encode("ascii") + b"\0"
+                cnt = len(payload)
+            else:
+                payload = struct.pack("<" + str(len(vals))
+                                      + _TYPE_FMT[typ], *vals)
+                cnt = len(vals)
+            if len(payload) <= 4:
+                out += struct.pack("<HHI", tag, typ, cnt)
+                out += payload.ljust(4, b"\0")
+            else:
+                out += struct.pack("<HHII", tag, typ, cnt, vcursor)
+                vbuf += payload
+                if len(payload) & 1:
+                    vbuf += b"\0"
+                vcursor += len(payload) + (len(payload) & 1)
+        nxt = pos_ifd[idx + 1] if idx + 1 < len(ifd_specs) else 0
+        out += struct.pack("<I", nxt)
+    out += vbuf
+    for blocks in data_blocks:
+        for b in blocks:
+            out += b
+            if len(b) & 1:
+                out += b"\0"
+    return bytes(out)
+
+
+def _base_tags(arr: np.ndarray, comp: str, predictor: int):
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    dt = arr.dtype
+    if predictor == 2 and dt.kind not in "ui":
+        raise ValueError("predictor 2 (horizontal differencing) is "
+                         "integer-only in TIFF 6.0; floats use "
+                         "predictor 3")
+    tags = [
+        (256, _T_LONG, (w,)), (257, _T_LONG, (h,)),
+        (258, _T_SHORT, (dt.itemsize * 8,) * spp),
+        (259, _T_SHORT, (_COMP_CODE[comp],)),
+        (262, _T_SHORT, (2 if spp >= 3 else 1,)),
+        (277, _T_SHORT, (spp,)),
+        (284, _T_SHORT, (1,)),
+        (339, _T_SHORT, (_sample_format(dt),) * spp),
+    ]
+    if predictor == 2:
+        tags.append((317, _T_SHORT, (2,)))
+    return tags, spp
+
+
+def _apply_predictor(a: np.ndarray) -> np.ndarray:
+    d = a.copy()
+    d[:, 1:] = a[:, 1:] - a[:, :-1]
+    return d
+
+
+def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
+                predictor: int = 1, geotransform=None, crs=None,
+                rows_per_strip: int | None = None) -> bytes:
+    """Array → striped (Geo)TIFF bytes, little-endian, chunky."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    h, w = arr.shape[:2]
+    tags, spp = _base_tags(arr, compression, predictor)
+    a3 = arr.reshape(h, w, spp)
+    row_bytes = w * spp * arr.dtype.itemsize
+    rps = rows_per_strip or max(1, 65536 // max(row_bytes, 1))
+    strips = []
+    for y in range(0, h, rps):
+        part = a3[y:y + rps]
+        if predictor == 2:
+            part = _apply_predictor(part)
+        strips.append(_compress(part.tobytes(), compression))
+    tags += [(273, _T_LONG, (0,) * len(strips)),
+             (278, _T_LONG, (rps,)),
+             (279, _T_LONG, tuple(len(s) for s in strips))]
+    tags += _geo_tags(geotransform, crs)
+    return _pack_ifds([(tags, 273)], [strips])
+
+
+def _tile_blocks(a3: np.ndarray, tile: int, comp: str, predictor: int):
+    h, w, spp = a3.shape
+    blocks = []
+    for y0 in range(0, h, tile):
+        for x0 in range(0, w, tile):
+            t = np.zeros((tile, tile, spp), dtype=a3.dtype)
+            part = a3[y0:y0 + tile, x0:x0 + tile]
+            t[:part.shape[0], :part.shape[1]] = part
+            if predictor == 2:
+                t = _apply_predictor(t)
+            blocks.append(_compress(t.tobytes(), comp))
+    return blocks
+
+
+def cog_encode(arr: np.ndarray, *, tile: int = 256,
+               compression: str = "deflate", predictor: int = 1,
+               geotransform=None, crs=None, min_overview: int = 512
+               ) -> bytes:
+    """Array → Cloud-Optimized GeoTIFF: tiled IFD pyramid (full res +
+    2× AVERAGE overviews until max(h, w) < ``min_overview``), every IFD
+    at the head of the file before any pixel data (the COG read
+    pattern: one header fetch tells a remote reader where every tile
+    of every level lives — frmts/gtiff/cogdriver.cpp's layout)."""
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    levels = [arr.reshape(h, w, spp)]
+    while max(levels[-1].shape[0], levels[-1].shape[1]) >= min_overview:
+        prev = levels[-1]
+        ph, pw = prev.shape[0] & ~1, prev.shape[1] & ~1
+        nxt = prev[:ph, :pw].reshape(
+            ph // 2, 2, pw // 2, 2, spp).astype(np.float64) \
+            .mean(axis=(1, 3))
+        levels.append(np.rint(nxt).astype(arr.dtype)
+                      if arr.dtype.kind in "ui" else
+                      nxt.astype(arr.dtype))
+    specs, data = [], []
+    for li, lv in enumerate(levels):
+        tags, _ = _base_tags(lv if spp > 1 else lv[..., 0],
+                             compression, predictor)
+        blocks = _tile_blocks(lv, tile, compression, predictor)
+        tags += [(322, _T_LONG, (tile,)), (323, _T_LONG, (tile,)),
+                 (324, _T_LONG, (0,) * len(blocks)),
+                 (325, _T_LONG, tuple(len(b) for b in blocks))]
+        if li == 0:
+            tags += _geo_tags(geotransform, crs)
+            tags.append((254, _T_LONG, (0,)))
+        else:
+            tags.append((254, _T_LONG, (1,)))    # reduced-res subfile
+        specs.append((tags, 324))
+        data.append(blocks)
+    return _pack_ifds(specs, data)
