@@ -19,7 +19,7 @@ __all__ = [
     "warp_affine_mercator", "TranslateImages", "DemDerivatives",
     "pansharpen_brovey", "median_cut_palette", "dither_floyd_steinberg",
     "color_relief", "pixel_function",
-    "viewshed", "edit_metadata",
+    "viewshed", "edit_metadata", "nearblack", "dem_tiled",
 ]
 
 
@@ -159,6 +159,49 @@ def translate_unscale(arr: np.ndarray, scale: float = 1.0,
     """gdal_translate ``-unscale``: apply the band's scale/offset metadata
     to produce physical values (value*scale + offset, float64)."""
     return np.asarray(arr, dtype=np.float64) * scale + offset
+
+
+def nearblack(img: np.ndarray, *, near: int = 15, white: bool = False,
+              colors=None, set_alpha: bool = False):
+    """``nearblack`` (apps/nearblack_lib.cpp): trim the near-black (or
+    near-white / near-``colors``) collar that lossy compression leaves
+    around mosaicked imagery, replacing it with the exact target color.
+
+    A pixel is trimmed iff every channel is within ``near`` of one
+    target color AND it is 4-connected to the image border through such
+    pixels — the exact edge-connected set that the reference's two-pass
+    scanline algorithm approximates (its top-down + bottom-up sweeps
+    can under-trim spiral collars; this closed form cannot).  Interior
+    near-black regions are never touched, matching the tool's intent.
+
+    ``img``: (h, w) or (h, w, bands) uint8.  Returns the trimmed image,
+    or (image, alpha) when ``set_alpha`` (alpha 0 on trimmed pixels —
+    the ``-setalpha`` flag)."""
+    from .polygonize import label_components
+    a3 = img[..., None] if img.ndim == 2 else img
+    if colors is None:
+        colors = [(255,) * a3.shape[2]] if white else [(0,) * a3.shape[2]]
+    near_mask = np.zeros(a3.shape[:2], dtype=bool)
+    nearest = np.zeros(a3.shape[:2], dtype=np.int32)
+    for ci, col in enumerate(colors):
+        m = np.ones(a3.shape[:2], dtype=bool)
+        for b in range(a3.shape[2]):
+            m &= np.abs(a3[:, :, b].astype(np.int32) - col[b]) <= near
+        nearest = np.where(m & ~near_mask, ci, nearest)
+        near_mask |= m
+    lab = label_components(near_mask.astype(np.uint8))
+    border = np.zeros_like(near_mask)
+    border[0, :] = border[-1, :] = border[:, 0] = border[:, -1] = True
+    edge_labels = np.unique(lab[border & near_mask])
+    trim = near_mask & np.isin(lab, edge_labels)
+    out = a3.copy()
+    cols = np.asarray(list(colors), dtype=np.uint8)
+    out[trim] = cols[nearest[trim]]
+    out = out[..., 0] if img.ndim == 2 else out
+    if set_alpha:
+        alpha = np.where(trim, 0, 255).astype(np.uint8)
+        return out, alpha
+    return out
 
 
 class TranslateImages:

@@ -650,3 +650,32 @@ def test_expand_palette_and_unscale():
     v = translate_unscale(np.array([[0, 100]], np.uint8), scale=0.5,
                           offset=-10.0)
     assert v.tolist() == [[-10.0, 40.0]] and v.dtype == np.float64
+
+
+def test_nearblack_collar_trim():
+    """nearblack (apps/nearblack_lib.cpp): edge-connected near-black
+    collar trimmed to exact black; interior near-black blobs untouched;
+    -white / -setalpha / -color variants."""
+    import numpy as np
+    from georay.raster import nearblack
+    rng = np.random.default_rng(0)
+    img = rng.integers(60, 200, (40, 50, 3), dtype=np.uint8)
+    collar = rng.integers(0, 10, (40, 50, 3), dtype=np.uint8)
+    mask = np.zeros((40, 50), bool)
+    mask[:3] = mask[-3:] = True
+    mask[:, :3] = mask[:, -3:] = True
+    img[mask] = collar[mask]
+    img[15:20, 20:25] = 5           # interior blob, not edge-connected
+    out = nearblack(img, near=15)
+    assert (out[mask] == 0).all()
+    assert (out[15:20, 20:25] == 5).all()
+    img2 = rng.integers(0, 150, (20, 20), dtype=np.uint8)
+    img2[:2] = 250
+    o2, alpha = nearblack(img2, near=10, white=True, set_alpha=True)
+    assert (o2[:2] == 255).all() and (alpha[:2] == 0).all()
+    assert (alpha[5:] == 255).all()
+    img3 = np.full((10, 10, 3), 100, np.uint8)
+    img3[:, :2] = (12, 200, 30)
+    o3 = nearblack(img3, near=5, colors=[(10, 198, 32)])
+    assert (o3[:, :2] == np.array([10, 198, 32])).all()
+    assert (o3[:, 5:] == 100).all()
