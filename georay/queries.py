@@ -1128,6 +1128,41 @@ def q_curve_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_interval_join(sf_dir: str):
+    """Interval (range) join on the event log: errors counted inside a
+    2-hour window opened by every purchase — ``pts.ts BETWEEN iv.lo AND
+    iv.hi`` through the bucketed `windows.interval_join` (intervals
+    replicated per overlapped time bucket, points shuffled once, buckets
+    resolved vectorized).  Oracle: the identical BETWEEN join in DuckDB."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .windows import interval_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def mk_iv(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "purchase")
+        b = batch.filter(m)
+        return pa.table({
+            "iv_id": b["event_id"],
+            "lo": b["ts"],
+            "hi": pc.add(b["ts"], pa.scalar(7_200_000_000,
+                                            pa.duration("us")))})
+
+    def mk_pts(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "error"))
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"]})
+
+    ivs = ev.map_batches(mk_iv, batch_format="pyarrow")
+    pts = ev.map_batches(mk_pts, batch_format="pyarrow")
+    joined = interval_join(pts, ivs, ts_col="ts", lo_col="lo",
+                           hi_col="hi", bucket_s=7200)
+    return (joined.groupby("iv_id")
+            .aggregate(Count(alias_name="n_err"),
+                       Min("event_id", alias_name="min_eid"),
+                       Max("event_id", alias_name="max_eid")))
+
+
 def q_asof_join(sf_dir: str):
     """As-of join on the event log: each 'click' matched to the same
     user's most recent 'purchase' at or before it (inner).  Oracle:
@@ -1381,6 +1416,7 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "clip_zones": q_clip_zones,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "geom_measures": q_geom_measures,
     "curve_measures": q_curve_measures,
 }
@@ -1766,6 +1802,18 @@ ORACLE_SQL = {
                    FROM events WHERE event_type = 'purchase'
                    GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "interval_join": """
+        WITH iv AS (SELECT event_id AS iv_id, ts AS lo,
+                           ts + INTERVAL 2 HOUR AS hi
+                    FROM events WHERE event_type = 'purchase'),
+             pts AS (SELECT event_id, ts FROM events
+                     WHERE event_type = 'error')
+        SELECT iv.iv_id, count(*) AS n_err,
+               min(pts.event_id) AS min_eid,
+               max(pts.event_id) AS max_eid
+        FROM iv JOIN pts ON pts.ts BETWEEN iv.lo AND iv.hi
+        GROUP BY iv.iv_id
     """,
     "curve_measures": f"""
         WITH g AS (

@@ -17,9 +17,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["sliding_window_counts", "session_windows", "asof_join",
-           "window_compute"]
+           "window_compute", "interval_join"]
 
 
 # ---------------------------------------------------------------- window fns
@@ -422,3 +423,119 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str = "ts",
         return merged[left_names + rnames]
 
     return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def interval_join(points_ds, intervals_ds, *, ts_col: str = "ts",
+                  lo_col: str = "lo", hi_col: str = "hi",
+                  bucket_s: int = 3600, suffix: str = "_iv"):
+    """Interval (range) join: every point row matched to every interval
+    row with ``lo <= ts <= hi`` — the ``ON p.ts BETWEEN i.lo AND i.hi``
+    shape OGR SQL lacks and DuckDB calls a range join.
+
+    Distribution: time is quantized into ``bucket_s``-second buckets;
+    each interval is REPLICATED to every bucket it overlaps (bounded by
+    interval_length/bucket_s + 1 copies — pick ``bucket_s`` near the
+    typical interval length), each point goes to exactly ONE bucket, and
+    buckets are resolved independently after a co-shuffle.  A (point,
+    interval) pair co-occurs only in the point's own bucket, so no
+    dedup pass is needed.  Bucket cardinality is time-span/bucket_s —
+    a moderate groupby key by construction (NOTES.md per-group rule).
+    Within a bucket the match is a chunked broadcast mask (vectorized;
+    per-bucket row counts are bounded by the time quantization).
+
+    Timestamp columns may be Arrow timestamps or numerics; both sides
+    are compared in int64 microseconds.  Interval columns keep their
+    names (``suffix`` applied on collisions with point columns)."""
+    W = int(bucket_s) * 1_000_000
+
+    def _us(col):
+        t = col.type
+        if pa.types.is_timestamp(t):
+            return pc.cast(pc.cast(col, pa.timestamp("us")),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    p_schema = points_ds.schema()
+    i_schema = intervals_ds.schema()
+    p_names = list(p_schema.names)
+    iv_out = {c: (f"{c}{suffix}" if c in p_names else c)
+              for c in i_schema.names}
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        ts = _us(batch[ts_col])
+        cols = {c: batch[c] for c in p_names}
+        for c, oc in iv_out.items():
+            cols[oc] = pa.nulls(batch.num_rows, i_schema.types[
+                list(i_schema.names).index(c)])
+        cols["bucket__"] = pa.array(ts // W)
+        cols["ts_us__"] = pa.array(ts)
+        cols["lo_us__"] = pa.array(np.zeros(batch.num_rows, np.int64))
+        cols["hi_us__"] = pa.array(np.zeros(batch.num_rows, np.int64))
+        cols["side__"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        lo = _us(batch[lo_col])
+        hi = _us(batch[hi_col])
+        reps = (hi // W - lo // W + 1).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        offs = (np.arange(idx.size)
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        rep = batch.take(pa.array(idx))
+        cols = {}
+        for c in p_names:
+            if c in i_schema.names:
+                continue
+            cols[c] = pa.nulls(rep.num_rows,
+                               p_schema.types[p_names.index(c)])
+        for c, oc in iv_out.items():
+            cols.setdefault(oc, rep[c])
+        for c in p_names:
+            cols.setdefault(c, rep[c] if c in i_schema.names else
+                            cols[c])
+        cols["bucket__"] = pa.array((lo // W)[idx] + offs)
+        cols["ts_us__"] = pa.array(np.zeros(rep.num_rows, np.int64))
+        cols["lo_us__"] = pa.array(lo[idx])
+        cols["hi_us__"] = pa.array(hi[idx])
+        cols["side__"] = pa.array(np.ones(rep.num_rows, np.int8))
+        return pa.table(cols)
+
+    out_names = p_names + [iv_out[c] for c in i_schema.names
+                           if iv_out[c] not in p_names]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["side__"].to_numpy(zero_copy_only=False)
+        pts = g.filter(pa.array(side == 0))
+        ivs = g.filter(pa.array(side == 1))
+        empty = g.select(out_names).slice(0, 0)
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return empty
+        ts = pts["ts_us__"].to_numpy(zero_copy_only=False)
+        lo = ivs["lo_us__"].to_numpy(zero_copy_only=False)
+        hi = ivs["hi_us__"].to_numpy(zero_copy_only=False)
+        pi, ii = [], []
+        step = max(1, 2_000_000 // max(len(lo), 1))
+        for s in range(0, len(ts), step):
+            t = ts[s:s + step]
+            m = (t[:, None] >= lo[None, :]) & (t[:, None] <= hi[None, :])
+            a, b = np.nonzero(m)
+            pi.append(a + s)
+            ii.append(b)
+        pi = np.concatenate(pi) if pi else np.empty(0, np.int64)
+        ii = np.concatenate(ii) if ii else np.empty(0, np.int64)
+        if len(pi) == 0:
+            return empty
+        lt = pts.take(pa.array(pi))
+        rt = ivs.take(pa.array(ii))
+        cols = {c: lt[c] for c in p_names}
+        for c in i_schema.names:
+            oc = iv_out[c]
+            if oc not in cols or oc not in p_names:
+                cols[oc] = rt[oc]
+        return pa.table({c: cols[c] for c in out_names})
+
+    both = (points_ds.map_batches(tag_points, batch_format="pyarrow")
+            .union(intervals_ds.map_batches(tag_intervals,
+                                            batch_format="pyarrow")))
+    return (both.groupby("bucket__")
+            .map_groups(per_bucket, batch_format="pyarrow"))

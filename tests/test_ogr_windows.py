@@ -136,3 +136,29 @@ def test_pipeline_linearize_and_measure(ray_session):
            .to_table())
     assert out["st_area"][0].as_py() == pytest.approx(np.pi * 4.0, rel=1e-4)
     assert out["st_length"][0].as_py() == pytest.approx(4 * np.pi, rel=1e-4)
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Bucketed interval join == brute-force BETWEEN over every pair,
+    including intervals spanning multiple buckets and empty buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from georay.windows import interval_join
+    rng = np.random.default_rng(12)
+    n_p, n_i = 3000, 200
+    ts = rng.integers(0, 10 * 86400, n_p) * 1_000_000
+    lo = rng.integers(0, 10 * 86400 - 20000, n_i) * 1_000_000
+    hi = lo + rng.integers(1, 20000, n_i) * 1_000_000   # up to ~5.5 h
+    pts = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n_p)), "ts": pa.array(ts)}))
+    ivs = ray.data.from_arrow(pa.table({
+        "iv_id": pa.array(np.arange(n_i)), "lo": pa.array(lo),
+        "hi": pa.array(hi)}))
+    out = interval_join(pts, ivs, ts_col="ts", lo_col="lo", hi_col="hi",
+                        bucket_s=3600).to_pandas()
+    m = (ts[:, None] >= lo[None, :]) & (ts[:, None] <= hi[None, :])
+    a, b = np.nonzero(m)
+    want = set(zip(a.tolist(), b.tolist()))
+    got = set(zip(out["event_id"].tolist(), out["iv_id"].tolist()))
+    assert got == want
