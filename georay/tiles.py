@@ -34,6 +34,7 @@ __all__ = [
     "assign_center_tile", "CutTiles", "composite_tile_group",
     "partial_composite_batch", "merge_composite_group", "composite_tiles",
     "overview_reduce_group", "build_pyramid", "write_tiles_png",
+    "write_tiles_cog",
 ]
 
 
@@ -599,3 +600,60 @@ def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int):
                   .map_groups(merge_overview_group, batch_format="pyarrow"))
         levels[z] = cur
     return levels
+
+
+def write_tiles_cog(tiles_ds, out_dir: str, *, compression: str = "deflate"):
+    """Write composited tiles as georeferenced ``out_dir/z/x/y.tif``
+    GeoTIFFs (the gdal2tiles ``--tiledriver=GTiff`` analog, through the
+    from-scratch TIFF codec): each tile carries its EPSG:3857
+    geotransform from the exact tile bounds and the PixelIsArea GeoKeys,
+    so any GDAL reader opens the pyramid georeferenced.  Same atomic
+    rename + manifest resume protocol as ``write_tiles_png``.
+
+    Returns the small per-tile status Dataset (consume it to run)."""
+    import json
+    import os
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from .gtiff import tiff_encode
+        from .mercator import tile_bounds_meters
+        ts = TILE_SIZE
+        statuses = []
+        mdir = os.path.join(out_dir, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        for i in range(batch.num_rows):
+            z = int(batch["z"][i].as_py())
+            x = int(batch["tile_x"][i].as_py())
+            y = int(batch["tile_y"][i].as_py())
+            key = f"{z}-{x}-{y}"
+            mpath = os.path.join(mdir, key + ".json")
+            if os.path.exists(mpath):
+                statuses.append("skipped")
+                continue
+            canvas = np.frombuffer(batch["tile"][i].as_buffer(),
+                                   dtype=np.uint8).reshape(ts, ts, 4)
+            minx, miny, maxx, maxy = tile_bounds_meters(x, y, z, ts)
+            res = (maxx - minx) / ts
+            gt = (minx, res, 0.0, maxy, 0.0, -res)
+            d = os.path.join(out_dir, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{y}.tif")
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(tiff_encode(canvas, compression=compression,
+                                     predictor=2, geotransform=gt,
+                                     crs="EPSG:3857"))
+            os.replace(tmp, path)
+            rec = {"tile": [z, x, y],
+                   "n_frags": int(batch["n_frags"][i].as_py()),
+                   "checksum_r": int(batch["checksum_r"][i].as_py())}
+            mtmp = mpath + f".tmp-{os.getpid()}"
+            with open(mtmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(mtmp, mpath)
+            statuses.append("written")
+        return pa.table({"z": batch["z"], "tile_x": batch["tile_x"],
+                         "tile_y": batch["tile_y"],
+                         "status": pa.array(statuses, pa.string())})
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow")

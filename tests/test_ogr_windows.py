@@ -162,3 +162,86 @@ def test_interval_join_matches_bruteforce(ray_session):
     want = set(zip(a.tolist(), b.tolist()))
     got = set(zip(out["event_id"].tolist(), out["iv_id"].tolist()))
     assert got == want
+
+
+def test_write_tiles_cog_georeferenced(ray_session, tmp_path):
+    """COG tile sink: z/x/y.tif decode back to the PNG canvas pixels and
+    carry the exact EPSG:3857 tile-bounds geotransform; resume skips."""
+    import numpy as np
+    from georay.gtiff import tiff_decode
+    from georay.mercator import tile_bounds_meters
+    from georay.pipelines import tile_pipeline
+    from georay.tiles import write_tiles_cog
+    p = fx.write_images_parquet(str(tmp_path / "imgs"), 24,
+                                rows_per_file=12)
+    base = tile_pipeline(p, zoom=12)[12]
+    out_dir = str(tmp_path / "cogtiles")
+    status = write_tiles_cog(base, out_dir).take_all()
+    written = [r for r in status if r["status"] == "written"]
+    assert len(written) == len(status) > 0
+    r = written[0]
+    path = os.path.join(out_dir, str(r["z"]), str(r["tile_x"]),
+                        f"{r['tile_y']}.tif")
+    arr, meta = tiff_decode(open(path, "rb").read())
+    assert arr.shape == (256, 256, 4)
+    minx, miny, maxx, maxy = tile_bounds_meters(
+        r["tile_x"], r["tile_y"], r["z"], 256)
+    res = (maxx - minx) / 256
+    assert np.allclose(meta["geotransform"],
+                       (minx, res, 0.0, maxy, 0.0, -res))
+    assert meta["crs"] == "EPSG:3857"
+    base2 = tile_pipeline(p, zoom=12)[12]
+    status2 = write_tiles_cog(base2, out_dir).take_all()
+    assert all(s["status"] == "skipped" for s in status2)
+
+
+def test_compare_images_and_info(ray_session):
+    """gdalcompare/gdalinfo/ogrinfo analogs: injected pixel diff,
+    one-side-only rows, per-format census, geometry census + extent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from georay.codecs import encode_image
+    from georay.compare import compare_images, info_images, info_vector
+    from georay.geojson import geometry_to_wkb
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        arr = rng.integers(0, 255, (16, 20, 3), dtype=np.uint8)
+        rows.append((i, encode_image(arr, "png"), arr))
+
+    def tbl(rws):
+        return pa.table({
+            "image_id": pa.array([r[0] for r in rws]),
+            "bytes": pa.array([r[1] for r in rws], pa.binary()),
+            "w": pa.array([20] * len(rws)),
+            "h": pa.array([16] * len(rws)),
+            "fmt": pa.array(["png"] * len(rws))})
+
+    g = ray.data.from_arrow(tbl(rows))
+    rows2 = [r for r in rows if r[0] != 7]
+    a3 = rows2[3][2].copy()
+    a3[0, 0, 0] ^= 255
+    rows2[3] = (rows2[3][0], encode_image(a3, "png"), a3)
+    rows2.append((99, rows[0][1], rows[0][2]))
+    n = ray.data.from_arrow(tbl(rows2))
+    diff = compare_images(g, n).to_pandas().sort_values("image_id")
+    assert diff.to_dict("records") == [
+        {"image_id": 3, "issue": "pixels"},
+        {"image_id": 7, "issue": "only_golden"},
+        {"image_id": 99, "issue": "only_new"}]
+    assert compare_images(g, g).to_pandas().empty
+    info = info_images(g)
+    assert info.to_dict("records")[0]["n"] == 12
+    wkbs = [geometry_to_wkb({"type": "Point", "coordinates": [i, -i]})
+            for i in range(5)]
+    wkbs.append(geometry_to_wkb({
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}))
+    vds = ray.data.from_arrow(pa.table({
+        "wkb": pa.array(wkbs, pa.binary())}))
+    vinfo = info_vector(vds).sort_values("geom_type")
+    recs = vinfo.to_dict("records")
+    assert recs[0]["geom_type"] == "POINT" and recs[0]["n"] == 5
+    assert recs[1]["geom_type"] == "POLYGON"
+    assert recs[1]["maxx"] == 4.0 and recs[0]["miny"] == -4.0
