@@ -881,3 +881,93 @@ def embedding_dup_pairs_exact(ds, full: pa.Table, *, threshold: float,
         fn_constructor_kwargs=dict(ref=ref, threshold=threshold,
                                    id_col=id_col, vec_col=vec_col),
         concurrency=concurrency or default_concurrency(cap=8))
+
+
+def connected_components(pairs_ds, *, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 50,
+                         num_partitions: int | None = None):
+    """Distributed connected components over an edge list — the cluster
+    step that turns verified near-dup PAIRS into dedup groups (pick one
+    canonical doc per component).
+
+    Algorithm: hash-to-min (Chierichetti/Kumar/Lattanzi/Mitzenmacher,
+    "Max-Cover in Map-Reduce" family; public) — each round every node u
+    sends the minimum label of its neighborhood to all its neighbors and
+    its neighborhood to that minimum, which contracts every component
+    into a star around its minimum id in O(log diameter) rounds.  One
+    hash shuffle per round, NO joins and NO driver materialization: the
+    edge list is hash-partitioned by u (each u wholly in one partition),
+    each partition resolves all its nodes in one vectorized
+    lexsort+reduceat pass, per-partition dedup bounds edge growth at
+    ~2x the symmetric input, and the only driver-side value per round is
+    the label-sum convergence witness (labels only decrease).
+
+    Returns ``(node, comp)`` with comp = min node id of the component,
+    one row per distinct node appearing in any pair."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = 4 * cpus
+    P = num_partitions
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part(u: np.ndarray) -> np.ndarray:
+        return ((u.astype(np.uint64) * _GOLD) >> np.uint64(40)) \
+            % np.uint64(P)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks().cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        b = batch[b_col].combine_chunks().cast(pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b, a, b])
+        v = np.concatenate([b, a, a, b])     # symmetric + self loops
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "part": pa.array(_part(u))})
+
+    def contract(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        mu = np.minimum.reduceat(v, starts)          # per-u min label
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(u)]))
+        # u -> mu (kept as self-ish edge), every neighbor x -> mu,
+        # and mu -> x so the minimum learns its component
+        out_u = np.concatenate([u[starts], v, mu[seg]])
+        out_v = np.concatenate([mu, mu[seg], v])
+        pairs = np.unique(np.stack([out_u, out_v], axis=1), axis=0)
+        ou, ov = pairs[:, 0], pairs[:, 1]
+        return pa.table({"u": pa.array(ou), "v": pa.array(ov),
+                         "part": pa.array(_part(ou)),
+                         "wit": pa.array(
+                             np.r_[mu, np.zeros(len(ou) - len(mu),
+                                                np.int64)])})
+
+    def finalize(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table({"node": pa.array(u[starts]),
+                         "comp": pa.array(
+                             np.minimum.reduceat(v, starts))})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow")
+    prev_tot = None
+    for _ in range(max_iter):
+        edges = (edges.groupby("part")
+                 .map_groups(contract, batch_format="pyarrow")
+                 .materialize())      # break per-round lineage chains
+        tot = edges.sum("wit")        # Σ per-u min: monotone witness
+        if prev_tot is not None and tot == prev_tot:
+            break
+        prev_tot = tot
+    return (edges.groupby("part")
+            .map_groups(finalize, batch_format="pyarrow")
+            .select_columns(["node", "comp"]))

@@ -1163,6 +1163,19 @@ def q_interval_join(sf_dir: str):
                        Max("event_id", alias_name="max_eid")))
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: verified MinHash pairs → distributed connected
+    components (hash-to-min; one groupby shuffle per round, no joins) →
+    ``(node, comp)`` with comp = min doc_id of the cluster.  Oracle: the
+    same exact-Jaccard pair set closed under a recursive-CTE reachability
+    min in DuckDB."""
+    from .dedup import connected_components, minhash_lsh_pairs
+    ds = _rp_split(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perm=128, bands=16,
+                              jaccard_threshold=0.5)
+    return connected_components(pairs, a_col="id_a", b_col="id_b")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join on the event log: each 'click' matched to the same
     user's most recent 'purchase' at or before it (inner).  Oracle:
@@ -1417,6 +1430,7 @@ QUERIES = {
     "clip_zones": q_clip_zones,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "dedup_clusters": q_dedup_clusters,
     "geom_measures": q_geom_measures,
     "curve_measures": q_curve_measures,
 }
@@ -1802,6 +1816,30 @@ ORACLE_SQL = {
                    FROM events WHERE event_type = 'purchase'
                    GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(text) - 4, 1)),
+                     i -> substring(text, i, 5))) AS gram
+          FROM documents),
+        c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM ix JOIN c ca ON ca.doc_id = id_a
+                  JOIN c cb ON cb.doc_id = id_b
+          WHERE cast(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, comp) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, r.comp FROM reach r JOIN e ON e.u = r.node)
+        SELECT node, min(comp) AS comp FROM reach GROUP BY node
     """,
     "interval_join": """
         WITH iv AS (SELECT event_id AS iv_id, ts AS lo,
