@@ -1163,6 +1163,24 @@ def q_interval_join(sf_dir: str):
                        Max("event_id", alias_name="max_eid")))
 
 
+def q_doc_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by Knuth
+    multiplicative hash of doc_id — the coordination-free reproducible
+    split a growing corpus needs (yesterday's val docs can never drift
+    into tomorrow's train set).  Oracle: the identical hash arithmetic
+    as a SQL CASE."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .sample import hash_split
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    out = hash_split(ds, "doc_id", [0.8, 0.1, 0.1],
+                     ["train", "val", "test"])
+    return (out.groupby("split")
+            .aggregate(Count(alias_name="n"),
+                       Min("doc_id", alias_name="min_id"),
+                       Max("doc_id", alias_name="max_id")))
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: verified MinHash pairs → distributed connected
     components (hash-to-min; one groupby shuffle per round, no joins) →
@@ -1431,6 +1449,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "dedup_clusters": q_dedup_clusters,
+    "doc_split": q_doc_split,
     "geom_measures": q_geom_measures,
     "curve_measures": q_curve_measures,
 }
@@ -1816,6 +1835,19 @@ ORACLE_SQL = {
                    FROM events WHERE event_type = 'purchase'
                    GROUP BY user_id, ts) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "doc_split": """
+        WITH h AS (SELECT doc_id,
+                          (doc_id * 2654435761) % 4294967296 AS hb
+                   FROM documents),
+             s AS (SELECT doc_id,
+                          CASE WHEN hb < 3435973837 THEN 'train'
+                               WHEN hb < 3865470566 THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM h)
+        SELECT split, count(*) AS n, min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM s GROUP BY split
     """,
     "dedup_clusters": """
         WITH RECURSIVE g AS (

@@ -1,0 +1,74 @@
+"""Deterministic sampling and dataset splitting — the reproducibility
+primitives a 100 TB training-data pipeline needs: the same row lands in
+the same sample/split on every run, on any cluster size, with no
+coordination (pure function of the key), unlike ``ds.random_sample``.
+
+The hash is Knuth's multiplicative scheme on the key column —
+``(key * 2654435761) mod 2^32`` — chosen because it is expressible in
+ANSI SQL verbatim, so every sampling decision has a DuckDB oracle.
+For text keys, hash the engine's 64-bit content hash first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash_bucket", "hash_sample", "hash_split"]
+
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def hash_bucket(keys: np.ndarray, buckets: int = _MOD) -> np.ndarray:
+    """Vectorized ``(key * 2654435761) mod 2^32 mod buckets`` (uint64
+    arithmetic — exact for |key| < 2^32, the SQL-parity envelope)."""
+    k = keys.astype(np.uint64) * np.uint64(_KNUTH)
+    return ((k % np.uint64(_MOD)) % np.uint64(buckets)).astype(np.int64)
+
+
+def hash_sample(ds, key_col: str, fraction: float):
+    """Deterministic Bernoulli-by-hash sample: keep rows whose hash
+    bucket falls below ``fraction`` of the 2^32 range.  Reproducible,
+    coordination-free, and nested: the 5% sample is row-for-row a
+    subset of the 50% sample, so growing a sample never churns rows
+    already drawn.  (Fractions are absolute, not relative — applying
+    the filter twice keeps ``min(f1, f2)``, not ``f1*f2``.)"""
+    cut = int(round(fraction * _MOD))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hash_bucket(k) < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, weights, names=None):
+    """Deterministic train/val/test split: the hash range is cut at the
+    cumulative ``weights`` and every row is labeled with its split name
+    (added as a ``split`` column).  Filter per split downstream — the
+    assignment never changes as data grows, so yesterday's validation
+    docs can never leak into tomorrow's training set."""
+    w = np.asarray(weights, dtype=np.float64)
+    cuts = np.round(np.cumsum(w / w.sum()) * _MOD).astype(np.uint64)
+    names = list(names) if names is not None else [
+        f"split_{i}" for i in range(len(w))]
+    if len(names) != len(w):
+        raise ValueError("names and weights length mismatch")
+    lut = np.asarray(names, dtype=object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        h = hash_bucket(k).astype(np.uint64)
+        idx = np.searchsorted(cuts, h, side="right")
+        return batch.append_column(
+            "split", pa.array(lut[np.minimum(idx, len(lut) - 1)],
+                              pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def sample_sql(key_expr: str, fraction: float) -> str:
+    """The WHERE clause computing the identical sample in ANSI SQL."""
+    cut = int(round(fraction * _MOD))
+    return (f"(({key_expr} * {_KNUTH}) % {_MOD}) < {cut}")

@@ -1,0 +1,65 @@
+"""Deterministic hash sampling/splitting (georay/sample.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.sample import hash_bucket, hash_sample, hash_split, sample_sql
+
+
+def test_hash_bucket_matches_sql_arithmetic():
+    keys = np.arange(1000, dtype=np.int64)
+    got = hash_bucket(keys)
+    want = (keys.astype(object) * 2654435761) % (1 << 32)
+    assert (got == np.array(want, dtype=np.int64)).all()
+
+
+def test_hash_sample_fraction_and_nesting(ray_session):
+    import ray
+    n = 20_000
+    ds = ray.data.from_arrow(pa.table({"k": np.arange(n, dtype=np.int64)}))
+    half = hash_sample(ds, "k", 0.5)
+    twentieth = hash_sample(ds, "k", 0.05)
+    # Nested ranges: the 5% sample is row-for-row a subset of the 50%.
+    a = set(r["k"] for r in twentieth.take_all())
+    b = set(r["k"] for r in half.take_all())
+    assert a <= b
+    assert abs(len(b) / n - 0.5) < 0.02
+    assert abs(len(a) / n - 0.05) < 0.01
+
+
+def test_hash_split_deterministic_and_complete(ray_session):
+    import ray
+    n = 5_000
+    tbl = pa.table({"k": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_arrow(tbl)
+    out = hash_split(ds, "k", [0.8, 0.1, 0.1],
+                     ["train", "val", "test"]).to_pandas()
+    assert len(out) == n  # every row labeled, none dropped
+    counts = out["split"].value_counts()
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    # Rerun on a differently-blocked dataset: identical assignment.
+    ds2 = ray.data.from_arrow(tbl).repartition(7)
+    out2 = hash_split(ds2, "k", [0.8, 0.1, 0.1],
+                      ["train", "val", "test"]).to_pandas()
+    m1 = dict(zip(out["k"], out["split"]))
+    m2 = dict(zip(out2["k"], out2["split"]))
+    assert m1 == m2
+
+
+def test_hash_split_rejects_mismatched_names():
+    with pytest.raises(ValueError):
+        hash_split(None, "k", [0.5, 0.5], ["only_one"])
+
+
+def test_sample_sql_clause_matches_kernel():
+    import duckdb
+    keys = np.arange(4096, dtype=np.int64)
+    con = duckdb.connect()
+    con.register("t", pa.table({"k": keys}))
+    sql_kept = con.sql(
+        f"SELECT k FROM t WHERE {sample_sql('k', 0.25)} ORDER BY k"
+    ).df()["k"].to_numpy()
+    cut = int(round(0.25 * (1 << 32)))
+    np_kept = keys[hash_bucket(keys) < cut]
+    assert (sql_kept == np_kept).all()
