@@ -6,7 +6,9 @@ Layers:
 * pure-math kernels (no Ray): :mod:`georay.mercator`, :mod:`georay.cells`,
   :mod:`georay.icosa`, :mod:`georay.geom`, :mod:`georay.measures`,
   :mod:`georay.curves`, :mod:`georay.rtree`, :mod:`georay.transformers`,
-  :mod:`georay.codecs`, :mod:`georay.jpeg`
+  :mod:`georay.codecs`, :mod:`georay.jpeg`, :mod:`georay.gtiff`,
+  :mod:`georay.shapefile`, :mod:`georay.geojson`, :mod:`georay.mvt`,
+  :mod:`georay.flatgeobuf`, :mod:`georay.wkt`, :mod:`georay.datum`
 * fixtures: :mod:`georay.fixtures` (deterministic image/polygon/point tables)
 * Ray Data stages & pipelines: :mod:`georay.decode`, :mod:`georay.join`,
   :mod:`georay.knn`, :mod:`georay.tiles`, :mod:`georay.stats`,
