@@ -26,7 +26,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["GCPPolynomialTransformer", "ThinPlateSplineTransformer",
-           "RPCTransformer", "suggested_polynomial_order"]
+           "RPCTransformer", "GeolocArrayTransformer", "ApproxTransformer",
+           "suggested_polynomial_order"]
 
 
 def _poly_terms(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -245,3 +246,196 @@ class RPCTransformer:
                    np.abs(ey).max(initial=0.0)) < 1e-10:
                 break
         return lon, lat
+
+
+class GeolocArrayTransformer:
+    """Geolocation-array transformer (alg/gdalgeoloc.cpp): the source is
+    georeferenced by two 2-D arrays GEO_X[row, col] / GEO_Y[row, col]
+    giving the georeferenced position of geolocation-grid nodes, related
+    to raster pixels by ``pixel = PIXEL_OFFSET + col·PIXEL_STEP``.
+
+    * forward ``pixel_to_geo``: bilinear interpolation in the geolocation
+      arrays (gdalgeoloc.cpp:369 "bilinearly-interpolated georeferenced
+      position").
+    * inverse ``geo_to_pixel``: a coarse BACKMAP (geoloc nodes splatted
+      into a geo-referenced grid of pixel/line values, averaged, holes
+      filled by neighbor relaxation — gdalgeoloc.cpp:1004-1226's
+      resolution/averaging strategy) seeds vectorized Newton iterations
+      on the forward bilinear surface, giving exact inverse bilinear
+      solutions wherever the mapping is locally invertible (the
+      reference's "exact inverse bilinear interpolation method",
+      gdalgeoloc.cpp:948).
+    """
+
+    def __init__(self, geo_x: np.ndarray, geo_y: np.ndarray, *,
+                 pixel_offset: float = 0.0, line_offset: float = 0.0,
+                 pixel_step: float = 1.0, line_step: float = 1.0,
+                 backmap_oversample: float = 1.3):
+        self.gx = np.asarray(geo_x, np.float64)
+        self.gy = np.asarray(geo_y, np.float64)
+        if self.gx.shape != self.gy.shape or self.gx.ndim != 2:
+            raise ValueError("GEO_X/GEO_Y must be equal-shape 2-D arrays")
+        self.px_off, self.ln_off = float(pixel_offset), float(line_offset)
+        self.px_step, self.ln_step = float(pixel_step), float(line_step)
+        self._build_backmap(backmap_oversample)
+
+    # -- pixel -> geoloc-array fractional index ---------------------------
+    def _pix_to_arr(self, px, py):
+        return ((np.asarray(px, np.float64) - self.px_off) / self.px_step,
+                (np.asarray(py, np.float64) - self.ln_off) / self.ln_step)
+
+    def _bilinear(self, c, r):
+        h, w = self.gx.shape
+        c = np.clip(c, 0.0, w - 1.0)
+        r = np.clip(r, 0.0, h - 1.0)
+        c0 = np.clip(np.floor(c).astype(np.int64), 0, w - 2) if w > 1 \
+            else np.zeros_like(c, np.int64)
+        r0 = np.clip(np.floor(r).astype(np.int64), 0, h - 2) if h > 1 \
+            else np.zeros_like(r, np.int64)
+        fc = c - c0
+        fr = r - r0
+        c1 = np.minimum(c0 + 1, w - 1)
+        r1 = np.minimum(r0 + 1, h - 1)
+
+        def interp(a):
+            return (a[r0, c0] * (1 - fc) * (1 - fr)
+                    + a[r0, c1] * fc * (1 - fr)
+                    + a[r1, c0] * (1 - fc) * fr
+                    + a[r1, c1] * fc * fr)
+
+        return interp(self.gx), interp(self.gy)
+
+    def pixel_to_geo(self, px, py):
+        c, r = self._pix_to_arr(px, py)
+        return self._bilinear(c, r)
+
+    # -- backmap ----------------------------------------------------------
+    def _build_backmap(self, oversample: float):
+        h, w = self.gx.shape
+        n = max(4, int(np.sqrt(h * w) * oversample))
+        x0, x1 = self.gx.min(), self.gx.max()
+        y0, y1 = self.gy.min(), self.gy.max()
+        self._bm_x0, self._bm_y0 = x0, y0
+        self._bm_dx = (x1 - x0) / n or 1.0
+        self._bm_dy = (y1 - y0) / n or 1.0
+        self._bm_n = n
+        ci = np.clip(((self.gx - x0) / self._bm_dx), 0, n - 1).astype(int)
+        ri = np.clip(((self.gy - y0) / self._bm_dy), 0, n - 1).astype(int)
+        flat = ri.ravel() * n + ci.ravel()
+        cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+        cnt = np.bincount(flat, minlength=n * n).astype(np.float64)
+        sc = np.bincount(flat, weights=cols.ravel(), minlength=n * n)
+        sr = np.bincount(flat, weights=rows.ravel(), minlength=n * n)
+        with np.errstate(invalid="ignore"):
+            bm_c = (sc / cnt).reshape(n, n)
+            bm_r = (sr / cnt).reshape(n, n)
+        # fill holes by neighbor relaxation (bounded rounds — the backmap
+        # only SEEDS Newton, it need not be precise)
+        for _ in range(8):
+            nan = np.isnan(bm_c)
+            if not nan.any():
+                break
+            for a in (bm_c, bm_r):
+                p = np.pad(a, 1, constant_values=np.nan)
+                stack = np.stack([p[:-2, 1:-1], p[2:, 1:-1],
+                                  p[1:-1, :-2], p[1:-1, 2:]])
+                with np.errstate(invalid="ignore"):
+                    mean = np.nanmean(stack, axis=0)
+                a[nan] = mean[nan]
+        np.nan_to_num(bm_c, copy=False, nan=(w - 1) / 2.0)
+        np.nan_to_num(bm_r, copy=False, nan=(h - 1) / 2.0)
+        self._bm_c, self._bm_r = bm_c, bm_r
+
+    def geo_to_pixel(self, x, y, *, iterations: int = 12):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        n = self._bm_n
+        qc = np.clip((x - self._bm_x0) / self._bm_dx, 0, n - 1).astype(int)
+        qr = np.clip((y - self._bm_y0) / self._bm_dy, 0, n - 1).astype(int)
+        c = self._bm_c[qr, qc].copy()
+        r = self._bm_r[qr, qc].copy()
+        h, w = self.gx.shape
+        eps = 1e-4
+        for _ in range(iterations):
+            fx, fy = self._bilinear(c, r)
+            ex, ey = x - fx, y - fy
+            fx1, fy1 = self._bilinear(c + eps, r)
+            fx2, fy2 = self._bilinear(c, r + eps)
+            j11 = (fx1 - fx) / eps
+            j21 = (fy1 - fy) / eps
+            j12 = (fx2 - fx) / eps
+            j22 = (fy2 - fy) / eps
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+            c = np.clip(c + (ex * j22 - ey * j12) / det, 0, w - 1)
+            r = np.clip(r + (ey * j11 - ex * j21) / det, 0, h - 1)
+            if max(np.abs(ex).max(initial=0.0),
+                   np.abs(ey).max(initial=0.0)) < 1e-12:
+                break
+        return (c * self.px_step + self.px_off,
+                r * self.ln_step + self.ln_off)
+
+
+class ApproxTransformer:
+    """Scanline approximator (gdaltransformer.cpp:3839
+    GDALCreateApproxTransformer / :3923 GDALApproxTransformInternal): the
+    exact transformer is evaluated at interval endpoints + midpoints;
+    where linear interpolation of the midpoint is within ``max_error``
+    the whole interval is interpolated, else the interval subdivides.
+
+    Vectorized re-expression: instead of the reference's recursion over
+    one scanline, ALL active intervals across the batch subdivide
+    together; each round evaluates the base transform once on the new
+    midpoints.  Exact-evaluation fraction ≈ what the recursion does;
+    output parity with the base transform is bounded by ``max_error``
+    along-line (same contract as the reference)."""
+
+    def __init__(self, base_forward, max_error: float = 0.125):
+        self.base = base_forward
+        self.max_error = float(max_error)
+
+    def transform_scanline(self, x0: float, x1: float, y: float, n: int):
+        """Transform the n evenly spaced points (x0..x1, y) — the warp
+        inner loop's shape (one output scanline)."""
+        xs = np.linspace(x0, x1, n)
+        ys = np.full(n, y)
+        out_x = np.full(n, np.nan)
+        out_y = np.full(n, np.nan)
+        # seed: endpoints exact
+        ends = np.array([0, n - 1], dtype=np.int64)
+        bx, by = self.base(xs[ends], ys[ends])
+        out_x[ends], out_y[ends] = bx, by
+        # active intervals as (lo, hi) index pairs
+        lo = np.array([0], dtype=np.int64)
+        hi = np.array([n - 1], dtype=np.int64)
+        while lo.size:
+            mid = (lo + hi) // 2
+            fresh = np.isnan(out_x[mid])
+            if fresh.any():
+                mx, my = self.base(xs[mid[fresh]], ys[mid[fresh]])
+                out_x[mid[fresh]] = mx
+                out_y[mid[fresh]] = my
+            # linear prediction of mid from interval ends
+            t = ((xs[mid] - xs[lo])
+                 / np.where(xs[hi] != xs[lo], xs[hi] - xs[lo], 1.0))
+            pred_x = out_x[lo] + (out_x[hi] - out_x[lo]) * t
+            pred_y = out_y[lo] + (out_y[hi] - out_y[lo]) * t
+            err = np.abs(pred_x - out_x[mid]) + np.abs(pred_y - out_y[mid])
+            split = (err > self.max_error) & (mid > lo) & (mid < hi)
+            ok = ~split
+            # interpolate accepted intervals wholesale, keeping the
+            # already-exact midpoint values (the reference interpolates
+            # each half against the exact midpoint)
+            keep_x = out_x[mid[ok]].copy()
+            keep_y = out_y[mid[ok]].copy()
+            for l, h in zip(lo[ok], hi[ok]):
+                if h > l + 1:
+                    t2 = (xs[l + 1:h] - xs[l]) / (xs[h] - xs[l])
+                    out_x[l + 1:h] = out_x[l] + (out_x[h] - out_x[l]) * t2
+                    out_y[l + 1:h] = out_y[l] + (out_y[h] - out_y[l]) * t2
+            out_x[mid[ok]] = keep_x
+            out_y[mid[ok]] = keep_y
+            lo = np.concatenate([lo[split], mid[split]])
+            hi = np.concatenate([mid[split], hi[split]])
+        return out_x, out_y

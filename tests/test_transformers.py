@@ -221,3 +221,101 @@ class TestWarpIntegration:
                                    src_transformer=t)
         np.testing.assert_allclose(via.astype(float), base.astype(float),
                                    atol=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Geolocation-array transformer (alg/gdalgeoloc.cpp)
+# ---------------------------------------------------------------------------
+
+def _geoloc_from_tmerc(h=40, w=50):
+    """Geoloc arrays generated from a smooth real mapping (UTM 31N inverse:
+    pixel grid in projected meters -> lon/lat nodes)."""
+    from georay.mercator import tmerc_inverse
+    cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+    E = 400000.0 + cols * 500.0
+    N = 5600000.0 - rows * 500.0
+    lon, lat = tmerc_inverse(E.ravel(), N.ravel(), lon0=3.0)
+    return lon.reshape(h, w), lat.reshape(h, w)
+
+
+def test_geoloc_forward_matches_nodes_and_bilinear():
+    from georay.transformers import GeolocArrayTransformer
+    gx, gy = _geoloc_from_tmerc()
+    t = GeolocArrayTransformer(gx, gy)
+    # exact at the nodes
+    px = np.array([0.0, 10.0, 49.0])
+    py = np.array([0.0, 7.0, 39.0])
+    lon, lat = t.pixel_to_geo(px, py)
+    np.testing.assert_allclose(lon, gx[py.astype(int), px.astype(int)],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(lat, gy[py.astype(int), px.astype(int)],
+                               rtol=0, atol=1e-12)
+    # halfway between two nodes == average (bilinear on the grid line)
+    lon_h, lat_h = t.pixel_to_geo(np.array([10.5]), np.array([7.0]))
+    assert abs(lon_h[0] - (gx[7, 10] + gx[7, 11]) / 2) < 1e-14
+
+
+def test_geoloc_inverse_roundtrip():
+    from georay.transformers import GeolocArrayTransformer
+    gx, gy = _geoloc_from_tmerc()
+    t = GeolocArrayTransformer(gx, gy)
+    rng = np.random.default_rng(5)
+    px = rng.uniform(1, 48, 200)
+    py = rng.uniform(1, 38, 200)
+    lon, lat = t.pixel_to_geo(px, py)
+    bx, by = t.geo_to_pixel(lon, lat)
+    np.testing.assert_allclose(bx, px, atol=1e-6)
+    np.testing.assert_allclose(by, py, atol=1e-6)
+
+
+def test_geoloc_offset_step_convention():
+    from georay.transformers import GeolocArrayTransformer
+    gx, gy = _geoloc_from_tmerc(20, 20)
+    # geoloc array subsampled 2x with half-pixel offset
+    t = GeolocArrayTransformer(gx, gy, pixel_offset=0.5, line_offset=0.5,
+                               pixel_step=2.0, line_step=2.0)
+    lon, lat = t.pixel_to_geo(np.array([0.5]), np.array([0.5]))
+    assert abs(lon[0] - gx[0, 0]) < 1e-14 and abs(lat[0] - gy[0, 0]) < 1e-14
+    lon2, lat2 = t.pixel_to_geo(np.array([4.5]), np.array([2.5]))
+    assert abs(lon2[0] - gx[1, 2]) < 1e-14
+
+
+# ---------------------------------------------------------------------------
+# Approx transformer (gdaltransformer.cpp:3923)
+# ---------------------------------------------------------------------------
+
+def test_approx_transformer_error_bound_and_savings():
+    from georay.transformers import ApproxTransformer
+    from georay.mercator import latlon_to_meters
+
+    calls = {"n": 0}
+
+    def base(x, y):
+        # scanline coordinate drives LATITUDE -> merc y is strongly
+        # nonlinear in x, so the subdivision actually has to work
+        calls["n"] += int(np.asarray(x).size)
+        mx, my = latlon_to_meters(np.asarray(x), np.asarray(y))
+        return mx, my
+
+    n = 2049
+    ap = ApproxTransformer(base, max_error=50.0)  # meters
+    ax, ay = ap.transform_scanline(0.0, 70.0, 45.0, n)
+    ex, ey = latlon_to_meters(np.linspace(0, 70, n), np.full(n, 45.0))
+    err = np.abs(ax - ex) + np.abs(ay - ey)
+    assert err.max() <= 50.0 + 1e-9
+    # the whole point: far fewer exact evaluations than points
+    assert calls["n"] < n // 4
+
+
+def test_approx_transformer_exact_when_linear():
+    from georay.transformers import ApproxTransformer
+
+    def affine(x, y):
+        return 2.0 * x + 1.0, np.asarray(y) * 3.0
+
+    ap = ApproxTransformer(affine, max_error=1e-9)
+    ax, ay = ap.transform_scanline(0.0, 100.0, 5.0, 257)
+    np.testing.assert_allclose(ax, 2.0 * np.linspace(0, 100, 257) + 1.0,
+                               atol=1e-9)
+    np.testing.assert_allclose(ay, 15.0, atol=1e-12)
