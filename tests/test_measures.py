@@ -220,3 +220,60 @@ def test_empty_and_batch_edge_cases():
     out = measures_batch(nulls, "wkb")
     assert out["st_area"].to_pylist() == [0.0]
     assert np.isnan(out["st_cx"].to_pylist()[0])
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing (apps/ogrlineref.cpp op_create/get_pos/get_coord/
+# get_subline)
+# ---------------------------------------------------------------------------
+
+def test_lineref_measures_and_coords():
+    from georay.lineref import line_measures, point_at_measure
+    # L-shaped line: 3 right + 4 up = length 7
+    xy = np.array([[0, 0], [3, 0], [3, 4]], dtype=float)
+    np.testing.assert_allclose(line_measures(xy), [0, 3, 7])
+    pts = point_at_measure(xy, [0.0, 1.5, 3.0, 5.0, 7.0, 99.0])
+    np.testing.assert_allclose(pts, [[0, 0], [1.5, 0], [3, 0],
+                                     [3, 2], [3, 4], [3, 4]])
+
+
+def test_lineref_mileposts():
+    from georay.lineref import create_mileposts
+    xy = np.array([[0, 0], [3, 0], [3, 4]], dtype=float)
+    mp = create_mileposts(xy, 2.0)
+    np.testing.assert_allclose(mp[:, 2], [0, 2, 4, 6])
+    np.testing.assert_allclose(mp[:, :2], [[0, 0], [2, 0], [3, 1], [3, 3]])
+
+
+def test_lineref_locate_points():
+    from georay.lineref import locate_points
+    xy = np.array([[0, 0], [3, 0], [3, 4]], dtype=float)
+    m, off = locate_points(xy, [1.0, 3.5, -1.0], [1.0, 2.0, 0.0])
+    np.testing.assert_allclose(m, [1.0, 5.0, 0.0])
+    np.testing.assert_allclose(off, [1.0, 0.5, 1.0])
+
+
+def test_lineref_subline():
+    from georay.lineref import subline, line_measures
+    xy = np.array([[0, 0], [3, 0], [3, 4]], dtype=float)
+    s = subline(xy, 1.0, 5.0)
+    np.testing.assert_allclose(s, [[1, 0], [3, 0], [3, 2]])
+    # full-range subline reproduces the line
+    np.testing.assert_allclose(subline(xy, 0, 7), xy)
+    # measures of the subline are contiguous
+    np.testing.assert_allclose(line_measures(s)[-1], 4.0)
+
+
+def test_lineref_batch_stage():
+    import pyarrow as pa
+    from georay.lineref import mileposts_batch
+    t = pa.table({
+        "line_id": pa.array([1, 2], pa.int64()),
+        "line_xy": pa.array([[0.0, 0.0, 3.0, 0.0, 3.0, 4.0],
+                             [0.0, 0.0, 10.0, 0.0]],
+                            pa.list_(pa.float64())),
+    })
+    out = mileposts_batch(t, 5.0)
+    df = out.to_pandas()
+    assert df[df.line_id == 1].measure.tolist() == [0.0, 5.0]
+    assert df[df.line_id == 2].measure.tolist() == [0.0, 5.0, 10.0]
