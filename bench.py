@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "doc_minhash_pairs", "ann_topk", "embedding_dups", "image_dedup",
     "overlay_intersection", "zone_join_icosa", "sql_filter_group",
     "proximity_images", "sessions", "geom_measures", "sql_functions",
-    "interval_join", "dedup_clusters",
+    "interval_join", "dedup_clusters", "fgb_zone_join",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

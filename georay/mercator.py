@@ -693,6 +693,32 @@ _CONIC_CRS = {
     "EPSG:6933": ("cea", dict(lat_ts=30.0, lon0=0.0, e0=0.0, n0=0.0)),
     # WGS84 / Equal Earth Greenwich — EPSG:8857
     "EPSG:8857": ("eqearth", dict(lon0=0.0, e0=0.0, n0=0.0)),
+    # GDA94 / Australian Albers — EPSG:3577 (GRS80 ≈ WGS84 to 0.1 mm)
+    "EPSG:3577": ("albers", dict(lat1=-18.0, lat2=-36.0, lat0=0.0,
+                                 lon0=132.0, e0=0.0, n0=0.0)),
+    # GDA94 / Geoscience Australia Lambert — EPSG:3112
+    "EPSG:3112": ("lcc", dict(lat1=-18.0, lat2=-36.0, lat0=0.0,
+                              lon0=134.0, e0=0.0, n0=0.0)),
+    # NAD83 / Canada Atlas Lambert — EPSG:3978 (datum offset vs WGS84
+    # ~1-2 m, same caveat as EPSG:5070)
+    "EPSG:3978": ("lcc", dict(lat1=49.0, lat2=77.0, lat0=49.0,
+                              lon0=-95.0, e0=0.0, n0=0.0)),
+    # NAD83 / Statistics Canada Lambert — EPSG:3347
+    "EPSG:3347": ("lcc", dict(lat1=49.0, lat2=77.0, lat0=63.390675,
+                              lon0=-91.86666666666666,
+                              e0=6200000.0, n0=3000000.0)),
+    # NAD83 / California Albers — EPSG:3310
+    "EPSG:3310": ("albers", dict(lat1=34.0, lat2=40.5, lat0=0.0,
+                                 lon0=-120.0, e0=0.0, n0=-4000000.0)),
+    # NAD83 / Texas Centric Mapping System Albers — EPSG:3083
+    "EPSG:3083": ("albers", dict(lat1=27.5, lat2=35.0, lat0=18.0,
+                                 lon0=-100.0, e0=1500000.0, n0=6000000.0)),
+    # ETRS89 / LCC Europe — EPSG:3034
+    "EPSG:3034": ("lcc", dict(lat1=35.0, lat2=65.0, lat0=52.0, lon0=10.0,
+                              e0=4000000.0, n0=2800000.0)),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic South — EPSG:3976
+    "EPSG:3976": ("ps", dict(lat_ts=-70.0, lon0=0.0, south=True,
+                             e0=0.0, n0=0.0)),
 }
 
 _PROJ_FNS = {"lcc": (lcc_forward, lcc_inverse),

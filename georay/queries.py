@@ -1087,6 +1087,25 @@ def q_geom_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_fgb_zone_join(sf_dir: str):
+    """Zone polygons pushed through a FlatGeobuf write → bbox-pushdown
+    read roundtrip (georay.flatgeobuf — the reference fork's signature
+    format, ogr/ogrsf_frmts/flatgeobuf/), then the standard broadcast PIP
+    join.  The fgb read keeps only zones whose index box intersects the
+    western hemisphere (minx <= 0); the oracle applies the same cut as
+    ``lon0 <= 0`` on the closed-form zone grid — green parity means the
+    codec's header/index/feature decode chain is value-exact end-to-end."""
+    from .flatgeobuf import read_fgb, write_fgb
+    from .join import spatial_join_points
+    zones = _nation_zones(sf_dir).select(["wkb", "n_name"])
+    data = write_fgb(zones, name="zones")
+    west = read_fgb(data, bbox=(-180.0, -90.0, 0.0, 90.0))
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, west, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_curve_measures(sf_dir: str):
     """Curve geometry path — CircularString circles (ISO WKB 8, three 120°
     arcs) built per customer, measured both EXACTLY on the curve
@@ -1452,6 +1471,7 @@ QUERIES = {
     "doc_split": q_doc_split,
     "geom_measures": q_geom_measures,
     "curve_measures": q_curve_measures,
+    "fgb_zone_join": q_fgb_zone_join,
 }
 
 
@@ -1510,6 +1530,20 @@ ORACLE_SQL = {
     """,
     "zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "fgb_zone_join": f"""
+        WITH pts AS (SELECT c_custkey,
+                            {_SQL_LON.format(k="c_custkey")} AS lon,
+                            {_SQL_LAT.format(k="c_custkey")} AS lat
+                     FROM customer),
+        zones AS (SELECT n_name,
+                         ((n_nationkey * 79) % 36) * 10.0 - 180.0 AS lon0,
+                         ((n_nationkey * 37) % 15) * 10.0 - 80.0 AS lat0
+                  FROM nation)
+        SELECT c_custkey, n_name FROM pts JOIN zones
+        ON pts.lon >= zones.lon0 AND pts.lon < zones.lon0 + 9.5
+        AND pts.lat >= zones.lat0 AND pts.lat < zones.lat0 + 20.0
+        WHERE zones.lon0 <= 0.0
     """,
     "zone_join_partitioned": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})

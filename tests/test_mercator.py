@@ -376,3 +376,44 @@ def test_warp_laea_to_4326():
                                    dst_crs="EPSG:4326", kernel=k)
         assert out.shape == (64, 64)
         assert out[8:-8, 8:-8].std() > 10
+
+
+def test_conic_crs_registry_extension_roundtrips():
+    """The round-3 registry rows (Australian/California/Texas Albers,
+    Canada/StatsCan/Europe Lambert, south sea-ice PS): forward/inverse
+    roundtrip to 1e-10 deg over each CRS's service area, and the
+    projection-family invariants hold at the new parameters."""
+    import numpy as np
+    from georay.mercator import (_CONIC_CRS, conic_crs_forward,
+                                 conic_crs_inverse)
+    areas = {
+        "EPSG:3577": (-44, -10, 112, 154),
+        "EPSG:3112": (-44, -10, 112, 154),
+        "EPSG:3978": (41, 84, -141, -52),
+        "EPSG:3347": (41, 84, -141, -52),
+        "EPSG:3310": (32, 42, -125, -114),
+        "EPSG:3083": (25, 37, -107, -93),
+        "EPSG:3034": (35, 71, -10, 31),
+        "EPSG:3976": (-89, -55, -180, 180),
+    }
+    rng = np.random.default_rng(17)
+    for crs, (la_lo, la_hi, lo_lo, lo_hi) in areas.items():
+        assert crs in _CONIC_CRS
+        lat = rng.uniform(la_lo, la_hi, 200)
+        lon = rng.uniform(lo_lo, lo_hi, 200)
+        E, N = conic_crs_forward(crs, lat, lon)
+        la, lo = conic_crs_inverse(crs, E, N)
+        assert np.abs(la - lat).max() < 1e-10, crs
+        assert np.abs(((lo - lon + 180) % 360) - 180).max() < 1e-10, crs
+
+
+def test_conic_crs_false_origin_pins():
+    """Natural-origin pins: at (lat0, lon0) the projected coordinates are
+    exactly the false easting/northing of the published parameter set."""
+    from georay.mercator import _CONIC_CRS, conic_crs_forward
+    for crs in ("EPSG:3577", "EPSG:3112", "EPSG:3978", "EPSG:3347",
+                "EPSG:3310", "EPSG:3083", "EPSG:3034"):
+        kind, p = _CONIC_CRS[crs]
+        E, N = conic_crs_forward(crs, p["lat0"], p["lon0"])
+        assert abs(float(E) - p["e0"]) < 1e-6, crs
+        assert abs(float(N) - p["n0"]) < 1e-6, crs
