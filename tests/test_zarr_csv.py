@@ -1,0 +1,142 @@
+"""Zarr v2 store + OGR CSV driver analogs (SURVEY §2.1 driver rows:
+frmts/zarr/, ogr/ogrsf_frmts/csv/)."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from georay import csvdriver, zarrstore
+
+
+# ---------------------------------------------------------------------------
+# Zarr
+# ---------------------------------------------------------------------------
+
+def test_zarr_metadata_and_chunk_files(tmp_path):
+    p = str(tmp_path / "a.zarr")
+    zarrstore.zarr_create(p, (10, 12), (4, 5), "<f8")
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["dtype"] == "<f8"
+    assert meta["compressor"] == {"id": "zlib", "level": 1}
+    a = np.arange(20, dtype=np.float64).reshape(4, 5)
+    zarrstore.zarr_write_chunk(p, (0, 0), a)
+    # spec: chunk file named "0.0", zlib of C-order raw
+    raw = zlib.decompress(open(os.path.join(p, "0.0"), "rb").read())
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, "<f8").reshape(4, 5), a)
+
+
+def test_zarr_roundtrip_with_edge_padding(tmp_path):
+    p = str(tmp_path / "b.zarr")
+    rng = np.random.default_rng(0)
+    full = rng.uniform(size=(10, 12))
+    meta = zarrstore.zarr_create(p, (10, 12), (4, 5), "<f8",
+                                 fill_value=-1.0)
+    for cy in range(3):
+        for cx in range(3):
+            tile = full[cy * 4:(cy + 1) * 4, cx * 5:(cx + 1) * 5]
+            zarrstore.zarr_write_chunk(p, (cy, cx), tile, meta)
+    np.testing.assert_array_equal(zarrstore.zarr_read(p), full)
+    # edge chunk file holds fill padding to the full chunk shape
+    edge = zarrstore.zarr_read_chunk(p, (2, 2))
+    assert edge.shape == (4, 5)
+    assert (edge[2:, :] == -1.0).all()
+
+
+def test_zarr_windowed_read_touches_needed_chunks_only(tmp_path):
+    p = str(tmp_path / "c.zarr")
+    full = np.arange(100, dtype=np.int32).reshape(10, 10)
+    meta = zarrstore.zarr_create(p, (10, 10), (4, 4), "<i4",
+                                 compressor=None)
+    for cy in range(3):
+        for cx in range(3):
+            zarrstore.zarr_write_chunk(
+                p, (cy, cx), full[cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4],
+                meta)
+    win = zarrstore.zarr_read_window(p, (slice(2, 7), slice(5, 9)))
+    np.testing.assert_array_equal(win, full[2:7, 5:9])
+    # missing chunk reads as fill_value
+    os.remove(os.path.join(p, "0.0"))
+    assert (zarrstore.zarr_read_window(p, (slice(0, 2), slice(0, 2)))
+            == 0).all()
+
+
+def test_zarr_ray_source_sink_resume(ray_session, tmp_path):
+    import ray
+
+    rng = np.random.default_rng(1)
+    full = rng.integers(0, 255, size=(64, 96), dtype=np.uint8)
+    rows = []
+    for cy in range(2):
+        for cx in range(3):
+            t = full[cy * 32:(cy + 1) * 32, cx * 32:(cx + 1) * 32]
+            rows.append({"c0": cy, "c1": cx, "h": 32, "w": 32,
+                         "data": t.tobytes()})
+    ds = ray.data.from_items(rows)
+    p = str(tmp_path / "d.zarr")
+    man = zarrstore.dataset_to_zarr(ds, p, (64, 96), (32, 32),
+                                    "|u1").to_pandas()
+    assert man["written"].all()
+    np.testing.assert_array_equal(zarrstore.zarr_read(p), full)
+    # resume: second run skips every complete chunk
+    man2 = zarrstore.dataset_to_zarr(ds, p, (64, 96), (32, 32),
+                                     "|u1").to_pandas()
+    assert not man2["written"].any()
+    # source: chunk-parallel read reassembles the array
+    back = zarrstore.zarr_to_dataset(p).to_pandas()
+    assert len(back) == 6
+    got = np.zeros_like(full)
+    for _, r in back.iterrows():
+        a = np.frombuffer(r["data"], np.uint8).reshape(r["h"], r["w"])
+        got[r["c0"] * 32:r["c0"] * 32 + r["h"],
+            r["c1"] * 32:r["c1"] * 32 + r["w"]] = a
+    np.testing.assert_array_equal(got, full)
+
+
+# ---------------------------------------------------------------------------
+# CSV driver
+# ---------------------------------------------------------------------------
+
+def test_csv_wkt_roundtrip(tmp_path):
+    csv = (b"WKT,name,v\n"
+           b'"POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",alpha,1\n'
+           b'"POINT (3.5 -1.25)",beta,2\n')
+    t = csvdriver.read_csv_vector(csv)
+    assert t.schema.names == ["name", "v", "wkb"]
+    # geometry parses to real WKB the engine understands
+    gt = struct.unpack_from("<I", t["wkb"][0].as_py(), 1)[0]
+    assert gt == 3
+    # write back → WKT column leads, values preserved
+    out = str(tmp_path / "o.csv")
+    csvdriver.write_csv_vector(t, out)
+    t2 = csvdriver.read_csv_vector(out)
+    assert t2["wkb"].to_pylist() == t["wkb"].to_pylist()
+    assert t2["name"].to_pylist() == ["alpha", "beta"]
+
+
+def test_csv_xy_points():
+    csv = b"id,lon,lat\n1,10.5,45.25\n2,-3.0,0.5\n"
+    t = csvdriver.read_csv_vector(csv)
+    assert "wkb" in t.schema.names
+    x, y = struct.unpack_from("<dd", t["wkb"][0].as_py(), 5)
+    assert (x, y) == (10.5, 45.25)
+
+
+def test_csv_ray_source(ray_session, tmp_path):
+    p = str(tmp_path / "pts.csv")
+    n = 1000
+    ids = np.arange(n)
+    with open(p, "w") as f:
+        f.write("id,x,y\n")
+        for i in ids:
+            f.write(f"{i},{i * 0.1},{i * -0.2}\n")
+    ds = csvdriver.read_csv_vector_dataset(p)
+    df = ds.to_pandas()
+    assert len(df) == n
+    x, y = struct.unpack_from("<dd", df["wkb"].iloc[5], 5)
+    assert abs(x - 0.5) < 1e-12 and abs(y + 1.0) < 1e-12
