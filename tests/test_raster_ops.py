@@ -679,3 +679,44 @@ def test_nearblack_collar_trim():
     o3 = nearblack(img3, near=5, colors=[(10, 198, 32)])
     assert (o3[:, :2] == np.array([10, 198, 32])).all()
     assert (o3[:, 5:] == 100).all()
+
+
+def test_grid_bucket_index_matches_dense():
+    """PointBucketIndex path (SURVEY §2.3 gridding quadtree analog) ==
+    dense (pixels × points) path for every radius-limited algorithm, up
+    to float summation order."""
+    from georay.rasterize import grid_average, grid_invdist, grid_metrics
+    rng = np.random.default_rng(0)
+    npts = 400
+    px = rng.uniform(0, 100, npts)
+    py = rng.uniform(0, 80, npts)
+    pv = rng.uniform(-5, 5, npts)
+    # exact pixel-center hits exercise the argmax tie rule
+    px[:3] = [10.5, 20.5, 30.5]
+    py[:3] = [10.5, 20.5, 30.5]
+    gt = (0.0, 1.0, 0.0, 80.0, 0.0, -1.0)
+    shape = (80, 100)
+    for r in (3.0, 7.5):
+        a = grid_invdist(px, py, pv, gt, shape, radius=r, use_index=False)
+        b = grid_invdist(px, py, pv, gt, shape, radius=r, use_index=True)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+        a = grid_average(px, py, pv, gt, shape, radius=r, use_index=False)
+        b = grid_average(px, py, pv, gt, shape, radius=r, use_index=True)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+        for m in ("minimum", "maximum", "range", "count",
+                  "average_distance"):
+            a = grid_metrics(px, py, pv, gt, shape, radius=r, metric=m,
+                             use_index=False)
+            b = grid_metrics(px, py, pv, gt, shape, radius=r, metric=m,
+                             use_index=True)
+            np.testing.assert_allclose(a, b, atol=1e-12, err_msg=m)
+
+
+def test_grid_index_auto_threshold():
+    """The auto heuristic flips to the indexed path only when a radius is
+    set and the pair budget is large."""
+    from georay.rasterize import _use_index
+    assert not _use_index(None, 0.0, 10**9, 10**9)   # no radius -> dense
+    assert not _use_index(None, 5.0, 100, 100)       # tiny -> dense
+    assert _use_index(None, 5.0, 10_000, 10_000)     # big -> indexed
+    assert _use_index(True, 5.0, 1, 1)               # explicit override
