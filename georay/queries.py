@@ -1200,6 +1200,17 @@ def q_doc_split(sf_dir: str):
                        Max("doc_id", alias_name="max_id")))
 
 
+def q_sample_per_key(sf_dir: str):
+    """Deterministic k-per-key sampling (3 orders per customer, ranked by
+    the Knuth hash of the order key) — the per-domain cap / eval-draw
+    primitive.  Oracle: ROW_NUMBER() OVER (PARTITION BY … ORDER BY the
+    identical hash) <= 3."""
+    from .sample import hash_topk_per_key
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return hash_topk_per_key(ds, "o_custkey", "o_orderkey", 3) \
+        .select_columns(["o_custkey", "o_orderkey"])
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: verified MinHash pairs → distributed connected
     components (hash-to-min; one groupby shuffle per round, no joins) →
@@ -1472,6 +1483,7 @@ QUERIES = {
     "geom_measures": q_geom_measures,
     "curve_measures": q_curve_measures,
     "fgb_zone_join": q_fgb_zone_join,
+    "sample_per_key": q_sample_per_key,
 }
 
 
@@ -1882,6 +1894,15 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "sample_per_key": """
+        SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY (o_orderkey * 2654435761) % 4294967296,
+                                o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3
     """,
     "dedup_clusters": """
         WITH RECURSIVE g AS (

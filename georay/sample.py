@@ -14,7 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_bucket", "hash_sample", "hash_split"]
+__all__ = ["hash_bucket", "hash_sample", "hash_split",
+           "hash_topk_per_key"]
 
 _KNUTH = 2654435761
 _MOD = 1 << 32
@@ -72,3 +73,60 @@ def sample_sql(key_expr: str, fraction: float) -> str:
     """The WHERE clause computing the identical sample in ANSI SQL."""
     cut = int(round(fraction * _MOD))
     return (f"(({key_expr} * {_KNUTH}) % {_MOD}) < {cut}")
+
+
+def hash_topk_per_key(ds, key_col: str, order_col: str, k: int,
+                      num_partitions: int | None = None):
+    """Deterministic k rows per key — "k examples per group" (dedup
+    canonicalization, per-domain caps, eval-set drawing) without a
+    global sort: rows are ranked inside each key by the Knuth hash of
+    ``order_col`` (ties broken by the column itself, so the pick is a
+    pure function of the data).
+
+    Scale shape: a per-BLOCK partial (each block keeps at most k rows
+    per key it sees — output bounded at k×keys-per-block) feeds a
+    hash-PARTITIONED final pass (groupby on ``hash(key) % P``, one
+    vectorized lexsort+run-detect per partition — never one Python call
+    per key).  Oracle: ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    hash, order) <= k."""
+    import ray
+    if num_partitions is None:
+        num_partitions = 4 * max(
+            2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
+
+    def _keep_k(batch: pa.Table, with_part: bool) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        h = hash_bucket(o)
+        order = np.lexsort((o, h, key))
+        ks = key[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        # rank within key = position - start of the key's run
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(ks)) - starts[run_id]
+        take = np.sort(order[rank < k])
+        out = batch.take(pa.array(take))
+        if with_part:
+            kk = key[take].astype(np.uint64) * np.uint64(_KNUTH)
+            out = out.append_column(
+                "part__", pa.array(((kk >> np.uint64(7))
+                                    % np.uint64(P)).astype(np.int64)))
+        return out
+
+    partial = ds.map_batches(lambda b: _keep_k(b, True),
+                             batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return _keep_k(g.combine_chunks().drop_columns(["part__"]), False)
+
+    return partial.groupby("part__").map_groups(
+        final, batch_format="pyarrow")
+
+
+def topk_per_key_sql(key: str, order: str, k: int) -> str:
+    """ORDER BY clause fragment matching :func:`hash_topk_per_key`."""
+    return (f"ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY "
+            f"({order} * {_KNUTH}) % {_MOD}, {order}) <= {k}")

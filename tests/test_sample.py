@@ -63,3 +63,33 @@ def test_sample_sql_clause_matches_kernel():
     cut = int(round(0.25 * (1 << 32)))
     np_kept = keys[hash_bucket(keys) < cut]
     assert (sql_kept == np_kept).all()
+
+
+def test_hash_topk_per_key(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.sample import hash_bucket, hash_topk_per_key
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    keys = rng.integers(0, 200, n)
+    vals = rng.permutation(n)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64()),
+                                       "v": pa.array(vals, pa.int64())}))
+    out = hash_topk_per_key(ds, "k", "v", 4).to_pandas()
+    # exactly min(4, group size) per key
+    sizes = out.groupby("k").size()
+    import pandas as pd
+    full = pd.Series(keys).value_counts()
+    for k, s in sizes.items():
+        assert s == min(4, full[k])
+    # and the chosen rows are the 4 smallest by (hash, v) per key
+    df = pd.DataFrame({"k": keys, "v": vals})
+    df["h"] = hash_bucket(df["v"].to_numpy())
+    expect = (df.sort_values(["k", "h", "v"]).groupby("k").head(4)
+              [["k", "v"]])
+    got = out[["k", "v"]]
+    assert (got.sort_values(["k", "v"]).reset_index(drop=True)
+            .equals(expect.sort_values(["k", "v"]).reset_index(drop=True)))
