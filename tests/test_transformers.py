@@ -319,3 +319,30 @@ def test_approx_transformer_exact_when_linear():
     np.testing.assert_allclose(ax, 2.0 * np.linspace(0, 100, 257) + 1.0,
                                atol=1e-9)
     np.testing.assert_allclose(ay, 15.0, atol=1e-12)
+
+
+def test_warp_with_geoloc_transformer_matches_affine_path():
+    """A geolocation array that ENCODES an affine mapping must reproduce
+    the affine warp (alg/gdalgeoloc.cpp plug-in parity, same discipline
+    as the GCP/TPS warp tests)."""
+    from georay.raster import warp_affine_mercator
+    from georay.transformers import GeolocArrayTransformer
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    src_gt = (10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    dst_gt = (10.05, 0.008, 0.0, 49.95, 0.0, -0.008)
+    shape = (48, 48)
+    base = warp_affine_mercator(src, src_gt, dst_gt, shape,
+                                src_crs="EPSG:4326",
+                                dst_crs="EPSG:4326", kernel="bilinear")
+    # geoloc nodes every 4 pixels covering the source grid
+    cols, rows = np.meshgrid(np.arange(0, 68, 4, dtype=np.float64),
+                             np.arange(0, 68, 4, dtype=np.float64))
+    gx = src_gt[0] + cols * src_gt[1]
+    gy = src_gt[3] + rows * src_gt[5]
+    t = GeolocArrayTransformer(gx, gy, pixel_step=4.0, line_step=4.0)
+    via = warp_affine_mercator(src, None, dst_gt, shape,
+                               src_crs="EPSG:4326", dst_crs="EPSG:4326",
+                               kernel="bilinear", src_transformer=t)
+    np.testing.assert_allclose(via.astype(float), base.astype(float),
+                               atol=1.0)
