@@ -1417,6 +1417,24 @@ def q_sql_subquery(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_EXISTS_TEXT = (
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+    "WHERE EXISTS (SELECT 1 FROM orders "
+    "WHERE o_custkey = c_custkey AND o_totalprice > 250000) "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
+def q_sql_exists(sf_dir: str):
+    """CORRELATED EXISTS: the single equality correlation is lifted out
+    and the decorrelated inner SELECT DISTINCT runs once (broadcast
+    semi-join), never per outer row — the engine-side decorrelation of
+    the shape OGR reaches through its SQLite dialect.  Identical text in
+    DuckDB as the oracle."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_EXISTS_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
@@ -1484,6 +1502,7 @@ QUERIES = {
     "curve_measures": q_curve_measures,
     "fgb_zone_join": q_fgb_zone_join,
     "sample_per_key": q_sample_per_key,
+    "sql_exists": q_sql_exists,
 }
 
 
@@ -1527,6 +1546,7 @@ ORACLE_SQL = {
     "sql_window": _SQL_WINDOW_TEXT,
     "sql_window_lag": _SQL_WINDOW_LAG_TEXT,
     "sql_subquery": _SQL_SUBQ_TEXT,
+    "sql_exists": _SQL_EXISTS_TEXT,
     "sql_group_alias": _SQL_GROUP_ALIAS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,

@@ -21,10 +21,13 @@ Grammar::
             OVER '(' PARTITION BY col (',' col)*
                      [ORDER BY col [ASC|DESC] (',' ...)*] ')' [AS name]
 
-    WHERE additionally accepts uncorrelated subqueries:
+    WHERE additionally accepts subqueries: uncorrelated
     ``col IN (SELECT ...)`` (distinct key set resolved once, broadcast
-    as a vectorized membership test — a broadcast semi-join) and scalar
-    subqueries ``(SELECT agg(...) ...)`` spliced in as literals.
+    as a vectorized membership test — a broadcast semi-join), scalar
+    subqueries ``(SELECT agg(...) ...)`` spliced in as literals, and
+    correlated ``[NOT] EXISTS (SELECT ... WHERE inner = outer [AND …])``
+    with one top-level equality correlation (decorrelated to the same
+    broadcast semi-join — the subquery runs ONCE, never per row).
 
 Compilation is Ray-Data-first: WHERE → vectorized ``map_batches`` filter;
 scalar projections → one ``map_batches``; GROUP BY + aggregates → one
@@ -38,8 +41,8 @@ result.  ``JOIN ... ON`` folds left through the engine's hash-shuffle
 functions compile onto :func:`georay.windows.window_compute` — the
 SQLite-dialect window surface OGR reaches via its SQLite VFS
 (gcore/gdaldataset.cpp:5386); a window call must be a top-level select
-item (not nested in an expression).  Correlated subqueries are out of
-scope — rewrite as a JOIN.
+item (not nested in an expression).  Correlations beyond one EXISTS
+equality are out of scope — rewrite as a JOIN.
 """
 
 from __future__ import annotations
@@ -390,7 +393,123 @@ def _collect(res) -> pa.Table:
 _SUBQ_LIMIT = 5_000_000
 
 
-def _resolve_subqueries(toks, tables):
+def _schema_names(t):
+    s = t.schema() if callable(getattr(t, "schema", None)) else t.schema
+    return set(s.names)
+
+
+def _is_exists_tok(tok) -> bool:
+    k, v = tok
+    return k in ("ident", "kw", "sqlkw") and str(v).upper() == "EXISTS"
+
+
+def _rewrite_exists(toks, tables, outer_names):
+    """[NOT] EXISTS (SELECT … FROM t WHERE t.col = outer_col [AND …]) →
+    ``outer_col IN (vset)`` — the correlated-subquery shape OGR's SQLite
+    dialect gets from sqlite; here the single equality correlation is
+    lifted out and the decorrelated inner SELECT DISTINCT runs once, so
+    the engine executes a broadcast semi-join (never per-row re-execution
+    of the subquery).  Correlations other than one top-level equality are
+    rejected with a rewrite hint."""
+    out = []
+    i = 0
+    while i < len(toks):
+        neg = False
+        j = i
+        if (toks[j] == ("kw", "NOT") and j + 1 < len(toks)
+                and _is_exists_tok(toks[j + 1])):
+            neg = True
+            j += 1
+        if (_is_exists_tok(toks[j]) and j + 1 < len(toks)
+                and toks[j + 1] == ("op", "(")):
+            depth = 1
+            e = j + 2
+            while e < len(toks) and depth:
+                if toks[e] == ("op", "("):
+                    depth += 1
+                elif toks[e] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                e += 1
+            if depth:
+                raise SqlError("unbalanced parens around EXISTS subquery")
+            out.extend(_exists_to_in(toks[j + 2:e], tables,
+                                     outer_names, neg))
+            i = e + 1
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _exists_to_in(inner, tables, outer_names, neg):
+    q = _SqlParser(list(inner)).parse()
+    if q["table"] not in tables:
+        raise SqlError(f"unknown table {q['table']!r} in EXISTS")
+    inner_names = _schema_names(tables[q["table"]])
+    if not q["where"]:
+        raise SqlError("EXISTS subquery needs a correlation predicate "
+                       "(… WHERE inner_col = outer_col)")
+    # split top-level AND conjuncts
+    conj, cur, depth = [], [], 0
+    for tok in q["where"]:
+        if tok == ("op", "("):
+            depth += 1
+        elif tok == ("op", ")"):
+            depth -= 1
+        if depth == 0 and tok == ("kw", "AND"):
+            conj.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    conj.append(cur)
+    corr = None
+    for ci, c in enumerate(conj):
+        if (len(c) == 3 and c[0][0] == "ident" and c[1] == ("op", "=")
+                and c[2][0] == "ident"):
+            a, b = c[0][1], c[2][1]
+            if a in inner_names and b in outer_names \
+                    and b not in inner_names:
+                corr = (ci, a, b)
+                break
+            if b in inner_names and a in outer_names \
+                    and a not in inner_names:
+                corr = (ci, b, a)
+                break
+    if corr is None:
+        raise SqlError(
+            "EXISTS supports exactly one top-level equality correlation "
+            "(inner_col = outer_col); rewrite other shapes as a JOIN")
+    ci, inner_col, outer_col = corr
+    rest = [c for k, c in enumerate(conj) if k != ci]
+    new_where = []
+    for k, c in enumerate(rest):
+        if k:
+            new_where.append(("kw", "AND"))
+        new_where.extend(c)
+    q2 = dict(q)
+    q2["items"] = [_SelectItem("expr", expr_toks=[("ident", inner_col)],
+                               name=inner_col)]
+    q2["distinct"] = True
+    q2["where"] = new_where or None
+    q2["group"] = q2["having"] = None
+    q2["order"] = []
+    q2["limit"] = q2["offset"] = None
+    res = _collect(_execute(q2, tables))
+    if res.num_rows > _SUBQ_LIMIT:
+        raise SqlError(f"EXISTS key set has {res.num_rows} rows "
+                       f"(> {_SUBQ_LIMIT}); rewrite as a JOIN")
+    vals = res.column(0).combine_chunks().unique()
+    body = [("ident", outer_col), ("kw", "IN"),
+            ("op", "("), ("vset", vals), ("op", ")")]
+    if neg:
+        return [("kw", "NOT"), ("op", "(")] + body + [("op", ")")]
+    return body
+
+
+def _resolve_subqueries(toks, tables, outer_names=()):
+    toks = _rewrite_exists(toks, tables, set(outer_names))
     """Execute uncorrelated ``( SELECT ... )`` groups in a WHERE token
     stream and splice their results back as literals: an IN-subquery
     becomes a broadcast value set (``vset`` token — vectorized
@@ -485,7 +604,8 @@ def _execute(q: dict, tables: dict):
                            join_type=jtype)
             left_names |= rnames
     if q["where"]:
-        wtoks = _resolve_subqueries(q["where"], tables)
+        wtoks = _resolve_subqueries(q["where"], tables,
+                                    ds.schema().names)
         wnode, used = _parse_expr_tokens(wtoks)
         if used != len(wtoks):
             raise SqlError("trailing tokens in WHERE")

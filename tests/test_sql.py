@@ -257,3 +257,35 @@ def test_sql_window_errors(ray_session):
             r = execute_sql(bad, tabs)
             if not isinstance(r, pa.Table):
                 r.materialize()
+
+
+def test_sql_correlated_exists(ray_session):
+    """[NOT] EXISTS with one equality correlation decorrelates to a
+    broadcast semi-join and matches DuckDB on the identical text."""
+    for sql in (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 300000)",
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 300000)",
+        # correlation written outer = inner also works
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE c_custkey = o_custkey)",
+    ):
+        got = _norm(_run(sql, ["customer", "orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_exists_rejects_non_equality_correlation(ray_session):
+    from georay.sql import SqlError, execute_sql
+    import ray
+    tabs = {t: ray.data.read_parquet(f"{SF}/{t}.parquet")
+            for t in ("customer", "orders")}
+    with pytest.raises(SqlError):
+        execute_sql(
+            "SELECT c_custkey FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_totalprice > c_custkey + 1)",
+            tabs)
