@@ -262,3 +262,30 @@ def test_flagship_checkpointed_resume(ray_session, images_path, tmp_path):
     rows = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
                for f in files)
     assert rows == total
+
+
+def test_raster_pipeline_step_api(ray_session, images_path):
+    """RasterPipeline (the `gdal raster pipeline` analog) composes the
+    vetted stages: read ! where ! decode ! translate ! dem ! write."""
+    import numpy as np
+
+    from georay.rasterpipe import RasterPipeline
+
+    base = RasterPipeline.read_parquet(images_path).dataset()
+    pipe = (RasterPipeline.from_dataset(base)
+            .where("w >= 64")
+            .decode()
+            .translate(outsize=(64, 64), resampling="bilinear")
+            .dem("hillshade"))
+    df = pipe.dataset().to_pandas()
+    assert len(df) > 0
+    assert (df["w"] == 64).all()
+    # stats terminal: Welford reduction over band 0
+    st = (RasterPipeline.from_dataset(base).decode().stats())
+    assert st.count > 0
+    assert 0 <= st.min <= st.max <= 255
+    # calc step emits the reduction column
+    got = (RasterPipeline.from_dataset(base).decode()
+           .calc("A * 2", out_col="dbl").dataset().to_pandas())
+    assert "dbl" in got.columns
+    assert (got["dbl"] >= 0).all()
