@@ -103,6 +103,26 @@ class VectorPipeline:
         return VectorPipeline(self.ds.map_batches(reproject,
                                                   batch_format="pyarrow"))
 
+    def reproject(self, src_crs: str, dst_crs: str, x_col="lon",
+                  y_col="lat", out_x="x", out_y="y") -> "VectorPipeline":
+        """General coordinate transform between any two named CRS the
+        engine knows (4326/3857, UTM 326xx/327xx, the conic/polar/
+        equal-area registry, OSGB/ED50 datum CRS) — the gdaltransform /
+        ogr2ogr -t_srs surface, routed source→lon/lat→target through the
+        same dispatch the warp path uses (raster._crs_to_latlon)."""
+        from .raster import _crs_to_latlon, _latlon_to_crs
+
+        def step(batch: pa.Table) -> pa.Table:
+            lat, lon = _crs_to_latlon(src_crs,
+                                      batch[x_col].to_numpy(),
+                                      batch[y_col].to_numpy())
+            X, Y = _latlon_to_crs(dst_crs, lat, lon)
+            batch = batch.append_column(out_x, pa.array(X))
+            return batch.append_column(out_y, pa.array(Y))
+
+        return VectorPipeline(self.ds.map_batches(step,
+                                                  batch_format="pyarrow"))
+
     def spatial_sort(self, lon_col="lon", lat_col="lat") -> "VectorPipeline":
         """Hilbert spatial clustering order (SORT_BY_BBOX analog)."""
         from .rtree import hilbert_xy2d

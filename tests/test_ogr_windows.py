@@ -245,3 +245,37 @@ def test_compare_images_and_info(ray_session):
     assert recs[0]["geom_type"] == "POINT" and recs[0]["n"] == 5
     assert recs[1]["geom_type"] == "POLYGON"
     assert recs[1]["maxx"] == 4.0 and recs[0]["miny"] == -4.0
+
+
+def test_vector_pipeline_general_reproject(ray_session):
+    """VectorPipeline.reproject: any named CRS to any other, routed
+    through the warp path's dispatch — 4326 -> UTM 31N roundtrips and
+    matches the direct kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.mercator import utm_forward
+    from georay.ogr import VectorPipeline
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(0, 6, 200)
+    lat = rng.uniform(40, 55, 200)
+    ds = ray.data.from_arrow(pa.table({"lon": pa.array(lon),
+                                       "lat": pa.array(lat)}))
+    out = (VectorPipeline.from_dataset(ds)
+           .reproject("EPSG:4326", "EPSG:32631",
+                      out_x="E", out_y="N")
+           .ds.to_pandas())
+    E, N = utm_forward(lat, lon, 31, north=True)
+    np.testing.assert_allclose(np.sort(out["E"]), np.sort(E), atol=1e-6)
+    np.testing.assert_allclose(np.sort(out["N"]), np.sort(N), atol=1e-6)
+    # and back: UTM -> 4326 recovers the inputs
+    ds2 = ray.data.from_arrow(pa.table({"E": pa.array(E), "N": pa.array(N)}))
+    back = (VectorPipeline.from_dataset(ds2)
+            .reproject("EPSG:32631", "EPSG:4326", x_col="E", y_col="N",
+                       out_x="lon", out_y="lat").ds.to_pandas())
+    np.testing.assert_allclose(np.sort(back["lon"]), np.sort(lon),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.sort(back["lat"]), np.sort(lat),
+                               atol=1e-9)
