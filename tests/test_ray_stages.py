@@ -289,3 +289,40 @@ def test_raster_pipeline_step_api(ray_session, images_path):
            .calc("A * 2", out_col="dbl").dataset().to_pandas())
     assert "dbl" in got.columns
     assert (got["dbl"] >= 0).all()
+
+
+def test_raster_attribute_table(ray_session, images_path):
+    """RAT build (distributed per-value census, bincount partials) +
+    apply (LUT classify) — gcore/gdal_rat.h analog."""
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.rasterpipe import RasterPipeline
+    from georay.rat import apply_rat, rat_from_images, rat_lut
+
+    ds = RasterPipeline.read_parquet(images_path).decode().dataset()
+    rat = rat_from_images(ds)
+    # census sums to total band-0 pixels and only lists occurring values
+    df = ds.to_pandas()
+    total_px = int((df["w"].astype(np.int64) * df["h"]).sum())
+    assert int(rat["pixel_count"].to_numpy().sum()) == total_px
+    assert (rat["pixel_count"].to_numpy() > 0).all()
+    # exact parity with a direct numpy census
+    counts = np.zeros(256, np.int64)
+    for _, r in df.iterrows():
+        band = np.frombuffer(r["pixels"], np.uint8).reshape(
+            r["h"], r["w"], -1)[:, :, 0]
+        counts += np.bincount(band.ravel(), minlength=256)
+    nz = np.flatnonzero(counts)
+    assert rat["value"].to_pylist() == nz.tolist()
+    assert rat["pixel_count"].to_pylist() == counts[nz].tolist()
+    # apply: threshold attribute classifies every pixel through the LUT
+    rat2 = rat.append_column(
+        "cls", pa.array((rat["value"].to_numpy() >= 128).astype(np.uint8)))
+    out = apply_rat(ds, rat2, "cls").to_pandas().iloc[0]
+    band = np.frombuffer(out["pixels"], np.uint8).reshape(
+        out["h"], out["w"], -1)[:, :, 0]
+    cls = np.frombuffer(out["class_pixels"], np.uint8).reshape(band.shape)
+    assert ((band >= 128).astype(np.uint8) == cls).all()
+    # LUT shape contract
+    assert rat_lut(rat2, "cls").shape == (256,)
