@@ -207,3 +207,31 @@ def test_ray_partitioned_sink_and_source(ray_session, tmp_path):
     expect = ((bb[:, 0] <= 30) & (bb[:, 2] >= 0)
               & (bb[:, 1] <= 30) & (bb[:, 3] >= 0)).sum()
     assert len(some) == expect
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=25, deadline=None)
+@given(hst.lists(
+    hst.tuples(hst.floats(-180, 179, allow_nan=False, width=32),
+               hst.floats(-85, 84, allow_nan=False, width=32),
+               hst.integers(-2**40, 2**40),
+               hst.text(max_size=12)),
+    min_size=1, max_size=40))
+def test_fgb_property_roundtrip(rows):
+    """Any polygon table (random origins, int64/string attrs incl. empty
+    and unicode strings) survives write->read exactly."""
+    wkbs = [_sq(x, y, 0.5) for x, y, _, _ in rows]
+    t = pa.table({
+        "wkb": pa.array(wkbs, pa.binary()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "s": pa.array([r[3] for r in rows], pa.string()),
+        "i": pa.array(range(len(rows)), pa.int64()),
+    })
+    back = F.read_fgb(F.write_fgb(t)).to_pandas().sort_values("i")
+    orig = t.to_pandas().sort_values("i")
+    assert back["wkb"].tolist() == orig["wkb"].tolist()
+    assert back["n"].tolist() == orig["n"].tolist()
+    assert back["s"].tolist() == orig["s"].tolist()

@@ -140,3 +140,39 @@ def test_csv_ray_source(ray_session, tmp_path):
     assert len(df) == n
     x, y = struct.unpack_from("<dd", df["wkb"].iloc[5], 5)
     assert abs(x - 0.5) < 1e-12 and abs(y + 1.0) < 1e-12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=20, deadline=None)
+@given(hst.integers(1, 40), hst.integers(1, 40), hst.integers(1, 17),
+       hst.integers(1, 17), hst.sampled_from(["<f8", "<i4", "|u1", "<u2"]),
+       hst.sampled_from(["zlib", None]))
+def test_zarr_property_roundtrip(tmp_path_factory, h, w, ch, cw, dtype,
+                                 comp):
+    """Any (shape, chunk, dtype, codec) combination roundtrips exactly,
+    including edge padding and windowed reads."""
+    p = str(tmp_path_factory.mktemp("z") / "a.zarr")
+    rng = np.random.default_rng(h * 41 + w)
+    if dtype == "<f8":
+        full = rng.uniform(-10, 10, (h, w))
+    else:
+        info = np.iinfo(np.dtype(dtype))
+        full = rng.integers(info.min, min(info.max, 10_000) + 1, (h, w))
+    full = full.astype(np.dtype(dtype))
+    meta = zarrstore.zarr_create(p, (h, w), (ch, cw), dtype,
+                                 compressor=comp)
+    for cy in range((h + ch - 1) // ch):
+        for cx in range((w + cw - 1) // cw):
+            zarrstore.zarr_write_chunk(
+                p, (cy, cx),
+                full[cy * ch:(cy + 1) * ch, cx * cw:(cx + 1) * cw], meta)
+    np.testing.assert_array_equal(zarrstore.zarr_read(p), full)
+    y0, y1 = sorted(rng.integers(0, h + 1, 2))
+    x0, x1 = sorted(rng.integers(0, w + 1, 2))
+    if y1 > y0 and x1 > x0:
+        np.testing.assert_array_equal(
+            zarrstore.zarr_read_window(p, (slice(y0, y1), slice(x0, x1))),
+            full[y0:y1, x0:x1])
