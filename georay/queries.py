@@ -1200,6 +1200,80 @@ def q_doc_split(sf_dir: str):
                        Max("doc_id", alias_name="max_id")))
 
 
+def q_zarr_density(sf_dir: str):
+    """End-to-end Zarr v2 chunk-store path under the SQL oracle: a
+    distributed 2-D point-density grid (64×64 over the lon/lat domain,
+    one 2-D ``bincount`` partial per batch → tiny groupby-sum) is
+    assembled into 32×32 chunks, written through the resumable
+    ``dataset_to_zarr`` sink, read back via ``zarr_read_window`` (a
+    window CROSSING chunk borders), and emitted as (gy, gx, n) rows.
+    Oracle: the identical floor-quantized census in SQL restricted to
+    the same window — green parity pins metadata, chunk layout, edge
+    padding and windowed assembly end-to-end."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from .zarrstore import dataset_to_zarr, zarr_read_window
+
+    W = H = 64
+    win = (slice(8, 40), slice(16, 48))  # crosses 32×32 chunk borders
+
+    def cells(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        lon = derived_lon(key)
+        lat = derived_lat(key)
+        gx = np.minimum((np.floor((lon + 180.0) / 360.0 * W))
+                        .astype(np.int64), W - 1)
+        gy = np.minimum((np.floor((lat + 90.0) / 180.0 * H))
+                        .astype(np.int64), H - 1)
+        flat = gy * W + gx
+        uniq, n = np.unique(flat, return_counts=True)
+        return pa.table({"gy": pa.array(uniq // W),
+                         "gx": pa.array(uniq % W),
+                         "n": pa.array(n.astype(np.int64))})
+
+    dens = (_rp(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(cells, batch_format="pyarrow")
+            .groupby(["gy", "gx"]).aggregate(Sum("n", alias_name="n")))
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        gy = batch["gy"].to_numpy()
+        gx = batch["gx"].to_numpy()
+        batch = batch.append_column("c0", pa.array(gy // 32))
+        return batch.append_column("c1", pa.array(gx // 32))
+
+    def chunk_row(g: pa.Table) -> pa.Table:
+        # one CHUNK per group (groupby co-locates all of its cells) —
+        # a cell-straddling map_batches would emit partial duplicates
+        gy = g["gy"].to_numpy()
+        gx = g["gx"].to_numpy()
+        cy = int(gy[0]) // 32
+        cx = int(gx[0]) // 32
+        tile = np.zeros((32, 32), dtype=np.int64)
+        tile[gy - cy * 32, gx - cx * 32] = g["n"].to_numpy()
+        return pa.table({"c0": pa.array([cy], pa.int64()),
+                         "c1": pa.array([cx], pa.int64()),
+                         "h": pa.array([32], pa.int32()),
+                         "w": pa.array([32], pa.int32()),
+                         "data": pa.array([tile.tobytes()], pa.binary())})
+
+    chunks = (dens.map_batches(add_chunk, batch_format="pyarrow")
+              .groupby(["c0", "c1"])
+              .map_groups(chunk_row, batch_format="pyarrow"))
+    out_dir = tempfile.mkdtemp(prefix="georay_zarr_q_", dir="/tmp")
+    manifest = dataset_to_zarr(chunks, out_dir, (H, W), (32, 32), "<i8",
+                               compressor="zlib", resume=False)
+    manifest.materialize()  # drive the sink before reading back
+    grid = zarr_read_window(out_dir, win)
+    yy, xx = np.nonzero(grid)
+    return pa.table({
+        "gy": pa.array((yy + win[0].start).astype(np.int64)),
+        "gx": pa.array((xx + win[1].start).astype(np.int64)),
+        "n": pa.array(grid[yy, xx].astype(np.int64)),
+    })
+
+
 def q_sample_per_key(sf_dir: str):
     """Deterministic k-per-key sampling (3 orders per customer, ranked by
     the Knuth hash of the order key) — the per-domain cap / eval-draw
@@ -1503,6 +1577,7 @@ QUERIES = {
     "fgb_zone_join": q_fgb_zone_join,
     "sample_per_key": q_sample_per_key,
     "sql_exists": q_sql_exists,
+    "zarr_density": q_zarr_density,
 }
 
 
@@ -1914,6 +1989,19 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "zarr_density": f"""
+        WITH pts AS (SELECT {_SQL_LON.format(k='o_orderkey')} AS lon,
+                            {_SQL_LAT.format(k='o_orderkey')} AS lat
+                     FROM orders),
+        g AS (SELECT least(cast(floor((lat + 90.0) / 180.0 * 64) as bigint),
+                           63) AS gy,
+                     least(cast(floor((lon + 180.0) / 360.0 * 64) as bigint),
+                           63) AS gx
+              FROM pts)
+        SELECT gy, gx, count(*) AS n FROM g
+        WHERE gy >= 8 AND gy < 40 AND gx >= 16 AND gx < 48
+        GROUP BY gy, gx
     """,
     "sample_per_key": """
         SELECT o_custkey, o_orderkey FROM (
