@@ -176,3 +176,39 @@ def test_zarr_property_roundtrip(tmp_path_factory, h, w, ch, cw, dtype,
         np.testing.assert_array_equal(
             zarrstore.zarr_read_window(p, (slice(y0, y1), slice(x0, x1))),
             full[y0:y1, x0:x1])
+
+
+# ---------------------------------------------------------------------------
+# MDArray (gdalmultidim analog over the zarr store)
+# ---------------------------------------------------------------------------
+
+def test_mdarray_views_and_distributed_stats(ray_session, tmp_path):
+    from georay.mdim import MDArray
+
+    rng = np.random.default_rng(7)
+    full = rng.uniform(-5, 5, (50, 70))
+    p = str(tmp_path / "m.zarr")
+    meta = zarrstore.zarr_create(p, (50, 70), (16, 16), "<f8")
+    for cy in range(4):
+        for cx in range(5):
+            zarrstore.zarr_write_chunk(
+                p, (cy, cx),
+                full[cy * 16:(cy + 1) * 16, cx * 16:(cx + 1) * 16], meta)
+    a = MDArray(p, dim_names=["y", "x"])
+    assert a.shape == (50, 70) and a.dims == ["y", "x"]
+    np.testing.assert_array_equal(a.read(), full)
+    # composed views are windowed reads
+    v = a.view(slice(5, 40), slice(10, 60)).view(slice(2, 30),
+                                                 slice(0, 45))
+    np.testing.assert_array_equal(v.read(), full[7:35, 10:55])
+    # distributed reductions == numpy on the same window
+    assert v.reduce("count") == v.read().size
+    np.testing.assert_allclose(v.reduce("sum"), full[7:35, 10:55].sum(),
+                               rtol=1e-12)
+    np.testing.assert_allclose(v.reduce("min"), full[7:35, 10:55].min())
+    np.testing.assert_allclose(v.reduce("max"), full[7:35, 10:55].max())
+    st = v.statistics()
+    win = full[7:35, 10:55]
+    assert st.count == win.size
+    np.testing.assert_allclose(st.mean, win.mean(), rtol=1e-12)
+    np.testing.assert_allclose(st.std, win.std(), rtol=1e-9)
