@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "overlay_intersection", "zone_join_icosa", "sql_filter_group",
     "proximity_images", "sessions", "geom_measures", "sql_functions",
     "interval_join", "dedup_clusters", "fgb_zone_join",
-    "zarr_density", "sample_per_key", "sql_exists",
+    "zarr_density", "sample_per_key", "sql_exists", "doc_chunks",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

@@ -1200,6 +1200,16 @@ def q_doc_split(sf_dir: str):
                        Max("doc_id", alias_name="max_id")))
 
 
+def q_doc_chunks(sf_dir: str):
+    """Overlapping character-window chunking (window 500 / stride 400) —
+    the training-pipeline context splitter, vectorized by chunk index.
+    Oracle: generate_series × substr with the identical arithmetic."""
+    from .text import chunk_documents_batch
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: chunk_documents_batch(b, window=500, stride=400),
+        batch_format="pyarrow")
+
+
 def q_zarr_density(sf_dir: str):
     """End-to-end Zarr v2 chunk-store path under the SQL oracle: a
     distributed 2-D point-density grid (64×64 over the lon/lat domain,
@@ -1578,6 +1588,7 @@ QUERIES = {
     "sample_per_key": q_sample_per_key,
     "sql_exists": q_sql_exists,
     "zarr_density": q_zarr_density,
+    "doc_chunks": q_doc_chunks,
 }
 
 
@@ -1989,6 +2000,13 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "doc_chunks": """
+        WITH s AS (SELECT i FROM generate_series(0, 255) AS t(i))
+        SELECT doc_id, i AS chunk_idx,
+               substr(text, cast(i * 400 + 1 as bigint), 500) AS chunk
+        FROM documents, s
+        WHERE i <= (greatest(length(text), 1) - 1) // 400
     """,
     "zarr_density": f"""
         WITH pts AS (SELECT {_SQL_LON.format(k='o_orderkey')} AS lon,

@@ -16,7 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["TextFeatures", "LangId", "token_count_batch",
-           "fingerprint_batch", "Redactor", "distinct_ratio_batch"]
+           "fingerprint_batch", "Redactor", "distinct_ratio_batch",
+           "chunk_documents_batch"]
 
 _TOKEN_RE = r"[A-Za-z0-9]+"
 
@@ -190,3 +191,50 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
         sh = _shingle_hashes(t, window)
         out[i] = np.int64(sh.min().astype(np.int64)) if sh.size else 0
     return batch.append_column("fingerprint", pa.array(out))
+
+
+def chunk_documents_batch(batch: pa.Table, *, window: int = 500,
+                          stride: int = 400, col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Overlapping character-window chunking — the context-length
+    splitter of a training-data pipeline (window=500, stride=400 ⇒ 100
+    chars of overlap).  Chunk k of a document covers characters
+    ``[k·stride, k·stride+window)``; a document of length L yields
+    ``floor((L−1)/stride)+1`` chunks (L=0 ⇒ one empty chunk).
+
+    Vectorized by CHUNK INDEX, not by row: iteration k slices ALL
+    documents with ≥k chunks in one ``utf8_slice_codeunits`` call
+    (character semantics — matches SQL ``substr``), so the Python loop
+    runs ~L/stride times per batch regardless of row count."""
+    import pyarrow.compute as pc
+    texts = batch[col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+    n_chunks = np.maximum(lens - 1, 0) // stride + 1
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_idx, out_chunks = [], [], []
+    k = 0
+    while True:
+        m = n_chunks > k
+        if not m.any():
+            break
+        sel = pa.array(np.flatnonzero(m))
+        part = pc.utf8_slice_codeunits(texts.take(sel), k * stride,
+                                       k * stride + window)
+        out_ids.append(ids[m])
+        out_idx.append(np.full(int(m.sum()), k, dtype=np.int64))
+        out_chunks.append(part)
+        k += 1
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_ids)),
+        "chunk_idx": pa.array(np.concatenate(out_idx)),
+        "chunk": pa.concat_arrays([c.combine_chunks()
+                                   if isinstance(c, pa.ChunkedArray) else c
+                                   for c in out_chunks]),
+    })

@@ -290,3 +290,23 @@ def test_distinct_ratio_kernel():
     ttr = out["ttr"].to_pylist()
     assert abs(ttr[0] - 0.5) < 1e-12 and ttr[1] == 1.0
     assert ttr[2] is None and abs(ttr[3] - 1 / 3) < 1e-12
+
+
+def test_chunk_documents_batch_edges():
+    import pyarrow as pa
+
+    from georay.text import chunk_documents_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["a" * 950, "xy", "", "b" * 400])})
+    out = chunk_documents_batch(t, window=500, stride=400).to_pandas()
+    got = {(r.doc_id, r.chunk_idx): r.chunk for r in out.itertuples()}
+    assert got[(1, 0)] == "a" * 500
+    assert got[(1, 1)] == "a" * 500
+    assert got[(1, 2)] == "a" * 150          # 950 - 800
+    assert got[(2, 0)] == "xy"
+    assert got[(3, 0)] == ""                 # empty doc -> one empty chunk
+    assert got[(4, 0)] == "b" * 400          # len == stride -> ONE chunk
+    assert len(out) == 6
+    # overlap: chunk k starts at k*stride, so consecutive chunks share
+    # window - stride characters
+    assert got[(1, 0)][400:] == got[(1, 1)][:100]
