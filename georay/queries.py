@@ -1200,6 +1200,70 @@ def q_doc_split(sf_dir: str):
                        Max("doc_id", alias_name="max_id")))
 
 
+_SQL_Q3_TEXT = (
+    "SELECT c_mktsegment, COUNT(*) AS n, SUM(l_quantity) AS qty "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE o_totalprice > 150000 "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
+def q_sql_q3(sf_dir: str):
+    """TPC-H Q3-style TWO-join aggregate through the SQL text front-end
+    (lineitem x orders x customer folded left through the hash-shuffle
+    equi_join).  SUM over integer-valued quantities stays associative-
+    exact, so the float column is safe under reordered partials.  The
+    oracle runs the identical text."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q3_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "orders",
+                                   "customer"))
+
+
+def q_gpkg_zone_join(sf_dir: str):
+    """Zone polygons routed through a GEOPACKAGE roundtrip: stdlib
+    sqlite3 writes a real .gpkg (the canonical byte producer), the
+    engine's FROM-SCRATCH SQLite b-tree reader (georay.gpkg) parses it
+    back, and the recovered layer drives the broadcast PIP join — green
+    parity proves the page/record/overflow/GeoPackageBinary decode chain
+    end-to-end under the same zone oracle."""
+    import sqlite3 as _sq
+    import struct as _st
+    import tempfile
+
+    from .gpkg import read_gpkg
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    path = tempfile.mktemp(suffix=".gpkg", prefix="georay_q_", dir="/tmp")
+    con = _sq.connect(path)
+    con.executescript(
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+        "data_type TEXT, identifier TEXT, srs_id INTEGER);"
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+        "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+        "z TINYINT, m TINYINT);"
+        "CREATE TABLE zones (fid INTEGER PRIMARY KEY, geom BLOB, "
+        "n_name TEXT);")
+    con.execute("INSERT INTO gpkg_contents VALUES "
+                "('zones','features','zones',4326)")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES "
+                "('zones','geom','POLYGON',4326,0,0)")
+    gp_head = b"GP" + bytes([0, 0x01]) + _st.pack("<i", 4326)
+    con.executemany(
+        "INSERT INTO zones VALUES (?,?,?)",
+        [(i + 1, gp_head + zones["wkb"][i].as_py(),
+          zones["n_name"][i].as_py()) for i in range(zones.num_rows)])
+    con.commit()
+    con.close()
+    with open(path, "rb") as f:
+        back = read_gpkg(f.read(), table="zones")
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, back, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping character-window chunking (window 500 / stride 400) —
     the training-pipeline context splitter, vectorized by chunk index.
@@ -1589,6 +1653,8 @@ QUERIES = {
     "sql_exists": q_sql_exists,
     "zarr_density": q_zarr_density,
     "doc_chunks": q_doc_chunks,
+    "gpkg_zone_join": q_gpkg_zone_join,
+    "sql_q3": q_sql_q3,
 }
 
 
@@ -1633,6 +1699,7 @@ ORACLE_SQL = {
     "sql_window_lag": _SQL_WINDOW_LAG_TEXT,
     "sql_subquery": _SQL_SUBQ_TEXT,
     "sql_exists": _SQL_EXISTS_TEXT,
+    "sql_q3": _SQL_Q3_TEXT,
     "sql_group_alias": _SQL_GROUP_ALIAS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,
@@ -1667,6 +1734,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_icosa": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "gpkg_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""
