@@ -41,8 +41,61 @@ __all__ = [
 ]
 
 
+def _broadcast_equi_join(left_ds, right_table: pa.Table, *, left_on: str,
+                         right_on: str, join_type: str):
+    """Small-side broadcast equi-join: the right table ships ONCE via
+    ``ray.put`` (key-sorted) and every left batch resolves matches with
+    two ``searchsorted`` calls + a ranges-trick gather — duplicates on
+    the right expand correctly, ``left_outer`` nulls the right columns.
+    No shuffle; the left side streams."""
+    import pyarrow.compute as pc
+    import ray
+
+    rkeys = right_table[right_on].to_numpy(zero_copy_only=False)
+    order = np.argsort(rkeys, kind="stable")
+    # Ray's native join emits left columns + right NON-KEY columns (the
+    # right key merges into the left one) — match that schema exactly
+    right_sorted = right_table.take(pa.array(order)) \
+        .drop_columns([right_on]).combine_chunks()
+    ref = ray.put((rkeys[order], right_sorted))
+    rnames = right_sorted.schema.names
+
+    def joiner(batch: pa.Table) -> pa.Table:
+        rk, rt = ray.get(ref)
+        lk = batch[left_on].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, lk, "left")
+        hi = np.searchsorted(rk, lk, "right")
+        cnt = hi - lo
+        if join_type == "inner":
+            out_cnt = cnt
+        elif join_type == "left_outer":
+            out_cnt = np.maximum(cnt, 1)
+        else:
+            raise ValueError(f"broadcast join: unsupported {join_type}")
+        take_l = np.repeat(np.arange(len(lk), dtype=np.int64), out_cnt)
+        tot = int(out_cnt.sum())
+        inner = (np.arange(tot, dtype=np.int64)
+                 - np.repeat(np.cumsum(out_cnt) - out_cnt, out_cnt))
+        take_r = np.repeat(lo, out_cnt) + inner
+        matched = np.repeat(cnt, out_cnt) > 0
+        take_r_safe = np.where(matched, take_r, 0)
+        out = batch.take(pa.array(take_l))
+        tr = pa.array(take_r_safe)
+        for name in rnames:
+            col = rt[name].take(tr)
+            if not matched.all():
+                col = pc.if_else(pa.array(matched), col,
+                                 pa.scalar(None, rt.schema.field(name).type))
+            out = out.append_column(name, col)
+        return out
+
+    return left_ds.map_batches(joiner, batch_format="pyarrow")
+
+
 def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
-              join_type: str = "inner", num_partitions: int | None = None):
+              join_type: str = "inner", num_partitions: int | None = None,
+              broadcast: bool | None = None,
+              broadcast_bytes_cap: int = 32 << 20):
     """Generic LARGE×LARGE equi-join — the OGR SQL ``JOIN``
     (ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1510-1531, an index-nested-loop
     there) re-expressed as Ray Data's native hash-shuffle join: both sides
@@ -58,8 +111,28 @@ def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     shuffle aggregator with fixed overhead, and measured wall time on a
     small input rose 5× going 8 → 32 partitions while at 100 TB the
     byte-based rule yields the thousands of partitions needed for worker
-    heaps to hold both sides of each partition."""
+    heaps to hold both sides of each partition.
+
+    ``broadcast=None`` (auto) switches to the SMALL-SIDE BROADCAST plan
+    when the right side reports ≤ ``broadcast_bytes_cap`` stored bytes
+    (32 MB default — conservative vs in-memory expansion of compressed
+    parquet): the right table ships once via ``ray.put`` and the left
+    side streams with zero shuffle — the size-adaptive choice a 100 TB
+    plan needs (dimension tables broadcast, fact×fact shuffles).
+    ``broadcast=False`` pins the hash-shuffle path."""
     import ray
+    if broadcast is None:
+        try:
+            rsz = right_ds.size_bytes() or 0
+        except Exception:
+            rsz = 0
+        broadcast = 0 < rsz <= broadcast_bytes_cap \
+            and join_type in ("inner", "left_outer")
+    if broadcast:
+        right_tbl = pa.concat_tables(
+            ray.get(right_ds.to_arrow_refs())).combine_chunks()
+        return _broadcast_equi_join(left_ds, right_tbl, left_on=left_on,
+                                    right_on=right_on, join_type=join_type)
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         try:

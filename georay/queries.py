@@ -418,8 +418,11 @@ def q_join_lineitem_orders(sf_dir: str):
               ["l_orderkey", "l_extendedprice", "l_discount"])
           .map_batches(cents, batch_format="pyarrow"))
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    # broadcast=False PINS the hash-shuffle plan: this query exists to
+    # exercise the large×large machinery (auto would broadcast the small
+    # orders side at bench scale and the shuffle path would lose coverage)
     joined = equi_join(li, orders, left_on="l_orderkey",
-                       right_on="o_orderkey")
+                       right_on="o_orderkey", broadcast=False)
     agg = (joined.groupby("o_orderpriority")
            .aggregate(Count(alias_name="n_items"),
                       Sum("rev_e4", alias_name="rev_e4")))

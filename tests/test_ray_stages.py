@@ -326,3 +326,35 @@ def test_raster_attribute_table(ray_session, images_path):
     assert ((band >= 128).astype(np.uint8) == cls).all()
     # LUT shape contract
     assert rat_lut(rat2, "cls").shape == (256,)
+
+
+def test_broadcast_equi_join_matches_shuffle(ray_session):
+    """Size-adaptive broadcast equi-join == the hash-shuffle plan on the
+    same inputs, inner and left_outer, with duplicate right keys."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.join import equi_join
+
+    rng = np.random.default_rng(0)
+    left = pa.table({"k": pa.array(rng.integers(0, 50, 500)),
+                     "lv": pa.array(np.arange(500, dtype=np.int64))})
+    # duplicate keys on the right + keys missing from the right
+    right = pa.table({"rk": pa.array(np.repeat(np.arange(0, 40), 2)),
+                      "rv": pa.array(np.arange(80, dtype=np.int64))})
+    lds = ray.data.from_arrow(left)
+    for jt in ("inner", "left_outer"):
+        a = equi_join(lds, ray.data.from_arrow(right), left_on="k",
+                      right_on="rk", join_type=jt,
+                      broadcast=True).to_pandas()
+        b = equi_join(lds, ray.data.from_arrow(right), left_on="k",
+                      right_on="rk", join_type=jt, broadcast=False,
+                      num_partitions=8).to_pandas()
+        assert sorted(a.columns) == sorted(b.columns) == ["k", "lv", "rv"]
+        key = ["k", "lv", "rv"]
+        a2 = a.sort_values(key).reset_index(drop=True)
+        b2 = b[a.columns].sort_values(key).reset_index(drop=True)
+        assert len(a2) == len(b2), jt
+        import pandas as pd
+        pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
