@@ -212,3 +212,30 @@ def test_mdarray_views_and_distributed_stats(ray_session, tmp_path):
     assert st.count == win.size
     np.testing.assert_allclose(st.mean, win.mean(), rtol=1e-12)
     np.testing.assert_allclose(st.std, win.std(), rtol=1e-9)
+
+
+def test_mdim_translate_rechunk_and_window(ray_session, tmp_path):
+    """gdalmdimtranslate analog: window + re-chunk onto a different chunk
+    grid through the explode->groupby->assemble shuffle; values exact."""
+    from georay.mdim import mdim_translate
+
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 10_000, (57, 83)).astype("<i4")
+    src = str(tmp_path / "src.zarr")
+    meta = zarrstore.zarr_create(src, (57, 83), (16, 16), "<i4")
+    for cy in range((57 + 15) // 16):
+        for cx in range((83 + 15) // 16):
+            zarrstore.zarr_write_chunk(
+                src, (cy, cx),
+                full[cy * 16:(cy + 1) * 16, cx * 16:(cx + 1) * 16], meta)
+    # identity re-chunk onto a coarser, misaligned grid
+    dst = str(tmp_path / "dst.zarr")
+    mdim_translate(src, dst, chunks=(25, 21))
+    np.testing.assert_array_equal(zarrstore.zarr_read(dst), full)
+    # window + re-chunk + dtype change
+    dst2 = str(tmp_path / "dst2.zarr")
+    mdim_translate(src, dst2, window=(slice(5, 50), slice(10, 70)),
+                   chunks=(13, 17), dtype="<f8")
+    out = zarrstore.zarr_read(dst2)
+    assert out.dtype == np.dtype("<f8")
+    np.testing.assert_array_equal(out, full[5:50, 10:70].astype("<f8"))
