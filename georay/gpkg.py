@@ -27,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["SQLiteFile", "read_gpkg", "gpkg_layers", "parse_gpkg_geom",
-           "read_gpkg_dataset"]
+           "read_gpkg_dataset", "read_mbtiles", "mbtiles_metadata",
+           "read_mbtiles_dataset"]
 
 
 def _varint(buf, pos):
@@ -303,6 +304,56 @@ def read_gpkg_dataset(paths, *, table: str | None = None,
             with open(p, "rb") as f:
                 out.append(read_gpkg(f.read(), table=table,
                                      geom_col_out=geom_col))
+        return pa.concat_tables(out) if out else pa.table({})
+
+    files = ray.data.from_arrow(pa.table({"path": pa.array(paths)}))
+    return files.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# MBTiles (the OTHER SQLite-container raster driver the reference ships:
+# frmts/mbtiles/ — metadata KV table + tiles(zoom_level, tile_column,
+# tile_row, tile_data) in TMS row order)
+# ---------------------------------------------------------------------------
+
+def mbtiles_metadata(data: bytes) -> dict:
+    db = SQLiteFile(data)
+    _, rows = db.read_table("metadata")
+    return {k: v for k, v in rows}
+
+
+def read_mbtiles(data: bytes, *, xyz_rows: bool = True) -> pa.Table:
+    """tiles table → Arrow (z, x, y, data).  ``xyz_rows`` flips the TMS
+    row index to the XYZ convention the tile pipeline uses
+    (y_xyz = 2^z − 1 − y_tms, the same flip as gdal2tiles)."""
+    db = SQLiteFile(data)
+    cols, rows = db.read_table("tiles")
+    zi = cols.index("zoom_level")
+    xi = cols.index("tile_column")
+    yi = cols.index("tile_row")
+    di = cols.index("tile_data")
+    z = np.array([r[zi] for r in rows], dtype=np.int64)
+    x = np.array([r[xi] for r in rows], dtype=np.int64)
+    y = np.array([r[yi] for r in rows], dtype=np.int64)
+    if xyz_rows:
+        y = (np.int64(1) << z) - 1 - y
+    return pa.table({"z": pa.array(z), "tile_x": pa.array(x),
+                     "tile_y": pa.array(y),
+                     "data": pa.array([r[di] for r in rows], pa.binary())})
+
+
+def read_mbtiles_dataset(paths, **kw):
+    """Ray source: one read task per .mbtiles file."""
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                out.append(read_mbtiles(f.read(), **kw))
         return pa.concat_tables(out) if out else pa.table({})
 
     files = ray.data.from_arrow(pa.table({"path": pa.array(paths)}))

@@ -125,3 +125,35 @@ def test_read_gpkg_dataset_ray(ray_session, tmp_path):
     df = read_gpkg_dataset(paths).to_pandas()
     assert len(df) == 300
     assert set(df["fid"]) == set(range(1, 101))
+
+
+def test_mbtiles_reader(tmp_path):
+    """MBTiles (frmts/mbtiles/): metadata KV + tiles with the TMS→XYZ
+    row flip, parsed by the from-scratch SQLite reader."""
+    from georay.gpkg import mbtiles_metadata, read_mbtiles
+
+    p = str(tmp_path / "t.mbtiles")
+    con = sqlite3.connect(p)
+    con.executescript("""
+        CREATE TABLE metadata (name TEXT, value TEXT);
+        CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER,
+                            tile_row INTEGER, tile_data BLOB);
+    """)
+    con.execute("INSERT INTO metadata VALUES ('name','demo')")
+    con.execute("INSERT INTO metadata VALUES ('format','png')")
+    rows = [(z, x, y, bytes([z, x, y]))
+            for z in (1, 2) for x in range(2 ** z) for y in range(2 ** z)]
+    con.executemany("INSERT INTO tiles VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    data = open(p, "rb").read()
+    assert mbtiles_metadata(data) == {"name": "demo", "format": "png"}
+    t = read_mbtiles(data).to_pandas()
+    assert len(t) == 4 + 16
+    # XYZ flip: TMS row 0 at z=1 becomes XYZ y=1
+    r = t[(t.z == 1) & (t.tile_x == 0) & (t.tile_y == 1)]
+    assert r["data"].iloc[0] == bytes([1, 0, 0])
+    # TMS passthrough keeps the raw rows
+    raw = read_mbtiles(data, xyz_rows=False).to_pandas()
+    assert set(map(tuple, raw[raw.z == 1][["tile_x", "tile_y"]].values)) \
+        == {(0, 0), (0, 1), (1, 0), (1, 1)}
