@@ -157,3 +157,39 @@ def test_mbtiles_reader(tmp_path):
     raw = read_mbtiles(data, xyz_rows=False).to_pandas()
     assert set(map(tuple, raw[raw.z == 1][["tile_x", "tile_y"]].values)) \
         == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_cell = hst.one_of(
+    hst.none(),
+    hst.integers(-2**62, 2**62),
+    hst.floats(allow_nan=False, allow_infinity=False, width=64),
+    hst.text(max_size=300),
+    hst.binary(max_size=300),
+    hst.sampled_from([0, 1, -1, 2**31, -2**31, 2**47, ""]),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(hst.lists(hst.tuples(_cell, _cell, _cell), min_size=0,
+                 max_size=120))
+def test_sqlite_reader_property_fuzz(tmp_path_factory, rows):
+    """Random (int/float/text/blob/null, incl. 1/3/6-byte int serials and
+    boundary magnitudes) tables written by sqlite3 must decode
+    byte-identically through the from-scratch page reader."""
+    p = str(tmp_path_factory.mktemp("fz") / "f.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (a, b, c)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    con.commit()
+    want = con.execute("SELECT rowid, a, b, c FROM t ORDER BY rowid") \
+        .fetchall()
+    con.close()
+    db = SQLiteFile(open(p, "rb").read())
+    cols, got = db.read_table("t")
+    assert cols == ["a", "b", "c"]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == tuple(w[1:])
