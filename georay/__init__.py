@@ -8,7 +8,13 @@ Layers:
   :mod:`georay.curves`, :mod:`georay.rtree`, :mod:`georay.transformers`,
   :mod:`georay.codecs`, :mod:`georay.jpeg`, :mod:`georay.gtiff`,
   :mod:`georay.shapefile`, :mod:`georay.geojson`, :mod:`georay.mvt`,
-  :mod:`georay.flatgeobuf`, :mod:`georay.wkt`, :mod:`georay.datum`
+  :mod:`georay.flatgeobuf`, :mod:`georay.gpkg` (from-scratch SQLite
+  reader: GeoPackage + MBTiles), :mod:`georay.wkt`, :mod:`georay.datum`,
+  :mod:`georay.lineref`
+* chunked-array / multidim: :mod:`georay.zarrstore`, :mod:`georay.mdim`
+* pipeline-step APIs: :mod:`georay.ogr` (VectorPipeline),
+  :mod:`georay.rasterpipe` (RasterPipeline), :mod:`georay.csvdriver`,
+  :mod:`georay.rat`, :mod:`georay.sample`
 * fixtures: :mod:`georay.fixtures` (deterministic image/polygon/point tables)
 * Ray Data stages & pipelines: :mod:`georay.decode`, :mod:`georay.join`,
   :mod:`georay.knn`, :mod:`georay.tiles`, :mod:`georay.stats`,
