@@ -43,38 +43,71 @@ def compare_images(golden_ds, new_ds, *, key: str = "image_id",
     both = (golden_ds.map_batches(tag(0), batch_format="pyarrow")
             .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
 
-    def per_key(g: pa.Table) -> pa.Table:
-        k = g[key][0].as_py()
+    def per_partition(g: pa.Table) -> pa.Table:
+        """ALL keys of one hash partition in a single call — never one
+        Python call per image id (the NOTES.md per-group-overhead rule:
+        at 1e9 ids the groupby(key) shape pays ~0.1-1 ms of dispatch per
+        id, comparable to the per-image compare work itself)."""
+        g = g.combine_chunks()
+        keys = g[key].to_numpy(zero_copy_only=False)
         side = g["side__"].to_numpy(zero_copy_only=False)
-        issues = []
-        if (side == 0).sum() == 0:
-            issues.append("only_new")
-        elif (side == 1).sum() == 0:
-            issues.append("only_golden")
-        else:
-            a = int(np.nonzero(side == 0)[0][0])
-            b = int(np.nonzero(side == 1)[0][0])
-            if (g["w__"][a].as_py() != g["w__"][b].as_py()
-                    or g["h__"][a].as_py() != g["h__"][b].as_py()):
-                issues.append("size")
-            fa, fb = g["fmt__"][a].as_py(), g["fmt__"][b].as_py()
-            if fa != fb:
-                issues.append("format")
-            if not issues:
-                pa_ = decode_image(g["bytes__"][a].as_py(), fa)
-                pb_ = decode_image(g["bytes__"][b].as_py(), fb)
-                if pa_.shape != pb_.shape:
-                    issues.append("pixel_shape")
-                elif fa in ("jpeg", "grj1"):
-                    if psnr(pa_, pb_) < psnr_floor:
-                        issues.append("pixels_psnr")
-                elif not np.array_equal(pa_, pb_):
-                    issues.append("pixels")
-        return pa.table({key: pa.array([k] * len(issues),
-                                       g.schema.field(key).type),
-                         "issue": pa.array(issues, pa.string())})
+        order = np.lexsort((side, keys))
+        ks = keys[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(ks)]
+        out_k, out_issue = [], []
+        key_type = g.schema.field(key).type
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            sd = side[rows]
+            issues = []
+            if (sd == 0).sum() == 0:
+                issues.append("only_new")
+            elif (sd == 1).sum() == 0:
+                issues.append("only_golden")
+            else:
+                a = int(rows[np.nonzero(sd == 0)[0][0]])
+                b = int(rows[np.nonzero(sd == 1)[0][0]])
+                if (g["w__"][a].as_py() != g["w__"][b].as_py()
+                        or g["h__"][a].as_py() != g["h__"][b].as_py()):
+                    issues.append("size")
+                fa, fb = g["fmt__"][a].as_py(), g["fmt__"][b].as_py()
+                if fa != fb:
+                    issues.append("format")
+                if not issues:
+                    pa_ = decode_image(g["bytes__"][a].as_py(), fa)
+                    pb_ = decode_image(g["bytes__"][b].as_py(), fb)
+                    if pa_.shape != pb_.shape:
+                        issues.append("pixel_shape")
+                    elif fa in ("jpeg", "grj1"):
+                        if psnr(pa_, pb_) < psnr_floor:
+                            issues.append("pixels_psnr")
+                    elif not np.array_equal(pa_, pb_):
+                        issues.append("pixels")
+            out_k.extend([ks[s]] * len(issues))
+            out_issue.extend(issues)
+        return pa.table({key: pa.array(out_k, key_type),
+                         "issue": pa.array(out_issue, pa.string())})
 
-    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    from .util import hash_strings
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if pa.types.is_string(col.type) or pa.types.is_binary(col.type):
+            h = hash_strings(col)
+        else:
+            h = batch[key].to_numpy().astype(np.uint64)
+        import ray
+        P = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+        part = (((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40))
+                % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part__", pa.array(part))
+
+    return (both.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__").map_groups(per_partition,
+                                          batch_format="pyarrow"))
 
 
 def info_images(ds) -> pa.Table:

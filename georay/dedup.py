@@ -53,15 +53,36 @@ def content_hash_batch(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(h.view(np.int64)))
 
 
-def exact_dedup(ds, key_col: str, order_col: str):
-    """Keep the first row (min ``order_col``) per ``key_col`` group —
-    hash-partitioned first-per-group (SURVEY.md §7.3).  Pure pyarrow
-    (sort_by + slice): no pandas conversion on arbitrarily large groups."""
+def exact_dedup(ds, key_col: str, order_col: str,
+                num_partitions: int | None = None):
+    """Keep the first row (min ``order_col``) per ``key_col`` group.
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.sort_by(order_col).slice(0, 1)
+    Hash-PARTITIONED (``groupby(hash(key) % P)``, P ≈ 4×CPUs), one
+    vectorized lexsort + first-of-run pass per partition — never one
+    Python call per distinct key (content hashes are unique per doc, so
+    ``groupby(key)`` directly would pay per-group dispatch for EVERY
+    surviving row; NOTES.md per-group-overhead rule)."""
+    P = num_partitions or _num_partitions()
 
-    return ds.groupby(key_col).map_groups(first, batch_format="pyarrow")
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part__", pa.array((_mix64(np.asarray(k))
+                                % np.uint64(P)).astype(np.int64)))
+
+    def first_per_key(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks().drop_columns(["part__"])
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        o = g[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        ks = k[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        return g.take(pa.array(np.sort(order[new])))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__").map_groups(first_per_key,
+                                          batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
