@@ -28,7 +28,7 @@ import pyarrow as pa
 
 __all__ = ["SQLiteFile", "read_gpkg", "gpkg_layers", "parse_gpkg_geom",
            "read_gpkg_dataset", "read_mbtiles", "mbtiles_metadata",
-           "read_mbtiles_dataset"]
+           "read_mbtiles_dataset", "write_mbtiles"]
 
 
 def _varint(buf, pos):
@@ -358,3 +358,42 @@ def read_mbtiles_dataset(paths, **kw):
 
     files = ray.data.from_arrow(pa.table({"path": pa.array(paths)}))
     return files.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def write_mbtiles(ds, path: str, metadata: dict | None = None,
+                  xyz_rows: bool = True, batch_size: int = 4096):
+    """MBTiles SINK: a tiles Dataset ``(z, tile_x, tile_y, data)`` →
+    one .mbtiles file.  The READ side above parses SQLite from scratch;
+    writing uses the stdlib ``sqlite3`` module (the reference's own
+    MBTiles driver equally writes through libsqlite3 —
+    frmts/mbtiles/mbtilesdataset.cpp).  One file == one writer (SQLite's
+    own constraint), so at scale the unit of parallelism is one
+    .mbtiles per partition — same contract as the fgb/COG sinks.
+    ``xyz_rows`` converts incoming XYZ y to the TMS rows MBTiles stores."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    con.executescript(
+        "CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT);"
+        "CREATE TABLE IF NOT EXISTS tiles (zoom_level INTEGER, "
+        "tile_column INTEGER, tile_row INTEGER, tile_data BLOB);"
+        "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles "
+        "(zoom_level, tile_column, tile_row);")
+    for k, v in (metadata or {}).items():
+        con.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
+    n = 0
+    for batch in ds.iter_batches(batch_size=batch_size,
+                                 batch_format="pyarrow"):
+        z = batch["z"].to_numpy()
+        x = batch["tile_x"].to_numpy()
+        y = batch["tile_y"].to_numpy()
+        if xyz_rows:
+            y = (np.int64(1) << z) - 1 - y
+        rows = list(zip(map(int, z), map(int, x), map(int, y),
+                        batch["data"].to_pylist()))
+        con.executemany("INSERT OR REPLACE INTO tiles VALUES (?,?,?,?)",
+                        rows)
+        n += len(rows)
+    con.commit()
+    con.close()
+    return n

@@ -259,14 +259,15 @@ def q_s2_census(sf_dir: str):
 
 def q_icosa_census(sf_dir: str):
     """Census per ICOSAHEDRAL aperture-7 cell (georay.icosa — H3-style
-    gnomonic grid, res 4) — rows-only: the face projection has no SQL
-    analog.  Globally near-uniform cell areas, unlike Mercator grids."""
+    gnomonic grid, res 7: inside the north star's "H3 res 7-12" band) —
+    rows-only: the face projection has no SQL analog.  Globally
+    near-uniform cell areas, unlike Mercator grids."""
     from ray.data.aggregate import Sum
     from .icosa import icosa_cell
 
     def partial(batch: pa.Table) -> pa.Table:
         cells = icosa_cell(batch["lat"].to_numpy(),
-                           batch["lon"].to_numpy(), 4)
+                           batch["lon"].to_numpy(), 7)
         uniq, counts = np.unique(cells, return_counts=True)
         return pa.table({"icosacell": pa.array(uniq),
                          "pc_": pa.array(counts)})

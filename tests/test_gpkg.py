@@ -193,3 +193,26 @@ def test_sqlite_reader_property_fuzz(tmp_path_factory, rows):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g == tuple(w[1:])
+
+
+def test_mbtiles_roundtrip_through_sink(ray_session, tmp_path):
+    """write_mbtiles (stdlib sqlite3 sink) -> read_mbtiles (from-scratch
+    reader): exact tile roundtrip incl. the XYZ/TMS flip both ways."""
+    import ray
+
+    from georay.gpkg import read_mbtiles, mbtiles_metadata, write_mbtiles
+
+    rows = [{"z": z, "tile_x": x, "tile_y": y,
+             "data": bytes([z, x, y, 0xAB])}
+            for z in (2, 3) for x in range(2 ** z) for y in range(2 ** z)]
+    ds = ray.data.from_items(rows)
+    p = str(tmp_path / "o.mbtiles")
+    n = write_mbtiles(ds, p, metadata={"name": "x", "format": "png"})
+    assert n == len(rows)
+    data = open(p, "rb").read()
+    assert mbtiles_metadata(data)["name"] == "x"
+    back = read_mbtiles(data).to_pandas()
+    assert len(back) == len(rows)
+    got = {(r.z, r.tile_x, r.tile_y): r.data for r in back.itertuples()}
+    for r in rows:
+        assert got[(r["z"], r["tile_x"], r["tile_y"])] == r["data"]
