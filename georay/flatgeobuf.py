@@ -49,19 +49,21 @@ GT_UNKNOWN, GT_POINT, GT_LINESTRING, GT_POLYGON = 0, 1, 2, 3
 GT_MULTIPOINT, GT_MULTILINESTRING, GT_MULTIPOLYGON = 4, 5, 6
 
 # ColumnType enum (header.fbs)
-CT_BOOL, CT_INT, CT_LONG, CT_DOUBLE, CT_STRING, CT_BINARY = 2, 5, 7, 10, 11, 14
+CT_BOOL, CT_INT, CT_LONG, CT_DOUBLE, CT_STRING = 2, 5, 7, 10, 11
+CT_DATETIME, CT_BINARY = 13, 14
 
 _ARROW_TO_CT = [
     (pa.types.is_boolean, CT_BOOL),
     (pa.types.is_int32, CT_INT),
     (pa.types.is_int64, CT_LONG),
     (pa.types.is_floating, CT_DOUBLE),
+    (pa.types.is_timestamp, CT_DATETIME),
     (pa.types.is_string, CT_STRING),
     (pa.types.is_binary, CT_BINARY),
 ]
 _CT_TO_ARROW = {CT_BOOL: pa.bool_(), CT_INT: pa.int32(), CT_LONG: pa.int64(),
                 CT_DOUBLE: pa.float64(), CT_STRING: pa.string(),
-                CT_BINARY: pa.binary()}
+                CT_DATETIME: pa.timestamp("us"), CT_BINARY: pa.binary()}
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +547,10 @@ def _encode_props(cols, row: int) -> bytes:
             out.append(struct.pack("<q", v))
         elif ct == CT_DOUBLE:
             out.append(struct.pack("<d", v))
+        elif ct == CT_DATETIME:
+            # spec: ISO-8601 text, u32-length-prefixed
+            b = v.isoformat().encode("utf-8")
+            out.append(_U32.pack(len(b)) + b)
         elif ct in (CT_STRING, CT_BINARY):
             b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             out.append(_U32.pack(len(b)) + b)
@@ -567,10 +573,16 @@ def _decode_props(blob: bytes, col_specs):
             vals[ci] = struct.unpack_from("<q", blob, pos)[0]; pos += 8
         elif ct == CT_DOUBLE:
             vals[ci] = struct.unpack_from("<d", blob, pos)[0]; pos += 8
-        elif ct in (CT_STRING, CT_BINARY):
+        elif ct in (CT_STRING, CT_BINARY, CT_DATETIME):
             ln = _U32.unpack_from(blob, pos)[0]; pos += 4
             raw = blob[pos:pos + ln]; pos += ln
-            vals[ci] = raw.decode("utf-8") if ct == CT_STRING else raw
+            if ct == CT_BINARY:
+                vals[ci] = raw
+            elif ct == CT_DATETIME:
+                from datetime import datetime
+                vals[ci] = datetime.fromisoformat(raw.decode("utf-8"))
+            else:
+                vals[ci] = raw.decode("utf-8")
         else:
             raise ValueError(f"unsupported fgb column type {ct}")
     return vals

@@ -235,3 +235,23 @@ def test_fgb_property_roundtrip(rows):
     assert back["wkb"].tolist() == orig["wkb"].tolist()
     assert back["n"].tolist() == orig["n"].tolist()
     assert back["s"].tolist() == orig["s"].tolist()
+
+
+def test_datetime_column_roundtrip():
+    """DateTime property columns: ISO-8601 length-prefixed per spec."""
+    from datetime import datetime
+
+    ts = [datetime(2024, 5, 1, 12, 30, 45, 123456),
+          datetime(1999, 12, 31, 23, 59, 59), None]
+    t = pa.table({"wkb": pa.array([_sq(i, i) for i in range(3)],
+                                  pa.binary()),
+                  "when": pa.array(ts, pa.timestamp("us")),
+                  "cnt": pa.array([0, 1, 2], pa.int64())})
+    data = F.write_fgb(t)
+    h = F.read_fgb_header(data)
+    assert ("when", F.CT_DATETIME) in h["columns"]
+    back = F.read_fgb(data).to_pandas().sort_values("cnt")
+    got = list(back["when"])
+    assert got[0] == ts[0] and got[1] == ts[1]
+    import pandas as pd
+    assert pd.isna(got[2])
