@@ -1224,6 +1224,36 @@ def q_sql_q3(sf_dir: str):
                                    "customer"))
 
 
+def q_lineref_mileposts(sf_dir: str):
+    """ogrlineref -create through the engine: one straight 3-4-5 segment
+    per customer (length exactly 5), mileposts every 2 units → measures
+    0/2/4 exactly.  x/y are rounded to 6 decimals on BOTH sides (the
+    cross-engine float discipline: the engine computes (x1−x0)·(m/len)
+    where len is a hypot, the oracle computes 3·(m/5) — identical to
+    ~1e-13, exact after round(6))."""
+    from .lineref import mileposts_batch
+
+    def build(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy()
+        lon = derived_lon(key)
+        lat = derived_lat(key)
+        flat = np.column_stack([lon, lat, lon + 3.0, lat + 4.0])
+        t = pa.table({
+            "line_id": batch["c_custkey"],
+            "line_xy": pa.array(list(flat), pa.list_(pa.float64(), 4)),
+        })
+        out = mileposts_batch(t, 2.0, id_col="line_id")
+        return pa.table({
+            "c_custkey": out["line_id"],
+            "x": pa.array(np.round(out["x"].to_numpy(), 6)),
+            "y": pa.array(np.round(out["y"].to_numpy(), 6)),
+            "measure": out["measure"],
+        })
+
+    return _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 def q_gpkg_zone_join(sf_dir: str):
     """Zone polygons routed through a GEOPACKAGE roundtrip: stdlib
     sqlite3 writes a real .gpkg (the canonical byte producer), the
@@ -1659,6 +1689,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "gpkg_zone_join": q_gpkg_zone_join,
     "sql_q3": q_sql_q3,
+    "lineref_mileposts": q_lineref_mileposts,
 }
 
 
@@ -1704,6 +1735,18 @@ ORACLE_SQL = {
     "sql_subquery": _SQL_SUBQ_TEXT,
     "sql_exists": _SQL_EXISTS_TEXT,
     "sql_q3": _SQL_Q3_TEXT,
+    "lineref_mileposts": f"""
+        WITH pts AS (SELECT c_custkey,
+                            {_SQL_LON.format(k="c_custkey")} AS lon,
+                            {_SQL_LAT.format(k="c_custkey")} AS lat
+                     FROM customer),
+        s AS (SELECT i FROM generate_series(0, 2) AS t(i))
+        SELECT c_custkey,
+               round(lon + 3.0 * ((i * 2.0) / 5.0), 6) AS x,
+               round(lat + 4.0 * ((i * 2.0) / 5.0), 6) AS y,
+               i * 2.0 AS measure
+        FROM pts, s
+    """,
     "sql_group_alias": _SQL_GROUP_ALIAS_TEXT,
     "tile_assign": f"""
         SELECT o_orderkey,
