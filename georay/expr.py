@@ -56,7 +56,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<num>\d+\.\d*|\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,)
-    | (?P<word>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)
     )""", re.X)
 
 _KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "ILIKE", "BETWEEN", "IS",

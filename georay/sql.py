@@ -571,9 +571,49 @@ def execute_sql(sql: str, tables: dict):
     return _execute(_SqlParser(sql).parse(), tables)
 
 
+def _strip_qual(name, valid):
+    """``table.col`` → ``col`` when the qualifier names a table of THIS
+    query's FROM/JOIN scope (ogr/swq supports qualified names the same
+    way).  Unknown qualifiers pass through untouched — they may belong
+    to an inner subquery scope, whose own _execute pass resolves them
+    (a genuinely unknown name still fails loudly at column lookup)."""
+    if isinstance(name, str) and "." in name:
+        t, c = name.split(".", 1)
+        if t in valid:
+            return c
+    return name
+
+
+def _dequalify(q: dict) -> dict:
+    valid = {q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
+
+    def toks(tl):
+        if not tl:
+            return tl
+        return [("ident", _strip_qual(v, valid)) if k == "ident" else (k, v)
+                for k, v in tl]
+
+    q["where"] = toks(q["where"])
+    q["having"] = toks(q["having"])
+    if q["group"]:
+        q["group"] = [_strip_qual(g, valid) for g in q["group"]]
+    q["order"] = [(_strip_qual(c, valid), d) for c, d in q["order"]]
+    q["joins"] = [(jt, t2, _strip_qual(ca, valid), _strip_qual(cb, valid))
+                  for jt, t2, ca, cb in q["joins"]]
+    for it in q["items"]:
+        if it.expr_toks:
+            it.expr_toks = toks(it.expr_toks)
+        if it.over:
+            part, order = it.over
+            it.over = ([_strip_qual(p, valid) for p in part],
+                       [(_strip_qual(c, valid), d) for c, d in order])
+    return q
+
+
 def _execute(q: dict, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
+    q = _dequalify(q)
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]

@@ -289,3 +289,32 @@ def test_sql_exists_rejects_non_equality_correlation(ray_session):
             "SELECT c_custkey FROM customer WHERE EXISTS "
             "(SELECT 1 FROM orders WHERE o_totalprice > c_custkey + 1)",
             tabs)
+
+
+def test_sql_qualified_column_names(ray_session):
+    """table.col qualification (swq-style) resolves against the FROM/JOIN
+    scope everywhere: select list, WHERE, JOIN ON, GROUP/ORDER BY."""
+    for sql, tables in [
+        ("SELECT customer.c_mktsegment, COUNT(*) AS n FROM customer "
+         "WHERE customer.c_acctbal > 0 GROUP BY c_mktsegment "
+         "ORDER BY customer.c_mktsegment", ["customer"]),
+        ("SELECT o_orderpriority, SUM(lineitem.l_quantity) AS q "
+         "FROM lineitem JOIN orders ON lineitem.l_orderkey = "
+         "orders.o_orderkey GROUP BY orders.o_orderpriority "
+         "ORDER BY o_orderpriority", ["lineitem", "orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=False, rtol=1e-12)
+
+
+def test_sql_unknown_qualifier_fails_at_lookup(ray_session):
+    import ray
+
+    from georay.sql import execute_sql
+    tabs = {"customer": ray.data.read_parquet(f"{SF}/customer.parquet")}
+    with pytest.raises(Exception):
+        execute_sql("SELECT nosuch.c_custkey FROM customer",
+                    tabs).to_pandas()
