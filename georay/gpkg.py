@@ -28,7 +28,8 @@ import pyarrow as pa
 
 __all__ = ["SQLiteFile", "read_gpkg", "gpkg_layers", "parse_gpkg_geom",
            "read_gpkg_dataset", "read_mbtiles", "mbtiles_metadata",
-           "read_mbtiles_dataset", "write_mbtiles"]
+           "read_mbtiles_dataset", "write_mbtiles", "write_gpkg",
+           "write_gpkg_partitioned"]
 
 
 def _varint(buf, pos):
@@ -397,3 +398,79 @@ def write_mbtiles(ds, path: str, metadata: dict | None = None,
     con.commit()
     con.close()
     return n
+
+
+def write_gpkg(table: pa.Table, path: str, *, layer: str = "layer",
+               geom_col: str = "wkb", geometry_type: str = "GEOMETRY",
+               srs_id: int = 4326) -> int:
+    """GPKG SINK: Arrow table (WKB + scalar attributes) → one .gpkg
+    (stdlib sqlite3 writer, same rationale as :func:`write_mbtiles`; the
+    READ side stays the from-scratch page parser).  Geometry wraps in
+    the GeoPackageBinary header (GP magic, little-endian flag, srs_id);
+    attribute types map to SQLite's INTEGER/REAL/TEXT/BLOB affinities.
+    One file == one writer; at scale the partition is the file unit."""
+    import sqlite3
+
+    cols = []
+    for name in table.schema.names:
+        if name == geom_col:
+            continue
+        t = table.schema.field(name).type
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            aff = "INTEGER"
+        elif pa.types.is_floating(t):
+            aff = "REAL"
+        elif pa.types.is_string(t):
+            aff = "TEXT"
+        elif pa.types.is_binary(t):
+            aff = "BLOB"
+        else:
+            raise TypeError(f"gpkg: unsupported attribute type {t}")
+        cols.append((name, aff))
+    con = sqlite3.connect(path)
+    con.executescript(
+        "CREATE TABLE IF NOT EXISTS gpkg_contents (table_name TEXT "
+        "PRIMARY KEY, data_type TEXT, identifier TEXT, srs_id INTEGER);"
+        "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (table_name "
+        "TEXT, column_name TEXT, geometry_type_name TEXT, srs_id "
+        "INTEGER, z TINYINT, m TINYINT);")
+    col_sql = ", ".join(f'"{n}" {a}' for n, a in cols)
+    con.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY, '
+                f"geom BLOB{', ' + col_sql if col_sql else ''})")
+    con.execute("INSERT INTO gpkg_contents VALUES (?,?,?,?)",
+                (layer, "features", layer, srs_id))
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+                (layer, "geom", geometry_type, srs_id))
+    head = b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id)
+    wkbs = table[geom_col].to_pylist()
+    attrs = [table[n].to_pylist() for n, _ in cols]
+    rows = [(i + 1, None if wkbs[i] is None else head + wkbs[i],
+             *(a[i] for a in attrs)) for i in range(table.num_rows)]
+    ph = ",".join("?" * (2 + len(cols)))
+    con.executemany(f'INSERT INTO "{layer}" VALUES ({ph})', rows)
+    con.commit()
+    con.close()
+    return table.num_rows
+
+
+def write_gpkg_partitioned(ds, out_dir: str, part_col: str,
+                           geom_col: str = "wkb", **kw):
+    """Distributed GPKG sink: one ``<part>.gpkg`` per partition-key group
+    (same shape as the fgb sink).  Returns the manifest Dataset."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(g: pa.Table) -> pa.Table:
+        part = g[part_col][0].as_py()
+        path = os.path.join(out_dir, f"{part}.gpkg")
+        tmp = path + ".tmp"
+        n = write_gpkg(g.drop_columns([part_col]), tmp,
+                       layer=str(part), geom_col=geom_col, **kw)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([str(part)]),
+                         "path": pa.array([path]),
+                         "rows": pa.array([n], pa.int64())})
+
+    return ds.groupby(part_col).map_groups(write_group,
+                                           batch_format="pyarrow")

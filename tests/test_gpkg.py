@@ -216,3 +216,39 @@ def test_mbtiles_roundtrip_through_sink(ray_session, tmp_path):
     got = {(r.z, r.tile_x, r.tile_y): r.data for r in back.itertuples()}
     for r in rows:
         assert got[(r["z"], r["tile_x"], r["tile_y"])] == r["data"]
+
+
+def test_write_gpkg_roundtrip_and_partitioned(ray_session, tmp_path):
+    """write_gpkg (sqlite3 sink) -> from-scratch reader roundtrip, plus
+    the partitioned Ray sink (one .gpkg per key)."""
+    import ray
+
+    from georay.gpkg import read_gpkg, write_gpkg, write_gpkg_partitioned
+
+    n = 40
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "wkb": pa.array([_point_wkb(float(a), float(b))
+                         for a, b in rng.uniform(-50, 50, (n, 2))],
+                        pa.binary()),
+        "name": pa.array([f"p{i}" for i in range(n)]),
+        "v": pa.array(rng.normal(size=n)),
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    p = str(tmp_path / "w.gpkg")
+    assert write_gpkg(t, p, layer="pts") == n
+    back = read_gpkg(open(p, "rb").read(), table="pts")
+    assert back.num_rows == n
+    assert back["wkb"].to_pylist() == t["wkb"].to_pylist()
+    assert back["name"].to_pylist() == t["name"].to_pylist()
+    np.testing.assert_allclose(back["v"].to_numpy(), t["v"].to_numpy())
+    # partitioned sink
+    ds = ray.data.from_arrow(t.append_column(
+        "zone", pa.array((np.arange(n) % 2).astype(np.int64))))
+    man = write_gpkg_partitioned(ds, str(tmp_path / "parts"),
+                                 "zone").to_pandas()
+    assert sorted(man["part"]) == ["0", "1"] and man["rows"].sum() == n
+    total = 0
+    for path in man["path"]:
+        total += read_gpkg(open(path, "rb").read()).num_rows
+    assert total == n
