@@ -358,3 +358,45 @@ def test_broadcast_equi_join_matches_shuffle(ray_session):
         assert len(a2) == len(b2), jt
         import pandas as pd
         pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
+
+
+def test_augment_images_deterministic(ray_session, images_path):
+    """Augmentation stage: deterministic per image id (same params every
+    run), correct crop/flip/jitter math, auditable parameter columns."""
+    import numpy as np
+
+    from georay.augment import AugmentImages, augment_params
+    from georay.rasterpipe import RasterPipeline
+
+    base = RasterPipeline.read_parquet(images_path).decode().dataset()
+    stage = AugmentImages(seed=7, crop_frac=0.5, jitter=0.1)
+    a = base.map_batches(stage, batch_format="pyarrow").to_pandas()
+    b = base.map_batches(AugmentImages(seed=7, crop_frac=0.5, jitter=0.1),
+                         batch_format="pyarrow").to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert (a["pixels"] == b["pixels"]).all()          # run-to-run stable
+    assert (a["w"] * 2 == a["w"] * 2).all()
+    # different seed -> different augmentations for most rows
+    c = base.map_batches(AugmentImages(seed=8, crop_frac=0.5, jitter=0.1),
+                         batch_format="pyarrow").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (a["pixels"] != c["pixels"]).mean() > 0.9
+    # verify the math on one row against the emitted parameters
+    orig = base.to_pandas().set_index("image_id")
+    r = a.iloc[0]
+    o = orig.loc[r["image_id"]]
+    src = np.frombuffer(o["pixels"], np.uint8).reshape(o["h"], o["w"], -1)
+    ch, cw = r["h"], r["w"]
+    win = src[r["aug_y0"]:r["aug_y0"] + ch, r["aug_x0"]:r["aug_x0"] + cw]
+    if r["aug_flip"]:
+        win = win[:, ::-1]
+    expect = np.clip(win.astype(np.float32) * np.float32(r["aug_gain"])
+                     + np.float32(r["aug_bias"]), 0, 255).astype(np.uint8)
+    got = np.frombuffer(r["pixels"], np.uint8).reshape(ch, cw, -1)
+    assert np.array_equal(got, expect)
+    # params are pure functions of (id, seed)
+    import pyarrow as pa
+    ids = pa.array([r["image_id"]])
+    p1 = augment_params(ids, 7, crop_frac=0.5, jitter=0.1)
+    assert bool(p1["flip"][0]) == bool(r["aug_flip"])
