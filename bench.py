@@ -46,7 +46,7 @@ BENCH_QUERIES = [
 # queries whose short multi-stage shapes swing multi-× with host noise on
 # this VM (NOTES.md): timed 3× and reported as the MEDIAN so round-over-
 # round deltas are attributable (VERDICT r2 next-10)
-MEDIAN_QUERIES = {"doc_minhash_pairs"}
+MEDIAN_QUERIES = {"doc_minhash_pairs", "dedup_clusters", "sql_q3"}
 
 
 def _consume(res) -> int:

@@ -19,7 +19,7 @@ __all__ = ["AUDIO_SCHEMA", "VIDEO_SCHEMA", "audio_table", "video_table",
            "AudioFeatures", "VideoFrameSampler", "fake_pcm_encode",
            "fake_pcm_decode", "wav_encode", "wav_decode", "mulaw_encode",
            "mulaw_decode", "decode_audio", "mel_filterbank",
-           "MelSpectrogram"]
+           "MelSpectrogram", "AugmentAudio"]
 
 AUDIO_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
@@ -343,3 +343,76 @@ class MelSpectrogram:
                                  pa.list_(pa.float64(), self.n_mels)))
         batch = batch.append_column("n_frames_stft", pa.array(frames_n))
         return batch.drop_columns(["bytes"])
+
+
+class AugmentAudio:
+    """Deterministic audio augmentation stage — the audio sibling of
+    georay.augment.AugmentImages: per-row gain, circular time shift and
+    additive noise, every parameter a splitmix64 function of
+    ``(audio_id hash, seed)`` (reproducible on any cluster size), with
+    the applied parameters emitted as audit columns.
+
+    Input rows: ``audio_id, bytes, codec`` (any codec the dispatch
+    knows: wav/mulaw/pcm16 — the audio_table layout); output replaces
+    ``bytes`` with the augmented wav and adds
+    ``aug_gain, aug_shift, aug_noise``."""
+
+    def __init__(self, seed: int = 0, gain_db: float = 6.0,
+                 max_shift: float = 0.25, noise_amp: float = 0.01):
+        from .util import hash_strings
+        self._hash = hash_strings
+        self.seed = seed
+        self.gain_db = float(gain_db)
+        self.max_shift = float(max_shift)
+        self.noise_amp = float(noise_amp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .augment import _splitmix
+        h = _splitmix(self._hash(batch["audio_id"])
+                      ^ np.uint64(self.seed))
+        u = lambda sh: ((h >> np.uint64(sh)) & np.uint64(0xFFFF)) / 65535.0
+        gains = 10.0 ** (((u(1) * 2 - 1) * self.gain_db) / 20.0)
+        shifts = u(17) * self.max_shift
+        namps = u(33) * self.noise_amp
+        fmts = batch["codec"].to_pylist()
+        out_b, out_c, out_g, out_s, out_n = [], [], [], [], []
+        for i in range(batch.num_rows):
+            if fmts[i] not in ("wav", "pcm16", "mulaw"):
+                # stub codecs (opus/h264 need native libs): pass the row
+                # through untouched with null audit params
+                out_b.append(batch["bytes"][i].as_py())
+                out_c.append(fmts[i])
+                out_g.append(None)
+                out_s.append(None)
+                out_n.append(None)
+                continue
+            samples, rate = decode_audio(batch["bytes"][i].as_py(),
+                                         fmts[i])
+            x = samples.astype(np.float64)
+            k = int(round(shifts[i] * len(x)))
+            if k:
+                x = np.roll(x, k)
+            x = x * gains[i]
+            # deterministic "noise": a fixed-phase sine per row (seeded
+            # frequency) — reproducible without any RNG state
+            f = 200.0 + (float(h[i] >> np.uint64(49)) % 1800.0)
+            t = np.arange(len(x)) / rate
+            x = x + namps[i] * np.sin(2 * np.pi * f * t)
+            x = np.clip(x, -1.0, 1.0)
+            out_b.append(wav_encode(x, rate))
+            out_c.append("wav")
+            out_g.append(float(gains[i]))
+            out_s.append(k)
+            out_n.append(float(namps[i]))
+        keep = [c for c in batch.schema.names
+                if c not in ("bytes", "codec")]
+        out = pa.table({c: batch[c] for c in keep})
+        out = out.append_column("bytes", pa.array(out_b, pa.binary()))
+        out = out.append_column("codec", pa.array(out_c, pa.string()))
+        out = out.append_column("aug_gain",
+                                pa.array(out_g, pa.float64()))
+        out = out.append_column("aug_shift",
+                                pa.array(out_s, pa.int64()))
+        out = out.append_column("aug_noise",
+                                pa.array(out_n, pa.float64()))
+        return out

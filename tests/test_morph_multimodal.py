@@ -292,3 +292,34 @@ def test_dem_tiled_matches_unsplit(ray_session):
             assert np.array_equal(got, want), mode
         else:
             assert np.allclose(got, want), mode
+
+
+def test_augment_audio_deterministic(ray_session):
+    import numpy as np
+    import ray
+
+    from georay.multimodal import (AugmentAudio, audio_table, decode_audio)
+
+    t = audio_table(24)
+    ds = ray.data.from_arrow(t)
+    a = (ds.map_batches(AugmentAudio(seed=3), batch_format="pyarrow")
+         .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    b = (ds.map_batches(AugmentAudio(seed=3), batch_format="pyarrow")
+         .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    assert (a["bytes"] == b["bytes"]).all()
+    dec = a["aug_gain"].notna()          # stub codecs pass through
+    assert (a.loc[dec, "codec"] == "wav").all()
+    assert dec.sum() >= len(a) * 0.5
+    c = (ds.map_batches(AugmentAudio(seed=4), batch_format="pyarrow")
+         .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    assert (a.loc[dec, "bytes"] != c.loc[dec, "bytes"]).mean() > 0.9
+    # audited params really were applied: energy scales with gain
+    row = a[dec].iloc[0]
+    orig = t.to_pandas().set_index("audio_id").loc[row["audio_id"]]
+    s0, r0 = decode_audio(orig["bytes"], orig["codec"])
+    s1, _ = decode_audio(row["bytes"], "wav")
+    assert len(s1) == len(s0)
+    rms0 = float(np.sqrt((s0.astype(np.float64) ** 2).mean()))
+    rms1 = float(np.sqrt((s1.astype(np.float64) ** 2).mean()))
+    # gain dominates (noise_amp is tiny); allow clip/quantization slack
+    assert abs(rms1 / max(rms0, 1e-9) - row["aug_gain"]) < 0.15
