@@ -474,7 +474,8 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
                          src_crs: str = "EPSG:4326",
                          dst_crs: str = "EPSG:3857",
                          kernel: str = "bilinear", nodata=0,
-                         cutline_rings=None, src_transformer=None):
+                         cutline_rings=None, src_transformer=None,
+                         approx_error: float | None = None):
     """Inverse-mapping warp: for every destination pixel center, transform
     dst georef → src georef → src pixel, then sample with
     near/bilinear/cubic/lanczos (alg/gdalwarper.h:37-69 kernel family).
@@ -509,7 +510,24 @@ def warp_affine_mercator(src: np.ndarray, src_gt, dst_gt, dst_shape,
     # src georef -> fractional src pixel (north-up affine, or a GCP-based
     # transformer's geo→pixel fit)
     if src_transformer is not None:
-        px, py = src_transformer.geo_to_pixel(sx, sy)
+        if approx_error is not None:
+            # scanline approximation of the EXPENSIVE transformer
+            # (gdaltransformer.cpp:3839 GDALCreateApproxTransformer):
+            # per output row, exact evaluation only at adaptive interval
+            # endpoints/midpoints, linear interpolation within
+            # ``approx_error`` source pixels — the composed dst→src
+            # curve is approximated along the row exactly as GDAL does
+            from .transformers import approx_indexed
+            px = np.empty_like(sx)
+            py = np.empty_like(sy)
+            for r in range(oh):
+                sxr, syr = sx[r], sy[r]
+                px[r], py[r] = approx_indexed(
+                    lambda idx, _sxr=sxr, _syr=syr:
+                        src_transformer.geo_to_pixel(_sxr[idx], _syr[idx]),
+                    ow, approx_error)
+        else:
+            px, py = src_transformer.geo_to_pixel(sx, sy)
     else:
         px = (sx - src_gt[0]) / src_gt[1]
         py = (sy - src_gt[3]) / src_gt[5]

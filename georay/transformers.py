@@ -27,7 +27,7 @@ import numpy as np
 
 __all__ = ["GCPPolynomialTransformer", "ThinPlateSplineTransformer",
            "RPCTransformer", "GeolocArrayTransformer", "ApproxTransformer",
-           "suggested_polynomial_order"]
+           "approx_indexed", "suggested_polynomial_order"]
 
 
 def _poly_terms(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -439,3 +439,52 @@ class ApproxTransformer:
             lo = np.concatenate([lo[split], mid[split]])
             hi = np.concatenate([mid[split], hi[split]])
         return out_x, out_y
+
+
+def approx_indexed(eval_at, n: int, max_error: float):
+    """Adaptive piecewise-linear approximation of an expensive 1-D-indexed
+    transform: ``eval_at(idx_array) -> (x, y)`` is evaluated exactly at
+    interval endpoints + midpoints; where the midpoint's linear
+    prediction is within ``max_error`` the interval interpolates, else
+    it subdivides (gdaltransformer.cpp:3923's recursion as a vectorized
+    interval worklist over INDEX space — the form the warp inner loop
+    composes with GCP/TPS/RPC transformers)."""
+    out_x = np.full(n, np.nan)
+    out_y = np.full(n, np.nan)
+    if n == 0:
+        return out_x, out_y
+    if n <= 4:
+        idx = np.arange(n)
+        out_x[:], out_y[:] = eval_at(idx)
+        return out_x, out_y
+    ends = np.array([0, n - 1], dtype=np.int64)
+    out_x[ends], out_y[ends] = eval_at(ends)
+    lo = np.array([0], dtype=np.int64)
+    hi = np.array([n - 1], dtype=np.int64)
+    while lo.size:
+        mid = (lo + hi) // 2
+        fresh = np.isnan(out_x[mid])
+        if fresh.any():
+            mx, my = eval_at(mid[fresh])
+            out_x[mid[fresh]] = mx
+            out_y[mid[fresh]] = my
+        t = (mid - lo) / np.maximum(hi - lo, 1)
+        pred_x = out_x[lo] + (out_x[hi] - out_x[lo]) * t
+        pred_y = out_y[lo] + (out_y[hi] - out_y[lo]) * t
+        err = np.abs(pred_x - out_x[mid]) + np.abs(pred_y - out_y[mid])
+        split = (err > max_error) & (mid > lo) & (mid < hi)
+        ok = ~split
+        keep_x = out_x[mid[ok]].copy()
+        keep_y = out_y[mid[ok]].copy()
+        for a, b in zip(lo[ok], hi[ok]):
+            if b > a + 1:
+                t2 = np.arange(a + 1, b) - a
+                out_x[a + 1:b] = out_x[a] + (out_x[b] - out_x[a]) \
+                    * (t2 / (b - a))
+                out_y[a + 1:b] = out_y[a] + (out_y[b] - out_y[a]) \
+                    * (t2 / (b - a))
+        out_x[mid[ok]] = keep_x
+        out_y[mid[ok]] = keep_y
+        lo = np.concatenate([lo[split], mid[split]])
+        hi = np.concatenate([mid[split], hi[split]])
+    return out_x, out_y

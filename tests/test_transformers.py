@@ -346,3 +346,43 @@ def test_warp_with_geoloc_transformer_matches_affine_path():
                                kernel="bilinear", src_transformer=t)
     np.testing.assert_allclose(via.astype(float), base.astype(float),
                                atol=1.0)
+
+
+def test_warp_with_approx_transformer_scanlines():
+    """approx_error in the warp: TPS warp matches the exact path within
+    the error budget while evaluating the transformer far fewer times
+    (gdaltransformer.cpp:3839 composition)."""
+    from georay.raster import warp_affine_mercator
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 255, (96, 96), dtype=np.uint8)
+    src_gt = (10.0, 0.01, 0.0, 50.0, 0.0, -0.01)
+    dst_gt = (10.05, 0.008, 0.0, 49.95, 0.0, -0.008)
+    shape = (80, 80)
+    px, py = np.meshgrid(np.linspace(0, 96, 5), np.linspace(0, 96, 5))
+    px, py = px.ravel(), py.ravel()
+    gx = src_gt[0] + px * src_gt[1]
+    gy = src_gt[3] + py * src_gt[5]
+    t = ThinPlateSplineTransformer(px, py, gx, gy)
+
+    calls = {"n": 0}
+
+    class Counting:
+        def geo_to_pixel(self, x, y):
+            calls["n"] += int(np.asarray(x).size)
+            return t.geo_to_pixel(x, y)
+
+    exact = warp_affine_mercator(src, None, dst_gt, shape,
+                                 src_crs="EPSG:4326", dst_crs="EPSG:4326",
+                                 kernel="bilinear", src_transformer=t)
+    approx = warp_affine_mercator(src, None, dst_gt, shape,
+                                  src_crs="EPSG:4326",
+                                  dst_crs="EPSG:4326", kernel="bilinear",
+                                  src_transformer=Counting(),
+                                  approx_error=0.05)
+    # 0.05-px source deviation -> at most a small pixel-value delta on
+    # smooth bilinear sampling; allow a generous band
+    diff = np.abs(exact.astype(float) - approx.astype(float))
+    assert np.quantile(diff, 0.99) <= 8.0
+    assert (diff <= 32).all()
+    # the point: far fewer exact evaluations than output pixels
+    assert calls["n"] < shape[0] * shape[1] // 4
