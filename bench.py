@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "proximity_images", "sessions", "geom_measures", "sql_functions",
     "interval_join", "dedup_clusters", "fgb_zone_join",
     "zarr_density", "sample_per_key", "sql_exists", "doc_chunks",
-    "gpkg_zone_join", "sql_q3", "lineref_mileposts",
+    "gpkg_zone_join", "sql_q3", "lineref_mileposts", "augment_images",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

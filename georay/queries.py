@@ -704,6 +704,48 @@ def q_image_dedup(sf_dir: str):
                        Count(alias_name="n_copies")))
 
 
+def q_augment_images(sf_dir: str):
+    """Deterministic augmentation over the image table (rows-only: no SQL
+    analog for pixel transforms): decode → crop/flip/jitter → per-image
+    GDAL checksum of the augmented band + audit params.  Determinism is
+    the checkable contract — the same (id, seed) always yields the same
+    checksum, so the driver's rows-only hash is stable run-to-run."""
+    import ray
+
+    from .augment import AugmentImages
+    from .decode import DecodeImages
+    from .stats import gdal_checksum
+    from .util import default_concurrency
+
+    path = _bench_images(sf_dir)
+    ds = (ray.data.read_parquet(path,
+                                columns=["image_id", "bytes", "fmt",
+                                         "w", "h"])
+          .map_batches(DecodeImages, batch_format="pyarrow",
+                       concurrency=default_concurrency())
+          .map_batches(AugmentImages(seed=42, crop_frac=0.75, jitter=0.1),
+                       batch_format="pyarrow"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy()
+        w = batch["w"].to_numpy()
+        cks = []
+        for i in range(batch.num_rows):
+            arr = np.frombuffer(batch["pixels"][i].as_buffer(),
+                                dtype=np.uint8).reshape(
+                int(h[i]), int(w[i]), -1)[:, :, 0]
+            cks.append(gdal_checksum(arr))
+        return pa.table({
+            "image_id": batch["image_id"],
+            "checksum": pa.array(cks, pa.int64()),
+            "aug_flip": batch["aug_flip"],
+            "aug_x0": batch["aug_x0"],
+            "aug_y0": batch["aug_y0"],
+        })
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_tile_checksums(sf_dir: str):
     """Composited z-12 tiles + GDAL checksums for a slice of the image
     table (rows-only; the in-repo golden oracle is tests/test_ray_stages)."""
@@ -1690,6 +1732,7 @@ QUERIES = {
     "gpkg_zone_join": q_gpkg_zone_join,
     "sql_q3": q_sql_q3,
     "lineref_mileposts": q_lineref_mileposts,
+    "augment_images": q_augment_images,
 }
 
 
