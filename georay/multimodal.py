@@ -19,7 +19,7 @@ __all__ = ["AUDIO_SCHEMA", "VIDEO_SCHEMA", "audio_table", "video_table",
            "AudioFeatures", "VideoFrameSampler", "fake_pcm_encode",
            "fake_pcm_decode", "wav_encode", "wav_decode", "mulaw_encode",
            "mulaw_decode", "decode_audio", "mel_filterbank",
-           "MelSpectrogram", "AugmentAudio"]
+           "MelSpectrogram", "AugmentAudio", "AugmentVideo"]
 
 AUDIO_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
@@ -415,4 +415,67 @@ class AugmentAudio:
                                 pa.array(out_s, pa.int64()))
         out = out.append_column("aug_noise",
                                 pa.array(out_n, pa.float64()))
+        return out
+
+
+class AugmentVideo:
+    """Deterministic video augmentation — the temporal sibling of
+    AugmentImages/AugmentAudio: per-row temporal crop (keep a contiguous
+    ``keep_frac`` window at a hash-chosen start), frame stride, and
+    horizontal flip, all parameters splitmix64 functions of
+    ``(video_id, seed)``; stub codecs (h264) pass through untouched with
+    null audit params.  Emits ``aug_t0, aug_stride, aug_flip``."""
+
+    def __init__(self, seed: int = 0, keep_frac: float = 0.5,
+                 max_stride: int = 2):
+        from .util import hash_strings
+        self._hash = hash_strings
+        self.seed = seed
+        self.keep_frac = float(keep_frac)
+        self.max_stride = int(max_stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .augment import _splitmix
+        h = _splitmix(self._hash(batch["video_id"])
+                      ^ np.uint64(self.seed))
+        u = lambda sh: ((h >> np.uint64(sh)) & np.uint64(0xFFFF)) / 65535.0
+        codecs_l = batch["codec"].to_pylist()
+        w_arr = batch["w"].to_numpy()
+        h_arr = batch["h"].to_numpy()
+        nf_arr = batch["n_frames"].to_numpy()
+        out_b, out_nf, out_t0, out_st, out_fl = [], [], [], [], []
+        for i in range(batch.num_rows):
+            if codecs_l[i] != "rawrgb":
+                out_b.append(batch["bytes"][i].as_py())
+                out_nf.append(int(nf_arr[i]))
+                out_t0.append(None)
+                out_st.append(None)
+                out_fl.append(None)
+                continue
+            W, H, F = int(w_arr[i]), int(h_arr[i]), int(nf_arr[i])
+            vid = np.frombuffer(batch["bytes"][i].as_buffer(),
+                                dtype=np.uint8).reshape(F, H, W, 3)
+            keep = max(1, int(round(F * self.keep_frac)))
+            t0 = min(int(u(1)[i] * F), F - keep)
+            stride = (1 + int(u(17)[i] * self.max_stride)
+                      % self.max_stride) if self.max_stride > 1 else 1
+            flip = bool((h[i] & np.uint64(1)) == 1)
+            sel = vid[t0:t0 + keep:stride]
+            if flip:
+                sel = sel[:, :, ::-1]
+            out_b.append(np.ascontiguousarray(sel).tobytes())
+            out_nf.append(sel.shape[0])
+            out_t0.append(t0)
+            out_st.append(stride)
+            out_fl.append(flip)
+        keep_cols = [c for c in batch.schema.names
+                     if c not in ("bytes", "n_frames")]
+        out = pa.table({c: batch[c] for c in keep_cols})
+        out = out.append_column("bytes", pa.array(out_b, pa.binary()))
+        out = out.append_column("n_frames",
+                                pa.array(out_nf, pa.int32()))
+        out = out.append_column("aug_t0", pa.array(out_t0, pa.int64()))
+        out = out.append_column("aug_stride",
+                                pa.array(out_st, pa.int64()))
+        out = out.append_column("aug_flip", pa.array(out_fl, pa.bool_()))
         return out
