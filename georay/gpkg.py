@@ -29,7 +29,7 @@ import pyarrow as pa
 __all__ = ["SQLiteFile", "read_gpkg", "gpkg_layers", "parse_gpkg_geom",
            "read_gpkg_dataset", "read_mbtiles", "mbtiles_metadata",
            "read_mbtiles_dataset", "write_mbtiles", "write_gpkg",
-           "write_gpkg_partitioned"]
+           "write_gpkg_partitioned", "rtree_query", "sqlite_lookup_rowid"]
 
 
 def _varint(buf, pos):
@@ -268,16 +268,27 @@ def gpkg_layers(data: bytes) -> list:
 
 
 def read_gpkg(data: bytes, table: str | None = None,
-              geom_col_out: str = "wkb") -> pa.Table:
+              geom_col_out: str = "wkb", bbox=None) -> pa.Table:
     """One GPKG feature layer → Arrow table (attributes + WKB geometry).
-    ``table=None`` picks the first layer in gpkg_geometry_columns."""
+    ``table=None`` picks the first layer in gpkg_geometry_columns.
+    With ``bbox`` and the gpkg_rtree_index extension present
+    (``rtree_<table>_<col>`` shadow tables), only matching rowids are
+    FETCHED (targeted b-tree descents) — the GPKG analog of the fgb
+    pushdown; without the index the filter falls back to a full scan of
+    the envelope from the geometry blobs... here simply a full read."""
     db = SQLiteFile(data)
     layers = gpkg_layers(data)
     if table is None:
         table, gcol, _ = layers[0]
     else:
         gcol = next(g for t, g, _ in layers if t == table)
-    cols, rows = db.read_table(table)
+    if bbox is not None and f"rtree_{table}_{gcol}_node" in db.tables:
+        rowids = rtree_query(db, f"rtree_{table}_{gcol}", bbox)
+        cols = db.tables[table][1]
+        rows = [r for r in (sqlite_lookup_rowid(db, table, int(rid))
+                            for rid in rowids) if r is not None]
+    else:
+        cols, rows = db.read_table(table)
     gi = cols.index(gcol)
     out = {}
     for i, c in enumerate(cols):
@@ -474,3 +485,82 @@ def write_gpkg_partitioned(ds, out_dir: str, part_col: str,
 
     return ds.groupby(part_col).map_groups(write_group,
                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# R*Tree spatial index (SQLite rtree module shadow tables — the GPKG
+# spatial index, gpkg extension 'gpkg_rtree_index'; node blob format from
+# the public SQLite rtree.c: [u16 height][u16 count] then 24-byte entries
+# of big-endian i64 id + 4 big-endian f32 coords (minx,maxx,miny,maxy);
+# leaf entries carry rowids, internal entries carry child node numbers)
+# ---------------------------------------------------------------------------
+
+def _rtree_nodes(db: SQLiteFile, prefix: str) -> dict:
+    cols, rows = db.read_table(f"{prefix}_node")
+    ni = cols.index("nodeno")
+    di = cols.index("data")
+    return {r[ni]: r[di] for r in rows}
+
+
+def rtree_query(db: SQLiteFile, prefix: str, bbox) -> np.ndarray:
+    """rowids whose index boxes intersect ``bbox`` — walks the shadow
+    node blobs directly (float32 coords are outward-rounded by the rtree
+    module, so there are no false negatives)."""
+    nodes = _rtree_nodes(db, prefix)
+    qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+    out = []
+    stack = [1]
+    while stack:
+        blob = nodes[stack.pop()]
+        height, count = struct.unpack_from(">HH", blob, 0)
+        for i in range(count):
+            off = 4 + 24 * i
+            ident = struct.unpack_from(">q", blob, off)[0]
+            minx, maxx, miny, maxy = struct.unpack_from(">4f", blob,
+                                                        off + 8)
+            if (minx <= qx1 and maxx >= qx0
+                    and miny <= qy1 and maxy >= qy0):
+                if height == 0:
+                    out.append(ident)
+                else:
+                    stack.append(ident)
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def sqlite_lookup_rowid(db: SQLiteFile, table: str, rowid: int):
+    """Targeted single-row fetch by rowid (OGR GetFeature(fid) contract):
+    descends interior pages by key instead of walking the whole tree."""
+    root, cols, alias = db.tables[table]
+    page = root
+    while True:
+        off, hdr = db._page(page)
+        ptype = db.buf[hdr]
+        ncell = struct.unpack_from(">H", db.buf, hdr + 3)[0]
+        if ptype == 5:
+            nxt = None
+            for i in range(ncell):
+                cp = off + struct.unpack_from(">H", db.buf,
+                                              hdr + 12 + 2 * i)[0]
+                child = struct.unpack_from(">I", db.buf, cp)[0]
+                key, _ = _varint(db.buf, cp + 4)
+                if rowid <= key:
+                    nxt = child
+                    break
+            if nxt is None:
+                nxt = struct.unpack_from(">I", db.buf, hdr + 8)[0]
+            page = nxt
+        elif ptype == 13:
+            for i in range(ncell):
+                cp = off + struct.unpack_from(">H", db.buf,
+                                              hdr + 8 + 2 * i)[0]
+                plen, p = _varint(db.buf, cp)
+                rid, p = _varint(db.buf, p)
+                if rid == rowid:
+                    vals = list(_decode_record(db._payload(p, plen)))
+                    vals += [None] * (len(cols) - len(vals))
+                    if alias is not None and vals[alias] is None:
+                        vals[alias] = rid
+                    return tuple(vals[:len(cols)])
+            return None
+        else:
+            raise ValueError(f"unexpected page type {ptype}")

@@ -252,3 +252,44 @@ def test_write_gpkg_roundtrip_and_partitioned(ray_session, tmp_path):
     for path in man["path"]:
         total += read_gpkg(open(path, "rb").read()).num_rows
     assert total == n
+
+
+def test_gpkg_rtree_pushdown_and_rowid_lookup(tmp_path):
+    """gpkg_rtree_index extension: the R*Tree shadow-node blobs are
+    parsed directly (public rtree.c node format) and bbox reads fetch
+    only matching rowids via targeted b-tree descents."""
+    from georay.gpkg import (SQLiteFile, read_gpkg, rtree_query,
+                             sqlite_lookup_rowid)
+
+    p = str(tmp_path / "r.gpkg")
+    rows = _make_gpkg(p, n=500, text_blowup=10)
+    # add the spatial index the way GPKG does (rtree virtual table named
+    # rtree_<table>_<geomcol> over the feature envelopes)
+    con = sqlite3.connect(p)
+    con.execute("CREATE VIRTUAL TABLE rtree_pts_geom USING rtree("
+                "id, minx, maxx, miny, maxy)")
+    ent = []
+    for fid, blob, *_ in rows:
+        x, y = struct.unpack_from("<dd", blob[-21:], 5)
+        ent.append((fid, x, x, y, y))
+    con.executemany("INSERT INTO rtree_pts_geom VALUES (?,?,?,?,?)", ent)
+    con.commit()
+    con.close()
+    data = open(p, "rb").read()
+    db = SQLiteFile(data)
+    bbox = (-60.0, -30.0, 20.0, 40.0)
+    got = set(rtree_query(db, "rtree_pts_geom", bbox).tolist())
+    expect = {fid for fid, x0, _, y0, _ in ent
+              if -60 <= x0 <= 20 and -30 <= y0 <= 40}
+    assert got == expect and len(got) > 5
+    # targeted rowid fetch == sqlite3's own row
+    con = sqlite3.connect(p)
+    for rid in (1, 250, 500):
+        want = con.execute("SELECT fid, geom, name, val, cnt, note "
+                           "FROM pts WHERE fid = ?", (rid,)).fetchone()
+        assert sqlite_lookup_rowid(db, "pts", rid) == tuple(want)
+    assert sqlite_lookup_rowid(db, "pts", 99999) is None
+    con.close()
+    # end-to-end: bbox read returns exactly the indexed subset
+    t = read_gpkg(data, table="pts", bbox=bbox)
+    assert set(t["fid"].to_pylist()) == expect
