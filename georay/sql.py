@@ -10,7 +10,7 @@ Grammar::
     [WHERE expr]                      -- georay.expr grammar
     [GROUP BY col (',' col)*]
     [HAVING expr-with-aggregates]
-    [ORDER BY col [ASC|DESC] (',' ...)*]
+    [ORDER BY col-or-expr [ASC|DESC] (',' ...)*]
     [LIMIT n [OFFSET m]]
 
     item := agg | win | expr [AS name]
@@ -234,14 +234,21 @@ class _SqlParser:
         return v
 
     def _order_item(self):
-        col = self._ident()
+        stop = [lambda k, v: k == "sqlkw" and v in ("ASC", "DESC",
+                                                    "LIMIT", "OFFSET"),
+                lambda k, v: (k, v) == ("op", ",")]
+        toks = self._expr_until(stop)
+        if not toks:
+            raise SqlError("empty ORDER BY item")
         desc = False
         if self.peek() == ("sqlkw", "DESC"):
             self.next()
             desc = True
         elif self.peek() == ("sqlkw", "ASC"):
             self.next()
-        return col, desc
+        if len(toks) == 1 and toks[0][0] == "ident":
+            return toks[0][1], desc          # plain column (fast path)
+        return toks, desc                    # expression -> hidden key
 
     def _select_item(self):
         k, v = self.peek()
@@ -597,7 +604,9 @@ def _dequalify(q: dict) -> dict:
     q["having"] = toks(q["having"])
     if q["group"]:
         q["group"] = [_strip_qual(g, valid) for g in q["group"]]
-    q["order"] = [(_strip_qual(c, valid), d) for c, d in q["order"]]
+    q["order"] = [((toks(c) if isinstance(c, list)
+                    else _strip_qual(c, valid)), d)
+                  for c, d in q["order"]]
     q["joins"] = [(jt, t2, _strip_qual(ca, valid), _strip_qual(cb, valid))
                   for jt, t2, ca, cb in q["joins"]]
     for it in q["items"]:
@@ -949,11 +958,39 @@ def _parse_having(toks, items, names):
 
 def _finish(out, q, names):
     if q["order"]:
-        cols = [c for c, _ in q["order"]]
-        for c in cols:
-            if c not in names:
-                raise SqlError(f"ORDER BY column {c!r} not in SELECT list")
-        out = out.sort(cols, descending=[d for _, d in q["order"]])
+        sort_cols, desc, hidden = [], [], []
+        for j, (c, d) in enumerate(q["order"]):
+            if isinstance(c, str):
+                if c not in names:
+                    raise SqlError(
+                        f"ORDER BY column {c!r} not in SELECT list")
+                sort_cols.append(c)
+            else:
+                # ORDER BY <expression over SELECT-list columns>:
+                # computed once into a hidden key column, dropped after
+                # the sort (ogr_gensql evaluates order expressions the
+                # same way)
+                node, used = _parse_expr_tokens(c)
+                if used != len(c):
+                    raise SqlError("trailing tokens in ORDER BY")
+                hname = f"__ord{j}"
+
+                def add_key(batch: pa.Table, _n=node,
+                            _h=hname) -> pa.Table:
+                    v = _eval(_n, batch)
+                    if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                        v = pa.array(v)
+                    return batch.append_column(_h, v)
+
+                out = out.map_batches(add_key, batch_format="pyarrow")
+                sort_cols.append(hname)
+                hidden.append(hname)
+            desc.append(d)
+        out = out.sort(sort_cols, descending=desc)
+        if hidden:
+            out = out.map_batches(
+                lambda b, _h=tuple(hidden): b.drop_columns(list(_h)),
+                batch_format="pyarrow")
     if q["limit"] is not None:
         off = q["offset"] or 0
         out = out.limit(q["limit"] + off)

@@ -318,3 +318,20 @@ def test_sql_unknown_qualifier_fails_at_lookup(ray_session):
     with pytest.raises(Exception):
         execute_sql("SELECT nosuch.c_custkey FROM customer",
                     tabs).to_pandas()
+
+
+def test_sql_order_by_expression(ray_session):
+    for sql, tables in [
+        ("SELECT p_partkey, p_size FROM part "
+         "ORDER BY p_size * -1, p_partkey LIMIT 12", ["part"]),
+        ("SELECT o_orderkey, o_totalprice FROM orders "
+         "WHERE o_orderkey < 500 "
+         "ORDER BY o_totalprice % 1000 DESC, o_orderkey LIMIT 9",
+         ["orders"]),
+    ]:
+        got = _run(sql, tables)
+        want = _duck(sql)
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
