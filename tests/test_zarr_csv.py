@@ -239,3 +239,26 @@ def test_mdim_translate_rechunk_and_window(ray_session, tmp_path):
     out = zarrstore.zarr_read(dst2)
     assert out.dtype == np.dtype("<f8")
     np.testing.assert_array_equal(out, full[5:50, 10:70].astype("<f8"))
+
+
+def test_zarr_3d_core(tmp_path):
+    """The zarr core (create/write_chunk/read_window/read) is N-D; the
+    Ray source/sink specialize to 2-D — pin the 3-D core so the N-D
+    claim stays true."""
+    p = str(tmp_path / "v.zarr")
+    rng = np.random.default_rng(4)
+    full = rng.integers(0, 200, (6, 20, 30)).astype("|u1")
+    meta = zarrstore.zarr_create(p, (6, 20, 30), (2, 8, 16), "|u1")
+    for c0 in range(3):
+        for c1 in range(3):
+            for c2 in range(2):
+                zarrstore.zarr_write_chunk(
+                    p, (c0, c1, c2),
+                    full[c0 * 2:(c0 + 1) * 2, c1 * 8:(c1 + 1) * 8,
+                         c2 * 16:(c2 + 1) * 16], meta)
+    np.testing.assert_array_equal(zarrstore.zarr_read(p), full)
+    win = zarrstore.zarr_read_window(
+        p, (slice(1, 5), slice(3, 17), slice(10, 28)))
+    np.testing.assert_array_equal(win, full[1:5, 3:17, 10:28])
+    # chunk grid enumerates all 18 chunks in C order
+    assert len(zarrstore.zarr_chunk_grid(meta)) == 18
