@@ -44,13 +44,19 @@ def augment_params(ids, seed: int = 0, *, crop_frac: float = 0.8,
     pass): flip bit, crop offsets in [0, 1−crop_frac], gain in
     [1−jitter, 1+jitter], bias in [−16·jitter, 16·jitter]."""
     h = _splitmix(hash_strings(ids) ^ np.uint64(seed))
+    # bias draws from an INDEPENDENT splitmix round: h >> 49 keeps only
+    # 15 bits (max 0x7FFF), which halved the range and made bias always
+    # negative (advisor round 3); a second round gives a full 16 bits
+    # without overlapping the fx/fy/gain lanes.
+    h2 = _splitmix(h)
     u = lambda sh: ((h >> np.uint64(sh)) & np.uint64(0xFFFF)) / 65535.0
+    ub = (h2 & np.uint64(0xFFFF)) / 65535.0
     return {
         "flip": ((h & np.uint64(1)) == 1),
         "fx": u(1) * (1.0 - crop_frac),
         "fy": u(17) * (1.0 - crop_frac),
         "gain": 1.0 + (u(33) * 2.0 - 1.0) * jitter,
-        "bias": (u(49) * 2.0 - 1.0) * 16.0 * jitter,
+        "bias": (ub * 2.0 - 1.0) * 16.0 * jitter,
     }
 
 

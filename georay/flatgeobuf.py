@@ -716,7 +716,9 @@ def fgb_bbox_offsets(data, bbox) -> np.ndarray:
 
 def read_fgb(data, *, bbox=None, geom_col: str = "wkb") -> pa.Table:
     """FlatGeobuf bytes → Arrow table (WKB + attributes).  With ``bbox``,
-    only features whose index boxes intersect are decoded."""
+    only features whose index boxes intersect are decoded; files WITHOUT
+    an index fall back to an envelope filter over the decoded geometries
+    (same result set — bbox semantics never depend on index presence)."""
     data = memoryview(data)
     hdr = read_fgb_header(data)
     n = hdr["features_count"]
@@ -752,7 +754,21 @@ def read_fgb(data, *, bbox=None, geom_col: str = "wkb") -> pa.Table:
     out = {geom_col: pa.array(wkbs, pa.binary())}
     for i, (cname, ct) in enumerate(col_specs):
         out[cname] = pa.array(attr_vals[i], _CT_TO_ARROW[ct])
-    return pa.table(out)
+    t = pa.table(out)
+    if bbox is not None and not idx_len:
+        from .geom import wkb_envelope
+
+        qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+        keep = []
+        for w in wkbs:
+            if w is None:
+                keep.append(False)
+                continue
+            x0, y0, x1, y1 = wkb_envelope(w)
+            keep.append(x0 <= qx1 and x1 >= qx0
+                        and y0 <= qy1 and y1 >= qy0)
+        t = t.filter(pa.array(keep))
+    return t
 
 
 # ---------------------------------------------------------------------------

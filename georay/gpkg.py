@@ -274,8 +274,9 @@ def read_gpkg(data: bytes, table: str | None = None,
     With ``bbox`` and the gpkg_rtree_index extension present
     (``rtree_<table>_<col>`` shadow tables), only matching rowids are
     FETCHED (targeted b-tree descents) — the GPKG analog of the fgb
-    pushdown; without the index the filter falls back to a full scan of
-    the envelope from the geometry blobs... here simply a full read."""
+    pushdown; without the index the filter falls back to an envelope
+    scan over the geometry blobs, so ``bbox`` semantics never depend on
+    index presence."""
     db = SQLiteFile(data)
     layers = gpkg_layers(data)
     if table is None:
@@ -289,6 +290,20 @@ def read_gpkg(data: bytes, table: str | None = None,
                             for rid in rowids) if r is not None]
     else:
         cols, rows = db.read_table(table)
+        if bbox is not None:
+            from .geom import wkb_envelope
+
+            qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+            gi = cols.index(gcol)
+
+            def hit(blob):
+                if blob is None:
+                    return False
+                x0, y0, x1, y1 = wkb_envelope(parse_gpkg_geom(blob))
+                return (x0 <= qx1 and x1 >= qx0
+                        and y0 <= qy1 and y1 >= qy0)
+
+            rows = [r for r in rows if hit(r[gi])]
     gi = cols.index(gcol)
     out = {}
     for i, c in enumerate(cols):
@@ -492,7 +507,10 @@ def write_gpkg_partitioned(ds, out_dir: str, part_col: str,
 # spatial index, gpkg extension 'gpkg_rtree_index'; node blob format from
 # the public SQLite rtree.c: [u16 height][u16 count] then 24-byte entries
 # of big-endian i64 id + 4 big-endian f32 coords (minx,maxx,miny,maxy);
-# leaf entries carry rowids, internal entries carry child node numbers)
+# leaf entries carry rowids, internal entries carry child node numbers.
+# NOTE: only the ROOT node (nodeno 1) stores the tree depth in its first
+# two bytes — non-root nodes leave them zero — so descent must track the
+# level explicitly rather than trusting per-node header bytes)
 # ---------------------------------------------------------------------------
 
 def _rtree_nodes(db: SQLiteFile, prefix: str) -> dict:
@@ -508,11 +526,14 @@ def rtree_query(db: SQLiteFile, prefix: str, bbox) -> np.ndarray:
     module, so there are no false negatives)."""
     nodes = _rtree_nodes(db, prefix)
     qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+    depth = struct.unpack_from(">H", nodes[1], 0)[0]
     out = []
-    stack = [1]
+    stack = [(1, 0)]
     while stack:
-        blob = nodes[stack.pop()]
-        height, count = struct.unpack_from(">HH", blob, 0)
+        nodeno, level = stack.pop()
+        blob = nodes[nodeno]
+        count = struct.unpack_from(">H", blob, 2)[0]
+        is_leaf = level == depth
         for i in range(count):
             off = 4 + 24 * i
             ident = struct.unpack_from(">q", blob, off)[0]
@@ -520,10 +541,10 @@ def rtree_query(db: SQLiteFile, prefix: str, bbox) -> np.ndarray:
                                                         off + 8)
             if (minx <= qx1 and maxx >= qx0
                     and miny <= qy1 and maxy >= qy0):
-                if height == 0:
+                if is_leaf:
                     out.append(ident)
                 else:
-                    stack.append(ident)
+                    stack.append((ident, level + 1))
     return np.array(sorted(out), dtype=np.int64)
 
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .util import hash_strings
+
 __all__ = ["hash_bucket", "hash_sample", "hash_split",
            "hash_topk_per_key"]
 
@@ -96,7 +98,16 @@ def hash_topk_per_key(ds, key_col: str, order_col: str, k: int,
     P = num_partitions
 
     def _keep_k(batch: pa.Table, with_part: bool) -> pa.Table:
-        key = batch[key_col].to_numpy(zero_copy_only=False)
+        kcol = batch[key_col]
+        ktype = kcol.type if not isinstance(kcol, pa.ChunkedArray) \
+            else kcol.type
+        if (pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
+                or pa.types.is_binary(ktype)):
+            # string/binary keys: hash to uint64 first (same route as
+            # compare.add_part / dedup — advisor r3)
+            key = hash_strings(kcol)
+        else:
+            key = kcol.to_numpy(zero_copy_only=False)
         o = batch[order_col].to_numpy(zero_copy_only=False)
         h = hash_bucket(o)
         order = np.lexsort((o, h, key))

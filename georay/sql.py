@@ -511,7 +511,12 @@ def _exists_to_in(inner, tables, outer_names, neg):
     body = [("ident", outer_col), ("kw", "IN"),
             ("op", "("), ("vset", vals), ("op", ")")]
     if neg:
-        return [("kw", "NOT"), ("op", "(")] + body + [("op", ")")]
+        # NOT EXISTS keeps rows with a NULL correlation key (no inner
+        # row can match), but NOT (col IN vset) is NULL for a NULL col
+        # and would drop them — add the IS NULL escape (advisor r3).
+        return ([("op", "("), ("ident", outer_col), ("kw", "IS"),
+                 ("kw", "NULL"), ("kw", "OR"), ("kw", "NOT"),
+                 ("op", "(")] + body + [("op", ")"), ("op", ")")])
     return body
 
 

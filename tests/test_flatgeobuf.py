@@ -255,3 +255,30 @@ def test_datetime_column_roundtrip():
     assert got[0] == ts[0] and got[1] == ts[1]
     import pandas as pd
     assert pd.isna(got[2])
+
+
+def test_fgb_bbox_without_index_filters():
+    """bbox on an index-less file envelope-filters instead of silently
+    returning every feature (advisor r3)."""
+    import numpy as np
+    import georay.flatgeobuf as F
+    from georay.geom import wkb_point
+
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-100, 100, 300)
+    ys = rng.uniform(-50, 50, 300)
+    t = pa.table({
+        "wkb": pa.array([wkb_point(float(x), float(y))
+                         for x, y in zip(xs, ys)], pa.binary()),
+        "i": pa.array(np.arange(300), pa.int64()),
+    })
+    data = F.write_fgb(t, write_index=False)
+    bbox = (-30.0, -20.0, 40.0, 25.0)
+    got = set(F.read_fgb(data, bbox=bbox)["i"].to_pylist())
+    expect = {int(i) for i, (x, y) in enumerate(zip(xs, ys))
+              if -30 <= x <= 40 and -20 <= y <= 25}
+    assert got == expect and 0 < len(expect) < 300
+    # indexed file: same result set
+    data_ix = F.write_fgb(t)
+    got_ix = set(F.read_fgb(data_ix, bbox=bbox)["i"].to_pylist())
+    assert got_ix == expect

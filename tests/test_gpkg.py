@@ -293,3 +293,57 @@ def test_gpkg_rtree_pushdown_and_rowid_lookup(tmp_path):
     # end-to-end: bbox read returns exactly the indexed subset
     t = read_gpkg(data, table="pts", bbox=bbox)
     assert set(t["fid"].to_pylist()) == expect
+
+
+def test_rtree_query_deep_tree(tmp_path):
+    """Depth >= 2 R*Tree: only node 1 stores the tree depth (rtree.c);
+    non-root nodes leave the header bytes zero, so descent must track the
+    level explicitly.  40k entries forces internal nodes whose children
+    are themselves internal — the regression the advisor found."""
+    from georay.gpkg import SQLiteFile, rtree_query
+    import struct as _s
+
+    p = str(tmp_path / "deep.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE VIRTUAL TABLE rtree_d_g USING rtree("
+                "id, minx, maxx, miny, maxy)")
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(-180, 180, 40000)
+    ys = rng.uniform(-85, 85, 40000)
+    con.executemany(
+        "INSERT INTO rtree_d_g VALUES (?,?,?,?,?)",
+        [(i + 1, float(x), float(x), float(y), float(y))
+         for i, (x, y) in enumerate(zip(xs, ys))])
+    con.commit()
+    data = open(p, "rb").read()
+    db = SQLiteFile(data)
+    root_blob = dict(db.read_table("rtree_d_g_node")[1])[1]
+    depth = _s.unpack_from(">H", root_blob, 0)[0]
+    assert depth >= 2  # the fixture really is a deep tree
+    bbox = (-20.0, -10.0, 25.0, 30.0)
+    got = set(rtree_query(db, "rtree_d_g", bbox).tolist())
+    expect = {i + 1 for i, (x, y) in enumerate(zip(xs, ys))
+              if -20 <= x <= 25 and -10 <= y <= 30}
+    truth = {r[0] for r in con.execute(
+        "SELECT id FROM rtree_d_g WHERE maxx >= -20 AND minx <= 25 "
+        "AND maxy >= -10 AND miny <= 30")}
+    con.close()
+    assert got == truth and truth == expect and len(got) > 1000
+
+
+def test_read_gpkg_bbox_without_index(tmp_path):
+    """bbox without a spatial index falls back to an envelope scan —
+    same result set as the indexed path, never a silent full read."""
+    from georay.gpkg import read_gpkg
+
+    p = str(tmp_path / "noidx.gpkg")
+    rows = _make_gpkg(p, n=400, text_blowup=10)
+    data = open(p, "rb").read()
+    bbox = (-60.0, -30.0, 20.0, 40.0)
+    t = read_gpkg(data, table="pts", bbox=bbox)
+    expect = set()
+    for fid, blob, *_ in rows:
+        x, y = struct.unpack_from("<dd", blob[-21:], 5)
+        if -60 <= x <= 20 and -30 <= y <= 40:
+            expect.add(fid)
+    assert set(t["fid"].to_pylist()) == expect and 0 < len(expect) < 400

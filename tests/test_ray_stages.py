@@ -400,3 +400,19 @@ def test_augment_images_deterministic(ray_session, images_path):
     ids = pa.array([r["image_id"]])
     p1 = augment_params(ids, 7, crop_frac=0.5, jitter=0.1)
     assert bool(p1["flip"][0]) == bool(r["aug_flip"])
+
+
+def test_augment_bias_symmetric():
+    """bias spans the documented symmetric range [-16*jitter, 16*jitter]
+    (regression: a 15-bit shift made it always negative)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.augment import augment_params
+
+    ids = pa.array([f"img{i:06d}" for i in range(50000)])
+    p = augment_params(ids, seed=0, jitter=0.2)
+    b = p["bias"]
+    assert b.max() > 1.5 and b.min() < -1.5          # both signs occur
+    assert abs(float(np.mean(b))) < 0.05             # centered
+    assert b.max() <= 3.2 + 1e-9 and b.min() >= -3.2 - 1e-9

@@ -93,3 +93,32 @@ def test_hash_topk_per_key(ray_session):
     got = out[["k", "v"]]
     assert (got.sort_values(["k", "v"]).reset_index(drop=True)
             .equals(expect.sort_values(["k", "v"]).reset_index(drop=True)))
+
+
+def test_hash_topk_per_key_string_keys(ray_session):
+    """String key columns route through the content hash (advisor r3:
+    object->uint64 astype raised); picks stay min(k, group size)/key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from georay.sample import hash_topk_per_key
+
+    rng = np.random.default_rng(1)
+    n = 3000
+    keys = [f"dom{int(i):03d}.example" for i in rng.integers(0, 80, n)]
+    vals = rng.permutation(n)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys),
+                                       "v": pa.array(vals, pa.int64())}))
+    out = hash_topk_per_key(ds, "k", "v", 3).to_pandas()
+    sizes = out.groupby("k").size()
+    full = pd.Series(keys).value_counts()
+    assert set(sizes.index) == set(full.index)
+    for k, s in sizes.items():
+        assert s == min(3, full[k])
+    # deterministic: a second run picks the identical rows
+    out2 = hash_topk_per_key(ds, "k", "v", 3).to_pandas()
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = out2.sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b)

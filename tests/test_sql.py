@@ -335,3 +335,26 @@ def test_sql_order_by_expression(ray_session):
         pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                       want.reset_index(drop=True),
                                       check_dtype=False)
+
+
+def test_sql_not_exists_null_keys(ray_session):
+    """NOT EXISTS keeps rows whose correlation key is NULL (no inner row
+    can match a NULL); the IN-rewrite alone would drop them (advisor r3)."""
+    import duckdb
+    import ray
+    from georay.sql import execute_sql
+
+    left = pa.table({"lk": pa.array([1, 2, None, 4, None], pa.int64()),
+                     "v": pa.array(["a", "b", "c", "d", "e"])})
+    right = pa.table({"rk": pa.array([2, 4, 7], pa.int64())})
+    sql = ("SELECT v FROM l WHERE NOT EXISTS "
+           "(SELECT 1 FROM r WHERE rk = lk) ORDER BY v")
+    tabs = {"l": ray.data.from_arrow(left), "r": ray.data.from_arrow(right)}
+    res = execute_sql(sql, tabs)
+    got = (res.to_pandas() if not isinstance(res, pa.Table)
+           else res.to_pandas())
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(sql).df()
+    assert got["v"].tolist() == want["v"].tolist() == ["a", "c", "e"]
