@@ -1480,12 +1480,15 @@ def _sql_tables(sf_dir: str, *names):
 
 def q_sql_filter_group(sf_dir: str):
     """WHERE + GROUP BY + COUNT/SUM through the SQL front-end; the oracle
-    runs the IDENTICAL SQL text in DuckDB (integer modulo keeps the SUM
-    exact across engines)."""
+    runs the IDENTICAL SQL text in DuckDB.  The summed term is CAST to
+    DOUBLE on BOTH sides: DuckDB widens SUM(BIGINT) to HUGEINT (→ object
+    /float in pandas) while the engine returns int64, which broke the
+    driver's value hash (VERDICT r3); the addends are integers < 97 so
+    the double sum stays exact."""
     from .sql import execute_sql
     return execute_sql(
         "SELECT o_orderpriority, COUNT(*) AS n, "
-        "SUM(o_orderkey % 97) AS s FROM orders "
+        "SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s FROM orders "
         "WHERE o_totalprice > 50000 GROUP BY o_orderpriority",
         _sql_tables(sf_dir, "orders"))
 
@@ -1660,6 +1663,30 @@ def q_sql_exists(sf_dir: str):
 
 
 QUERIES = {
+# Driver-run order matters: the correctness harness may cap its run
+# (r3 recorded 50 of 73 rows), so oracle-bearing queries come FIRST —
+# those never yet driver-verified ahead of re-verifications — and the
+# rows-only (no_oracle) image-pipeline queries run last.
+    "hilbert_sort": q_hilbert_sort,
+    "sliding_windows": q_sliding_windows,
+    "sessions": q_sessions,
+    "overlay_intersection": q_overlay_intersection,
+    "quantity_stats": q_quantity_stats,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_split": q_doc_split,
+    "geom_measures": q_geom_measures,
+    "curve_measures": q_curve_measures,
+    "fgb_zone_join": q_fgb_zone_join,
+    "sample_per_key": q_sample_per_key,
+    "sql_exists": q_sql_exists,
+    "zarr_density": q_zarr_density,
+    "doc_chunks": q_doc_chunks,
+    "gpkg_zone_join": q_gpkg_zone_join,
+    "sql_q3": q_sql_q3,
+    "lineref_mileposts": q_lineref_mileposts,
+    # -- previously driver-verified (oracle re-checks) --
     "tile_assign": q_tile_assign,
     "tile_census": q_tile_census,
     "zone_join": q_zone_join,
@@ -1668,8 +1695,6 @@ QUERIES = {
     "zone_join_icosa": q_zone_join_icosa,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
-    "s2_census": q_s2_census,
-    "icosa_census": q_icosa_census,
     "q1_pricing": q1_pricing,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1690,13 +1715,7 @@ QUERIES = {
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "ann_topk": q_ann_topk,
     "embedding_dups": q_embedding_dups,
-    "flagship_join_images": q_flagship_join_images,
-    "image_dedup": q_image_dedup,
-    "tile_checksums": q_tile_checksums,
     "attribute_filter": q_attribute_filter,
-    "dem_hillshade": q_dem_hillshade,
-    "polygonize_images": q_polygonize_images,
-    "proximity_images": q_proximity_images,
     "sql_filter_group": q_sql_filter_group,
     "sql_topk": q_sql_topk,
     "sql_distinct": q_sql_distinct,
@@ -1708,31 +1727,21 @@ QUERIES = {
     "sql_window": q_sql_window,
     "sql_window_lag": q_sql_window_lag,
     "sql_subquery": q_sql_subquery,
-    "zonal_stats": q_zonal_stats,
-    "warp_checksums": q_warp_checksums,
+    # -- rows-only (no SQL oracle) --
     "footprint_images": q_footprint_images,
-    "hilbert_sort": q_hilbert_sort,
-    "sliding_windows": q_sliding_windows,
-    "sessions": q_sessions,
-    "overlay_intersection": q_overlay_intersection,
-    "quantity_stats": q_quantity_stats,
     "raster_stats": q_raster_stats,
     "clip_zones": q_clip_zones,
-    "asof_join": q_asof_join,
-    "interval_join": q_interval_join,
-    "dedup_clusters": q_dedup_clusters,
-    "doc_split": q_doc_split,
-    "geom_measures": q_geom_measures,
-    "curve_measures": q_curve_measures,
-    "fgb_zone_join": q_fgb_zone_join,
-    "sample_per_key": q_sample_per_key,
-    "sql_exists": q_sql_exists,
-    "zarr_density": q_zarr_density,
-    "doc_chunks": q_doc_chunks,
-    "gpkg_zone_join": q_gpkg_zone_join,
-    "sql_q3": q_sql_q3,
-    "lineref_mileposts": q_lineref_mileposts,
     "augment_images": q_augment_images,
+    "s2_census": q_s2_census,
+    "icosa_census": q_icosa_census,
+    "flagship_join_images": q_flagship_join_images,
+    "image_dedup": q_image_dedup,
+    "tile_checksums": q_tile_checksums,
+    "dem_hillshade": q_dem_hillshade,
+    "polygonize_images": q_polygonize_images,
+    "proximity_images": q_proximity_images,
+    "zonal_stats": q_zonal_stats,
+    "warp_checksums": q_warp_checksums,
 }
 
 
@@ -1754,7 +1763,7 @@ def _zone_sql() -> str:
 
 ORACLE_SQL = {
     "sql_filter_group": """
-        SELECT o_orderpriority, COUNT(*) AS n, SUM(o_orderkey % 97) AS s
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
     """,
     "sql_topk": """

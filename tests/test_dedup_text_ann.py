@@ -310,3 +310,53 @@ def test_chunk_documents_batch_edges():
     # overlap: chunk k starts at k*stride, so consecutive chunks share
     # window - stride characters
     assert got[(1, 0)][400:] == got[(1, 1)][:100]
+
+
+def test_ann_topk_many_queries_vectorized(ray_session):
+    """10^4 queries through the brute-force path: the merge is
+    hash-partitioned + vectorized (no per-query Python dispatch), and
+    every query's top-k matches the numpy reference exactly."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ann import ann_topk_bruteforce
+
+    rng = np.random.default_rng(21)
+    dim, n_vec, n_q, k = 16, 2000, 10000, 3
+    vecs = rng.standard_normal((n_vec, dim)).astype(np.float32)
+    qs = rng.standard_normal((n_q, dim)).astype(np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n_vec), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), dim),
+    })
+    queries = pa.table({
+        "vec_id": pa.array(np.arange(n_q), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(qs.ravel(), pa.float32()), dim),
+    })
+    t0 = time.perf_counter()
+    out = ann_topk_bruteforce(
+        ray.data.from_arrow(tab), queries, k=k,
+        batch_size=512, concurrency=4).to_pandas()
+    dt = time.perf_counter() - t0
+    assert len(out) == n_q * k
+    # numpy reference: exact cosine top-k with (-cos, id) tie order
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    sim = (qn @ vn.T).astype(np.float64)
+    got = out.sort_values(["query_id", "rank"])
+    got_ids = got["vec_id"].to_numpy().reshape(n_q, k)
+    # per-query reference via lexsort (id asc breaks cosine ties)
+    ref = np.empty((n_q, k), np.int64)
+    ids = np.arange(n_vec)
+    for qi in range(n_q):
+        order = np.lexsort((ids, -sim[qi]))
+        ref[qi] = order[:k]
+    q_order = got["query_id"].to_numpy().reshape(n_q, k)[:, 0]
+    assert np.array_equal(got_ids, ref[q_order])
+    # dispatch sanity: 10^4 queries must not cost 10^4 Python calls
+    assert dt < 60

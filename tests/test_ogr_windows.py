@@ -279,3 +279,55 @@ def test_vector_pipeline_general_reproject(ray_session):
                                atol=1e-9)
     np.testing.assert_allclose(np.sort(back["lat"]), np.sort(lat),
                                atol=1e-9)
+
+
+def test_asof_join_vectorized_parity(ray_session):
+    """asof_join (hash-partitioned composite-searchsorted shape) matches
+    a brute-force per-row reference on string keys, preserves integer
+    dtypes, and applies the documented (key, ts) tie reduction."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from georay.windows import asof_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 4000, 2500
+    keys = [f"u{int(i):03d}" for i in range(40)]
+    lk = rng.choice(keys, nl)
+    lt = rng.integers(0, 100000, nl) * 1_000_000
+    rk = rng.choice(keys, nr)
+    rt = rng.integers(0, 100000, nr) * 1_000_000
+    rid = rng.permutation(nr).astype(np.int64)
+    left = pa.table({
+        "user_id": pa.array(lk),
+        "ts": pa.array(lt.astype("datetime64[us]")),
+        "click_id": pa.array(np.arange(nl), pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array(rk),
+        "ts": pa.array(rt.astype("datetime64[us]")),
+        "event_id": pa.array(rid, pa.int64()),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key_col="user_id", ts_col="ts",
+                    right_cols=("event_id",)).to_pandas()
+    assert out["event_id_right"].dtype == np.int64       # dtype preserved
+    assert out["click_id"].dtype == np.int64
+    # brute-force reference with the same tie rule (max event_id per
+    # (key, ts) wins)
+    rdf = pd.DataFrame({"k": rk, "t": rt, "id": rid})
+    rdf = (rdf.sort_values(["k", "t", "id"])
+           .drop_duplicates(["k", "t"], keep="last"))
+    want = {}
+    by_key = {k: g.sort_values("t") for k, g in rdf.groupby("k")}
+    for i in range(nl):
+        g = by_key.get(lk[i])
+        if g is None:
+            continue
+        m = g[g["t"].to_numpy() <= lt[i]]
+        if len(m):
+            want[i] = int(m["id"].iloc[-1])
+    got = dict(zip(out["click_id"], out["event_id_right"]))
+    assert got == want and len(got) > 1000
