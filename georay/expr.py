@@ -241,6 +241,10 @@ class _Parser:
                     raise FilterSyntaxError(f"unknown function {v!r}")
                 return ("func", name, args)
             return ("col", v)
+        if k == "vmap":
+            # pre-resolved correlated scalar subquery (georay.sql
+            # splices these in): broadcast (key → value) lookup
+            return ("vmap",) + v
         if (k, v) == ("op", "("):
             node = self.or_()
             self.expect("op", ")")
@@ -484,6 +488,17 @@ def _eval(node, batch: pa.Table):
                        pc.less_equal(v, _eval(node[3], batch)))
     if kind == "isnull":
         return pc.is_null(_eval(node[1], batch))
+    if kind == "vmap":
+        # correlated scalar subquery, decorrelated to a broadcast map:
+        # node = ("vmap", outer_col, keys, vals, default).  index_in
+        # yields null indices for misses; take propagates them → SQL's
+        # NULL for an empty correlated subquery (except COUNT → default 0)
+        _, outer_col, keys, vals, default = node
+        idxs = pc.index_in(batch[outer_col], value_set=keys)
+        got = pc.take(vals, idxs)
+        if default is not None:
+            got = pc.fill_null(got, default)
+        return got
     raise FilterSyntaxError(f"unknown node {kind}")
 
 

@@ -1662,11 +1662,67 @@ def q_sql_exists(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_WINDOW_FRAME_TEXT = (
+    "SELECT o_custkey, o_orderkey, "
+    "SUM(CAST(o_totalprice AS DOUBLE)) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+    "AS run_sum, "
+    "MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS win_min "
+    "FROM orders")
+
+
+def q_sql_window_frame(sf_dir: str):
+    """Explicit ROWS frames (the remaining OGR-SQLite window surface,
+    VERDICT r3 next-4): running SUM over BETWEEN 2 PRECEDING AND CURRENT
+    ROW (prefix-sum difference per partition) and a sliding MIN over a
+    ±1 row window (sparse-table range-min — MIN isn't prefix-
+    decomposable).  Identical text in DuckDB; the summed term is CAST
+    to DOUBLE on both engines (SUM(BIGINT) widening rule)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_WINDOW_FRAME_TEXT, _sql_tables(sf_dir, "orders"))
+
+
+_SQL_IN_SUBQ_TEXT = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey % 50 IN (SELECT c_custkey FROM customer "
+    "WHERE c_acctbal > 9000) AND o_totalprice > 100000")
+
+
+def q_sql_in_subquery(sf_dir: str):
+    """IN-subquery with an EXPRESSION on the left side (VERDICT r3
+    next-4): the uncorrelated inner SELECT resolves once to a broadcast
+    value set, membership-tested vectorized against the computed
+    expression.  Identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_IN_SUBQ_TEXT,
+                       _sql_tables(sf_dir, "orders", "customer"))
+
+
+_SQL_SCALAR_CORR_TEXT = (
+    "SELECT c_custkey, c_acctbal FROM customer "
+    "WHERE c_acctbal > (SELECT AVG(o_totalprice) FROM orders "
+    "WHERE o_custkey = c_custkey) / 40")
+
+
+def q_sql_scalar_corr(sf_dir: str):
+    """CORRELATED SCALAR subquery (VERDICT r3 next-4): decorrelated to a
+    grouped aggregate run ONCE, broadcast as a key→value map and looked
+    up vectorized per batch (pc.index_in/take) — never a per-row
+    re-execution.  Identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_SCALAR_CORR_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
 QUERIES = {
 # Driver-run order matters: the correctness harness may cap its run
 # (r3 recorded 50 of 73 rows), so oracle-bearing queries come FIRST —
 # those never yet driver-verified ahead of re-verifications — and the
 # rows-only (no_oracle) image-pipeline queries run last.
+    "sql_window_frame": q_sql_window_frame,
+    "sql_in_subquery": q_sql_in_subquery,
+    "sql_scalar_corr": q_sql_scalar_corr,
     "hilbert_sort": q_hilbert_sort,
     "sliding_windows": q_sliding_windows,
     "sessions": q_sessions,
@@ -1762,6 +1818,9 @@ def _zone_sql() -> str:
 
 
 ORACLE_SQL = {
+    "sql_window_frame": _SQL_WINDOW_FRAME_TEXT,
+    "sql_in_subquery": _SQL_IN_SUBQ_TEXT,
+    "sql_scalar_corr": _SQL_SCALAR_CORR_TEXT,
     "sql_filter_group": """
         SELECT o_orderpriority, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority

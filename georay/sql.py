@@ -154,6 +154,16 @@ class _SqlParser:
         k, table = self.next()
         if k not in ("ident", "sqlkw"):
             raise SqlError(f"expected table name, got {table!r}")
+        aliases = {}
+        if self.peek() == ("sqlkw", "AS"):
+            self.next()
+            kk, al = self.next()
+            if kk != "ident":
+                raise SqlError(f"expected table alias, got {al!r}")
+            aliases[al] = table
+        elif self.peek()[0] == "ident":
+            aliases[self.peek()[1]] = table
+            self.next()
         joins = []
         while self.peek()[0] == "sqlkw" and self.peek()[1] in (
                 "JOIN", "INNER", "LEFT"):
@@ -215,7 +225,8 @@ class _SqlParser:
             raise SqlError(f"trailing tokens: {self.peek()!r}")
         return dict(items=items, distinct=distinct, table=table,
                     joins=joins, where=where, group=group, having=having,
-                    order=order, limit=limit, offset=offset)
+                    order=order, limit=limit, offset=offset,
+                    aliases=aliases)
 
     def _on_col(self):
         """JOIN ON column — a plain (table-unqualified) name; the two
@@ -233,10 +244,12 @@ class _SqlParser:
             raise SqlError(f"expected column name, got {v!r}")
         return v
 
-    def _order_item(self):
+    def _order_item(self, extra_stop=None):
         stop = [lambda k, v: k == "sqlkw" and v in ("ASC", "DESC",
                                                     "LIMIT", "OFFSET"),
                 lambda k, v: (k, v) == ("op", ",")]
+        if extra_stop is not None:
+            stop.append(extra_stop)
         toks = self._expr_until(stop)
         if not toks:
             raise SqlError("empty ORDER BY item")
@@ -348,7 +361,7 @@ class _SqlParser:
         kk, vv = self.next()
         if (kk, vv) != ("op", "("):
             raise SqlError("OVER needs (...)")
-        part, order = [], []
+        part, order, frame = [], [], None
         if self.peek() == ("sqlkw", "PARTITION"):
             self.next()
             self.expect_kw("BY")
@@ -359,14 +372,76 @@ class _SqlParser:
         if self.peek() == ("sqlkw", "ORDER"):
             self.next()
             self.expect_kw("BY")
-            order.append(self._order_item())
+            rows_stop = (lambda k, v:
+                         k in ("ident", "kw", "sqlkw")
+                         and str(v).upper() == "ROWS")
+            order.append(self._order_item(rows_stop))
             while self.peek() == ("op", ","):
                 self.next()
-                order.append(self._order_item())
+                order.append(self._order_item(rows_stop))
+        k, v = self.peek()
+        if k in ("ident", "kw", "sqlkw") and str(v).upper() == "ROWS":
+            self.next()
+            frame = self._frame_extent()
         kk, vv = self.next()
         if (kk, vv) != ("op", ")"):
             raise SqlError(f"OVER: expected ), got {vv!r}")
-        return (part, order)
+        return (part, order, frame)
+
+    def _frame_extent(self):
+        """``ROWS BETWEEN <bound> AND <bound>`` (or the single-bound
+        shorthand ``ROWS <bound>`` ≡ start..CURRENT ROW) → ``(lo, hi)``
+        row offsets, ``None`` = unbounded.  RANGE/GROUPS frames are not
+        supported (the engine's default no-frame behavior IS the SQL
+        default RANGE UNBOUNDED PRECEDING..CURRENT ROW)."""
+        k, v = self.peek()
+        if k in ("kw", "ident", "sqlkw") and str(v).upper() == "BETWEEN":
+            self.next()
+            lo = self._frame_bound(start=True)
+            kk, vv = self.next()
+            if not (kk in ("kw", "ident") and str(vv).upper() == "AND"):
+                raise SqlError("ROWS BETWEEN needs AND")
+            hi = self._frame_bound(start=False)
+        else:
+            lo = self._frame_bound(start=True)
+            hi = 0
+        if lo is not None and hi is not None and lo > hi:
+            raise SqlError("frame start is after frame end")
+        return (lo, hi)
+
+    def _frame_bound(self, start: bool):
+        k, v = self.next()
+        u = str(v).upper()
+        if u == "UNBOUNDED":
+            kk, d = self.next()
+            du = str(d).upper()
+            if du == "PRECEDING":
+                if not start:
+                    raise SqlError("frame end cannot be UNBOUNDED "
+                                   "PRECEDING")
+                return None
+            if du == "FOLLOWING":
+                if start:
+                    raise SqlError("frame start cannot be UNBOUNDED "
+                                   "FOLLOWING")
+                return None
+            raise SqlError(f"UNBOUNDED needs PRECEDING/FOLLOWING, "
+                           f"got {d!r}")
+        if u == "CURRENT":
+            kk, d = self.next()
+            if str(d).upper() != "ROW":
+                raise SqlError("CURRENT must be CURRENT ROW")
+            return 0
+        if k == "num":
+            kk, d = self.next()
+            du = str(d).upper()
+            if du == "PRECEDING":
+                return -int(v)
+            if du == "FOLLOWING":
+                return int(v)
+            raise SqlError(f"frame offset needs PRECEDING/FOLLOWING, "
+                           f"got {d!r}")
+        raise SqlError(f"bad frame bound {v!r}")
 
 
 def _item_default_name(item: _SelectItem, idx: int) -> str:
@@ -450,17 +525,10 @@ def _rewrite_exists(toks, tables, outer_names):
     return out
 
 
-def _exists_to_in(inner, tables, outer_names, neg):
-    q = _SqlParser(list(inner)).parse()
-    if q["table"] not in tables:
-        raise SqlError(f"unknown table {q['table']!r} in EXISTS")
-    inner_names = _schema_names(tables[q["table"]])
-    if not q["where"]:
-        raise SqlError("EXISTS subquery needs a correlation predicate "
-                       "(… WHERE inner_col = outer_col)")
-    # split top-level AND conjuncts
+def _split_conjuncts(toks):
+    """Split a WHERE token stream into its top-level AND conjuncts."""
     conj, cur, depth = [], [], 0
-    for tok in q["where"]:
+    for tok in toks:
         if tok == ("op", "("):
             depth += 1
         elif tok == ("op", ")"):
@@ -471,19 +539,41 @@ def _exists_to_in(inner, tables, outer_names, neg):
         else:
             cur.append(tok)
     conj.append(cur)
-    corr = None
+    return conj
+
+
+def _find_equality_correlation(conj, inner_names, outer_names,
+                               inner_quals=()):
+    """Locate one top-level ``inner_col = outer_col`` conjunct; returns
+    (index, inner_col, outer_col) or None.  ``inner_quals`` are the inner
+    table name + aliases whose dotted prefixes resolve to inner scope."""
+    quals = set(inner_quals)
     for ci, c in enumerate(conj):
         if (len(c) == 3 and c[0][0] == "ident" and c[1] == ("op", "=")
                 and c[2][0] == "ident"):
-            a, b = c[0][1], c[2][1]
+            a = _strip_qual(c[0][1], quals)
+            b = _strip_qual(c[2][1], quals)
             if a in inner_names and b in outer_names \
                     and b not in inner_names:
-                corr = (ci, a, b)
-                break
+                return (ci, a, b)
             if b in inner_names and a in outer_names \
                     and a not in inner_names:
-                corr = (ci, b, a)
-                break
+                return (ci, b, a)
+    return None
+
+
+def _exists_to_in(inner, tables, outer_names, neg):
+    q = _SqlParser(list(inner)).parse()
+    if q["table"] not in tables:
+        raise SqlError(f"unknown table {q['table']!r} in EXISTS")
+    inner_names = _schema_names(tables[q["table"]])
+    if not q["where"]:
+        raise SqlError("EXISTS subquery needs a correlation predicate "
+                       "(… WHERE inner_col = outer_col)")
+    conj = _split_conjuncts(q["where"])
+    corr = _find_equality_correlation(
+        conj, set(inner_names), set(outer_names),
+        {q["table"]} | set(q.get("aliases") or ()))
     if corr is None:
         raise SqlError(
             "EXISTS supports exactly one top-level equality correlation "
@@ -520,6 +610,61 @@ def _exists_to_in(inner, tables, outer_names, neg):
     return body
 
 
+def _try_correlated_scalar(inner, tables, outer_names):
+    """``(SELECT agg(expr) FROM t [alias] WHERE t_col = outer_col
+    [AND …])`` — one top-level equality correlation → decorrelated to a
+    grouped aggregate run ONCE, returned as a ``("vmap", (outer_col,
+    keys, vals, default))`` token (broadcast key→value lookup, evaluated
+    vectorized per batch; the reference gets this shape for free from
+    sqlite's query planner, ogrsqliteexecutesql.cpp).  Missing keys →
+    NULL (SQL empty-subquery semantics), except COUNT → 0.  Returns
+    None when the subquery is not of this shape (the caller falls
+    through to the uncorrelated path)."""
+    outer = set(outer_names)
+    try:
+        q = _SqlParser(list(inner)).parse()
+    except SqlError:
+        return None
+    if q["table"] not in tables or not q["where"]:
+        return None
+    if (len(q["items"]) != 1 or q["items"][0].kind != "agg"
+            or q["items"][0].distinct or q["group"] or q["order"]
+            or q["limit"] is not None or q["joins"] or q["distinct"]):
+        return None
+    inner_names = set(_schema_names(tables[q["table"]]))
+    conj = _split_conjuncts(q["where"])
+    corr = _find_equality_correlation(
+        conj, inner_names, outer,
+        {q["table"]} | set(q.get("aliases") or ()))
+    if corr is None:
+        return None
+    ci, inner_col, outer_col = corr
+    rest = [c for k, c in enumerate(conj) if k != ci]
+    new_where = []
+    for k, c in enumerate(rest):
+        if k:
+            new_where.append(("kw", "AND"))
+        new_where.extend(c)
+    agg_it = q["items"][0]
+    q2 = dict(q)
+    q2["items"] = [_SelectItem("expr", expr_toks=[("ident", inner_col)],
+                               name=inner_col), agg_it]
+    q2["group"] = [inner_col]
+    q2["where"] = new_where or None
+    q2["having"] = None
+    q2["order"] = []
+    q2["limit"] = q2["offset"] = None
+    res = _collect(_execute(q2, tables))
+    if res.num_rows > _SUBQ_LIMIT:
+        raise SqlError(
+            f"correlated scalar subquery has {res.num_rows} distinct "
+            f"keys (> {_SUBQ_LIMIT}); rewrite as a JOIN")
+    keys = res.column(0).combine_chunks()
+    vals = res.column(1).combine_chunks()
+    default = 0 if agg_it.func == "COUNT" else None
+    return ("vmap", (outer_col, keys, vals, default))
+
+
 def _resolve_subqueries(toks, tables, outer_names=()):
     toks = _rewrite_exists(toks, tables, set(outer_names))
     """Execute uncorrelated ``( SELECT ... )`` groups in a WHERE token
@@ -548,6 +693,12 @@ def _resolve_subqueries(toks, tables, outer_names=()):
             if depth:
                 raise SqlError("unbalanced parens around subquery")
             inner = toks[i + 1:j]
+            if not (out and out[-1] == ("kw", "IN")):
+                vm = _try_correlated_scalar(inner, tables, outer_names)
+                if vm is not None:
+                    out.extend([("op", "("), vm, ("op", ")")])
+                    i = j + 1
+                    continue
             res = _collect(_execute(_SqlParser(list(inner)).parse(),
                                     tables))
             if res.num_columns != 1:
@@ -597,7 +748,8 @@ def _strip_qual(name, valid):
 
 
 def _dequalify(q: dict) -> dict:
-    valid = {q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
+    valid = {q["table"]} | {t2 for _, t2, _, _ in q["joins"]} \
+        | set(q.get("aliases") or ())
 
     def toks(tl):
         if not tl:
@@ -618,9 +770,10 @@ def _dequalify(q: dict) -> dict:
         if it.expr_toks:
             it.expr_toks = toks(it.expr_toks)
         if it.over:
-            part, order = it.over
+            part, order, frame = it.over
             it.over = ([_strip_qual(p, valid) for p in part],
-                       [(_strip_qual(c, valid), d) for c, d in order])
+                       [(_strip_qual(c, valid), d) for c, d in order],
+                       frame)
     return q
 
 
@@ -865,12 +1018,13 @@ def _execute_window(ds, q, items, names, win_items):
                     raise SqlError("bad window-function argument")
                 arg = f"w{i}__"
                 prep_nodes[arg] = node
-        part, order = it.over
+        part, order, frame = it.over
         if not part:
             raise SqlError("OVER() needs PARTITION BY (a global window "
                            "would serialize the whole dataset)")
         spec = dict(func=it.func, arg=arg, name=f"wout{i}__",
-                    partition_by=part, order_by=order, star=it.star)
+                    partition_by=part, order_by=order, star=it.star,
+                    frame=frame)
         spec.update(it.win_args or {})
         specs.append(spec)
 

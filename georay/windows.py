@@ -112,11 +112,41 @@ def window_compute(ds, specs, num_partitions: int | None = None):
         key = (tuple(s["partition_by"]),
                tuple((c, bool(d)) for c, d in s.get("order_by") or []))
         passes.setdefault(key, []).append(s)
+        f = s.get("frame")
+        if f is not None:
+            s["frame"] = (None if f[0] is None else int(f[0]),
+                          None if f[1] is None else int(f[1]))
 
     for (part_cols, order_items), group in passes.items():
         ds = _window_pass(ds, list(part_cols), list(order_items), group,
                           num_partitions)
     return ds
+
+
+def _range_extreme(vals: np.ndarray, s_i: np.ndarray, e_i: np.ndarray,
+                   is_min: bool) -> np.ndarray:
+    """Vectorized range-min/max over ``[s_i, e_i]`` (inclusive, e >= s)
+    via a sparse table: O(n log n) build, O(1) per query — the standard
+    RMQ structure, needed because ROWS-frame MIN/MAX windows are not
+    prefix-decomposable the way SUM/COUNT are."""
+    n = len(vals)
+    op = np.minimum if is_min else np.maximum
+    levels = [vals]
+    j = 1
+    while (1 << j) <= n:
+        prev = levels[-1]
+        half = 1 << (j - 1)
+        m = n - (1 << j) + 1
+        levels.append(op(prev[:m], prev[half:half + m]))
+        j += 1
+    w = np.maximum(e_i - s_i + 1, 1)
+    ks = np.frexp(w.astype(np.float64))[1] - 1  # floor(log2(w))
+    res = np.empty(len(s_i), dtype=np.float64)
+    for k in np.unique(ks):
+        msk = ks == k
+        tbl = levels[k]
+        res[msk] = op(tbl[s_i[msk]], tbl[e_i[msk] - (1 << k) + 1])
+    return res
 
 
 def _window_pass(ds, part_cols, order_items, specs, num_partitions):
@@ -207,13 +237,56 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     if xs.dtype.kind == "O":
                         raise ValueError(f"{f.upper()} needs a numeric "
                                          f"column")
-                if order_items and f in ("min", "max"):
+                frame = s.get("frame")
+                if frame is not None and not order_items:
+                    raise ValueError("a ROWS frame needs ORDER BY in "
+                                     "OVER()")
+                if order_items and f in ("min", "max") and frame is None:
                     raise ValueError(f"running {f.upper()} OVER (ORDER BY) "
                                      "is not supported; drop ORDER BY for "
-                                     "the whole-partition value")
+                                     "the whole-partition value or give an "
+                                     "explicit ROWS frame")
                 xz = np.where(valid, np.nan_to_num(
                     xs.astype(np.float64), nan=0.0), 0.0)
                 cnt = valid.astype(np.int64)
+                if frame is not None:
+                    # explicit ROWS frame: per-row window
+                    # [max(seg_start, i+lo), min(seg_end, i+hi)]
+                    lo, hi = frame
+                    s_i = seg_start if lo is None \
+                        else np.maximum(seg_start, idx + lo)
+                    e_i = seg_end if hi is None \
+                        else np.minimum(seg_end, idx + hi)
+                    emptyw = s_i > e_i
+                    s_c = np.clip(s_i, 0, n)
+                    e_c = np.clip(e_i, -1, n - 1)
+                    ccp = np.concatenate([[0], np.cumsum(cnt)])
+                    scnt = ccp[e_c + 1] - ccp[s_c]
+                    scnt = np.where(emptyw, 0, scnt)
+                    if f in ("min", "max"):
+                        fill = np.inf if f == "min" else -np.inf
+                        vv = np.where(valid, xs.astype(np.float64), fill)
+                        mval = _range_extreme(
+                            vv, np.clip(s_i, 0, n - 1),
+                            np.clip(e_i, 0, n - 1), f == "min")
+                        col = pa.array(mval, mask=scnt == 0)
+                    elif f == "count":
+                        col = pa.array(scnt.astype(np.int64))
+                    else:
+                        csp = np.concatenate([[0.0], np.cumsum(xz)])
+                        ssum = csp[e_c + 1] - csp[s_c]
+                        ssum = np.where(emptyw, 0.0, ssum)
+                        if f == "sum":
+                            int_in = (not s.get("star") and pa.types
+                                      .is_integer(out[s["arg"]].type))
+                            vals_ = ssum.astype(np.int64) if int_in \
+                                else ssum
+                            col = pa.array(vals_, mask=scnt == 0)
+                        else:  # avg
+                            col = pa.array(ssum / np.maximum(scnt, 1),
+                                           mask=scnt == 0)
+                    out = out.append_column(name, col)
+                    continue
                 if order_items:
                     # RANGE UNBOUNDED PRECEDING..CURRENT ROW incl. peers
                     cs = np.cumsum(xz)

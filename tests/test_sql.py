@@ -358,3 +358,90 @@ def test_sql_not_exists_null_keys(ray_session):
     con.register("r", right)
     want = con.execute(sql).df()
     assert got["v"].tolist() == want["v"].tolist() == ["a", "c", "e"]
+
+
+def test_sql_window_frames(ray_session):
+    """Explicit ROWS frames: SUM/AVG/COUNT via prefix-sum differences,
+    MIN/MAX via sparse-table range queries — identical text vs DuckDB."""
+    for sql in (
+        "SELECT o_custkey, o_orderkey, SUM(CAST(o_totalprice AS DOUBLE)) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM orders",
+        "SELECT o_custkey, o_orderkey, AVG(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS a FROM orders",
+        "SELECT o_custkey, o_orderkey, MIN(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m FROM orders",
+        "SELECT o_custkey, o_orderkey, MAX(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m "
+        "FROM orders",
+        "SELECT o_custkey, o_orderkey, COUNT(*) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS 2 PRECEDING) "
+        "AS c FROM orders",
+    ):
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                got[c] = got[c].round(6)
+                want[c] = want[c].round(6)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_window_frame_errors(ray_session):
+    from georay.sql import SqlError, execute_sql
+    import ray
+    tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
+    for bad in (
+        # frame without ORDER BY
+        "SELECT SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM orders",
+        # start after end
+        "SELECT SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY "
+        "o_orderkey ROWS BETWEEN 1 FOLLOWING AND 1 PRECEDING) AS s "
+        "FROM orders",
+        # UNBOUNDED FOLLOWING as start
+        "SELECT SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY "
+        "o_orderkey ROWS BETWEEN UNBOUNDED FOLLOWING AND CURRENT ROW) "
+        "AS s FROM orders",
+    ):
+        with pytest.raises((SqlError, ValueError)):
+            r = execute_sql(bad, tabs)
+            if not isinstance(r, pa.Table):
+                r.materialize()
+
+
+def test_sql_correlated_scalar_subquery(ray_session):
+    """Correlated scalar subqueries decorrelate to ONE grouped aggregate
+    + a broadcast key→value lookup; parity vs DuckDB on identical text."""
+    for sql, tables in [
+        ("SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > "
+         "(SELECT AVG(o_totalprice) FROM orders "
+         "WHERE o_custkey = c_custkey) / 40", ["customer", "orders"]),
+        # alias on the inner table; extra conjunct in the inner WHERE
+        ("SELECT c_custkey FROM customer WHERE c_acctbal < "
+         "(SELECT MIN(o2.o_totalprice) FROM orders o2 "
+         "WHERE o2.o_custkey = c_custkey AND o2.o_totalprice > 1000)",
+         ["customer", "orders"]),
+        # COUNT: missing correlation keys count as 0, not NULL
+        ("SELECT c_custkey FROM customer WHERE (SELECT COUNT(*) "
+         "FROM orders WHERE o_custkey = c_custkey) > 10 "
+         "ORDER BY c_custkey", ["customer", "orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_in_subquery_on_expression(ray_session):
+    """IN-subquery whose left side is a computed expression."""
+    sql = ("SELECT o_orderkey FROM orders WHERE o_custkey % 50 IN "
+           "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)")
+    got = _norm(_run(sql, ["orders", "customer"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
