@@ -719,6 +719,65 @@ _CONIC_CRS = {
     # WGS84 / NSIDC Sea Ice Polar Stereographic South — EPSG:3976
     "EPSG:3976": ("ps", dict(lat_ts=-70.0, lon0=0.0, south=True,
                              e0=0.0, n0=0.0)),
+    # --- round-4 mechanical registry expansion (VERDICT r3 next-5):
+    # parameter rows transcribed from the public EPSG registry; datum
+    # treated as WGS84-equivalent (GRS80 ≈ WGS84 to 0.1 mm; NAD83/ETRS89
+    # offsets of ~1-2 m documented as out of scope, same as above) ---
+    # ETRS89 / Austria Lambert — EPSG:3416
+    "EPSG:3416": ("lcc", dict(lat1=49.0, lat2=46.0, lat0=47.5,
+                              lon0=13.333333333333334,
+                              e0=400000.0, n0=400000.0)),
+    # NAD83(2011) / Conus Albers — EPSG:6350 (same grid as 5070)
+    "EPSG:6350": ("albers", dict(lat1=29.5, lat2=45.5, lat0=23.0,
+                                 lon0=-96.0, e0=0.0, n0=0.0)),
+    # NAD83 / BC Albers — EPSG:3005
+    "EPSG:3005": ("albers", dict(lat1=50.0, lat2=58.5, lat0=45.0,
+                                 lon0=-126.0, e0=1000000.0, n0=0.0)),
+    # NAD83 / Yukon Albers — EPSG:3578
+    "EPSG:3578": ("albers", dict(lat1=61.666666666666664, lat2=68.0,
+                                 lat0=59.0, lon0=-132.5,
+                                 e0=500000.0, n0=500000.0)),
+    # NAD83 / NWT Lambert — EPSG:3580
+    "EPSG:3580": ("lcc", dict(lat1=62.0, lat2=70.0, lat0=0.0,
+                              lon0=-112.0, e0=0.0, n0=0.0)),
+    # GDA94 / SA Lambert — EPSG:3107
+    "EPSG:3107": ("lcc", dict(lat1=-28.0, lat2=-36.0, lat0=-32.0,
+                              lon0=135.0, e0=1000000.0, n0=2000000.0)),
+    # GDA94 / Vicgrid — EPSG:3111
+    "EPSG:3111": ("lcc", dict(lat1=-36.0, lat2=-38.0, lat0=-37.0,
+                              lon0=145.0, e0=2500000.0, n0=2500000.0)),
+    # WGS84 / Arctic Polar Stereographic (lat_ts 75) — EPSG:3996
+    "EPSG:3996": ("ps", dict(lat_ts=75.0, lon0=0.0, south=False,
+                             e0=0.0, n0=0.0)),
+    # WGS84 / NSIDC EASE-Grid 2.0 North / South — EPSG:6931 / 6932
+    "EPSG:6931": ("laea", dict(lat0=90.0, lon0=0.0, e0=0.0, n0=0.0)),
+    "EPSG:6932": ("laea", dict(lat0=-90.0, lon0=0.0, e0=0.0, n0=0.0)),
+}
+
+# WGS84 / North Pole LAEA regional grids — EPSG:3571-3576 (lon0 per code)
+for _code, _lon0 in ((3571, 180.0), (3572, -150.0), (3573, -100.0),
+                     (3574, -40.0), (3575, 10.0), (3576, 90.0)):
+    _CONIC_CRS[f"EPSG:{_code}"] = ("laea", dict(lat0=90.0, lon0=_lon0,
+                                                e0=0.0, n0=0.0))
+
+# RGF93 / CC42..CC50 (France conic conformal zones) — EPSG:3942-3950:
+# zone latitude N ∈ 42..50, lat0=N, lat1=N∓0.75, lon0=3,
+# e0=1,700,000, n0=(N-41)·1,000,000 + 200,000 (EPSG registry pattern)
+for _N in range(42, 51):
+    _CONIC_CRS[f"EPSG:{3900 + _N}"] = (
+        "lcc", dict(lat1=_N - 0.75, lat2=_N + 0.75, lat0=float(_N),
+                    lon0=3.0, e0=1700000.0,
+                    n0=(_N - 41) * 1000000.0 + 200000.0))
+
+# Named transverse-Mercator CRS (non-UTM national grids on GRS80≈WGS84;
+# the UTM zone families 326xx/327xx/258xx/269xx/283xx resolve by prefix
+# in resolve_crs)
+_TMERC_CRS = {
+    # ETRS89 / Poland CS92 — EPSG:2180
+    "EPSG:2180": dict(lon0=19.0, k0=0.9993, e0=500000.0, n0=-5300000.0),
+    # NZGD2000 / New Zealand Transverse Mercator — EPSG:2193
+    "EPSG:2193": dict(lon0=173.0, k0=0.9996, e0=1600000.0,
+                      n0=10000000.0),
 }
 
 _PROJ_FNS = {"lcc": (lcc_forward, lcc_inverse),
@@ -737,3 +796,145 @@ def conic_crs_forward(crs: str, lat, lon):
 def conic_crs_inverse(crs: str, easting, northing):
     kind, p = _CONIC_CRS[crs]
     return _PROJ_FNS[kind][1](easting, northing, **p)
+
+
+# ---------------------------------------------------------------------------
+# General CRS resolution: EPSG codes (named rows + mechanical zone
+# families) and proj-strings for the implemented projection families —
+# the engine-side slice of what the reference gets from PROJ's database
+# (ogr/ogrct.cpp:2266).  Datums are WGS84-equivalent unless the code is
+# in georay.datum.DATUM_CRS (OSGB36/ED50 Helmert paths).
+# ---------------------------------------------------------------------------
+
+_UTM_FAMILIES = {
+    # prefix -> (zone_base, north, zone_range)
+    "EPSG:326": (32600, True, range(1, 61)),    # WGS84 / UTM N
+    "EPSG:327": (32700, False, range(1, 61)),   # WGS84 / UTM S
+    "EPSG:258": (25800, True, range(28, 39)),   # ETRS89 / UTM 28N-38N
+    "EPSG:269": (26900, True, range(1, 24)),    # NAD83 / UTM 1N-23N
+    "EPSG:283": (28300, False, range(46, 59)),  # GDA94 / MGA 46-58
+}
+
+
+def _parse_proj_string(s: str):
+    """``+proj=... +lat_1=... …`` → (kind, params) for the implemented
+    families (lcc, aea, laea, cea, stere(polar), eqearth, tmerc, utm,
+    merc/webmerc, longlat).  Unknown/unsupported params raise."""
+    kv = {}
+    for part in s.split():
+        part = part.lstrip("+")
+        if not part or part in ("no_defs", "wktext", "over"):
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            kv[k] = v
+        else:
+            kv[part] = True
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError(f"proj-string without +proj: {s!r}")
+    dat = kv.get("datum", kv.get("ellps", "WGS84"))
+    if str(dat).upper() not in ("WGS84", "GRS80", "TRUE"):
+        raise ValueError(f"unsupported datum/ellipsoid {dat!r} "
+                         "(WGS84/GRS80 only)")
+
+    def f(key, default=0.0):
+        return float(kv.get(key, default))
+
+    if proj == "longlat":
+        return ("longlat", {})
+    if proj in ("merc", "webmerc"):
+        return ("webmerc", {})
+    if proj == "utm":
+        return ("utm", dict(zone=int(kv["zone"]),
+                            north="south" not in kv))
+    if proj == "tmerc":
+        if f("lat_0") != 0.0:
+            raise ValueError("tmerc with lat_0 != 0 is not supported")
+        return ("tmerc", dict(lon0=f("lon_0"), k0=f("k", 1.0),
+                              e0=f("x_0"), n0=f("y_0")))
+    if proj == "lcc":
+        return ("lcc", dict(lat1=f("lat_1"), lat2=f("lat_2", f("lat_1")),
+                            lat0=f("lat_0"), lon0=f("lon_0"),
+                            e0=f("x_0"), n0=f("y_0")))
+    if proj == "aea":
+        return ("albers", dict(lat1=f("lat_1"), lat2=f("lat_2"),
+                               lat0=f("lat_0"), lon0=f("lon_0"),
+                               e0=f("x_0"), n0=f("y_0")))
+    if proj == "laea":
+        return ("laea", dict(lat0=f("lat_0"), lon0=f("lon_0"),
+                             e0=f("x_0"), n0=f("y_0")))
+    if proj == "cea":
+        return ("cea", dict(lat_ts=f("lat_ts"), lon0=f("lon_0"),
+                            e0=f("x_0"), n0=f("y_0")))
+    if proj == "eqearth":
+        return ("eqearth", dict(lon0=f("lon_0"), e0=f("x_0"),
+                                n0=f("y_0")))
+    if proj == "stere":
+        lat0 = f("lat_0")
+        if abs(lat0) != 90.0:
+            raise ValueError("only polar stereographic (+lat_0=±90) is "
+                             "supported")
+        return ("ps", dict(lat_ts=f("lat_ts", lat0), lon0=f("lon_0"),
+                           south=lat0 < 0, e0=f("x_0"), n0=f("y_0")))
+    raise ValueError(f"unsupported +proj={proj!r}")
+
+
+def resolve_crs(crs: str):
+    """CRS spec → (kind, params).  Accepts ``EPSG:nnnn`` (named conic /
+    tmerc rows + the UTM zone families) and proj-strings for the
+    implemented families.  kinds: longlat, webmerc, utm, tmerc, lcc,
+    albers, ps, laea, cea, eqearth, datum (OSGB36/ED50 codes)."""
+    if crs.startswith("+"):
+        return _parse_proj_string(crs)
+    if crs == "EPSG:4326":
+        return ("longlat", {})
+    if crs == "EPSG:3857":
+        return ("webmerc", {})
+    if crs in _CONIC_CRS:
+        return _CONIC_CRS[crs]
+    if crs in _TMERC_CRS:
+        return ("tmerc", _TMERC_CRS[crs])
+    if crs[:8] in _UTM_FAMILIES and crs[8:].isdigit():
+        base, north, zr = _UTM_FAMILIES[crs[:8]]
+        zone = int(crs[5:]) - base
+        if zone in zr:
+            return ("utm", dict(zone=zone, north=north))
+    from .datum import DATUM_CRS
+    if crs in DATUM_CRS or crs.startswith("EPSG:230"):
+        return ("datum", dict(crs=crs))
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def crs_forward(crs: str, lat, lon):
+    """WGS84 lat/lon → projected x/y for any :func:`resolve_crs` spec."""
+    kind, p = resolve_crs(crs)
+    if kind == "longlat":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if kind == "webmerc":
+        return latlon_to_meters(lat, lon)
+    if kind == "utm":
+        return utm_forward(lat, lon, p["zone"], north=p["north"])
+    if kind == "tmerc":
+        return tmerc_forward(lat, lon, **p)
+    if kind == "datum":
+        from .datum import datum_crs_forward
+        return datum_crs_forward(p["crs"], lat, lon)
+    return _PROJ_FNS[kind][0](lat, lon, **p)
+
+
+def crs_inverse(crs: str, x, y):
+    """Projected x/y → WGS84 lat/lon for any :func:`resolve_crs` spec."""
+    kind, p = resolve_crs(crs)
+    if kind == "longlat":
+        return np.asarray(y, np.float64), np.asarray(x, np.float64)
+    if kind == "webmerc":
+        return meters_to_latlon(x, y)
+    if kind == "utm":
+        return utm_inverse(x, y, p["zone"], north=p["north"])
+    if kind == "tmerc":
+        return tmerc_inverse(x, y, **p)
+    if kind == "datum":
+        from .datum import datum_crs_inverse
+        return datum_crs_inverse(p["crs"], x, y)
+    return _PROJ_FNS[kind][1](x, y, **p)

@@ -416,45 +416,17 @@ class DemDerivatives:
 # ---------------------------------------------------------------------------
 
 def _crs_to_latlon(crs: str, x, y):
-    """Projected coords → (lat, lon); supports EPSG:4326, EPSG:3857, UTM
-    EPSG:326xx/327xx (from-scratch Krüger transverse Mercator) and the
-    named Lambert-conformal-conic / Albers CRS
-    (georay.mercator._CONIC_CRS: EPSG:2154, EPSG:5070 — Snyder
-    ellipsoidal forms)."""
-    from .mercator import _CONIC_CRS, conic_crs_inverse, meters_to_latlon, \
-        utm_inverse
-    if crs == "EPSG:4326":
-        return y, x
-    if crs == "EPSG:3857":
-        return meters_to_latlon(x, y)
-    if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
-        code = int(crs.split(":")[1])
-        return utm_inverse(x, y, code % 100, north=code < 32700)
-    if crs in _CONIC_CRS:
-        return conic_crs_inverse(crs, x, y)
-    if crs in ("EPSG:27700",) or crs.startswith("EPSG:230"):
-        from .datum import datum_crs_inverse
-        return datum_crs_inverse(crs, x, y)
-    raise ValueError(f"unsupported CRS {crs}")
+    """Projected coords → (lat, lon) via the general CRS registry
+    (georay.mercator.resolve_crs): EPSG codes — UTM zone families
+    326xx/327xx/258xx/269xx/283xx, the named conic/tmerc rows, OSGB36 /
+    ED50 datum codes — plus proj-strings for every implemented family."""
+    from .mercator import crs_inverse
+    return crs_inverse(crs, x, y)
 
 
 def _latlon_to_crs(crs: str, lat, lon):
-    from .mercator import _CONIC_CRS, conic_crs_forward, latlon_to_meters, \
-        utm_forward
-    if crs == "EPSG:4326":
-        return lon, lat
-    if crs == "EPSG:3857":
-        return latlon_to_meters(lat, lon)
-    if crs.startswith("EPSG:326") or crs.startswith("EPSG:327"):
-        code = int(crs.split(":")[1])
-        return utm_forward(lat, lon, code % 100, north=code < 32700)
-    if crs in _CONIC_CRS:
-        x, y = conic_crs_forward(crs, lat, lon)
-        return x, y
-    if crs in ("EPSG:27700",) or crs.startswith("EPSG:230"):
-        from .datum import datum_crs_forward
-        return datum_crs_forward(crs, lat, lon)
-    raise ValueError(f"unsupported CRS {crs}")
+    from .mercator import crs_forward
+    return crs_forward(crs, lat, lon)
 
 
 def _kernel_weights(kernel: str, t: np.ndarray) -> np.ndarray:
