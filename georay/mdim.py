@@ -34,12 +34,22 @@ class MDArray:
             f"dim{i}" for i in range(nd)]
         if len(self.dims) != nd:
             raise ValueError("dim_names length != array rank")
-        self._window = _window or tuple(
-            slice(0, s) for s in self.meta["shape"])
+        # the view window is one ``range`` per dimension (start/stop/
+        # STEP — strided GetView slicing, gdalmultidim.cpp GetView)
+        if _window is None:
+            self._window = tuple(range(0, s) for s in self.meta["shape"])
+        else:
+            self._window = tuple(
+                r if isinstance(r, range)
+                else range(r.start or 0,
+                           r.stop if r.stop is not None
+                           else self.meta["shape"][d],
+                           r.step or 1)
+                for d, r in enumerate(_window))
 
     @property
     def shape(self):
-        return tuple(s.stop - s.start for s in self._window)
+        return tuple(len(r) for r in self._window)
 
     @property
     def dtype(self):
@@ -47,34 +57,73 @@ class MDArray:
 
     def view(self, *slices) -> "MDArray":
         """GetView analog: compose a sub-window (slices are relative to
-        the current view; step must be 1)."""
+        the current view).  Strided slices compose exactly — a Python
+        ``range`` sliced by a slice IS the composed index set (negative
+        steps are rejected; reverse with numpy after read)."""
         if len(slices) != len(self._window):
             raise ValueError("view needs one slice per dimension")
         new = []
         for outer, s in zip(self._window, slices):
-            start = outer.start + (s.start or 0)
-            stop = outer.start + (s.stop if s.stop is not None
-                                  else (outer.stop - outer.start))
-            if s.step not in (None, 1):
-                raise NotImplementedError("strided views")
-            new.append(slice(start, min(stop, outer.stop)))
+            if s.step is not None and s.step < 1:
+                raise ValueError("view steps must be >= 1")
+            new.append(outer[s])
         return MDArray(self.path, self.dims, tuple(new))
 
+    def _dim_indices(self):
+        """Per-dimension absolute index arrays of this view."""
+        return [np.arange(r.start, r.stop, r.step, dtype=np.int64)
+                for r in self._window]
+
     def read(self) -> np.ndarray:
-        """Materialize THIS VIEW (windowed assembly; use only on
-        driver-sized windows — whole-array reductions go through
-        :meth:`reduce`/:meth:`statistics`)."""
-        return zarr_read_window(self.path, self._window)
+        """Materialize THIS VIEW (windowed assembly, strided-aware; use
+        only on driver-sized windows — whole-array reductions go through
+        :meth:`reduce`/:meth:`statistics`).  Contiguous views take the
+        plain chunk-window path; strided views gather with one fancy-
+        index per touched chunk (only touched chunks decode)."""
+        if all(r.step == 1 for r in self._window):
+            return zarr_read_window(
+                self.path, tuple(slice(r.start, r.stop)
+                                 for r in self._window))
+        from itertools import product
+
+        cs = self.meta["chunks"]
+        idx_lists = self._dim_indices()
+        out = np.empty([len(a) for a in idx_lists], dtype=self.dtype)
+        per_dim = []
+        for d, ids in enumerate(idx_lists):
+            cids = ids // cs[d]
+            per_dim.append({int(c): np.flatnonzero(cids == c)
+                            for c in np.unique(cids)})
+        for combo in product(*(sorted(p) for p in per_dim)):
+            chunk = zarr_read_chunk(self.path, combo, self.meta)
+            sel_out = [per_dim[d][combo[d]]
+                       for d in range(len(cs))]
+            sel_src = [idx_lists[d][sel_out[d]] - combo[d] * cs[d]
+                       for d in range(len(cs))]
+            out[np.ix_(*sel_out)] = chunk[np.ix_(*sel_src)]
+        return out
 
     # -- distributed reductions -------------------------------------------
     def _chunks_in_window(self):
         cs = self.meta["chunks"]
+        sets = []
+        for d, r in enumerate(self._window):
+            if len(r) == 0:
+                return []
+            last = r.start + (len(r) - 1) * r.step
+            touched = set()
+            for c in range(r.start // cs[d], last // cs[d] + 1):
+                a = c * cs[d]
+                # first view index >= a (arithmetic, no materialization —
+                # dims can be 10^9 at scale)
+                first = r.start if r.start >= a else \
+                    r.start + (-(-(a - r.start) // r.step)) * r.step
+                if first < min(r.stop, a + cs[d]):
+                    touched.add(c)
+            sets.append(touched)
         out = []
         for idx in zarr_chunk_grid(self.meta):
-            hit = all(idx[d] * cs[d] < self._window[d].stop
-                      and (idx[d] + 1) * cs[d] > self._window[d].start
-                      for d in range(len(cs)))
-            if hit:
+            if all(idx[d] in sets[d] for d in range(len(cs))):
                 out.append(idx)
         return out
 
@@ -87,17 +136,23 @@ class MDArray:
             for d in range(nd)}))
 
     def _trimmed(self, idx) -> np.ndarray:
-        """One chunk clipped to the view window."""
+        """One chunk restricted to the view's index set (strided-aware)."""
         cs = self.meta["chunks"]
-        shape = self.meta["shape"]
         chunk = zarr_read_chunk(self.path, idx, self.meta)
-        sl = []
-        for d in range(len(cs)):
+        sel = []
+        for d, r in enumerate(self._window):
             a = idx[d] * cs[d]
-            lo = max(self._window[d].start, a)
-            hi = min(self._window[d].stop, a + cs[d], shape[d])
-            sl.append(slice(lo - a, hi - a))
-        return chunk[tuple(sl)]
+            # first view index >= a, stepping by r.step
+            if r.start >= a:
+                first = r.start
+            else:
+                k = -(-(a - r.start) // r.step)  # ceil
+                first = r.start + k * r.step
+            ids = np.arange(first, min(r.stop, a + cs[d],
+                                       self.meta["shape"][d]),
+                            r.step, dtype=np.int64)
+            sel.append(ids - a)
+        return chunk[np.ix_(*sel)]
 
     def reduce(self, op: str):
         """Whole-view scalar reduction (sum/min/max/count) — one partial
@@ -159,94 +214,121 @@ class MDArray:
 
 def mdim_translate(src_path: str, dst_path: str, *, window=None,
                    chunks=None, dtype=None, compressor="zlib"):
-    """gdalmdimtranslate analog for 2-D arrays: window-slice +
-    RE-CHUNK a Zarr array into a new one, distributed.
+    """gdalmdimtranslate analog for N-D arrays: window-slice + RE-CHUNK
+    a Zarr array into a new one, distributed (VERDICT r3 next-7 lifted
+    the old 2-D restriction).
 
     The interesting distributed op is the chunk-grid change: every
     source chunk EXPLODES into its overlaps with destination chunks
-    (``map_batches``, one row per (src chunk × dst chunk) overlap
-    carrying only the overlap bytes), a ``groupby(dst chunk)``
+    (``map_batches``, one row per (src chunk x dst chunk) overlap
+    carrying only the overlap bytes), a ``groupby(dst flat key)``
     co-locates the pieces, and each group assembles + writes one
-    destination chunk — the same partial→combine shape as the tile
-    compositor, so neither array is ever materialized whole."""
+    destination chunk file directly (atomic rename; existing chunks are
+    skipped — the resume contract) — the same partial→combine shape as
+    the tile compositor, so neither array is ever materialized whole."""
+    import os
+    from itertools import product
+
     import ray
 
-    from .zarrstore import (dataset_to_zarr, zarr_meta, zarr_to_dataset)
+    from .zarrstore import (zarr_chunk_grid, zarr_create, zarr_meta,
+                            zarr_read_chunk, zarr_write_chunk,
+                            _chunk_name)
 
     smeta = zarr_meta(src_path)
+    nd = len(smeta["shape"])
     if window is None:
         window = tuple(slice(0, s) for s in smeta["shape"])
-    out_shape = tuple(w.stop - w.start for w in window)
+    w0 = tuple(w.start or 0 for w in window)
+    w1 = tuple(w.stop if w.stop is not None else smeta["shape"][d]
+               for d, w in enumerate(window))
+    out_shape = tuple(b - a for a, b in zip(w0, w1))
     chunks = tuple(chunks) if chunks else tuple(smeta["chunks"])
+    if len(chunks) != nd:
+        raise ValueError("chunks rank != array rank")
     dtype = dtype or smeta["dtype"]
     src_cs = smeta["chunks"]
-    w0 = (window[0].start, window[1].start)
-    w1 = (window[0].stop, window[1].stop)
+    dst_counts = tuple((s + c - 1) // c for s, c in zip(out_shape,
+                                                        chunks))
+    dmeta = zarr_create(dst_path, out_shape, chunks, dtype,
+                        compressor=compressor)
+
+    grid = zarr_chunk_grid(smeta)
+    src_idx = ray.data.from_arrow(pa.table({
+        f"c{d}": pa.array([g[d] for g in grid], pa.int64())
+        for d in range(nd)}))
 
     def explode(batch: pa.Table) -> pa.Table:
-        out = {"c0": [], "c1": [], "y0": [], "x0": [], "h": [], "w": [],
-               "data": []}
-        c0s = batch["c0"].to_numpy()
-        c1s = batch["c1"].to_numpy()
-        hs = batch["h"].to_numpy()
-        ws = batch["w"].to_numpy()
-        dt = np.dtype(smeta["dtype"])
+        m = zarr_meta(src_path)
+        keys, offs, shps, datas = [], [], [], []
+        cols = [batch[f"c{d}"].to_numpy() for d in range(nd)]
         for i in range(batch.num_rows):
-            a0 = int(c0s[i]) * src_cs[0]
-            a1 = int(c1s[i]) * src_cs[1]
-            # source-chunk extent clipped to the window
-            y0 = max(a0, w0[0]); y1 = min(a0 + int(hs[i]), w1[0])
-            x0 = max(a1, w0[1]); x1 = min(a1 + int(ws[i]), w1[1])
-            if y1 <= y0 or x1 <= x0:
+            idx = tuple(int(c[i]) for c in cols)
+            # source-chunk extent clipped to the window (absolute coords)
+            lo = [max(idx[d] * src_cs[d], w0[d]) for d in range(nd)]
+            hi = [min((idx[d] + 1) * src_cs[d], w1[d],
+                      m["shape"][d]) for d in range(nd)]
+            if any(h <= l for l, h in zip(lo, hi)):
                 continue
-            arr = np.frombuffer(batch["data"][i].as_buffer(),
-                                dtype=dt).reshape(int(hs[i]), int(ws[i]))
-            # overlapped destination chunks (dst coords are window-rel)
-            for dc0 in range((y0 - w0[0]) // chunks[0],
-                             (y1 - w0[0] - 1) // chunks[0] + 1):
-                for dc1 in range((x0 - w0[1]) // chunks[1],
-                                 (x1 - w0[1] - 1) // chunks[1] + 1):
-                    dy0 = max(y0, dc0 * chunks[0] + w0[0])
-                    dy1 = min(y1, (dc0 + 1) * chunks[0] + w0[0])
-                    dx0 = max(x0, dc1 * chunks[1] + w0[1])
-                    dx1 = min(x1, (dc1 + 1) * chunks[1] + w0[1])
-                    piece = arr[dy0 - a0:dy1 - a0, dx0 - a1:dx1 - a1]
-                    out["c0"].append(dc0)
-                    out["c1"].append(dc1)
-                    out["y0"].append(dy0 - w0[0] - dc0 * chunks[0])
-                    out["x0"].append(dx0 - w0[1] - dc1 * chunks[1])
-                    out["h"].append(piece.shape[0])
-                    out["w"].append(piece.shape[1])
-                    out["data"].append(
-                        np.ascontiguousarray(piece).tobytes())
-        return pa.table({k: pa.array(v, (pa.binary() if k == "data"
-                                         else pa.int64()))
-                         for k, v in out.items()})
+            arr = zarr_read_chunk(src_path, idx, m)
+            # overlapped destination chunks (dst coords window-relative)
+            dranges = [range((lo[d] - w0[d]) // chunks[d],
+                             (hi[d] - w0[d] - 1) // chunks[d] + 1)
+                       for d in range(nd)]
+            for dc in product(*dranges):
+                plo = [max(lo[d], dc[d] * chunks[d] + w0[d])
+                       for d in range(nd)]
+                phi = [min(hi[d], (dc[d] + 1) * chunks[d] + w0[d])
+                       for d in range(nd)]
+                piece = arr[tuple(
+                    slice(plo[d] - idx[d] * src_cs[d],
+                          phi[d] - idx[d] * src_cs[d])
+                    for d in range(nd))]
+                flat = 0
+                for d in range(nd):
+                    flat = flat * dst_counts[d] + dc[d]
+                keys.append(flat)
+                offs.append([plo[d] - w0[d] - dc[d] * chunks[d]
+                             for d in range(nd)])
+                shps.append(list(piece.shape))
+                datas.append(np.ascontiguousarray(piece).tobytes())
+        out = {"k": pa.array(keys, pa.int64())}
+        for d in range(nd):
+            out[f"o{d}"] = pa.array([o[d] for o in offs], pa.int64())
+            out[f"s{d}"] = pa.array([sh[d] for sh in shps], pa.int64())
+        out["data"] = pa.array(datas, pa.binary())
+        return pa.table(out)
 
     def assemble(g: pa.Table) -> pa.Table:
-        dc0 = int(g["c0"][0].as_py())
-        dc1 = int(g["c1"][0].as_py())
-        th = min(chunks[0], out_shape[0] - dc0 * chunks[0])
-        tw = min(chunks[1], out_shape[1] - dc1 * chunks[1])
-        tile = np.zeros((th, tw), dtype=np.dtype(dtype))
-        dt = np.dtype(smeta["dtype"])
+        flat = int(g["k"][0].as_py())
+        dc = []
+        for d in reversed(range(nd)):
+            dc.append(flat % dst_counts[d])
+            flat //= dst_counts[d]
+        dc = tuple(reversed(dc))
+        name = os.path.join(dst_path, _chunk_name(dc))
+        if os.path.exists(name):
+            return pa.table({"k": g["k"].slice(0, 1),
+                             "written": pa.array([False])})
+        tshape = tuple(min(chunks[d], out_shape[d] - dc[d] * chunks[d])
+                       for d in range(nd))
+        tile = np.zeros(tshape, dtype=np.dtype(dtype))
+        sdt = np.dtype(smeta["dtype"])
+        ocols = [g[f"o{d}"].to_numpy() for d in range(nd)]
+        scols = [g[f"s{d}"].to_numpy() for d in range(nd)]
         for i in range(g.num_rows):
-            h = int(g["h"][i].as_py()); w = int(g["w"][i].as_py())
-            y0 = int(g["y0"][i].as_py()); x0 = int(g["x0"][i].as_py())
+            shp = tuple(int(scols[d][i]) for d in range(nd))
             piece = np.frombuffer(g["data"][i].as_buffer(),
-                                  dtype=dt).reshape(h, w)
-            tile[y0:y0 + h, x0:x0 + w] = piece
-        return pa.table({"c0": pa.array([dc0], pa.int64()),
-                         "c1": pa.array([dc1], pa.int64()),
-                         "h": pa.array([th], pa.int32()),
-                         "w": pa.array([tw], pa.int32()),
-                         "data": pa.array([tile.tobytes()], pa.binary())})
+                                  dtype=sdt).reshape(shp)
+            tile[tuple(slice(int(ocols[d][i]),
+                             int(ocols[d][i]) + shp[d])
+                       for d in range(nd))] = piece
+        zarr_write_chunk(dst_path, dc, tile, dmeta)
+        return pa.table({"k": g["k"].slice(0, 1),
+                         "written": pa.array([True])})
 
-    pieces = zarr_to_dataset(src_path).map_batches(
-        explode, batch_format="pyarrow")
-    dst_chunks = pieces.groupby(["c0", "c1"]).map_groups(
-        assemble, batch_format="pyarrow")
-    man = dataset_to_zarr(dst_chunks, dst_path, out_shape, chunks, dtype,
-                          compressor=compressor, resume=False)
-    man.materialize()
+    (src_idx.map_batches(explode, batch_format="pyarrow")
+     .groupby("k")
+     .map_groups(assemble, batch_format="pyarrow")
+     .materialize())
     return dst_path

@@ -8,6 +8,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from georay import csvdriver, zarrstore
 
@@ -262,3 +263,94 @@ def test_zarr_3d_core(tmp_path):
     np.testing.assert_array_equal(win, full[1:5, 3:17, 10:28])
     # chunk grid enumerates all 18 chunks in C order
     assert len(zarrstore.zarr_chunk_grid(meta)) == 18
+
+
+def test_mdarray_strided_views(ray_session, tmp_path):
+    """Strided GetView (VERDICT r3 next-7): composed strided slices
+    through the Ray path equal numpy slicing on the full array."""
+    from georay.mdim import MDArray
+
+    rng = np.random.default_rng(13)
+    full = rng.uniform(-9, 9, (47, 61))
+    p = str(tmp_path / "sv.zarr")
+    meta = zarrstore.zarr_create(p, (47, 61), (16, 13), "<f8")
+    for cy in range(3):
+        for cx in range(5):
+            zarrstore.zarr_write_chunk(
+                p, (cy, cx),
+                full[cy * 16:(cy + 1) * 16, cx * 13:(cx + 1) * 13], meta)
+    a = MDArray(p)
+    v = a.view(slice(3, 44, 5), slice(2, 60, 7))
+    want = full[3:44:5, 2:60:7]
+    assert v.shape == want.shape
+    np.testing.assert_array_equal(v.read(), want)
+    # composition of strided views == composed numpy slicing
+    v2 = v.view(slice(1, None, 2), slice(0, 5, 3))
+    want2 = want[1::2, 0:5:3]
+    assert v2.shape == want2.shape
+    np.testing.assert_array_equal(v2.read(), want2)
+    # distributed reductions agree on the strided window
+    assert v2.reduce("count") == want2.size
+    np.testing.assert_allclose(v2.reduce("sum"), want2.sum(), rtol=1e-12)
+    np.testing.assert_allclose(v2.reduce("min"), want2.min())
+    st = v.statistics()
+    assert st.count == want.size
+    np.testing.assert_allclose(st.mean, want.mean(), rtol=1e-12)
+    with pytest.raises(ValueError):
+        a.view(slice(None, None, -1), slice(None))
+
+
+@given(
+    y0=hst.integers(0, 20), ys=hst.integers(1, 7),
+    x0=hst.integers(0, 20), xs=hst.integers(1, 7),
+)
+@settings(max_examples=25, deadline=None)
+def test_mdarray_strided_view_hypothesis(y0, ys, x0, xs):
+    """Hypothesis: any (start, step) view equals numpy slicing."""
+    import tempfile
+
+    from georay.mdim import MDArray
+
+    full = (np.arange(41 * 37, dtype=np.int64).reshape(41, 37) * 7) % 1000
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/h.zarr"
+        meta = zarrstore.zarr_create(p, (41, 37), (11, 9), "<i8")
+        for cy in range(4):
+            for cx in range(5):
+                zarrstore.zarr_write_chunk(
+                    p, (cy, cx),
+                    full[cy * 11:(cy + 1) * 11, cx * 9:(cx + 1) * 9],
+                    meta)
+        v = MDArray(p).view(slice(y0, None, ys), slice(x0, None, xs))
+        np.testing.assert_array_equal(v.read(), full[y0::ys, x0::xs])
+
+
+def test_mdim_translate_3d(ray_session, tmp_path):
+    """N-D mdim_translate (VERDICT r3 next-7): 3-D window + re-chunk +
+    dtype change through the explode→groupby→assemble shuffle, exact."""
+    from georay.mdim import mdim_translate
+
+    rng = np.random.default_rng(17)
+    full = rng.integers(0, 250, (9, 34, 27)).astype("|u1")
+    src = str(tmp_path / "s3.zarr")
+    meta = zarrstore.zarr_create(src, (9, 34, 27), (4, 16, 16), "|u1")
+    for cz in range(3):
+        for cy in range(3):
+            for cx in range(2):
+                zarrstore.zarr_write_chunk(
+                    src, (cz, cy, cx),
+                    full[cz * 4:(cz + 1) * 4, cy * 16:(cy + 1) * 16,
+                         cx * 16:(cx + 1) * 16], meta)
+    # identity re-chunk, misaligned grid
+    dst = str(tmp_path / "d3.zarr")
+    mdim_translate(src, dst, chunks=(5, 10, 11))
+    np.testing.assert_array_equal(zarrstore.zarr_read(dst), full)
+    # window + re-chunk + dtype widening
+    dst2 = str(tmp_path / "d3b.zarr")
+    mdim_translate(src, dst2, window=(slice(1, 8), slice(3, 30),
+                                      slice(5, 25)),
+                   chunks=(3, 9, 8), dtype="<f4")
+    out = zarrstore.zarr_read(dst2)
+    assert out.dtype == np.dtype("<f4")
+    np.testing.assert_array_equal(out, full[1:8, 3:30, 5:25]
+                                  .astype("<f4"))
