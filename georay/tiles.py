@@ -169,8 +169,134 @@ def resample_rms(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return out[:, :, 0] if src.ndim == 2 else out
 
 
+def resample_mode(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """GDAL MODE overview kernel (gcore/overview.cpp:4171 dispatch): each
+    output pixel takes the most frequent value of its source footprint;
+    ties resolve to the value whose count peaks FIRST in window scan
+    order — GDAL's ``count > maxCount`` update rule.  Integer-factor
+    footprints only (the 4→1 overview path); other ratios fall back to
+    nearest."""
+    h, w = src.shape[:2]
+    if oh > h or ow > w or h % oh or w % ow:
+        return resample_nearest(src, oh, ow)
+    fy, fx = h // oh, w // ow
+    a = src if src.ndim == 3 else src[:, :, None]
+    v = (a.reshape(oh, fy, ow, fx, a.shape[2])
+         .transpose(0, 2, 1, 3, 4)
+         .reshape(oh, ow, fy * fx, a.shape[2]))
+    # counts[k] = how many window pixels equal pixel k; argmax returns
+    # the first max in scan order — the GDAL tie rule
+    eq = v[:, :, :, None, :] == v[:, :, None, :, :]
+    counts = eq.sum(axis=3)
+    k = counts.argmax(axis=2)
+    out = np.take_along_axis(v, k[:, :, None, :], axis=2)[:, :, 0, :]
+    return out if src.ndim == 3 else out[:, :, 0]
+
+
+def resample_gauss(src: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """GDAL GAUSS overview kernel (gcore/overview.cpp Gauss dispatch):
+    for the 2× reduce, a separable [1,2,1] Gaussian over the 3×3 window
+    anchored at the block's top-left (rows 2o..2o+2), truncated at the
+    image edge with weight renormalization.  Non-2× ratios fall back to
+    average."""
+    h, w = src.shape[:2]
+    if h != 2 * oh or w != 2 * ow:
+        return resample_average(src, oh, ow)
+    a = (src if src.ndim == 3 else src[:, :, None]).astype(np.float64)
+    k = np.array([1.0, 2.0, 1.0])
+
+    def axis_pass(vals, ones, n_out):
+        # windows start at even indices; taps at +0,+1,+2 (edge-truncated)
+        idx = 2 * np.arange(n_out)
+        num = np.zeros((n_out,) + vals.shape[1:])
+        den = np.zeros((n_out,) + ones.shape[1:])
+        for t in range(3):
+            sel = idx + t
+            ok = sel < vals.shape[0]
+            num[ok] += k[t] * vals[sel[ok]]
+            den[ok] += k[t] * ones[sel[ok]]
+        return num, den
+
+    ones = np.ones((h, w, 1))
+    num, den = axis_pass(a, ones, oh)
+    num = np.moveaxis(num, 1, 0)
+    den = np.moveaxis(den, 1, 0)
+    num, den = axis_pass(num, den, ow)
+    out = np.moveaxis(num, 1, 0) / np.moveaxis(den, 1, 0)
+    out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
+    return out if src.ndim == 3 else out[:, :, 0]
+
+
+def _conv_kernel(kernel: str, t: np.ndarray) -> np.ndarray:
+    at = np.abs(t)
+    if kernel == "cubic":            # Catmull-Rom a=-0.5 (GRA_Cubic)
+        a = -0.5
+        return np.where(
+            at <= 1, (a + 2) * at**3 - (a + 3) * at**2 + 1,
+            np.where(at < 2,
+                     a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0))
+    if kernel == "cubicspline":      # cubic B-spline (GRA_CubicSpline)
+        return np.where(
+            at < 1, (4 - 6 * at**2 + 3 * at**3) / 6.0,
+            np.where(at < 2, (2 - at) ** 3 / 6.0, 0.0))
+    if kernel == "lanczos":          # a=3 (GRA_Lanczos)
+        return np.where(at < 3, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+    raise ValueError(kernel)
+
+
+_CONV_RADIUS = {"cubic": 2.0, "cubicspline": 2.0, "lanczos": 3.0}
+
+
+def resample_conv(src: np.ndarray, oh: int, ow: int,
+                  kernel: str = "lanczos") -> np.ndarray:
+    """Separable convolution downsample with the RATIO-STRETCHED kernel —
+    GDALResampleChunk_Convolution semantics (gcore/overview.cpp:4156-4225
+    kernel dispatch): for a reduce by factor f the kernel is evaluated at
+    K(dx / f) over radius·f source taps and edge-renormalized."""
+    h, w = src.shape[:2]
+    rad = _CONV_RADIUS[kernel]
+
+    def weight_matrix(n_in, n_out):
+        f = max(n_in / n_out, 1.0)
+        centers = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        lo = np.floor(centers - rad * f + 1).astype(np.int64)
+        hi = np.floor(centers + rad * f).astype(np.int64)
+        W = np.zeros((n_out, n_in))
+        for o in range(n_out):
+            taps = np.arange(max(lo[o], 0), min(hi[o], n_in - 1) + 1)
+            wts = _conv_kernel(kernel, (taps - centers[o]) / f)
+            s = wts.sum()
+            if s != 0:
+                W[o, taps] = wts / s
+        return W
+
+    Wy = weight_matrix(h, oh)
+    Wx = weight_matrix(w, ow)
+    a = (src if src.ndim == 3 else src[:, :, None]).astype(np.float64)
+    tmp = np.tensordot(Wy, a, axes=(1, 0))          # (oh, w, b)
+    out = np.tensordot(tmp, Wx, axes=(1, 1))        # (oh, b, ow)
+    out = np.transpose(out, (0, 2, 1))
+    out = np.clip(np.rint(out), 0, 255).astype(src.dtype)
+    return out if src.ndim == 3 else out[:, :, 0]
+
+
+def _resample_lanczos(src, oh, ow):
+    return resample_conv(src, oh, ow, "lanczos")
+
+
+def _resample_cubic(src, oh, ow):
+    return resample_conv(src, oh, ow, "cubic")
+
+
+def _resample_cubicspline(src, oh, ow):
+    return resample_conv(src, oh, ow, "cubicspline")
+
+
 _KERNELS = {"average": resample_average, "near": resample_nearest,
-            "bilinear": resample_bilinear, "rms": resample_rms}
+            "bilinear": resample_bilinear, "rms": resample_rms,
+            "mode": resample_mode, "gauss": resample_gauss,
+            "lanczos": _resample_lanczos, "cubic": _resample_cubic,
+            "cubicspline": _resample_cubicspline}
 
 
 def _scale_to(src: np.ndarray, oh: int, ow: int, kernel: str) -> np.ndarray:
@@ -426,10 +552,13 @@ def _parent_key(batch: pa.Table) -> pa.Table:
 
 
 def overview_reduce_group(group: pa.Table,
-                          tile_size: int = TILE_SIZE) -> pa.Table:
+                          tile_size: int = TILE_SIZE,
+                          kernel: str = "average") -> pa.Table:
     """≤4 child tiles → parent tile: children placed on a 2× canvas by XYZ
-    quadrant (x&1 → right, y&1 → bottom), box-downsampled 2×
-    (create_overview_tile, gdal2tiles.py:1515-1560)."""
+    quadrant (x&1 → right, y&1 → bottom), downsampled 2× with ``kernel``
+    (create_overview_tile, gdal2tiles.py:1515-1560; kernel dispatch =
+    gcore/overview.cpp:4156-4225 average/near/bilinear/rms/mode/gauss/
+    cubic/cubicspline/lanczos)."""
     from .stats import gdal_checksum
     ts = tile_size
     canvas = np.zeros((2 * ts, 2 * ts, 4), dtype=np.uint8)
@@ -440,7 +569,7 @@ def overview_reduce_group(group: pa.Table,
                               dtype=np.uint8).reshape(ts, ts, 4)
         qx, qy = int(xs[i] & 1), int(ys[i] & 1)
         canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = child
-    shrunk = resample_average(canvas, ts, ts)
+    shrunk = _KERNELS[kernel](canvas, ts, ts)
     checks = [int(gdal_checksum(shrunk[:, :, b])) for b in range(3)]
     return pa.table({
         "z": pa.array([int(group["pz"][0].as_py())], pa.int64()),
@@ -557,9 +686,10 @@ def partial_overview_batch(batch: pa.Table,
 
 
 def merge_overview_group(group: pa.Table,
-                         tile_size: int = TILE_SIZE) -> pa.Table:
+                         tile_size: int = TILE_SIZE,
+                         kernel: str = "average") -> pa.Table:
     """Place the partials' (quadrant, tile) pairs on the 2× canvas and
-    box-downsample — output schema identical to
+    downsample with ``kernel`` — output schema identical to
     :func:`overview_reduce_group`."""
     from .stats import gdal_checksum
     ts = tile_size
@@ -572,7 +702,7 @@ def merge_overview_group(group: pa.Table,
             child = np.frombuffer(tiles[k].as_buffer(),
                                   dtype=np.uint8).reshape(ts, ts, 4)
             canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = child
-    shrunk = resample_average(canvas, ts, ts)
+    shrunk = _KERNELS[kernel](canvas, ts, ts)
     checks = [int(gdal_checksum(shrunk[:, :, b])) for b in range(3)]
     return pa.table({
         "z": group["pz"][:1], "tile_x": group["px"][:1],
@@ -586,18 +716,24 @@ def merge_overview_group(group: pa.Table,
     })
 
 
-def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int):
+def build_pyramid(base_tiles_ds, tminz: int, tmaxz: int,
+                  kernel: str = "average"):
     """tmaxz-1 … tminz overview levels; returns {z: Dataset}.  One
     groupby per level = gdal2tiles' per-zoom barrier (gdal2tiles.py:1708
     group_overview_base_tiles), each with the within-block combiner so
-    the shuffle moves ~1 partial per (parent, block), not every child."""
+    the shuffle moves ~1 partial per (parent, block), not every child.
+    ``kernel`` picks the 4→1 reduce (gcore/overview.cpp:4156-4225
+    dispatch: average/near/bilinear/rms/mode/gauss/cubic/cubicspline/
+    lanczos)."""
+    import functools
     levels = {tmaxz: base_tiles_ds}
     cur = base_tiles_ds
+    merge = functools.partial(merge_overview_group, kernel=kernel)
     for z in range(tmaxz - 1, tminz - 1, -1):
         cur = (cur.map_batches(partial_overview_batch,
                                batch_format="pyarrow")
                   .groupby(["pz", "px", "py"])
-                  .map_groups(merge_overview_group, batch_format="pyarrow"))
+                  .map_groups(merge, batch_format="pyarrow"))
         levels[z] = cur
     return levels
 

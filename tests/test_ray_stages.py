@@ -416,3 +416,105 @@ def test_augment_bias_symmetric():
     assert b.max() > 1.5 and b.min() < -1.5          # both signs occur
     assert abs(float(np.mean(b))) < 0.05             # centered
     assert b.max() <= 3.2 + 1e-9 and b.min() >= -3.2 - 1e-9
+
+
+def test_pyramid_kernel_dispatch(ray_session):
+    """Overview kernel dispatch (VERDICT r3 next-8): for every kernel,
+    the 4-tile Ray pyramid reduce equals the kernel applied directly to
+    the unsplit 512x512 composite."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.tiles import _KERNELS, _parent_key, build_pyramid
+
+    ts = 256
+    rng = np.random.default_rng(23)
+    children = {}
+    rows = {"z": [], "tile_x": [], "tile_y": [], "tile": []}
+    for qx in range(2):
+        for qy in range(2):
+            tile = rng.integers(0, 256, (ts, ts, 4)).astype(np.uint8)
+            tile[:, :, 3] = 255
+            children[(qx, qy)] = tile
+            rows["z"].append(5)
+            rows["tile_x"].append(10 + qx)
+            rows["tile_y"].append(6 + qy)
+            rows["tile"].append(tile.tobytes())
+    base = pa.table({
+        "z": pa.array(rows["z"], pa.int64()),
+        "tile_x": pa.array(rows["tile_x"], pa.int64()),
+        "tile_y": pa.array(rows["tile_y"], pa.int64()),
+        "tile": pa.array(rows["tile"], pa.binary()),
+    })
+    canvas = np.zeros((2 * ts, 2 * ts, 4), np.uint8)
+    for (qx, qy), tile in children.items():
+        canvas[qy * ts:(qy + 1) * ts, qx * ts:(qx + 1) * ts] = tile
+    for kernel in ("average", "near", "bilinear", "rms", "mode",
+                   "gauss", "cubic", "cubicspline", "lanczos"):
+        ds = ray.data.from_arrow(base)
+        levels = build_pyramid(ds, 4, 5, kernel=kernel)
+        out = levels[4].to_pandas()
+        assert len(out) == 1
+        got = np.frombuffer(out["tile"].iloc[0], np.uint8).reshape(
+            ts, ts, 4)
+        want = _KERNELS[kernel](canvas, ts, ts)
+        assert np.array_equal(got, want), kernel
+        assert (int(out["z"].iloc[0]), int(out["tile_x"].iloc[0]),
+                int(out["tile_y"].iloc[0])) == (4, 5, 3)
+
+
+def test_overview_kernel_semantics():
+    """Pure-kernel pins: MODE majority + GDAL first-max tie rule, GAUSS
+    [1,2,1] weights with edge renormalization, convolution kernels
+    preserve constants and reproduce a hand-computed stretched tap."""
+    import numpy as np
+
+    from georay.tiles import (_conv_kernel, resample_conv, resample_gauss,
+                              resample_mode)
+
+    # MODE: clear majority
+    src = np.array([[5, 5], [5, 9]], np.uint8)
+    assert resample_mode(src, 1, 1)[0, 0] == 5
+    # tie 2-2: first value to peak in scan order (a=7 at index 0) wins
+    src = np.array([[7, 3], [3, 7]], np.uint8)
+    assert resample_mode(src, 1, 1)[0, 0] == 7
+    src = np.array([[3, 7], [7, 3]], np.uint8)
+    assert resample_mode(src, 1, 1)[0, 0] == 3
+    # 4x4 -> 2x2 blocks independent
+    src = np.array([[1, 1, 2, 3],
+                    [1, 4, 3, 3],
+                    [8, 8, 6, 5],
+                    [9, 8, 5, 6]], np.uint8)
+    out = resample_mode(src, 2, 2)
+    assert out.tolist() == [[1, 3], [8, 6]]
+
+    # GAUSS: interior window [1,2,1]x[1,2,1]/16 on rows 2o..2o+2
+    src = np.zeros((4, 4), np.uint8)
+    src[1, 1] = 16
+    out = resample_gauss(src, 2, 2)
+    assert out[0, 0] == 4          # center weight 4/16 of 16
+    # constant image stays constant (weights renormalize at edges)
+    const = np.full((6, 6), 200, np.uint8)
+    assert (resample_gauss(const, 3, 3) == 200).all()
+
+    # convolution kernels: constants preserved under any ratio
+    const = np.full((64, 48), 123, np.uint8)
+    for k in ("cubic", "cubicspline", "lanczos"):
+        assert (resample_conv(const, 16, 12, k) == 123).all()
+    # stretched-tap spot check: 2x lanczos taps match direct evaluation
+    h = 8
+    src = np.zeros((h, 1), np.float64)
+    src[3, 0] = 255.0
+    centers = (np.arange(4) + 0.5) * 2 - 0.5
+    taps = np.arange(h)
+    want = []
+    for c in centers:
+        w = _conv_kernel("lanczos", (taps - c) / 2.0)
+        m = np.abs(taps - c) < 6
+        w = np.where(m, w, 0.0)
+        w /= w.sum()
+        want.append((w * src[:, 0]).sum())
+    got = resample_conv(src.astype(np.uint8), 4, 1, "lanczos")[:, 0]
+    want = np.clip(np.rint(want), 0, 255)
+    assert np.array_equal(got.astype(np.int64), want.astype(np.int64))
