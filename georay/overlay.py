@@ -36,7 +36,8 @@ from .geom import parse_wkb_multi, wkb_polygon
 
 __all__ = ["clip_ring_convex", "polygon_area", "is_convex",
            "clip_layer_convex", "erase_layer_convex",
-           "polygon_boolean", "boolean_area", "overlay_layers"]
+           "polygon_boolean", "boolean_area", "overlay_layers",
+           "identity_layers", "update_layers"]
 
 
 def polygon_area(ring: np.ndarray) -> float:
@@ -314,12 +315,15 @@ def _stitch(p, q, eps=1e-9):
     return rings
 
 
-def polygon_boolean(a_polys, b_polys, op: str):
+def polygon_boolean(a_polys, b_polys, op: str, *, a_rings=None):
     """Boolean op of two (multi)polygons given as ring-group lists
     (``parse_wkb_multi`` output).  ``op`` ∈ {"intersection", "union",
     "difference", "symdifference"}.  Returns a list of result rings
-    (CCW = outer, CW = hole, even-odd)."""
-    ra = _normalize_rings(a_polys)
+    (CCW = outer, CW = hole, even-odd).  ``a_rings`` feeds an already-
+    stitched result back in WITHOUT re-orientation (its CCW/CW parity is
+    already region-correct) — the Identity/Update iterated-difference
+    path."""
+    ra = a_rings if a_rings is not None else _normalize_rings(a_polys)
     rb = _normalize_rings(b_polys)
     pa_, qa = _edges_of(ra)
     pb, qb = _edges_of(rb)
@@ -404,3 +408,143 @@ def overlay_layers(ds, other: pa.Table, op: str = "intersection",
         return pa.table(cols)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _broadcast_other(other: pa.Table, wkb_col: str, id_col: str):
+    import ray
+    from .geom import wkb_envelope
+    from .rtree import PackedRTree
+
+    bboxes = np.array([wkb_envelope(w) for w in other[wkb_col].to_pylist()])
+    tree = PackedRTree.build(bboxes)
+    return ray.put((tree, other[wkb_col].to_pylist(),
+                    other[id_col].to_pylist()))
+
+
+def _overlapping(tree, a_polys):
+    pts = np.vstack([r for g in a_polys for r in g])
+    _, ii = tree.query_boxes(
+        np.array([pts[:, 0].min()]), np.array([pts[:, 1].min()]),
+        np.array([pts[:, 0].max()]), np.array([pts[:, 1].max()]))
+    return ii
+
+
+def identity_layers(ds, other: pa.Table, wkb_col: str = "wkb",
+                    other_wkb_col: str = "wkb",
+                    other_id_col: str = "polygon_id"):
+    """OGR layer Identity (ogrlayer.cpp:4018): each input feature is CUT
+    by the method layer — every A∩b piece carries both sides' attributes
+    (``other_id`` set), and the residual A − ∪B piece keeps the input
+    attributes with a NULL ``other_id``.  Pieces partition the input
+    feature, so Σ result_area per input row == the input area.
+
+    Distribution: the method layer broadcasts once (R-tree + WKBs via
+    ``ray.put``); the residual is an ITERATED difference — each step
+    feeds the stitched ring set back unchanged (``a_rings``), so parity
+    survives and overlapping method features are handled exactly."""
+    import ray
+
+    oref = _broadcast_other(other, other_wkb_col, other_id_col)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tree, wkbs, ids = ray.get(oref) if not isinstance(oref, tuple) \
+            else oref
+        out_rows = {n: [] for n in batch.schema.names}
+        out_other, out_wkb, out_area = [], [], []
+
+        def emit(i, oid, rings, area):
+            for n in batch.schema.names:
+                out_rows[n].append(batch[n][i].as_py())
+            out_other.append(oid)
+            out_wkb.append(wkb_polygon(rings) if rings else b"")
+            out_area.append(area)
+
+        for i in range(batch.num_rows):
+            a_polys = parse_wkb_multi(batch[wkb_col][i].as_py())
+            residual = None     # None = start from a_polys
+            started = False
+            for j in _overlapping(tree, a_polys):
+                b_polys = parse_wkb_multi(wkbs[int(j)])
+                inter = polygon_boolean(a_polys, b_polys, "intersection")
+                area = boolean_area(inter)
+                if inter and area > 0:
+                    emit(i, ids[int(j)], inter, area)
+                residual = polygon_boolean(
+                    a_polys if not started else None, b_polys,
+                    "difference", a_rings=residual)
+                started = True
+            if not started:
+                residual = _normalize_rings(a_polys)
+            r_area = boolean_area(residual) if residual else 0.0
+            if residual and r_area > 1e-12:
+                emit(i, None, residual, r_area)
+        cols = {n: pa.array(out_rows[n], batch.schema.field(n).type)
+                for n in batch.schema.names}
+        cols["other_id"] = pa.array(out_other, pa.string())
+        cols["result_wkb"] = pa.array(out_wkb, pa.binary())
+        cols["result_area"] = pa.array(out_area, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def update_layers(ds, other: pa.Table, wkb_col: str = "wkb",
+                  other_wkb_col: str = "wkb",
+                  other_id_col: str = "polygon_id"):
+    """OGR layer Update (ogrlayer.cpp:4436): the method layer PASTES OVER
+    the input — output = (A − ∪B) pieces with input attributes (NULL
+    ``other_id``) ∪ the method features unchanged (input attribute
+    columns NULL).  Same broadcast + iterated-difference shape as
+    :func:`identity_layers`."""
+    import ray
+
+    oref = _broadcast_other(other, other_wkb_col, other_id_col)
+    in_names = ds.schema().names
+    in_types = ds.schema().types
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tree, wkbs, ids = ray.get(oref) if not isinstance(oref, tuple) \
+            else oref
+        out_rows = {n: [] for n in batch.schema.names}
+        out_other, out_wkb, out_area = [], [], []
+        for i in range(batch.num_rows):
+            a_polys = parse_wkb_multi(batch[wkb_col][i].as_py())
+            residual = None
+            started = False
+            for j in _overlapping(tree, a_polys):
+                b_polys = parse_wkb_multi(wkbs[int(j)])
+                residual = polygon_boolean(
+                    a_polys if not started else None, b_polys,
+                    "difference", a_rings=residual)
+                started = True
+            if not started:
+                residual = _normalize_rings(a_polys)
+            r_area = boolean_area(residual) if residual else 0.0
+            if residual and r_area > 1e-12:
+                for n in batch.schema.names:
+                    out_rows[n].append(batch[n][i].as_py())
+                out_other.append(None)
+                out_wkb.append(wkb_polygon(residual))
+                out_area.append(r_area)
+        cols = {n: pa.array(out_rows[n], batch.schema.field(n).type)
+                for n in batch.schema.names}
+        cols["other_id"] = pa.array(out_other, pa.string())
+        cols["result_wkb"] = pa.array(out_wkb, pa.binary())
+        cols["result_area"] = pa.array(out_area, pa.float64())
+        return pa.table(cols)
+
+    residual_ds = ds.map_batches(per_batch, batch_format="pyarrow")
+    # method features pass through unchanged (input attrs NULL)
+    import ray as _ray
+    n_o = other.num_rows
+    mcols = {}
+    for n, t in zip(in_names, in_types):
+        mcols[n] = pa.nulls(n_o, t)
+    mcols["other_id"] = pa.compute.cast(other[other_id_col], pa.string())
+    mcols["result_wkb"] = pa.compute.cast(other[other_wkb_col],
+                                          pa.binary())
+    mcols["result_area"] = pa.array(
+        [abs(boolean_area(_normalize_rings(parse_wkb_multi(w))))
+         for w in other[other_wkb_col].to_pylist()], pa.float64())
+    method_ds = _ray.data.from_arrow(pa.table(mcols))
+    return residual_ds.union(method_ds)

@@ -1192,6 +1192,87 @@ def q_overlay_intersection(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _l_shape_layers(sf_dir: str):
+    """The overlay fixture: per-nation L-shaped input (A) and method (B)
+    layers (same construction as q_overlay_intersection)."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    x0 = ((nk * 79) % 36) * 10.0 - 180.0
+    y0 = ((nk * 37) % 15) * 10.0 - 80.0
+    s = (nk % 3) * 0.5
+    t = (nk % 2) * 0.25
+    a = pa.table({
+        "polygon_id": pa.array([str(k) for k in nk]),
+        "wkb": pa.array([wkb_polygon([_l_shape(x0[i], y0[i], s[i])])
+                         for i in range(len(nk))], pa.binary()),
+        "n_nationkey": pa.array(nk),
+    })
+    b = pa.table({
+        "polygon_id": pa.array([str(k) for k in nk]),
+        "wkb": pa.array([wkb_polygon([_l_shape(x0[i] + 0.5 + t[i],
+                                               y0[i] + 0.5, s[i])])
+                         for i in range(len(nk))], pa.binary()),
+    })
+    return a, b
+
+
+def q_overlay_identity(sf_dir: str):
+    """Layer Identity (ogrlayer.cpp:4018) on the L-shape fixture: each
+    input is cut by the method layer into an A∩B piece (part='both') and
+    the residual A−B piece (part='a_only'); pieces partition A, so the
+    oracle derives both areas from the L-shapes' disjoint-rectangle
+    decompositions (inter from the rect join; residual = A − inter)."""
+    import ray
+    from .overlay import identity_layers
+    a, b = _l_shape_layers(sf_dir)
+    out = identity_layers(ray.data.from_arrow(a), b)
+
+    def finish(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        part = pc.if_else(pc.is_null(bt["other_id"]),
+                          pa.scalar("a_only"), pa.scalar("both"))
+        return pa.table({
+            "n_nationkey": bt["n_nationkey"],
+            "part": part,
+            "area": pa.array(np.round(bt["result_area"].to_numpy(), 6)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_overlay_update(sf_dir: str):
+    """Layer Update (ogrlayer.cpp:4436) on the L-shape fixture: method
+    features paste over the input — total area per nation =
+    (A − inter) + B.  Method rows carry the nation key via their id."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .overlay import update_layers
+    a, b = _l_shape_layers(sf_dir)
+    out = update_layers(ray.data.from_arrow(a), b)
+
+    def keyed(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = pc.if_else(pc.is_null(bt["n_nationkey"]),
+                       pc.cast(bt["other_id"], pa.int64()),
+                       bt["n_nationkey"])
+        return pa.table({"n_nationkey": k,
+                         "area": bt["result_area"]})
+
+    agg = (out.map_batches(keyed, batch_format="pyarrow")
+           .groupby("n_nationkey").aggregate(Sum("area",
+                                                 alias_name="total_area")))
+
+    def rounded(bt: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": bt["n_nationkey"],
+            "total_area": pa.array(np.round(bt["total_area"].to_numpy(),
+                                            6)),
+        })
+
+    return agg.map_batches(rounded, batch_format="pyarrow")
+
+
 def q_geom_measures(sf_dir: str):
     """Geometry measure surface — OGRGeometry::get_Area (ogr/ogrsurface.cpp),
     get_Length (ogr/ogrcurve.cpp), Centroid (ogr/ogrgeometry.cpp:3024),
@@ -1831,6 +1912,8 @@ QUERIES = {
 # (r3 recorded 50 of 73 rows), so oracle-bearing queries come FIRST —
 # those never yet driver-verified ahead of re-verifications — and the
 # rows-only (no_oracle) image-pipeline queries run last.
+    "overlay_identity": q_overlay_identity,
+    "overlay_update": q_overlay_update,
     "zonal_stats_rect": q_zonal_stats_rect,
     "dem_hillshade_plane": q_dem_hillshade_plane,
     "sql_window_frame": q_sql_window_frame,
@@ -1931,6 +2014,62 @@ def _zone_sql() -> str:
 
 
 ORACLE_SQL = {
+    "overlay_identity": """
+        WITH n AS (SELECT n_nationkey AS k,
+                          ((n_nationkey * 79) % 36) * 10.0 - 180.0 AS x0,
+                          ((n_nationkey * 37) % 15) * 10.0 - 80.0 AS y0,
+                          (n_nationkey % 3) * 0.5 AS s,
+                          (n_nationkey % 2) * 0.25 AS t
+                   FROM nation),
+        ar AS (SELECT k, x0 AS x1, y0 AS y1, x0 + 2 + s AS x2, y0 + 1 AS y2
+               FROM n
+               UNION ALL
+               SELECT k, x0, y0 + 1, x0 + 1, y0 + 2 + s FROM n),
+        br AS (SELECT k, x0 + 0.5 + t AS x1, y0 + 0.5 AS y1,
+                      x0 + 2.5 + s + t AS x2, y0 + 1.5 AS y2 FROM n
+               UNION ALL
+               SELECT k, x0 + 0.5 + t, y0 + 1.5, x0 + 1.5 + t,
+                      y0 + 2.5 + s FROM n),
+        inter AS (
+            SELECT a.k,
+                   sum(greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+                       * greatest(0, least(a.y2, b.y2)
+                                  - greatest(a.y1, b.y1))) AS ia
+            FROM ar a JOIN br b ON a.k = b.k GROUP BY a.k)
+        SELECT n.k AS n_nationkey, 'both' AS part,
+               round(i.ia, 6) AS area
+        FROM n JOIN inter i ON n.k = i.k
+        UNION ALL
+        SELECT n.k, 'a_only', round(3 + 2 * n.s - i.ia, 6)
+        FROM n JOIN inter i ON n.k = i.k
+    """,
+    "overlay_update": """
+        WITH n AS (SELECT n_nationkey AS k,
+                          ((n_nationkey * 79) % 36) * 10.0 - 180.0 AS x0,
+                          ((n_nationkey * 37) % 15) * 10.0 - 80.0 AS y0,
+                          (n_nationkey % 3) * 0.5 AS s,
+                          (n_nationkey % 2) * 0.25 AS t
+                   FROM nation),
+        ar AS (SELECT k, x0 AS x1, y0 AS y1, x0 + 2 + s AS x2, y0 + 1 AS y2
+               FROM n
+               UNION ALL
+               SELECT k, x0, y0 + 1, x0 + 1, y0 + 2 + s FROM n),
+        br AS (SELECT k, x0 + 0.5 + t AS x1, y0 + 0.5 AS y1,
+                      x0 + 2.5 + s + t AS x2, y0 + 1.5 AS y2 FROM n
+               UNION ALL
+               SELECT k, x0 + 0.5 + t, y0 + 1.5, x0 + 1.5 + t,
+                      y0 + 2.5 + s FROM n),
+        inter AS (
+            SELECT a.k,
+                   sum(greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1))
+                       * greatest(0, least(a.y2, b.y2)
+                                  - greatest(a.y1, b.y1))) AS ia
+            FROM ar a JOIN br b ON a.k = b.k GROUP BY a.k)
+        SELECT n.k AS n_nationkey,
+               round((3 + 2 * n.s) - i.ia + (3 + 2 * n.s), 6)
+                   AS total_area
+        FROM n JOIN inter i ON n.k = i.k
+    """,
     "zonal_stats_rect": """
         WITH tiles AS (SELECT c_custkey AS i FROM customer
                        WHERE c_custkey <= 50),

@@ -192,3 +192,50 @@ def test_overlay_layers_stage(ray_session):
     # L ∩ shifted-L area by disjoint-rect decomposition:
     # 0.75 + 0.25 + 0.25 = 1.25
     assert np.allclose(out["result_area"], 1.25)
+
+
+def test_identity_and_update_layers(ray_session):
+    """Identity partitions each input feature exactly (Σ pieces == A);
+    Update = residual + method features (overlapping method features
+    handled by the iterated difference, not even-odd cancellation)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.geom import box_ring, wkb_polygon
+    from georay.overlay import identity_layers, update_layers
+
+    a = pa.table({
+        "aid": pa.array([1, 2], pa.int64()),
+        "wkb": pa.array([wkb_polygon([box_ring(0, 0, 2, 2)]),
+                         wkb_polygon([box_ring(10, 10, 11, 11)])],
+                        pa.binary()),
+    })
+    # b1 and b2 OVERLAP each other inside A — the even-odd trap
+    b = pa.table({
+        "polygon_id": pa.array(["b1", "b2"]),
+        "wkb": pa.array([wkb_polygon([box_ring(1, 0, 3, 1)]),
+                         wkb_polygon([box_ring(1.5, 0.5, 2.5, 1.5)])],
+                        pa.binary()),
+    })
+    out = identity_layers(ray.data.from_arrow(a), b).to_pandas()
+    r1 = out[out["aid"] == 1]
+    got = {row["other_id"]: row["result_area"]
+           for _, row in r1.iterrows() if row["other_id"] is not None}
+    assert abs(got["b1"] - 1.0) < 1e-9       # A ∩ b1
+    assert abs(got["b2"] - 0.5) < 1e-9       # A ∩ b2
+    resid = r1[r1["other_id"].isna()]["result_area"].iloc[0]
+    # A − (b1 ∪ b2): 4 − (1 + 0.5 − 0.25 overlap) = 2.75
+    assert abs(resid - 2.75) < 1e-9
+    assert abs(r1["result_area"].sum() - (4.0 + 0.25)) < 1e-9
+    # feature 2 doesn't touch B: single residual piece, full area
+    r2 = out[out["aid"] == 2]
+    assert len(r2) == 1 and r2["other_id"].isna().all()
+    assert abs(r2["result_area"].iloc[0] - 1.0) < 1e-9
+
+    up = update_layers(ray.data.from_arrow(a), b).to_pandas()
+    resid1 = up[(up["aid"] == 1)]["result_area"].iloc[0]
+    assert abs(resid1 - 2.75) < 1e-9
+    meth = up[up["aid"].isna()].set_index("other_id")["result_area"]
+    assert abs(meth["b1"] - 2.0) < 1e-9 and abs(meth["b2"] - 1.0) < 1e-9
+    assert abs(up["result_area"].sum() - (2.75 + 1.0 + 2.0 + 1.0)) < 1e-9
