@@ -273,8 +273,21 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     elif f == "count":
                         col = pa.array(scnt.astype(np.int64))
                     else:
-                        csp = np.concatenate([[0.0], np.cumsum(xz)])
-                        ssum = csp[e_c + 1] - csp[s_c]
+                        if lo is not None and hi is not None:
+                            # bounded frame: sum the taps directly in
+                            # ascending window order — bit-reproducible
+                            # vs a direct windowed sum (the prefix-sum
+                            # DIFFERENCE cancels catastrophically at
+                            # ~1e9 magnitudes and missed 1e-9 parity)
+                            ssum = np.zeros(n)
+                            for t in range(lo, hi + 1):
+                                src = idx + t
+                                ok = (src >= seg_start) & (src <= seg_end)
+                                src = np.clip(src, 0, n - 1)
+                                ssum += np.where(ok, xz[src], 0.0)
+                        else:
+                            csp = np.concatenate([[0.0], np.cumsum(xz)])
+                            ssum = csp[e_c + 1] - csp[s_c]
                         ssum = np.where(emptyw, 0.0, ssum)
                         if f == "sum":
                             int_in = (not s.get("star") and pa.types
