@@ -277,6 +277,34 @@ def q_icosa_census(sf_dir: str):
             .groupby("icosacell").aggregate(Sum("pc_", alias_name="n")))
 
 
+def q_icosa_multires(sf_dir: str):
+    """Wide-area icosa census across the north star's res band: one pass
+    emits (res, cell, count) partials for res ∈ {8, 10, 12} (NOTES r3
+    round-4 candidate 1) — per-batch np.unique pre-aggregation, one
+    small groupby.  Rows-only (face projection has no SQL analog)."""
+    from ray.data.aggregate import Sum
+    from .icosa import icosa_cell
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        rr, cc, nn = [], [], []
+        for res in (8, 10, 12):
+            cells = icosa_cell(lat, lon, res)
+            uniq, counts = np.unique(cells, return_counts=True)
+            rr.append(np.full(len(uniq), res, np.int64))
+            cc.append(uniq)
+            nn.append(counts)
+        return pa.table({"res": pa.array(np.concatenate(rr)),
+                         "icosacell": pa.array(np.concatenate(cc)),
+                         "pc_": pa.array(np.concatenate(nn))})
+
+    return (_customers_with_coords(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["res", "icosacell"])
+            .aggregate(Sum("pc_", alias_name="n")))
+
+
 def q_hex_census(sf_dir: str):
     """Hex-cell census of customer points (rows-only check: the hex grid
     has no SQL analog).  Also the skew-census input of the north rule."""
@@ -1991,6 +2019,7 @@ QUERIES = {
     "augment_images": q_augment_images,
     "s2_census": q_s2_census,
     "icosa_census": q_icosa_census,
+    "icosa_multires": q_icosa_multires,
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,

@@ -270,3 +270,20 @@ def test_knn_icosa_exact_vs_bruteforce():
             gd = np.sort(qd[qi == j])
             wd = np.sort(d[want])
             assert np.allclose(gd, wd)  # distance ties only
+
+
+def test_icosa_multires_census_partitions(ray_session, sf_dir):
+    """q_icosa_multires: each res level is a PARTITION of the customers —
+    per-res counts sum to the table row count, and coarser res has no
+    more cells than finer."""
+    import pyarrow.parquet as pq
+
+    from georay.queries import q_icosa_multires
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    df = q_icosa_multires(sf_dir).to_pandas()
+    sums = df.groupby("res")["n"].sum()
+    cells = df.groupby("res")["icosacell"].nunique()
+    assert sorted(sums.index) == [8, 10, 12]
+    assert (sums == n_cust).all()
+    assert cells[8] <= cells[10] <= cells[12]
