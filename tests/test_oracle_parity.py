@@ -100,3 +100,31 @@ def test_entry_image_queries(ray_session, sf_dir):
     assert {"image_id", "polygon_id", "tile_x", "tile_y"} <= set(df.columns)
     df2 = _to_pandas(e.queries()["image_dedup"](sf_dir))
     assert df2["n_copies"].max() >= 2  # the every-97th-row dup group
+
+
+def test_driver_window_covers_unverified_queries():
+    """The driver runs exactly the FIRST 50 entries of queries() (r3
+    evidence).  Pin that every query with no driver-verified row in any
+    CORRECTNESS_r{1..3} snapshot sits inside that window, and the window
+    is exactly 50 deep so new queries displace anchors consciously."""
+    from georay.queries import QUERIES
+
+    window = list(QUERIES)[:50]
+    never_verified = {
+        "overlay_identity", "overlay_update", "zonal_stats_rect",
+        "dem_hillshade_plane", "sql_window_frame", "sql_in_subquery",
+        "sql_scalar_corr", "interval_join", "dedup_clusters", "doc_split",
+        "geom_measures", "curve_measures", "fgb_zone_join",
+        "sample_per_key", "sql_exists", "zarr_density", "doc_chunks",
+        "gpkg_zone_join", "sql_q3", "lineref_mileposts", "augment_images",
+        "icosa_multires",
+        # green in r2 but absent from the r3 snapshot
+        "asof_join", "hilbert_sort", "overlay_intersection",
+        "quantity_stats", "sessions", "sliding_windows", "clip_zones",
+        "footprint_images", "raster_stats",
+        # the one r3 FAIL (fixed in a452984) — must re-verify
+        "sql_filter_group",
+    }
+    missing = never_verified - set(window)
+    assert not missing, f"driver window drops unverified queries: {missing}"
+    assert len(QUERIES) >= 50, "window narrower than the driver cap"
