@@ -190,6 +190,38 @@ class _Parser:
             raise FilterSyntaxError(f"expected literal, got {v!r}")
         return v
 
+    def _case_kw(self, *names) -> str | None:
+        k, v = self.peek()
+        if k in ("ident", "kw", "sqlkw") and str(v).upper() in names:
+            self.next()
+            return str(v).upper()
+        return None
+
+    def _case(self):
+        """CASE [base] WHEN x THEN y ... [ELSE z] END — both the searched
+        and the simple form; a simple-form base compiles each WHEN to an
+        equality against the base expression."""
+        k, v = self.peek()
+        at_when = k in ("ident", "kw", "sqlkw") and str(v).upper() == "WHEN"
+        base = None if at_when else self.or_()
+        whens = []
+        while self._case_kw("WHEN"):
+            cond = self.or_()
+            if not self._case_kw("THEN"):
+                raise FilterSyntaxError("CASE: WHEN needs THEN")
+            val = self.or_()
+            if base is not None:
+                cond = ("cmp", "=", base, cond)
+            whens.append((cond, val))
+        if not whens:
+            raise FilterSyntaxError("CASE needs at least one WHEN")
+        els = None
+        if self._case_kw("ELSE"):
+            els = self.or_()
+        if not self._case_kw("END"):
+            raise FilterSyntaxError("CASE: missing END")
+        return ("case", whens, els)
+
     def add(self):
         node = self.mul()
         while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
@@ -213,6 +245,8 @@ class _Parser:
         if k == "kw" and v == "NULL":
             return ("lit", None)
         if k == "ident":
+            if v.upper() == "CASE":
+                return self._case()
             if v.upper() == "CAST" and self.peek() == ("op", "("):
                 self.next()
                 inner = self.or_()
@@ -325,6 +359,16 @@ def _fn_substr(args, batch):
     return pc.utf8_slice_codeunits(_eval(args[0], batch), start, stop)
 
 
+def _fn_nullif(args, batch):
+    """NULLIF(a, b): NULL where a = b, else a (a NULL a propagates —
+    the equality is then NULL and if_else yields NULL)."""
+    _n_args("NULLIF", args, 2, 2)
+    a = _eval(args[0], batch)
+    b = _eval(args[1], batch)
+    return pc.if_else(pc.equal(a, b),
+                      pa.scalar(None, getattr(a, "type", pa.null())), a)
+
+
 def _fn_concat(args, batch):
     _n_args("CONCAT", args, 1, 64)
     vals = [_eval(a, batch) for a in args]
@@ -414,6 +458,7 @@ _FUNCS = {
     "COALESCE": lambda args, batch: (
         _n_args("COALESCE", args, 1, 64),
         pc.coalesce(*[_eval(a, batch) for a in args]))[1],
+    "NULLIF": _fn_nullif,
     "ST_AREA": _geom_fn("area"),
     "ST_PERIMETER": _geom_fn("perimeter"),
     "ST_LENGTH": _geom_fn("length_any"),
@@ -488,6 +533,20 @@ def _eval(node, batch: pa.Table):
                        pc.less_equal(v, _eval(node[3], batch)))
     if kind == "isnull":
         return pc.is_null(_eval(node[1], batch))
+    if kind == "case":
+        # vectorized CASE: all branch values are evaluated eagerly (no
+        # SQL short-circuit — fine for pure arrow kernels), then folded
+        # right-to-left through if_else; a NULL condition falls through
+        # (SQL: not matched), hence the coalesce to FALSE.
+        _, whens, els = node
+        vals = [_eval(v, batch) for _, v in whens]
+        out = _eval(els, batch) if els is not None else pa.scalar(
+            None, getattr(vals[0], "type", pa.null()))
+        for (cond_node, _), val in zip(reversed(whens), reversed(vals)):
+            cond = pc.coalesce(_eval(cond_node, batch),
+                               pa.scalar(False))
+            out = pc.if_else(cond, val, out)
+        return out
     if kind == "vmap":
         # correlated scalar subquery, decorrelated to a broadcast map:
         # node = ("vmap", outer_col, keys, vals, default).  index_in

@@ -1718,6 +1718,56 @@ def q_sql_filter_group(sf_dir: str):
         _sql_tables(sf_dir, "orders"))
 
 
+_SQL_CASE_TEXT = """
+    SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           COUNT(*) AS n,
+           SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
+    FROM orders GROUP BY band
+"""
+
+_SQL_UNION_TEXT = """
+    SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_name AS name, CAST(s_acctbal AS DOUBLE) AS bal
+    FROM supplier WHERE s_acctbal > 9000
+"""
+
+_SQL_UNION_DISTINCT_TEXT = """
+    SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer
+    UNION
+    SELECT COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CARS') AS seg
+    FROM customer
+"""
+
+
+def q_sql_case(sf_dir: str):
+    """Searched CASE as a GROUP BY key (select-alias) — identical SQL
+    text runs in DuckDB (swq has no CASE; this is the SQLite-dialect
+    surface, gcore/gdaldataset.cpp:5386)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_CASE_TEXT, _sql_tables(sf_dir, "orders"))
+
+
+def q_sql_union(sf_dir: str):
+    """UNION ALL across two tables → Dataset.union (streaming, no
+    shuffle); the CASTs keep both engines' bal dtype double."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_UNION_TEXT,
+                       _sql_tables(sf_dir, "customer", "supplier"))
+
+
+def q_sql_union_distinct(sf_dir: str):
+    """Plain UNION (distinct) + NULLIF/COALESCE; the NULLIF-produced
+    NULL collapses with itself across branches, pinning SQL set
+    semantics for NULL rows."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_UNION_DISTINCT_TEXT,
+                       _sql_tables(sf_dir, "customer"))
+
+
 def q_sql_topk(sf_dir: str):
     """ORDER BY multi-key + LIMIT through the SQL front-end."""
     from .sql import execute_sql
@@ -1984,16 +2034,17 @@ QUERIES = {
     "clip_zones": q_clip_zones,
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
+    # -- new this round (CASE / UNION in the SQL front-end) --
+    "sql_case": q_sql_case,
+    "sql_union": q_sql_union,
+    "sql_union_distinct": q_sql_union_distinct,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
     "tile_assign": q_tile_assign,
-    "tile_census": q_tile_census,
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
-    "zone_join_partitioned": q_zone_join_partitioned,
-    "zone_join_icosa": q_zone_join_icosa,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
     "q1_pricing": q1_pricing,
@@ -2006,6 +2057,9 @@ QUERIES = {
     # ---- end of driver window (50 entries above this line) ----
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
+    "tile_census": q_tile_census,
+    "zone_join_partitioned": q_zone_join_partitioned,
+    "zone_join_icosa": q_zone_join_icosa,
     "top_revenue_orders": q_top_revenue_orders,
     "revenue_by_nation": q_revenue_by_nation,
     "join_lineitem_orders": q_join_lineitem_orders,
@@ -2155,6 +2209,9 @@ ORACLE_SQL = {
         SELECT o_orderpriority, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
     """,
+    "sql_case": _SQL_CASE_TEXT,
+    "sql_union": _SQL_UNION_TEXT,
+    "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,
     "sql_topk": """
         SELECT p_partkey, p_size FROM part WHERE p_size >= 10
         ORDER BY p_size DESC, p_partkey LIMIT 15

@@ -730,8 +730,95 @@ def _resolve_subqueries(toks, tables, outer_names=()):
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT against ``tables`` ({name: ray.data.Dataset}); returns
     a Dataset for streaming shapes, or a pyarrow table for global
-    aggregates / OFFSET slices (small results)."""
-    return _execute(_SqlParser(sql).parse(), tables)
+    aggregates / OFFSET slices (small results).  Top-level
+    ``UNION [ALL]`` chains compile to ``Dataset.union`` (plus a distinct
+    pass for plain UNION); a trailing ORDER BY / LIMIT binds the whole
+    union, as in standard SQL."""
+    toks = _split_clauses(sql) if isinstance(sql, str) else sql
+    branches, alls = _split_union(toks)
+    if len(branches) == 1:
+        return _execute(_SqlParser(branches[0]).parse(), tables)
+    parsed = [_SqlParser(b).parse() for b in branches]
+    tail = parsed[-1]
+    order, limit, offset = tail["order"], tail["limit"], tail["offset"]
+    tail["order"], tail["limit"], tail["offset"] = [], None, None
+    for q in parsed[:-1]:
+        if q["order"] or q["limit"] is not None:
+            raise SqlError("ORDER BY / LIMIT inside a UNION branch is "
+                           "not supported — only the trailing, "
+                           "union-wide clause")
+    import ray
+
+    def as_ds(res):
+        return ray.data.from_arrow(res) if isinstance(res, pa.Table) \
+            else res
+
+    parts = [as_ds(_execute(q, tables)) for q in parsed]
+    out = parts[0].union(*parts[1:])
+    names = list(out.schema().names)
+    if not all(alls):
+        out = _distinct_rows(out, names)
+    return _finish(out, dict(order=order, limit=limit, offset=offset),
+                   names)
+
+
+def _distinct_rows(out, names):
+    """Distributed DISTINCT over full rows, NULL-safe and never one
+    Python call per distinct key: a local (per-batch) arrow hash
+    group_by shrinks each block, rows hash-partition to ~4×CPU buckets,
+    and each bucket deduplicates with one more arrow group_by.  (Ray's
+    own ``groupby(cols)`` sort-shuffles and cannot compare NULL keys;
+    arrow's hash aggregation treats NULL as an ordinary key value —
+    SQL set semantics.)"""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    P = max(8, 4 * (os.cpu_count() or 8))
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(names, use_threads=False).aggregate([])
+        g = g.select(names)
+        key = pd.util.hash_pandas_object(
+            g.to_pandas(), index=False).to_numpy(np.uint64)
+        return g.append_column(
+            "part__", pa.array((key % np.uint64(P)).astype(np.int64)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part__"]).combine_chunks()
+        return g.group_by(names, use_threads=False).aggregate([]) \
+            .select(names)
+
+    return (out.map_batches(local, batch_format="pyarrow")
+            .groupby("part__").map_groups(uniq, batch_format="pyarrow"))
+
+
+def _split_union(toks):
+    """Split a token stream on top-level UNION [ALL] boundaries.
+    Returns (branch token lists, per-boundary ALL flags)."""
+    branches, alls, cur, depth = [], [], [], 0
+    i = 0
+    while i < len(toks):
+        k, v = toks[i]
+        if (k, v) == ("op", "("):
+            depth += 1
+        elif (k, v) == ("op", ")"):
+            depth -= 1
+        if depth == 0 and k in ("ident", "sqlkw") \
+                and str(v).upper() == "UNION":
+            branches.append(cur)
+            cur = []
+            is_all = (i + 1 < len(toks)
+                      and toks[i + 1][0] in ("ident", "sqlkw")
+                      and str(toks[i + 1][1]).upper() == "ALL")
+            alls.append(is_all)
+            i += 2 if is_all else 1
+            continue
+        cur.append(toks[i])
+        i += 1
+    branches.append(cur)
+    return branches, alls
 
 
 def _strip_qual(name, valid):
@@ -856,10 +943,7 @@ def _execute(q: dict, tables: dict):
 
         out = ds.map_batches(project, batch_format="pyarrow")
         if q["distinct"]:
-            def first(g: pa.Table) -> pa.Table:
-                return g.slice(0, 1)
-            out = out.groupby(names).map_groups(
-                first, batch_format="pyarrow")
+            out = _distinct_rows(out, names)
         return _finish(out, q, names)
 
     # aggregate shapes ------------------------------------------------------
@@ -1062,8 +1146,7 @@ def _execute_window(ds, q, items, names, win_items):
 
     out = ds.map_batches(project, batch_format="pyarrow")
     if q["distinct"]:
-        out = out.groupby(names).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow")
+        out = _distinct_rows(out, names)
     return _finish(out, q, names)
 
 

@@ -445,3 +445,73 @@ def test_sql_in_subquery_on_expression(ray_session):
     want = _norm(_duck(sql))
     want.columns = got.columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_case_expressions(ray_session):
+    """Searched + simple CASE, nested in arithmetic, NULL fall-through."""
+    for sql, tables in [
+        ("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'high' "
+         "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS band "
+         "FROM orders WHERE o_orderkey < 500", ["orders"]),
+        # simple form, no ELSE (NULL otherwise), CASE inside arithmetic
+        ("SELECT o_orderkey, CASE o_orderstatus WHEN 'F' THEN 1 "
+         "WHEN 'O' THEN 2 END + 10 AS code FROM orders "
+         "WHERE o_orderkey < 300", ["orders"]),
+        # CASE as a GROUP BY key via select alias
+        ("SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS "
+         "sgn, COUNT(*) AS n FROM customer GROUP BY sgn", ["customer"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_nullif_coalesce(ray_session):
+    sql = ("SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), "
+           "'REPLACED') AS seg FROM customer WHERE c_custkey < 200")
+    got = _norm(_run(sql, ["customer"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_union(ray_session):
+    """UNION ALL streams through Dataset.union; plain UNION dedups with
+    NULL-safe set semantics (NULL rows collapse); trailing ORDER BY +
+    LIMIT bind the whole union."""
+    for sql, tables in [
+        ("SELECT c_name AS name FROM customer WHERE c_custkey < 50 "
+         "UNION ALL SELECT s_name AS name FROM supplier", 
+         ["customer", "supplier"]),
+        ("SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer "
+         "UNION SELECT NULLIF(c_mktsegment, 'MACHINERY') AS seg "
+         "FROM customer", ["customer"]),
+        ("SELECT c_custkey AS k FROM customer WHERE c_custkey < 30 "
+         "UNION SELECT o_custkey AS k FROM orders WHERE o_custkey < 40 "
+         "ORDER BY k DESC LIMIT 10", ["customer", "orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_union_branch_order_rejected(ray_session):
+    from georay.sql import SqlError
+    with pytest.raises(SqlError):
+        _run("SELECT c_custkey AS k FROM customer ORDER BY k "
+             "UNION ALL SELECT o_custkey AS k FROM orders",
+             ["customer", "orders"])
+
+
+def test_sql_distinct_null_keys(ray_session):
+    """SELECT DISTINCT over a column with NULLs (the old sort-shuffle
+    distinct raised TypeError on None keys)."""
+    sql = ("SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg "
+           "FROM customer")
+    got = _norm(_run(sql, ["customer"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    assert len(got) == len(want)
+    assert got["seg"].isna().sum() == 1
