@@ -1358,6 +1358,57 @@ def q_geom_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_osm_nodes_census(sf_dir: str):
+    """Customer points routed through an OSM PBF roundtrip: the engine's
+    from-scratch PBF writer (georay.osmpbf, hand-rolled protobuf wire +
+    DenseNodes delta streams) emits a real .osm.pbf, the block-parallel
+    Ray source reads it back (one map task per self-contained OSMData
+    fileblock, vectorized reduceat varint decode), and a tag census
+    checks ids + tags survive bit-exact (reference: ogr/ogrsf_frmts/osm).
+    Oracle: the same census straight off customer.parquet."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from .osmpbf import read_osm_pbf, write_osm_pbf
+
+    # fixture prep (driver-side, small): the pbf under test; the scale
+    # write path is a partitioned sink (one self-contained .osm.pbf per
+    # partition, like write_gpkg_partitioned)
+    t = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_mktsegment"])
+    key = t["c_custkey"].to_numpy()
+    seg = t["c_mktsegment"].to_pylist()
+    nodes = pa.table({
+        "id": pa.array(key.astype(np.int64)),
+        "lat": pa.array(derived_lat(key)),
+        "lon": pa.array(derived_lon(key)),
+        "tag_keys": pa.array([["seg"]] * len(key),
+                             pa.list_(pa.string())),
+        "tag_vals": pa.array([[s] for s in seg], pa.list_(pa.string())),
+    })
+    path = tempfile.mktemp(suffix=".osm.pbf", prefix="georay_q_",
+                           dir="/tmp")
+    write_osm_pbf(path, nodes=nodes, block_rows=4000)
+
+    def census(batch: pa.Table) -> pa.Table:
+        tv = batch["tag_vals"].to_pylist()
+        return pa.table({
+            "seg": pa.array([v[0] for v in tv]),
+            # double, matching the oracle's SUM(CAST(...AS DOUBLE)) —
+            # exact for ids < 2^53
+            "c_custkey": batch["id"].cast(pa.float64()),
+        })
+
+    out = (read_osm_pbf(path, "nodes")
+           .map_batches(census, batch_format="pyarrow")
+           .groupby("seg")
+           .aggregate(Count(alias_name="n"),
+                      Sum("c_custkey", alias_name="s")))
+    return out
+
+
 def q_fgb_zone_join(sf_dir: str):
     """Zone polygons pushed through a FlatGeobuf write → bbox-pushdown
     read roundtrip (georay.flatgeobuf — the reference fork's signature
@@ -2034,10 +2085,11 @@ QUERIES = {
     "clip_zones": q_clip_zones,
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
-    # -- new this round (CASE / UNION in the SQL front-end) --
+    # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
     "sql_case": q_sql_case,
     "sql_union": q_sql_union,
     "sql_union_distinct": q_sql_union_distinct,
+    "osm_nodes_census": q_osm_nodes_census,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
@@ -2047,7 +2099,6 @@ QUERIES = {
     "zone_join_agg": q_zone_join_agg,
     "knn_customer_supplier": q_knn,
     "hex_census": q_hex_census,
-    "q1_pricing": q1_pricing,
     "events_hourly": q_events_hourly,
     "doc_dedup": q_doc_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2057,6 +2108,7 @@ QUERIES = {
     # ---- end of driver window (50 entries above this line) ----
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
+    "q1_pricing": q1_pricing,
     "tile_census": q_tile_census,
     "zone_join_partitioned": q_zone_join_partitioned,
     "zone_join_icosa": q_zone_join_icosa,
@@ -2212,6 +2264,11 @@ ORACLE_SQL = {
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,
+    "osm_nodes_census": """
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               SUM(CAST(c_custkey AS DOUBLE)) AS s
+        FROM customer GROUP BY c_mktsegment
+    """,
     "sql_topk": """
         SELECT p_partkey, p_size FROM part WHERE p_size >= 10
         ORDER BY p_size DESC, p_partkey LIMIT 15
