@@ -1409,6 +1409,78 @@ def q_osm_nodes_census(sf_dir: str):
     return out
 
 
+def q_kml_zone_join(sf_dir: str):
+    """Zone polygons routed through a KML roundtrip (georay.xmldrivers,
+    OGC KML 2.2 Placemarks on stdlib ElementTree — reference scope
+    ogr/ogrsf_frmts/kml): write → parse → broadcast PIP join, under the
+    same BETWEEN-join zone oracle as the direct path."""
+    import tempfile
+
+    from .join import spatial_join_points
+    from .xmldrivers import read_kml, write_kml
+
+    zones = _nation_zones(sf_dir)
+    path = tempfile.mktemp(suffix=".kml", prefix="georay_q_", dir="/tmp")
+    write_kml(zones.select(["wkb", "n_name"]), path, name_col="n_name")
+    back = read_kml(path).rename_columns(["wkb", "n_name"])
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, back, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
+def q_gpx_waypoint_census(sf_dir: str):
+    """Customer points through a GPX roundtrip (Topografix GPX 1.1):
+    repr-exact coordinates come BACK out of the XML and their rounded
+    sum must match the oracle's closed-form lat — pinning the writer's
+    shortest-roundtrip float serialization, not just the tags."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from .geojson import geometry_to_wkb
+    from .xmldrivers import read_gpx_files, write_gpx
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_mktsegment"])
+    key = t["c_custkey"].to_numpy()
+    lon, lat = derived_lon(key), derived_lat(key)
+    wkbs = [geometry_to_wkb({"type": "Point",
+                             "coordinates": [float(x), float(y)]})
+            for x, y in zip(lon, lat)]
+    wp = pa.table({"wkb": pa.array(wkbs, pa.binary()),
+                   "seg": t["c_mktsegment"],
+                   "ckey": pa.array([str(k) for k in key])})
+    path = tempfile.mktemp(suffix=".gpx", prefix="georay_q_", dir="/tmp")
+    write_gpx(path, waypoints=wp)
+
+    def census(batch: pa.Table) -> pa.Table:
+        from .geojson import wkb_to_geometry
+        lats = np.array([wkb_to_geometry(w)["coordinates"][1]
+                         for w in batch["wkb"].to_pylist()])
+        return pa.table({
+            "seg": batch["seg"],
+            "ckey": pc.cast(pc.cast(batch["ckey"], pa.int64()),
+                            pa.float64()),
+            "lat6": pa.array(np.round(lats, 6)),
+        })
+
+    out = (read_gpx_files([path], "waypoints")
+           .map_batches(census, batch_format="pyarrow")
+           .groupby("seg")
+           .aggregate(Count(alias_name="n"),
+                      Sum("ckey", alias_name="s"),
+                      Sum("lat6", alias_name="slat")))
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("slat"), "slat",
+            pc.round(batch["slat"], ndigits=4))
+
+    return out.map_batches(final_round, batch_format="pyarrow")
+
+
 def q_fgb_zone_join(sf_dir: str):
     """Zone polygons pushed through a FlatGeobuf write → bbox-pushdown
     read roundtrip (georay.flatgeobuf — the reference fork's signature
@@ -2090,15 +2162,15 @@ QUERIES = {
     "sql_union": q_sql_union,
     "sql_union_distinct": q_sql_union_distinct,
     "osm_nodes_census": q_osm_nodes_census,
+    "kml_zone_join": q_kml_zone_join,
+    "gpx_waypoint_census": q_gpx_waypoint_census,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
-    "tile_assign": q_tile_assign,
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
     "knn_customer_supplier": q_knn,
-    "hex_census": q_hex_census,
     "events_hourly": q_events_hourly,
     "doc_dedup": q_doc_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2109,6 +2181,8 @@ QUERIES = {
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
     "q1_pricing": q1_pricing,
+    "tile_assign": q_tile_assign,
+    "hex_census": q_hex_census,
     "tile_census": q_tile_census,
     "zone_join_partitioned": q_zone_join_partitioned,
     "zone_join_icosa": q_zone_join_icosa,
@@ -2267,6 +2341,16 @@ ORACLE_SQL = {
     "osm_nodes_census": """
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "kml_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "gpx_waypoint_census": f"""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               SUM(CAST(c_custkey AS DOUBLE)) AS s,
+               ROUND(SUM(ROUND({_SQL_LAT.format(k="c_custkey")}, 6)), 4)
+                   AS slat
         FROM customer GROUP BY c_mktsegment
     """,
     "sql_topk": """
