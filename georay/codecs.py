@@ -176,6 +176,9 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from .gtiff import tiff_encode
         return tiff_encode(arr, predictor=2 if arr.dtype.kind in "ui"
                            else 1)
+    if fmt == "webp":
+        from .webp import webp_encode
+        return webp_encode(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -198,6 +201,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "tiff":
         from .gtiff import tiff_decode
         return tiff_decode(data)[0]
+    if fmt == "webp":
+        # lossless VP8L (georay.webp, from scratch); grayscale inputs
+        # come back expanded to 3 identical channels (ARGB data model)
+        from .webp import webp_decode
+        return webp_decode(data)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

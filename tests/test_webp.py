@@ -1,0 +1,124 @@
+"""VP8L (WebP lossless) codec — from-scratch per the public bitstream
+spec (reference scope: frmts/webp).  Every path is LOSSLESS: roundtrips
+must be bit-exact."""
+
+import numpy as np
+import pytest
+
+from georay.webp import (_BitReader, _BitWriter, _canonical_codes,
+                         _code_lengths, _prefix_decode, _prefix_encode,
+                         _read_code, _reverse_bits, _Tree, _write_code,
+                         webp_decode, webp_encode)
+
+
+def test_bit_io_roundtrip():
+    rng = np.random.default_rng(0)
+    fields = [(int(rng.integers(0, 1 << n)), n)
+              for n in rng.integers(1, 25, 200)]
+    bw = _BitWriter()
+    for v, n in fields:
+        bw.put(v, n)
+    br = _BitReader(bw.finish())
+    for v, n in fields:
+        assert br.get(n) == v
+
+
+def test_prefix_value_codes_invert():
+    bw = _BitWriter()
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 120, 121, 4096, 65537]
+    parts = []
+    for v in vals:
+        code, extra, ev = _prefix_encode(v)
+        assert 0 <= code < 40
+        parts.append((code, extra, ev))
+        bw.put(ev, extra)
+    br = _BitReader(bw.finish())
+    for v, (code, extra, ev) in zip(vals, parts):
+        assert _prefix_decode(code, br) == v
+
+
+@pytest.mark.parametrize("alphabet,density", [(280, 0.9), (256, 0.3),
+                                              (40, 0.05), (19, 0.5)])
+def test_code_serialization_roundtrip(alphabet, density):
+    rng = np.random.default_rng(alphabet)
+    freqs = np.where(rng.random(alphabet) < density,
+                     rng.integers(1, 1000, alphabet), 0)
+    if freqs.sum() == 0:
+        freqs[0] = 1
+    lengths = _code_lengths(freqs)
+    bw = _BitWriter()
+    _write_code(bw, lengths)
+    tree = _read_code(_BitReader(bw.finish()), alphabet)
+    # decode every symbol through the rebuilt tree
+    codes = _canonical_codes(lengths)
+    emit_zero = np.count_nonzero(lengths) <= 1
+    for s in np.flatnonzero(lengths):
+        bw2 = _BitWriter()
+        ln = 0 if emit_zero else int(lengths[s])
+        bw2.put(_reverse_bits(int(codes[s]), ln), ln)
+        bw2.put(0, 16)             # slack so peek never under-runs
+        assert tree.read(_BitReader(bw2.finish())) == int(s)
+
+
+def test_kraft_repair_depth_limit():
+    # fibonacci-ish frequencies force depths beyond 15 without repair
+    freqs = np.array([1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233,
+                      377, 610, 987, 1597, 2584, 4181, 6765], np.int64)
+    lengths = _code_lengths(freqs)
+    assert lengths.max() <= 15
+    kraft = np.sum(1.0 / (1 << lengths[lengths > 0]))
+    assert kraft <= 1.0 + 1e-12
+
+
+def test_rgb_rgba_gray_roundtrips():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    assert np.array_equal(webp_decode(webp_encode(img)), img)
+    img4 = rng.integers(0, 256, (33, 57, 4), dtype=np.uint8)
+    assert np.array_equal(webp_decode(webp_encode(img4)), img4)
+    g = rng.integers(0, 256, (40, 41), dtype=np.uint8)
+    assert np.array_equal(webp_decode(webp_encode(g)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_palette_and_runs():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    idx = np.repeat(rng.integers(0, 40, (16, 16)), 8, axis=0)
+    img = pal[np.repeat(idx, 4, axis=1)]
+    data = webp_encode(img)
+    assert len(data) < img.size // 4       # palette+RLE must compress
+    assert np.array_equal(webp_decode(data), img)
+
+
+def test_constant_image_single_symbol_trees():
+    c = np.full((100, 100, 3), 137, np.uint8)
+    data = webp_encode(c)
+    assert len(data) < 200
+    assert np.array_equal(webp_decode(data), c)
+
+
+def test_subtract_green_toggle():
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (32, 32, 1), dtype=np.uint8)
+    img = np.clip(base + rng.integers(-8, 8, (32, 32, 3)), 0,
+                  255).astype(np.uint8)
+    with_sg = webp_encode(img, palette="off", subtract_green=True)
+    without = webp_encode(img, palette="off", subtract_green=False)
+    assert np.array_equal(webp_decode(with_sg), img)
+    assert np.array_equal(webp_decode(without), img)
+    # correlated channels: subtract-green should not be larger
+    assert len(with_sg) <= len(without) * 1.02
+
+
+def test_codecs_dispatch():
+    from georay.codecs import decode_image, encode_image
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_image(img, "webp"),
+                                       "webp"), img)
+
+
+def test_decoder_rejects_unimplemented():
+    with pytest.raises((ValueError, NotImplementedError)):
+        webp_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
