@@ -711,6 +711,66 @@ def _bench_images(sf_dir: str) -> str:
     return write_images_parquet(f"/tmp/georay_images_sf{sf}", n)
 
 
+def q_webp_images(sf_dir: str):
+    """Distributed WebP transcode (rows-only: pixel codecs have no SQL
+    analog): decode the PNG/JPEG image table in an actor pool, re-encode
+    LOSSLESSLY as VP8L WebP (georay.webp), decode that back and require
+    bit-exact pixels; emits per-image (checksum, webp_bytes) — the
+    checksum is deterministic so the driver's rows-only hash is stable."""
+    import ray
+
+    from .decode import DecodeImages
+    from .stats import gdal_checksum
+    from .util import default_concurrency
+
+    path = _bench_images(sf_dir)
+
+    class WebpTranscode:
+        def __init__(self):
+            from .webp import webp_decode, webp_encode
+            self._enc = webp_encode
+            self._dec = webp_decode
+            self._checksum = gdal_checksum
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, sums, sizes = [], [], []
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            pix = batch["pixels"].to_pylist()
+            for i, pid in enumerate(batch["image_id"].to_pylist()):
+                arr = np.frombuffer(pix[i], np.uint8).reshape(
+                    int(hs[i]), int(ws[i]), 3)
+                data = self._enc(arr)
+                back = self._dec(data)
+                if not np.array_equal(back, arr):
+                    raise ValueError(f"webp roundtrip mismatch: {pid}")
+                ids.append(pid)
+                sums.append(int(self._checksum(back[:, :, 1])))
+                sizes.append(len(data))
+            return pa.table({"image_id": pa.array(ids),
+                             "checksum": pa.array(sums, pa.int64()),
+                             "webp_bytes": pa.array(sizes, pa.int64())})
+
+    # deterministic 1-in-8 sample keeps the pure-Python entropy coder
+    # off the bench critical path while still transcoding a spread
+    from .fixtures import parse_image_idx
+
+    def sample(batch: pa.Table) -> pa.Table:
+        idx = parse_image_idx(
+            batch["image_id"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(idx % 8 == 0))
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes",
+                                                 "fmt", "w", "h"])
+            .map_batches(sample, batch_format="pyarrow")
+            .map_batches(DecodeImages, batch_format="pyarrow",
+                         concurrency=default_concurrency())
+            .map_batches(WebpTranscode, batch_format="pyarrow",
+                         concurrency=default_concurrency(),
+                         batch_size=64)
+            .select_columns(["image_id", "checksum", "webp_bytes"]))
+
+
 def q_flagship_join_images(sf_dir: str):
     """The BASELINE headline: georeference → H3/S2 cells → broadcast R-tree
     PIP join → center tile assignment, over the mandated image table."""
@@ -2164,6 +2224,7 @@ QUERIES = {
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
+    "webp_images": q_webp_images,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
@@ -2171,7 +2232,6 @@ QUERIES = {
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
     "knn_customer_supplier": q_knn,
-    "events_hourly": q_events_hourly,
     "doc_dedup": q_doc_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2181,6 +2241,7 @@ QUERIES = {
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
     "q1_pricing": q1_pricing,
+    "events_hourly": q_events_hourly,
     "tile_assign": q_tile_assign,
     "hex_census": q_hex_census,
     "tile_census": q_tile_census,
