@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "interval_join", "dedup_clusters", "fgb_zone_join",
     "zarr_density", "sample_per_key", "sql_exists", "doc_chunks",
     "gpkg_zone_join", "sql_q3", "lineref_mileposts", "augment_images",
+    "sql_case", "sql_union", "osm_nodes_census", "kml_zone_join",
+    "gpx_waypoint_census", "webp_images",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

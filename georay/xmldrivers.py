@@ -26,10 +26,12 @@ import pyarrow as pa
 from .geojson import geometry_to_wkb, wkb_to_geometry
 
 __all__ = ["write_gpx", "read_gpx", "read_gpx_files",
-           "write_kml", "read_kml", "read_kml_files"]
+           "write_kml", "read_kml", "read_kml_files",
+           "write_gml", "read_gml", "read_gml_files"]
 
 _GPX_NS = "http://www.topografix.com/GPX/1/1"
 _KML_NS = "http://www.opengis.net/kml/2.2"
+_GML_NS = "http://www.opengis.net/gml/3.2"
 
 
 def _f(v: float) -> str:
@@ -267,6 +269,173 @@ def read_kml(path: str) -> pa.Table:
     for c in cols:
         out[c] = pa.array([r.get(c) for r in rows], pa.string())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# GML (3.2 simple features; reference scope ogr/ogrsf_frmts/gml —
+# GDAL's largest XML driver surface, here the SF-0 core: Point /
+# LineString(posList) / Polygon(exterior+interior LinearRings) /
+# Multi* members, x-y axis order with srsDimension=2)
+# ---------------------------------------------------------------------------
+
+def _gml_pos_list(coords) -> str:
+    return " ".join(f"{_f(x)} {_f(y)}" for x, y in coords)
+
+
+def _geom_to_gml(parent, g: dict):
+    t = g["type"]
+    if t == "Point":
+        el = ET.SubElement(parent, "gml:Point")
+        ET.SubElement(el, "gml:pos").text = \
+            f"{_f(g['coordinates'][0])} {_f(g['coordinates'][1])}"
+    elif t == "LineString":
+        el = ET.SubElement(parent, "gml:LineString")
+        ET.SubElement(el, "gml:posList",
+                      {"srsDimension": "2"}).text = \
+            _gml_pos_list(g["coordinates"])
+    elif t == "Polygon":
+        el = ET.SubElement(parent, "gml:Polygon")
+        for j, ring in enumerate(g["coordinates"]):
+            b = ET.SubElement(el, "gml:exterior" if j == 0
+                              else "gml:interior")
+            lr = ET.SubElement(b, "gml:LinearRing")
+            ET.SubElement(lr, "gml:posList",
+                          {"srsDimension": "2"}).text = \
+                _gml_pos_list(ring)
+    elif t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        tag, member, part = {
+            "MultiPoint": ("gml:MultiPoint", "gml:pointMember", "Point"),
+            "MultiLineString": ("gml:MultiCurve", "gml:curveMember",
+                                "LineString"),
+            "MultiPolygon": ("gml:MultiSurface", "gml:surfaceMember",
+                             "Polygon"),
+        }[t]
+        el = ET.SubElement(parent, tag)
+        for c in g["coordinates"]:
+            m = ET.SubElement(el, member)
+            _geom_to_gml(m, {"type": part, "coordinates": c})
+    else:
+        raise ValueError(f"unsupported geometry {t!r}")
+
+
+def _gml_parse_geom(el) -> dict | None:
+    tag = _strip(el.tag)
+    if tag == "Point":
+        for ch in el.iter():
+            if _strip(ch.tag) in ("pos", "coordinates"):
+                toks = ch.text.replace(",", " ").split()
+                return {"type": "Point",
+                        "coordinates": [float(toks[0]), float(toks[1])]}
+    elif tag in ("LineString", "Curve"):
+        for ch in el.iter():
+            if _strip(ch.tag) == "posList":
+                v = [float(t) for t in ch.text.split()]
+                return {"type": "LineString",
+                        "coordinates": [v[i:i + 2]
+                                        for i in range(0, len(v), 2)]}
+    elif tag == "Polygon":
+        outer, inners = None, []
+        for ch in el:
+            ctag = _strip(ch.tag)
+            if ctag not in ("exterior", "interior", "outerBoundaryIs",
+                            "innerBoundaryIs"):
+                continue
+            ring = None
+            for pl in ch.iter():
+                if _strip(pl.tag) == "posList":
+                    v = [float(t) for t in pl.text.split()]
+                    ring = [v[i:i + 2] for i in range(0, len(v), 2)]
+            if ring is None:
+                continue
+            if ctag in ("exterior", "outerBoundaryIs"):
+                outer = ring
+            else:
+                inners.append(ring)
+        if outer is not None:
+            return {"type": "Polygon", "coordinates": [outer] + inners}
+    elif tag in ("MultiPoint", "MultiCurve", "MultiSurface",
+                 "MultiGeometry"):
+        kinds = {"MultiPoint": "MultiPoint",
+                 "MultiCurve": "MultiLineString",
+                 "MultiSurface": "MultiPolygon"}
+        parts = []
+        for m in el:
+            for sub in m:
+                g = _gml_parse_geom(sub)
+                if g is not None:
+                    parts.append(g)
+        if not parts:
+            return None
+        if tag == "MultiGeometry":
+            return {"type": "GeometryCollection", "geometries": parts}
+        return {"type": kinds[tag],
+                "coordinates": [p["coordinates"] for p in parts]}
+    return None
+
+
+_GML_GEOM_TAGS = {"Point", "LineString", "Curve", "Polygon",
+                  "MultiPoint", "MultiCurve", "MultiSurface",
+                  "MultiGeometry"}
+
+
+def write_gml(table: pa.Table, path: str, layer: str = "feature",
+              wkb_col: str = "wkb") -> int:
+    """Table → GML 3.2 FeatureCollection; non-geometry columns become
+    property elements of each feature."""
+    root = ET.Element("gml:FeatureCollection",
+                      {"xmlns:gml": _GML_NS, "xmlns:geo": "urn:georay"})
+    extra = [c for c in table.column_names if c != wkb_col]
+    for i in range(table.num_rows):
+        fm = ET.SubElement(root, "gml:featureMember")
+        fe = ET.SubElement(fm, f"geo:{layer}",
+                           {"gml:id": f"{layer}.{i}"})
+        for c in extra:
+            v = table[c][i].as_py()
+            if v is not None:
+                ET.SubElement(fe, f"geo:{c}").text = str(v)
+        geom = ET.SubElement(fe, "geo:geometry")
+        _geom_to_gml(geom, wkb_to_geometry(table[wkb_col][i].as_py()))
+    ET.ElementTree(root).write(path, encoding="unicode",
+                               xml_declaration=True)
+    return table.num_rows
+
+
+def read_gml(path: str) -> pa.Table:
+    """GML FeatureCollection → table (wkb + property string columns).
+    Feature elements are found under featureMember/member wrappers;
+    the geometry is whichever child subtree carries a GML geometry."""
+    root = ET.parse(path).getroot()
+    rows, cols = [], []
+    for fm in root.iter():
+        if _strip(fm.tag) not in ("featureMember", "member"):
+            continue
+        for fe in fm:
+            row = {"wkb": None}
+            for ch in fe:
+                tag = _strip(ch.tag)
+                geom = None
+                if tag in _GML_GEOM_TAGS:
+                    geom = _gml_parse_geom(ch)
+                else:
+                    for sub in ch:
+                        if _strip(sub.tag) in _GML_GEOM_TAGS:
+                            geom = _gml_parse_geom(sub)
+                            break
+                if geom is not None:
+                    row["wkb"] = geometry_to_wkb(geom)
+                elif len(ch) == 0:
+                    row[tag] = ch.text
+                    if tag not in cols:
+                        cols.append(tag)
+            rows.append(row)
+    out = {"wkb": pa.array([r["wkb"] for r in rows], pa.binary())}
+    for c in cols:
+        out[c] = pa.array([r.get(c) for r in rows], pa.string())
+    return pa.table(out)
+
+
+def read_gml_files(paths: list[str]):
+    return _files_source(paths, read_gml)
 
 
 # ---------------------------------------------------------------------------

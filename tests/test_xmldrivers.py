@@ -97,3 +97,44 @@ def test_multi_file_ray_sources(ray_session, tmp_path):
         kpaths.append(p)
     assert sorted(read_kml_files(kpaths).to_pandas()["name"]) \
         == ["k0", "k1"]
+
+
+def test_gml_geometry_roundtrips(tmp_path):
+    from georay.xmldrivers import read_gml, write_gml
+    poly = {"type": "Polygon", "coordinates": [
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        [[2, 2], [4, 2], [4, 4], [2, 2]]]}
+    line = {"type": "LineString",
+            "coordinates": [[0.5, 1.5], [2.25, 3.75]]}
+    pt = {"type": "Point", "coordinates": [12.125, -7.5]}
+    mp = {"type": "MultiPolygon", "coordinates": [
+        poly["coordinates"], [[[20, 20], [30, 20], [25, 30], [20, 20]]]]}
+    mls = {"type": "MultiLineString",
+           "coordinates": [line["coordinates"], [[9, 9], [10, 10]]]}
+    geoms = [poly, line, pt, mp, mls]
+    t = pa.table({
+        "wkb": pa.array([geometry_to_wkb(g) for g in geoms],
+                        pa.binary()),
+        "name": pa.array(list("abcde")),
+        "val": pa.array(["1", "2", None, "4", "5"]),
+    })
+    path = str(tmp_path / "t.gml")
+    assert write_gml(t, path) == 5
+    back = read_gml(path)
+    for i, g in enumerate(geoms):
+        assert wkb_to_geometry(back["wkb"][i].as_py()) == g
+    assert back["name"].to_pylist() == list("abcde")
+    assert back["val"].to_pylist() == ["1", "2", None, "4", "5"]
+
+
+def test_gml_ray_source(ray_session, tmp_path):
+    from georay.xmldrivers import read_gml_files, write_gml
+    paths = []
+    for j in range(3):
+        t = pa.table({"wkb": pa.array([_pt(j, j), _pt(j, j + 1)],
+                                      pa.binary()),
+                      "name": pa.array([f"g{j}a", f"g{j}b"])})
+        p = str(tmp_path / f"{j}.gml")
+        write_gml(t, p)
+        paths.append(p)
+    assert read_gml_files(paths).count() == 6
