@@ -359,6 +359,25 @@ def _fn_substr(args, batch):
     return pc.utf8_slice_codeunits(_eval(args[0], batch), start, stop)
 
 
+def _fn_date_trunc(args, batch):
+    """DATE_TRUNC('unit', ts) — DuckDB-compatible floor to unit."""
+    _n_args("DATE_TRUNC", args, 2, 2)
+    if args[0][0] != "lit" or not isinstance(args[0][1], str):
+        raise FilterSyntaxError("DATE_TRUNC needs a literal unit")
+    unit = args[0][1].lower()
+    if unit not in ("second", "minute", "hour", "day", "month", "year"):
+        raise FilterSyntaxError(f"DATE_TRUNC: unsupported unit {unit!r}")
+    return pc.floor_temporal(_eval(args[1], batch), unit=unit)
+
+
+def _fn_strftime(args, batch):
+    """STRFTIME(ts, fmt) — DuckDB argument order."""
+    _n_args("STRFTIME", args, 2, 2)
+    if args[1][0] != "lit" or not isinstance(args[1][1], str):
+        raise FilterSyntaxError("STRFTIME needs a literal format")
+    return pc.strftime(_eval(args[0], batch), format=args[1][1])
+
+
 def _fn_nullif(args, batch):
     """NULLIF(a, b): NULL where a = b, else a (a NULL a propagates —
     the equality is then NULL and if_else yields NULL)."""
@@ -459,6 +478,15 @@ _FUNCS = {
         _n_args("COALESCE", args, 1, 64),
         pc.coalesce(*[_eval(a, batch) for a in args]))[1],
     "NULLIF": _fn_nullif,
+    "YEAR": _elementwise(pc.year),
+    "MONTH": _elementwise(pc.month),
+    "DAY": _elementwise(pc.day),
+    "HOUR": _elementwise(pc.hour),
+    "MINUTE": _elementwise(pc.minute),
+    "SECOND": _elementwise(pc.second),
+    "DAYOFWEEK": _elementwise(pc.day_of_week),
+    "DATE_TRUNC": _fn_date_trunc,
+    "STRFTIME": _fn_strftime,
     "ST_AREA": _geom_fn("area"),
     "ST_PERIMETER": _geom_fn("perimeter"),
     "ST_LENGTH": _geom_fn("length_any"),

@@ -1951,6 +1951,32 @@ def q_sql_union_distinct(sf_dir: str):
                        _sql_tables(sf_dir, "customer"))
 
 
+_SQL_DATES_TEXT = """
+    SELECT STRFTIME(ts, '%Y-%m') AS ym, COUNT(*) AS n,
+           SUM(ROUND(value, 3)) AS sv
+    FROM events GROUP BY ym
+"""
+
+_SQL_DATE_TRUNC_TEXT = """
+    SELECT DATE_TRUNC('day', ts) AS d, COUNT(*) AS n
+    FROM events GROUP BY d
+"""
+
+
+def q_sql_dates(sf_dir: str):
+    """STRFTIME group key + date-part functions through the SQL
+    front-end (identical text in DuckDB)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_DATES_TEXT, _sql_tables(sf_dir, "events"))
+
+
+def q_sql_date_trunc(sf_dir: str):
+    """DATE_TRUNC('day') as a timestamp GROUP BY key."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_DATE_TRUNC_TEXT,
+                       _sql_tables(sf_dir, "events"))
+
+
 def q_sql_topk(sf_dir: str):
     """ORDER BY multi-key + LIMIT through the SQL front-end."""
     from .sql import execute_sql
@@ -2225,12 +2251,12 @@ QUERIES = {
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
     "webp_images": q_webp_images,
+    "sql_dates": q_sql_dates,
+    "sql_date_trunc": q_sql_date_trunc,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
-    "zone_join": q_zone_join,
-    "zone_join_agg": q_zone_join_agg,
     "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2242,6 +2268,8 @@ QUERIES = {
     # a prior round; rotate into the window in a later round if needed.
     "q1_pricing": q1_pricing,
     "events_hourly": q_events_hourly,
+    "zone_join": q_zone_join,
+    "zone_join_agg": q_zone_join_agg,
     "tile_assign": q_tile_assign,
     "hex_census": q_hex_census,
     "tile_census": q_tile_census,
@@ -2407,6 +2435,8 @@ ORACLE_SQL = {
     "kml_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
+    "sql_dates": _SQL_DATES_TEXT,
+    "sql_date_trunc": _SQL_DATE_TRUNC_TEXT,
     "gpx_waypoint_census": f"""
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s,

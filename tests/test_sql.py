@@ -515,3 +515,23 @@ def test_sql_distinct_null_keys(ray_session):
     want.columns = got.columns
     assert len(got) == len(want)
     assert got["seg"].isna().sum() == 1
+
+
+def test_sql_date_functions(ray_session):
+    """YEAR/MONTH/DAY/HOUR, DATE_TRUNC, STRFTIME — identical text in
+    DuckDB; arrow temporal kernels match DuckDB part semantics."""
+    for sql, tables in [
+        ("SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS m, DAY(ts) AS d, "
+         "HOUR(ts) AS h FROM events WHERE event_id < 200", ["events"]),
+        ("SELECT DATE_TRUNC('hour', ts) AS th, COUNT(*) AS n "
+         "FROM events GROUP BY th", ["events"]),
+        ("SELECT STRFTIME(ts, '%Y-%m-%d') AS d, COUNT(*) AS n "
+         "FROM events GROUP BY d", ["events"]),
+        ("SELECT event_id FROM events "
+         "WHERE MINUTE(ts) < 30 AND SECOND(ts) >= 15 "
+         "AND event_id < 500", ["events"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
