@@ -378,6 +378,30 @@ def _fn_strftime(args, batch):
     return pc.strftime(_eval(args[0], batch), format=args[1][1])
 
 
+def _fn_json_extract_string(args, batch):
+    """JSON_EXTRACT_STRING(col, '$.key') — DuckDB-compatible flat-key
+    extraction, vectorized as one ``extract_regex`` kernel (quoted
+    strings unwrapped, missing keys → NULL).  Nested paths are out of
+    scope — the LLM-metadata shape this serves is flat props objects."""
+    import re as _re
+
+    _n_args("JSON_EXTRACT_STRING", args, 2, 2)
+    if args[1][0] != "lit" or not isinstance(args[1][1], str) \
+            or not args[1][1].startswith("$."):
+        raise FilterSyntaxError(
+            "JSON_EXTRACT_STRING needs a literal '$.key' path")
+    key = args[1][1][2:]
+    if not _re.fullmatch(r"[A-Za-z0-9_]+", key):
+        raise FilterSyntaxError("only flat '$.key' paths supported")
+    v = _eval(args[0], batch)
+    pat = (rf'"{key}"\s*:\s*(?P<v>"(?:[^"\\]|\\.)*"|[^,}}\s]+)')
+    got = pc.struct_field(pc.extract_regex(v, pattern=pat), "v")
+    # unwrap quoted values (backslash escapes inside strings are left
+    # as-is — flat numeric/plain-string props only)
+    return pc.replace_substring_regex(got, pattern=r'^"|"$',
+                                      replacement="")
+
+
 def _fn_nullif(args, batch):
     """NULLIF(a, b): NULL where a = b, else a (a NULL a propagates —
     the equality is then NULL and if_else yields NULL)."""
@@ -487,6 +511,7 @@ _FUNCS = {
     "DAYOFWEEK": _elementwise(pc.day_of_week),
     "DATE_TRUNC": _fn_date_trunc,
     "STRFTIME": _fn_strftime,
+    "JSON_EXTRACT_STRING": _fn_json_extract_string,
     "ST_AREA": _geom_fn("area"),
     "ST_PERIMETER": _geom_fn("perimeter"),
     "ST_LENGTH": _geom_fn("length_any"),

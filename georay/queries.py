@@ -1951,6 +1951,20 @@ def q_sql_union_distinct(sf_dir: str):
                        _sql_tables(sf_dir, "customer"))
 
 
+_SQL_JSON_TEXT = """
+    SELECT JSON_EXTRACT_STRING(props, '$.k') AS k, COUNT(*) AS n
+    FROM events GROUP BY k ORDER BY n DESC, k LIMIT 20
+"""
+
+
+def q_sql_json(sf_dir: str):
+    """JSON metadata extraction as a group key (the LLM-pipeline
+    props-column shape) — identical text runs in DuckDB's json
+    extension."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_JSON_TEXT, _sql_tables(sf_dir, "events"))
+
+
 _SQL_DATES_TEXT = """
     SELECT STRFTIME(ts, '%Y-%m') AS ym, COUNT(*) AS n,
            SUM(ROUND(value, 3)) AS sv
@@ -2253,6 +2267,7 @@ QUERIES = {
     "webp_images": q_webp_images,
     "sql_dates": q_sql_dates,
     "sql_date_trunc": q_sql_date_trunc,
+    "sql_json": q_sql_json,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
@@ -2260,7 +2275,6 @@ QUERIES = {
     "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
     "doc_minhash_pairs": q_doc_minhash_pairs,
-    "doc_simhash_pairs": q_doc_simhash_pairs,
     "ann_topk": q_ann_topk,
     "embedding_dups": q_embedding_dups,
     # ---- end of driver window (50 entries above this line) ----
@@ -2268,6 +2282,7 @@ QUERIES = {
     # a prior round; rotate into the window in a later round if needed.
     "q1_pricing": q1_pricing,
     "events_hourly": q_events_hourly,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
     "tile_assign": q_tile_assign,
@@ -2437,6 +2452,7 @@ ORACLE_SQL = {
     """,
     "sql_dates": _SQL_DATES_TEXT,
     "sql_date_trunc": _SQL_DATE_TRUNC_TEXT,
+    "sql_json": _SQL_JSON_TEXT,
     "gpx_waypoint_census": f"""
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s,

@@ -535,3 +535,12 @@ def test_sql_date_functions(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_json_extract(ray_session):
+    sql = ("SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k "
+           "FROM events WHERE event_id < 300")
+    got = _norm(_run(sql, ["events"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
