@@ -989,6 +989,26 @@ def q_zonal_stats_rect(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_raster_xyz(sf_dir: str):
+    """gdal2xyz with a CLOSED-FORM oracle: 10 plane tiles
+    (v = (3·px + 5·py + i) % 256) exploded to pixel-center points at
+    stride 8 — exactly reproducible as a generate_series cross join."""
+    from functools import partial
+
+    from .raster import raster_to_xyz
+
+    def build(i):
+        px = np.arange(64)
+        v = ((3 * px[None, :] + 5 * px[:, None] + i) % 256) \
+            .astype(np.uint8)
+        return (np.repeat(v[:, :, None], 3, axis=2),
+                float((i % 10) * 64), float(-(i // 10) * 64))
+
+    tiles = _plane_tiles(sf_dir, 10, build)
+    return tiles.map_batches(partial(raster_to_xyz, skip=8),
+                             batch_format="pyarrow")
+
+
 def q_dem_hillshade_plane(sf_dir: str):
     """gdaldem hillshade with a CLOSED-FORM oracle: constant-gradient
     DEM tiles (z = 100 + a·px + b·py, (a, b) from the tile index) give a
@@ -2268,13 +2288,13 @@ QUERIES = {
     "sql_dates": q_sql_dates,
     "sql_date_trunc": q_sql_date_trunc,
     "sql_json": q_sql_json,
+    "raster_xyz": q_raster_xyz,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
     "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
-    "doc_minhash_pairs": q_doc_minhash_pairs,
     "ann_topk": q_ann_topk,
     "embedding_dups": q_embedding_dups,
     # ---- end of driver window (50 entries above this line) ----
@@ -2283,6 +2303,7 @@ QUERIES = {
     "q1_pricing": q1_pricing,
     "events_hourly": q_events_hourly,
     "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
     "zone_join": q_zone_join,
     "zone_join_agg": q_zone_join_agg,
     "tile_assign": q_tile_assign,
@@ -2453,6 +2474,17 @@ ORACLE_SQL = {
     "sql_dates": _SQL_DATES_TEXT,
     "sql_date_trunc": _SQL_DATE_TRUNC_TEXT,
     "sql_json": _SQL_JSON_TEXT,
+    "raster_xyz": """
+        WITH t AS (SELECT c_custkey AS i FROM customer
+                   WHERE c_custkey <= 10),
+        g AS (SELECT (v.generate_series * 8) AS p
+              FROM generate_series(0, 7) v)
+        SELECT CAST(t.i AS VARCHAR) AS image_id,
+               ((t.i % 10) * 64) + gx.p + 0.5 AS x,
+               (-(t.i // 10) * 64) - gy.p - 0.5 AS y,
+               (3 * gx.p + 5 * gy.p + t.i) % 256 AS v
+        FROM t, g gx, g gy
+    """,
     "gpx_waypoint_census": f"""
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s,

@@ -246,6 +246,47 @@ class TranslateImages:
 # DEM derivatives (apps/gdaldem_lib.cpp; 3×3 windows, Horn formulas)
 # ---------------------------------------------------------------------------
 
+def raster_to_xyz(batch, band: int = 0, skip: int = 1,
+                  nodata=None):
+    """gdal2xyz analog (gdal-utils osgeo_utils/gdal2xyz.py): tile rows
+    (image_id, pixels, w, h, ulx, uly, psize) → (image_id, x, y, v)
+    point rows at pixel CENTERS with stride ``skip``; ``nodata`` values
+    are dropped like ``-skipnodata``.  One vectorized meshgrid per tile
+    — use inside ``map_batches`` so the explode streams."""
+    import pyarrow as pa
+
+    ids, xs, ys, vs = [], [], [], []
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    ulx = batch["ulx"].to_numpy()
+    uly = batch["uly"].to_numpy()
+    ps = batch["psize"].to_numpy()
+    pix = batch["pixels"].to_pylist()
+    for i, pid in enumerate(batch["image_id"].to_pylist()):
+        w, h = int(ws[i]), int(hs[i])
+        arr = np.frombuffer(pix[i], np.uint8)
+        arr = arr.reshape(h, w, -1)[::skip, ::skip, band]
+        py, px = np.mgrid[0:h:skip, 0:w:skip]
+        x = ulx[i] + (px.ravel() + 0.5) * ps[i]
+        y = uly[i] - (py.ravel() + 0.5) * ps[i]
+        v = arr.ravel().astype(np.int64)
+        if nodata is not None:
+            keep = v != nodata
+            x, y, v = x[keep], y[keep], v[keep]
+        ids.append(np.repeat(pid, len(v)))
+        xs.append(x)
+        ys.append(y)
+        vs.append(v)
+    return pa.table({
+        "image_id": pa.array(np.concatenate(ids) if ids else []),
+        "x": pa.array(np.concatenate(xs) if xs else [],
+                      pa.float64()),
+        "y": pa.array(np.concatenate(ys) if ys else [],
+                      pa.float64()),
+        "v": pa.array(np.concatenate(vs) if vs else [], pa.int64()),
+    })
+
+
 def _neighbors(dem: np.ndarray):
     """3×3 window views with edge replication (GDAL computes edges with
     the INTERPOLATED border; we use replicate-pad — documented difference,

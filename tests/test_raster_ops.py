@@ -720,3 +720,29 @@ def test_grid_index_auto_threshold():
     assert not _use_index(None, 5.0, 100, 100)       # tiny -> dense
     assert _use_index(None, 5.0, 10_000, 10_000)     # big -> indexed
     assert _use_index(True, 5.0, 1, 1)               # explicit override
+
+
+def test_raster_to_xyz_strided_nodata():
+    """gdal2xyz analog: pixel-center coords, stride, nodata drop."""
+    import pyarrow as pa
+
+    from georay.raster import raster_to_xyz
+
+    v = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    arr = np.repeat(v[:, :, None], 3, axis=2)
+    batch = pa.table({
+        "image_id": pa.array(["t"]),
+        "pixels": pa.array([arr.tobytes()], pa.binary()),
+        "w": pa.array([4], pa.int32()), "h": pa.array([4], pa.int32()),
+        "ulx": pa.array([100.0]), "uly": pa.array([50.0]),
+        "psize": pa.array([2.0]),
+    })
+    out = raster_to_xyz(batch)
+    assert out.num_rows == 16
+    assert out["x"].to_pylist()[:4] == [101.0, 103.0, 105.0, 107.0]
+    assert out["y"].to_pylist()[0] == 49.0
+    assert out["v"].to_pylist() == list(range(16))
+    s = raster_to_xyz(batch, skip=2)
+    assert s["v"].to_pylist() == [0, 2, 8, 10]
+    nd = raster_to_xyz(batch, nodata=0)
+    assert nd.num_rows == 15
