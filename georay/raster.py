@@ -278,7 +278,8 @@ def raster_to_xyz(batch, band: int = 0, skip: int = 1,
         ys.append(y)
         vs.append(v)
     return pa.table({
-        "image_id": pa.array(np.concatenate(ids) if ids else []),
+        "image_id": pa.array(
+            np.concatenate(ids).tolist() if ids else [], pa.string()),
         "x": pa.array(np.concatenate(xs) if xs else [],
                       pa.float64()),
         "y": pa.array(np.concatenate(ys) if ys else [],
