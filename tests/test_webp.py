@@ -122,3 +122,42 @@ def test_codecs_dispatch():
 def test_decoder_rejects_unimplemented():
     with pytest.raises((ValueError, NotImplementedError)):
         webp_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
+
+
+def test_predictor_transform_roundtrips():
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:80, 0:96]
+    grad = np.stack([(xx * 2 + yy) % 256, (xx + yy * 3) % 256,
+                     (xx * 5) % 256], axis=2).astype(np.uint8)
+    d = webp_encode(grad, palette="off", predictor=True)
+    assert np.array_equal(webp_decode(d), grad)
+    # the predictor must crush a linear gradient
+    assert len(d) < grad.size // 20
+    img4 = rng.integers(0, 256, (50, 33, 4), dtype=np.uint8)
+    d4 = webp_encode(img4, palette="off", predictor=True)
+    assert np.array_equal(webp_decode(d4), img4)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (1, 7, 3), (9, 1, 3),
+                                   (17, 16, 3), (16, 17, 4)])
+def test_predictor_odd_shapes(shape):
+    rng = np.random.default_rng(sum(shape))
+    im = rng.integers(0, 256, shape, dtype=np.uint8)
+    d = webp_encode(im, palette="off", predictor=True)
+    assert np.array_equal(webp_decode(d), im)
+
+
+def test_predictor_inverse_all_modes_smoke():
+    """Hand-built residual streams for every mode the encoder never
+    emits (3/5/6/8/9/10/11/13) — inverse must run and be reproducible
+    (their formulas come from the spec; encoder-made streams pin the
+    {1,2,7,12} subset exactly)."""
+    from georay.webp import _predictor_inverse
+
+    rng = np.random.default_rng(5)
+    res = rng.integers(0, 2**32, (12, 12), dtype=np.uint32)
+    for mode in (0, 3, 4, 5, 6, 8, 9, 10, 11, 13):
+        modes = np.full((2, 2), mode, np.int64)
+        out1 = _predictor_inverse(res.copy(), 3, modes)
+        out2 = _predictor_inverse(res.copy(), 3, modes)
+        assert np.array_equal(out1, out2)
