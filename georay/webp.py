@@ -14,19 +14,20 @@ Implemented surface:
   (0x1e35a7bd hash) on the DECODE side; the encoder emits same-pixel
   runs as dist-code ``distance+120`` copies (the always-legal plain
   form), so the LZ77 path is exercised end-to-end.
-* transforms: subtract-green and the spatial PREDICTOR (all 14 modes
-  on decode, border rules per spec; encoder picks per-block from the
-  TR-free set {L, T, avg, ClampAddSubtractFull} at 16-px blocks — 45×
-  on gradients) in both directions, and color-indexing (palette,
-  delta-coded entries) for 17..256 distinct colors.
+* ALL FOUR transforms, both directions: subtract-green; the spatial
+  PREDICTOR (all 14 modes on decode, border rules per spec; encoder
+  picks per-block from the TR-free set {L, T, avg,
+  ClampAddSubtractFull} at 16-px blocks — 45× on gradients);
+  CROSS-COLOR (per-block int8 g→r/g→b/r→b factors, ``(t·c)>>5``
+  deltas, least-squares factor fit on encode); color-indexing
+  (palette, delta-coded entries) for 17..256 distinct colors.
 
-Honestly gated (raise, never silently wrong): the cross-color
-transform, palette pixel-bundling (≤16 colors), the 120-entry
-close-neighborhood distance map (the encoder only emits plain ``+120``
-codes), and meta-prefix groups — each a clearly marked
-``NotImplementedError`` branch in the decoder.  The right-edge TR
-border rule is a documented guess (TR := T) that our encoder's
-TR-free mode set never exercises.
+Honestly gated (raise, never silently wrong): palette pixel-bundling
+(≤16 colors), the 120-entry close-neighborhood distance map (the
+encoder only emits plain ``+120`` codes), and meta-prefix groups —
+each a clearly marked ``NotImplementedError`` branch in the decoder.
+The right-edge TR border rule is a documented guess (TR := T) that
+our encoder's TR-free mode set never exercises.
 
 Scale shape: one image = one payload cell in a ``bytes`` column;
 encode/decode run inside actor-pool ``map_batches`` stages like the
@@ -473,6 +474,79 @@ def _predictor_forward(px: np.ndarray, w: int, h: int,
 
 
 # ---------------------------------------------------------------------------
+# cross-color transform (spec transform 1)
+# ---------------------------------------------------------------------------
+# delta(t, c) = (int8(t) * int8(c)) >> 5 (arithmetic); forward:
+#   r' = r − delta(g2r, g);  b' = b − delta(g2b, g) − delta(r2b, r')
+# factors live in a subresolution image: BLUE = green_to_red,
+# GREEN = green_to_blue, RED = red_to_blue.
+
+def _s8(v: np.ndarray) -> np.ndarray:
+    return ((v.astype(np.int64) + 128) & 0xFF) - 128
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _cross_color_apply(px: np.ndarray, w: int, h: int, size_bits: int,
+                       fac: np.ndarray, inverse: bool) -> np.ndarray:
+    """fac: (bh, bw, 3) int64 [g2r, g2b, r2b] block factors."""
+    pl = _px_planes(px.reshape(h, w))
+    yy, xx = np.mgrid[0:h, 0:w]
+    f = fac[yy >> size_bits, xx >> size_bits]      # (h, w, 3)
+    g = pl[..., 2]
+    if inverse:
+        r = (pl[..., 1] + _ct_delta(f[..., 0], g)) & 0xFF
+        b = (pl[..., 3] + _ct_delta(f[..., 1], g)
+             + _ct_delta(f[..., 2], pl[..., 1])) & 0xFF
+    else:
+        r = (pl[..., 1] - _ct_delta(f[..., 0], g)) & 0xFF
+        b = (pl[..., 3] - _ct_delta(f[..., 1], g)
+             - _ct_delta(f[..., 2], r)) & 0xFF
+    out = pl.copy()
+    out[..., 1] = r
+    out[..., 3] = b
+    return _planes_px(out).reshape(-1)
+
+
+def _fit_factor(target: np.ndarray, driver: np.ndarray) -> int:
+    """int8 factor minimizing wrap-aware |target − (f·driver)>>5| in a
+    least-squares sense: f ≈ 32·cov/var, clamped to int8."""
+    d = _s8(driver).astype(np.float64)
+    t = ((target.astype(np.int64) + 128) & 0xFF) - 128
+    var = float((d * d).sum())
+    if var < 1e-9:
+        return 0
+    f = int(np.clip(np.rint(32.0 * float((d * t).sum()) / var),
+                    -128, 127))
+    return f & 0xFF
+
+
+def _cross_color_fit(px: np.ndarray, w: int, h: int,
+                     size_bits: int) -> np.ndarray:
+    """Per-block factor estimation on residual-correlation heuristics."""
+    pl = _px_planes(px.reshape(h, w))
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    fac = np.zeros((bh, bw, 3), np.int64)
+    for by in range(bh):
+        ys = slice(by << size_bits, min(h, (by + 1) << size_bits))
+        for bx in range(bw):
+            xs = slice(bx << size_bits, min(w, (bx + 1) << size_bits))
+            g = pl[ys, xs, 2].ravel()
+            r = pl[ys, xs, 1].ravel()
+            b = pl[ys, xs, 3].ravel()
+            g2r = _fit_factor(r, g)
+            r2 = (r - _ct_delta(np.full_like(g, g2r), g)) & 0xFF
+            g2b = _fit_factor(b, g)
+            b2 = (b - _ct_delta(np.full_like(g, g2b), g)) & 0xFF
+            r2b = _fit_factor(b2, r2)
+            fac[by, bx] = (g2r, g2b, r2b)
+    return fac
+
+
+# ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
 
@@ -487,7 +561,8 @@ def _rle_tokens(px: np.ndarray):
 
 def webp_encode(arr: np.ndarray, palette: str = "auto",
                 subtract_green: bool = True,
-                predictor: bool = False) -> bytes:
+                predictor: bool = False,
+                cross_color: bool = False) -> bytes:
     """uint8 image (HxW, HxWx3, HxWx4) → lossless WebP bytes.
     ``palette``: "auto" uses color-indexing when 17..256 distinct
     colors, "off" never.  ``subtract_green`` applies the spec's
@@ -543,6 +618,19 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
         mpx = (np.uint32(0xFF000000)
                | (modes.reshape(-1).astype(np.uint32) << 8))
         _encode_image_stream(bw, mpx, is_level0=False)
+    elif cross_color:
+        size_bits = 4
+        bw.put(1, 1)               # transform present
+        bw.put(1, 2)               # cross-color
+        bw.put(size_bits - 2, 3)
+        fac = _cross_color_fit(px, w, h, size_bits)
+        fpx = (np.uint32(0xFF000000)
+               | (fac[..., 2].astype(np.uint32) << 16)
+               | (fac[..., 1].astype(np.uint32) << 8)
+               | fac[..., 0].astype(np.uint32)).reshape(-1)
+        _encode_image_stream(bw, fpx, is_level0=False)
+        px = _cross_color_apply(px, w, h, size_bits, fac,
+                                inverse=False)
     elif subtract_green:
         bw.put(1, 1)               # transform present
         bw.put(2, 2)               # subtract-green
@@ -688,11 +776,21 @@ def webp_decode(data: bytes) -> np.ndarray:
             mimg = _decode_image_stream(br, bw, bh, is_level0=False)
             modes = ((mimg >> 8) & 0xFF).reshape(bh, bw).astype(np.int64)
             transforms.append(("predictor", size_bits, modes))
-        else:
-            raise NotImplementedError("cross-color transform")
+        else:                      # cross-color
+            size_bits = br.get(3) + 2
+            cbw = (w + (1 << size_bits) - 1) >> size_bits
+            cbh = (h + (1 << size_bits) - 1) >> size_bits
+            fimg = _decode_image_stream(br, cbw, cbh, is_level0=False)
+            fac = np.stack([fimg & 0xFF, (fimg >> 8) & 0xFF,
+                            (fimg >> 16) & 0xFF],
+                           axis=-1).astype(np.int64).reshape(cbh, cbw, 3)
+            transforms.append(("crosscolor", size_bits, fac))
     px = _decode_image_stream(br, w, h, is_level0=True)
     for tr in reversed(transforms):
-        if tr[0] == "predictor":
+        if tr[0] == "crosscolor":
+            px = _cross_color_apply(px, w, h, tr[1], tr[2],
+                                    inverse=True)
+        elif tr[0] == "predictor":
             px = _predictor_inverse(px.reshape(h, w), tr[1],
                                     tr[2]).reshape(-1)
         elif tr[0] == "palette":

@@ -161,3 +161,24 @@ def test_predictor_inverse_all_modes_smoke():
         out1 = _predictor_inverse(res.copy(), 3, modes)
         out2 = _predictor_inverse(res.copy(), 3, modes)
         assert np.array_equal(out1, out2)
+
+
+def test_cross_color_transform():
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, (48, 40), dtype=np.int64)
+    img = np.stack([
+        np.clip(g // 2 + rng.integers(-5, 6, g.shape), 0, 255), g,
+        np.clip(255 - g + rng.integers(-5, 6, g.shape), 0, 255),
+    ], axis=2).astype(np.uint8)
+    d_cc = webp_encode(img, palette="off", cross_color=True)
+    d_sg = webp_encode(img, palette="off", subtract_green=True)
+    assert np.array_equal(webp_decode(d_cc), img)
+    # channel-correlated input: the fitted factors must win
+    assert len(d_cc) < len(d_sg)
+    im4 = rng.integers(0, 256, (30, 27, 4), dtype=np.uint8)
+    d4 = webp_encode(im4, palette="off", cross_color=True)
+    assert np.array_equal(webp_decode(d4), im4)
+    for shape in [(1, 1, 3), (3, 1, 3), (1, 5, 4)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = webp_encode(im, palette="off", cross_color=True)
+        assert np.array_equal(webp_decode(d), im), shape
