@@ -34,7 +34,8 @@ import pyarrow as pa
 from .mvt import _field, _len_field, _read_varint, _varint, _zigzag
 
 __all__ = ["write_osm_pbf", "scan_osm_pbf", "decode_block",
-           "read_osm_pbf", "read_osm_pbf_table"]
+           "read_osm_pbf", "read_osm_pbf_table",
+           "write_osm_pbf_partitioned"]
 
 _GRAN = 100          # nanodegree granularity (spec default)
 _NANO = 1e-9
@@ -373,6 +374,29 @@ def read_osm_pbf(path: str, kind: str = "nodes"):
 
     return (ray.data.from_arrow(pa.Table.from_pylist(extents))
             .map_batches(load, batch_format="pyarrow", batch_size=4))
+
+
+def write_osm_pbf_partitioned(ds, out_dir: str, part_col: str):
+    """Distributed OSM PBF sink: one ``<part>.osm.pbf`` of DenseNodes
+    per partition-key group (same shape as the fgb/gpkg sinks; atomic
+    rename).  Node tables must carry (id, lat, lon[, tag_keys,
+    tag_vals]).  Returns the manifest Dataset."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(g: pa.Table) -> pa.Table:
+        part = g[part_col][0].as_py()
+        path = os.path.join(out_dir, f"{part}.osm.pbf")
+        tmp = path + ".tmp"
+        n = write_osm_pbf(tmp, nodes=g.drop_columns([part_col]))
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([str(part)]),
+                         "path": pa.array([path]),
+                         "rows": pa.array([n], pa.int64())})
+
+    return ds.groupby(part_col).map_groups(write_group,
+                                           batch_format="pyarrow")
 
 
 def read_osm_pbf_table(path: str, kind: str = "nodes") -> pa.Table:

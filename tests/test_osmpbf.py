@@ -95,3 +95,20 @@ def test_untagged_block_has_no_keys_vals_field(tmp_path):
     write_osm_pbf(path, nodes=nodes)
     back = read_osm_pbf_table(path)
     assert back["tag_keys"].to_pylist() == [[]] * 50
+
+
+def test_partitioned_sink(ray_session, tmp_path):
+    import ray
+
+    from georay.osmpbf import write_osm_pbf_partitioned
+
+    nodes = _mk_nodes(300, seed=11, tagged=False)
+    part = pa.array((np.arange(300) % 3).astype(np.int64))
+    ds = ray.data.from_arrow(nodes.append_column("part", part))
+    out = str(tmp_path / "osm")
+    manifest = write_osm_pbf_partitioned(ds, out, "part").to_pandas()
+    assert sorted(manifest["part"]) == ["0", "1", "2"]
+    assert manifest["rows"].sum() == 300
+    total = sum(read_osm_pbf_table(p).num_rows
+                for p in manifest["path"])
+    assert total == 300
