@@ -121,6 +121,21 @@ def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     plan needs (dimension tables broadcast, fact×fact shuffles).
     ``broadcast=False`` pins the hash-shuffle path."""
     import ray
+    if isinstance(left_on, (list, tuple)):
+        # composite keys: Ray's native hash-shuffle join takes key
+        # tuples directly; the searchsorted broadcast plan is
+        # single-key, so pin the shuffle path
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            try:
+                sz = (left_ds.size_bytes() or 0) \
+                    + (right_ds.size_bytes() or 0)
+            except Exception:
+                sz = 0
+            num_partitions = int(min(max(8, sz // (128 << 20)),
+                                     4 * cpus))
+        return left_ds.join(right_ds, join_type, num_partitions,
+                            on=tuple(left_on), right_on=tuple(right_on))
     if broadcast is None:
         try:
             rsz = right_ds.size_bytes() or 0

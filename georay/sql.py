@@ -178,12 +178,19 @@ class _SqlParser:
             if kk not in ("ident", "sqlkw"):
                 raise SqlError(f"expected table name, got {t2!r}")
             self.expect_kw("ON")
-            ca = self._on_col()
-            kk, vv = self.next()
-            if (kk, vv) != ("op", "="):
-                raise SqlError(f"JOIN ON needs col = col, got {vv!r}")
-            cb = self._on_col()
-            joins.append((jtype, t2, ca, cb))
+            pairs = []
+            while True:
+                ca = self._on_col()
+                kk, vv = self.next()
+                if (kk, vv) != ("op", "="):
+                    raise SqlError(
+                        f"JOIN ON needs col = col, got {vv!r}")
+                pairs.append((ca, self._on_col()))
+                if self.peek() == ("kw", "AND"):
+                    self.next()
+                    continue
+                break
+            joins.append((jtype, t2, pairs))
         where = group = having = None
         order = []
         limit = offset = None
@@ -835,7 +842,7 @@ def _strip_qual(name, valid):
 
 
 def _dequalify(q: dict) -> dict:
-    valid = {q["table"]} | {t2 for _, t2, _, _ in q["joins"]} \
+    valid = {q["table"]} | {t2 for _, t2, _ in q["joins"]} \
         | set(q.get("aliases") or ())
 
     def toks(tl):
@@ -851,8 +858,10 @@ def _dequalify(q: dict) -> dict:
     q["order"] = [((toks(c) if isinstance(c, list)
                     else _strip_qual(c, valid)), d)
                   for c, d in q["order"]]
-    q["joins"] = [(jt, t2, _strip_qual(ca, valid), _strip_qual(cb, valid))
-                  for jt, t2, ca, cb in q["joins"]]
+    q["joins"] = [(jt, t2, [(_strip_qual(ca, valid),
+                             _strip_qual(cb, valid))
+                            for ca, cb in pairs])
+                  for jt, t2, pairs in q["joins"]]
     for it in q["items"]:
         if it.expr_toks:
             it.expr_toks = toks(it.expr_toks)
@@ -878,7 +887,7 @@ def _execute(q: dict, tables: dict):
         # references stay unambiguous (the TPC-H / OGR naming style)
         from .join import equi_join
         left_names = set(ds.schema().names)
-        for jtype, t2, ca, cb in q["joins"]:
+        for jtype, t2, pairs in q["joins"]:
             if t2 not in tables:
                 raise SqlError(f"unknown table {t2!r}")
             rds = tables[t2]
@@ -887,15 +896,23 @@ def _execute(q: dict, tables: dict):
             if dup:
                 raise SqlError(
                     f"ambiguous columns across joined tables: {sorted(dup)}")
-            if ca in left_names and cb in rnames:
-                lk, rk = ca, cb
-            elif cb in left_names and ca in rnames:
-                lk, rk = cb, ca
+            lks, rks = [], []
+            for ca, cb in pairs:
+                if ca in left_names and cb in rnames:
+                    lks.append(ca)
+                    rks.append(cb)
+                elif cb in left_names and ca in rnames:
+                    lks.append(cb)
+                    rks.append(ca)
+                else:
+                    raise SqlError(f"JOIN ON {ca} = {cb}: columns not "
+                                   "found one per side")
+            if len(lks) == 1:
+                ds = equi_join(ds, rds, left_on=lks[0], right_on=rks[0],
+                               join_type=jtype)
             else:
-                raise SqlError(
-                    f"JOIN ON {ca} = {cb}: columns not found one per side")
-            ds = equi_join(ds, rds, left_on=lk, right_on=rk,
-                           join_type=jtype)
+                ds = equi_join(ds, rds, left_on=lks, right_on=rks,
+                               join_type=jtype)
             left_names |= rnames
     if q["where"]:
         wtoks = _resolve_subqueries(q["where"], tables,

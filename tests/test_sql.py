@@ -544,3 +544,37 @@ def test_sql_json_extract(ray_session):
     want = _norm(_duck(sql))
     want.columns = got.columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_multi_key_join(ray_session):
+    """JOIN ... ON a = b AND c = d — composite keys through the native
+    hash-shuffle join (single-key joins keep the broadcast fast path)."""
+    import ray
+
+    import pyarrow as pa
+    from georay.sql import execute_sql
+
+    left = pa.table({"k1": [1, 1, 2, 2, 3], "k2": ["a", "b", "a", "b",
+                                                   "a"],
+                     "lv": [10, 20, 30, 40, 50]})
+    right = pa.table({"r1": [1, 2, 2, 4], "r2": ["a", "a", "b", "a"],
+                      "rv": [100, 200, 300, 400]})
+    tabs = {"l": ray.data.from_arrow(left),
+            "r": ray.data.from_arrow(right)}
+    sql = ("SELECT lv, rv FROM l JOIN r ON k1 = r1 AND k2 = r2")
+    got = _norm(_run_tabs(sql, tabs))
+    import duckdb
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    want = _norm(con.execute(sql).df())
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _run_tabs(sql, tabs):
+    from georay.sql import execute_sql
+    res = execute_sql(sql, tabs)
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
