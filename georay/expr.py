@@ -247,6 +247,22 @@ class _Parser:
         if k == "ident":
             if v.upper() == "CASE":
                 return self._case()
+            if v.upper() == "EXTRACT" and self.peek() == ("op", "("):
+                # EXTRACT(part FROM ts) → the matching date function
+                self.next()
+                kk, part = self.next()
+                part = str(part).upper()
+                part = {"DOW": "DAYOFWEEK"}.get(part, part)
+                if part not in ("YEAR", "MONTH", "DAY", "HOUR",
+                                "MINUTE", "SECOND", "DAYOFWEEK"):
+                    raise FilterSyntaxError(
+                        f"EXTRACT: unsupported part {part!r}")
+                kk, vv = self.next()
+                if str(vv).upper() != "FROM":
+                    raise FilterSyntaxError("EXTRACT needs FROM")
+                inner = self.or_()
+                self.expect("op", ")")
+                return ("func", part, [inner])
             if v.upper() == "CAST" and self.peek() == ("op", "("):
                 self.next()
                 inner = self.or_()
@@ -508,7 +524,9 @@ _FUNCS = {
     "HOUR": _elementwise(pc.hour),
     "MINUTE": _elementwise(pc.minute),
     "SECOND": _elementwise(pc.second),
-    "DAYOFWEEK": _elementwise(pc.day_of_week),
+    # DuckDB DOW convention: Sunday = 0
+    "DAYOFWEEK": _elementwise(lambda x: pc.day_of_week(
+        x, count_from_zero=True, week_start=7)),
     "DATE_TRUNC": _fn_date_trunc,
     "STRFTIME": _fn_strftime,
     "JSON_EXTRACT_STRING": _fn_json_extract_string,

@@ -578,3 +578,12 @@ def _run_tabs(sql, tabs):
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res.to_pandas()
+
+
+def test_sql_extract_syntax(ray_session):
+    sql = ("SELECT event_id, EXTRACT(YEAR FROM ts) AS y, "
+           "EXTRACT(DOW FROM ts) AS dw FROM events WHERE event_id < 100")
+    got = _norm(_run(sql, ["events"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
