@@ -965,6 +965,13 @@ def _execute(q: dict, tables: dict):
 
     # aggregate shapes ------------------------------------------------------
     group_cols = q["group"] or []
+    having_node, having_hidden = None, []
+    if q["having"] and group_cols:
+        # HAVING may use aggregates that are NOT select items: hoist
+        # them as hidden aggregate columns (computed alongside the
+        # visible ones, dropped after the filter)
+        having_node, having_hidden = _parse_having(
+            q["having"], items, names, extend=True)
     agg_items = [(i, it) for i, it in enumerate(items) if it.kind == "agg"]
     plain_items = [(i, it) for i, it in enumerate(items)
                    if it.kind == "expr"]
@@ -1076,14 +1083,21 @@ def _execute(q: dict, tables: dict):
             return pa.table(cols)
 
         out = out.map_batches(proj2, batch_format="pyarrow")
-        if q["having"]:
-            hnode = _parse_having(q["having"], items, names)
-
+        if having_node is not None:
             def hav(batch: pa.Table) -> pa.Table:
                 return batch.filter(
-                    pc.fill_null(_eval(hnode, batch), False))
+                    pc.fill_null(_eval(having_node, batch), False))
 
             out = out.map_batches(hav, batch_format="pyarrow")
+            if having_hidden:
+                # NOTE: proj2 closes over `names` — use a fresh list
+                # for the post-filter surface instead of rebinding it
+                out = out.map_batches(
+                    lambda b, _h=tuple(having_hidden):
+                        b.drop_columns(list(_h)),
+                    batch_format="pyarrow")
+                visible = [n for n in names if n not in having_hidden]
+                return _finish(out, q, visible)
         return _finish(out, q, names)
 
     # global aggregate → one-row table
@@ -1167,14 +1181,17 @@ def _execute_window(ds, q, items, names, win_items):
     return _finish(out, q, names)
 
 
-def _parse_having(toks, items, names):
+def _parse_having(toks, items, names, extend=False):
     """HAVING: rewrite aggregate calls to references to their SELECT
-    output columns (each aggregate used in HAVING must appear in the
-    SELECT list), then parse as a normal expression."""
+    output columns.  With ``extend=True``, aggregates NOT in the SELECT
+    list are HOISTED: appended to ``items``/``names`` in place as hidden
+    aggregate columns (returned so the caller can drop them after the
+    filter); otherwise they raise."""
     sigs = {}
     for i, it in enumerate(items):
         if it.kind == "agg":
             sigs[_agg_signature(it)] = names[i]
+    hidden = []
     out = []
     i = 0
     while i < len(toks):
@@ -1202,8 +1219,17 @@ def _parse_having(toks, items, names):
                 inner = inner[1:]
             sig = (v, distinct, star, tuple(() if star else inner))
             if sig not in sigs:
-                raise SqlError(
-                    f"HAVING aggregate {v} must also appear in SELECT")
+                if not extend:
+                    raise SqlError(
+                        f"HAVING aggregate {v} must also appear in "
+                        "SELECT")
+                hid = f"__hav{len(items)}"
+                items.append(_SelectItem(
+                    "agg", func=v, distinct=distinct,
+                    expr_toks=list(inner), star=star, name=hid))
+                names.append(hid)
+                sigs[sig] = hid
+                hidden.append(hid)
             out.append(("ident", sigs[sig]))
             i = j + 1
         else:
@@ -1212,7 +1238,7 @@ def _parse_having(toks, items, names):
     node, used = _parse_expr_tokens(out)
     if used != len(out):
         raise SqlError("trailing tokens in HAVING")
-    return node
+    return (node, hidden) if extend else node
 
 
 def _finish(out, q, names):

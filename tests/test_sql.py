@@ -587,3 +587,20 @@ def test_sql_extract_syntax(ray_session):
     want = _norm(_duck(sql))
     want.columns = got.columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_having_unselected_aggregate(ray_session):
+    """HAVING on an aggregate that is NOT a select item — hoisted as a
+    hidden aggregate column and dropped after the filter."""
+    for sql, tables in [
+        ("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+         "GROUP BY o_orderstatus HAVING MAX(o_totalprice) > 300000",
+         ["orders"]),
+        ("SELECT o_orderpriority FROM orders GROUP BY o_orderpriority "
+         "HAVING COUNT(*) > 100 AND AVG(o_totalprice) < 255000",
+         ["orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
