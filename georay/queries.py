@@ -1921,6 +1921,26 @@ def q_sql_filter_group(sf_dir: str):
         _sql_tables(sf_dir, "orders"))
 
 
+_SQL_CDG_TEXT = (
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc, "
+    "COUNT(DISTINCT o_custkey % 10) AS nd, COUNT(*) AS n, "
+    "SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s, "
+    "AVG(o_totalprice) AS a "
+    "FROM orders WHERE o_totalprice > 50000 "
+    "GROUP BY o_orderstatus "
+    "HAVING COUNT(DISTINCT o_orderpriority) >= 3")
+
+
+def q_sql_count_distinct_group(sf_dir: str):
+    """GROUPED COUNT(DISTINCT) — two distinct exprs mixed with COUNT/
+    SUM/AVG plus a HAVING on an unselected (hoisted) COUNT(DISTINCT) —
+    through the single-shuffle plan of sql._execute_count_distinct
+    (block-local arrow group_by partials, groups finalized one bucket
+    each); the oracle runs the IDENTICAL SQL text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_CDG_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_CASE_TEXT = """
     SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
                 WHEN o_totalprice > 100000 THEN 'mid'
@@ -2289,6 +2309,7 @@ QUERIES = {
     "sql_date_trunc": q_sql_date_trunc,
     "sql_json": q_sql_json,
     "raster_xyz": q_raster_xyz,
+    "sql_count_distinct_group": q_sql_count_distinct_group,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
@@ -2296,10 +2317,10 @@ QUERIES = {
     "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
     "ann_topk": q_ann_topk,
-    "embedding_dups": q_embedding_dups,
     # ---- end of driver window (50 entries above this line) ----
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
+    "embedding_dups": q_embedding_dups,
     "q1_pricing": q1_pricing,
     "events_hourly": q_events_hourly,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2460,6 +2481,7 @@ ORACLE_SQL = {
         SELECT o_orderpriority, COUNT(*) AS n, SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
     """,
+    "sql_count_distinct_group": _SQL_CDG_TEXT,
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,

@@ -997,24 +997,22 @@ def _execute(q: dict, tables: dict):
                 f"non-aggregated select item {names[i]!r} must be a "
                 f"GROUP BY column")
 
-    # COUNT(DISTINCT x): supported as global or grouped via a pre-distinct
+    # COUNT(DISTINCT x): grouped or mixed with other aggregates —
+    # dedicated single-shuffle plan (never per-distinct-value Python)
+    for _, it in agg_items:
+        if it.distinct and it.func != "COUNT":
+            raise SqlError(f"{it.func}(DISTINCT) is not supported")
     cd = [(i, it) for i, it in agg_items
           if it.func == "COUNT" and it.distinct]
     if cd:
-        if len(items) != 1 or group_cols:
-            raise SqlError("COUNT(DISTINCT) is supported only as the "
-                           "single select item without GROUP BY")
-        i, it = cd[0]
-        node, _ = _parse_expr_tokens(it.expr_toks)
-
-        def keyed(batch: pa.Table) -> pa.Table:
-            return pa.table({"k__": _eval(node, batch)})
-
-        distinct = ds.map_batches(keyed, batch_format="pyarrow") \
-            .groupby("k__").map_groups(lambda g: g.slice(0, 1),
-                                       batch_format="pyarrow")
-        n = distinct.count()
-        return pa.table({names[i]: pa.array([n], pa.int64())})
+        for i, it in agg_items:
+            if not it.distinct and it.func not in (
+                    "COUNT", "SUM", "AVG", "MIN", "MAX"):
+                raise SqlError(
+                    f"{it.func} cannot be mixed with COUNT(DISTINCT)")
+        return _execute_count_distinct(
+            ds, q, items, names, group_cols, agg_items, alias_nodes,
+            having_node, having_hidden)
 
     # evaluate group keys + aggregate inputs in one projection
     agg_nodes = {}
@@ -1111,6 +1109,189 @@ def _execute(q: dict, tables: dict):
             v = 0   # SQL COUNT over an empty input is 0, not NULL
         row[names[i]] = [v]
     return pa.table(row)
+
+
+def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
+                            alias_nodes, having_node, having_hidden):
+    """COUNT(DISTINCT) — grouped, global, several at once, and mixed
+    with COUNT/SUM/AVG/MIN/MAX — in ONE shuffle and no per-key Python
+    (the reference's SQLite dialect gets this from sqlite3 itself;
+    ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp).
+
+    Shape: each block pre-shrinks with an arrow hash ``group_by`` on
+    (group keys, distinct exprs) — regular aggregates become mergeable
+    PARTIALS while every group's distinct value SETS survive — then rows
+    hash-partition on the GROUP key alone, so a group finalizes in
+    exactly one bucket with a single arrow ``group_by`` call
+    (``count_distinct`` + partial combination).  NULL group keys are
+    ordinary hash values (arrow kernels), unlike Ray's sort-based
+    groupby.  Global form: partitions on the distinct value itself when
+    there is one distinct expr (buckets split the value space, so
+    per-bucket distinct counts SUM), else one bucket of block-shrunk
+    rows; either way only ≤P tiny partial rows reach the driver."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    dist = [(i, it) for i, it in agg_items
+            if it.func == "COUNT" and it.distinct]
+    regular = [(i, it) for i, it in agg_items if not it.distinct]
+    nodes = {}
+    for i, it in agg_items:
+        if it.star:
+            continue
+        node, used = _parse_expr_tokens(it.expr_toks)
+        if used != len(it.expr_toks):
+            raise SqlError("bad aggregate expression")
+        nodes[i] = node
+    need_one = any(it.star for _, it in regular)
+    dcols = {i: f"d{i}__" for i, _ in dist}
+    rcols = {i: f"a{i}__" for i, it in regular if not it.star}
+
+    # mergeable partials per regular item: (input col, arrow fn) pairs
+    partials = {}   # (col, fn) -> partial output column name
+    item_partials = {}   # item idx -> dict(role -> partial col)
+    for i, it in regular:
+        col = "one__" if it.star else rcols[i]
+        want = {"COUNT": [("sum", col) if it.star else ("count", col)],
+                "SUM": [("sum", col)], "MIN": [("min", col)],
+                "MAX": [("max", col)],
+                "AVG": [("sum", col), ("count", col)]}[it.func]
+        item_partials[i] = {}
+        for fn, c in want:
+            key = (c, fn)
+            if key not in partials:
+                partials[key] = f"p{len(partials)}__"
+            item_partials[i][fn] = partials[key]
+
+    P = max(8, 4 * (os.cpu_count() or 8))
+    part_keys = list(group_cols) if group_cols else (
+        [dcols[dist[0][0]]] if len(dist) == 1 else [])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for g in group_cols:
+            if g in alias_nodes:
+                v = _eval(alias_nodes[g], batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                cols[g] = v
+            else:
+                cols[g] = batch[g]
+        for i, _ in dist:
+            cols[dcols[i]] = _eval(nodes[i], batch)
+        for i in rcols:
+            cols[rcols[i]] = _eval(nodes[i], batch)
+        if need_one:
+            cols["one__"] = pa.array(
+                np.ones(batch.num_rows, np.int64))
+        t = pa.table(cols)
+        keys = list(group_cols) + [dcols[i] for i, _ in dist]
+        specs = [(c, fn) for (c, fn), _ in partials.items()]
+        g = t.group_by(keys, use_threads=False).aggregate(specs)
+        ren = {f"{c}_{fn}": out for (c, fn), out in partials.items()}
+        g = g.rename_columns([ren.get(n, n) for n in g.schema.names])
+        if part_keys:
+            key = pd.util.hash_pandas_object(
+                g.select(part_keys).to_pandas(), index=False) \
+                .to_numpy(np.uint64)
+            part = (key % np.uint64(P)).astype(np.int64)
+        else:
+            part = np.zeros(g.num_rows, np.int64)
+        return g.append_column("part__", pa.array(part))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def _item_col(i, it, t, cd_name):
+        """Final output column for one select item from the combined
+        bucket table ``t``."""
+        if it.kind != "agg":
+            return t[names[i]] if names[i] in t.schema.names \
+                else t[it.expr_toks[0][1]]
+        if it.distinct:
+            return pc.cast(t[cd_name(i)], pa.int64())
+        p = item_partials[i]
+        if it.func == "COUNT":
+            v = p.get("count", p.get("sum"))
+            return pc.cast(pc.fill_null(t[v], 0), pa.int64())
+        if it.func == "AVG":
+            return pc.divide(pc.cast(t[p["sum"]], pa.float64()),
+                             pc.cast(t[p["count"]], pa.float64()))
+        return t[p[{"SUM": "sum", "MIN": "min", "MAX": "max"}[it.func]]]
+
+    if group_cols:
+        def finish_bucket(g: pa.Table) -> pa.Table:
+            g = g.drop_columns(["part__"]).combine_chunks()
+            specs = [(dcols[i], "count_distinct") for i, _ in dist]
+            specs += [(out, {"count": "sum"}.get(fn, fn))
+                      for (c, fn), out in partials.items()]
+            t = g.group_by(list(group_cols),
+                           use_threads=False).aggregate(specs)
+            # combined-partial names: p3___sum etc.
+            comb = {out: f"{out}_{({'count': 'sum'}).get(fn, fn)}"
+                    for (c, fn), out in partials.items()}
+            t = t.rename_columns(
+                [ {v: k for k, v in comb.items()}.get(n, n)
+                  for n in t.schema.names])
+            cols = {names[i]: _item_col(
+                        i, it, t,
+                        lambda j: f"{dcols[j]}_count_distinct")
+                    for i, it in enumerate(items)}
+            return pa.table(cols)
+
+        out = prepped.groupby("part__").map_groups(
+            finish_bucket, batch_format="pyarrow")
+        if having_node is not None:
+            out = out.map_batches(
+                lambda b, _n=having_node: b.filter(
+                    pc.fill_null(_eval(_n, b), False)),
+                batch_format="pyarrow")
+            if having_hidden:
+                out = out.map_batches(
+                    lambda b, _h=tuple(having_hidden):
+                        b.drop_columns(list(_h)),
+                    batch_format="pyarrow")
+                visible = [n for n in names if n not in having_hidden]
+                return _finish(out, q, visible)
+        return _finish(out, q, names)
+
+    # global: per-bucket scalar partials, tiny driver-side combine
+    if q["having"]:
+        raise SqlError("HAVING requires GROUP BY")
+
+    def bucket_scalars(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        cols = {}
+        for i, _ in dist:
+            cols[dcols[i]] = pa.array(
+                [pc.count_distinct(g[dcols[i]]).as_py()], pa.int64())
+        for (c, fn), out in partials.items():
+            v = {"sum": pc.sum, "count": pc.sum, "min": pc.min,
+                 "max": pc.max}[fn](g[out])
+            cols[out] = pa.array([v.as_py()])
+        return pa.table(cols)
+
+    rows = _collect(prepped.groupby("part__").map_groups(
+        bucket_scalars, batch_format="pyarrow"))
+    final = {}
+    for i, _ in dist:
+        col = rows[dcols[i]] if rows.num_rows else None
+        final[dcols[i] + "_count_distinct"] = pa.array(
+            [int(pc.sum(col).as_py() or 0) if col is not None else 0],
+            pa.int64())
+    for (c, fn), out in partials.items():
+        if rows.num_rows:
+            v = {"sum": pc.sum, "count": pc.sum, "min": pc.min,
+                 "max": pc.max}[fn](rows[out]).as_py()
+        else:
+            v = 0 if fn in ("sum", "count") and c == "one__" else None
+        final[out] = pa.array([v])
+    t = pa.table(final)
+    return pa.table({names[i]: _item_col(
+                        i, it, t,
+                        lambda j: f"{dcols[j]}_count_distinct")
+                     for i, it in enumerate(items)})
 
 
 def _execute_window(ds, q, items, names, win_items):

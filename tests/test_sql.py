@@ -589,6 +589,59 @@ def test_sql_extract_syntax(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("sql,tables", [
+    # grouped COUNT(DISTINCT)
+    ("SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n FROM customer "
+     "GROUP BY c_mktsegment", ["customer"]),
+    # mixed with every other supported aggregate
+    ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nc, COUNT(*) AS n, "
+     "SUM(o_orderkey % 97) AS s, AVG(o_totalprice) AS a, "
+     "MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi "
+     "FROM orders GROUP BY o_orderstatus", ["orders"]),
+    # several distinct exprs at once, one on an expression
+    ("SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nc, "
+     "COUNT(DISTINCT o_orderstatus) AS ns FROM orders "
+     "GROUP BY o_orderpriority", ["orders"]),
+    ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey % 10) AS n FROM orders "
+     "WHERE o_totalprice > 100000 GROUP BY o_orderstatus", ["orders"]),
+    # global, mixed with other aggregates (multi-distinct → single bucket)
+    ("SELECT COUNT(DISTINCT c_nationkey) AS n, COUNT(*) AS m FROM customer",
+     ["customer"]),
+    ("SELECT COUNT(DISTINCT l_returnflag) AS a, "
+     "COUNT(DISTINCT l_linestatus) AS b, SUM(l_quantity) AS q "
+     "FROM lineitem", ["lineitem"]),
+    # HAVING over a selected AND an unselected (hoisted) COUNT(DISTINCT)
+    ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n FROM orders "
+     "GROUP BY o_orderstatus HAVING COUNT(DISTINCT o_custkey) > 144",
+     ["orders"]),
+    ("SELECT o_orderpriority, SUM(o_totalprice) AS s FROM orders "
+     "GROUP BY o_orderpriority HAVING COUNT(DISTINCT o_orderstatus) >= 3",
+     ["orders"]),
+    # ORDER BY + LIMIT through the distinct path
+    ("SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n FROM customer "
+     "GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment LIMIT 3",
+     ["customer"]),
+])
+def test_sql_count_distinct_matches_duckdb(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_count_distinct_rejects_unsupported(ray_session):
+    import ray
+    from georay.sql import SqlError, execute_sql
+    tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
+    with pytest.raises(SqlError, match="DISTINCT"):
+        execute_sql("SELECT SUM(DISTINCT o_custkey) AS s FROM orders",
+                    tabs)
+    with pytest.raises(SqlError, match="mixed"):
+        execute_sql(
+            "SELECT COUNT(DISTINCT o_custkey) AS n, "
+            "STDDEV_POP(o_totalprice) AS sd FROM orders", tabs)
+
+
 def test_sql_having_unselected_aggregate(ray_session):
     """HAVING on an aggregate that is NOT a select item — hoisted as a
     hidden aggregate column and dropped after the filter."""
