@@ -16,7 +16,7 @@ Supported grammar (case-insensitive keywords)::
             | add [NOT] BETWEEN add AND add
             | add IS [NOT] NULL
             | '(' expr ')'
-    add    := mul (('+'|'-') mul)*
+    add    := mul (('+'|'-'|'||') mul)*
     mul    := prim (('*'|'/'|'%') prim)*
     prim   := number | 'string' | identifier | '(' add ')'
             | NAME '(' [expr (',' expr)*] ')'      -- scalar functions
@@ -55,7 +55,7 @@ _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<num>\d+\.\d*|\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
-    | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,)
+    | (?P<op><=|>=|<>|!=|\|\||=|<|>|\+|-|\*|/|%|\(|\)|,)
     | (?P<word>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)
     )""", re.X)
 
@@ -224,7 +224,8 @@ class _Parser:
 
     def add(self):
         node = self.mul()
-        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-",
+                                                            "||"):
             _, op = self.next()
             node = ("arith", op, node, self.mul())
         return node
@@ -330,8 +331,20 @@ def _sql_modulo(a, b):
     return pc.subtract(af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
 
 
+def _sql_concat(a, b):
+    """SQL ``||``: string concatenation, NULL-propagating (NULL || x is
+    NULL); non-string operands cast to string first (DuckDB's implicit
+    VARCHAR cast)."""
+    def s(v):
+        t = getattr(v, "type", None)
+        if t is None or pa.types.is_string(t) or pa.types.is_large_string(t):
+            return v
+        return pc.cast(v, pa.string())
+    return pc.binary_join_element_wise(s(a), s(b), "")
+
+
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
-          "/": _sql_divide, "%": _sql_modulo}
+          "/": _sql_divide, "%": _sql_modulo, "||": _sql_concat}
 
 
 # ------------------------------------------------------------ functions

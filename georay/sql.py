@@ -146,10 +146,16 @@ class _SqlParser:
         if self.peek() == ("sqlkw", "DISTINCT"):
             self.next()
             distinct = True
-        items = [self._select_item()]
-        while self.peek() == ("op", ","):
+        if self.peek() == ("op", "*"):
+            # SELECT * — expanded to the FROM/JOIN scope's columns in
+            # _execute (the schema is only known there)
             self.next()
-            items.append(self._select_item())
+            items = "*"
+        else:
+            items = [self._select_item()]
+            while self.peek() == ("op", ","):
+                self.next()
+                items.append(self._select_item())
         self.expect_kw("FROM")
         k, table = self.next()
         if k not in ("ident", "sqlkw"):
@@ -202,10 +208,10 @@ class _SqlParser:
         if self.peek() == ("sqlkw", "GROUP"):
             self.next()
             self.expect_kw("BY")
-            group = [self._ident()]
+            group = [self._group_item()]
             while self.peek() == ("op", ","):
                 self.next()
-                group.append(self._ident())
+                group.append(self._group_item())
         if self.peek() == ("sqlkw", "HAVING"):
             self.next()
             having = self._expr_until(stop)
@@ -251,6 +257,25 @@ class _SqlParser:
             raise SqlError(f"expected column name, got {v!r}")
         return v
 
+    def _group_item(self):
+        """One GROUP BY entry: a column name (str), a 1-based select
+        ordinal (int), or an expression (token list — grouped via a
+        hidden computed key column, or the matching select item)."""
+        stop = [lambda k, v: k == "sqlkw" and v in
+                ("HAVING", "ORDER", "LIMIT"),
+                lambda k, v: (k, v) == ("op", ",")]
+        toks = self._expr_until(stop)
+        if not toks:
+            raise SqlError("empty GROUP BY item")
+        if len(toks) == 1 and toks[0][0] == "ident":
+            return toks[0][1]
+        if len(toks) == 1 and toks[0][0] == "num":
+            n = toks[0][1]
+            if float(n) != int(float(n)):
+                raise SqlError(f"bad GROUP BY ordinal {n!r}")
+            return int(float(n))
+        return toks
+
     def _order_item(self, extra_stop=None):
         stop = [lambda k, v: k == "sqlkw" and v in ("ASC", "DESC",
                                                     "LIMIT", "OFFSET"),
@@ -268,6 +293,9 @@ class _SqlParser:
             self.next()
         if len(toks) == 1 and toks[0][0] == "ident":
             return toks[0][1], desc          # plain column (fast path)
+        if len(toks) == 1 and toks[0][0] == "num" \
+                and float(toks[0][1]) == int(float(toks[0][1])):
+            return int(float(toks[0][1])), desc   # 1-based ordinal
         return toks, desc                    # expression -> hidden key
 
     def _select_item(self):
@@ -854,15 +882,19 @@ def _dequalify(q: dict) -> dict:
     q["where"] = toks(q["where"])
     q["having"] = toks(q["having"])
     if q["group"]:
-        q["group"] = [_strip_qual(g, valid) for g in q["group"]]
+        q["group"] = [toks(g) if isinstance(g, list)
+                      else (_strip_qual(g, valid) if isinstance(g, str)
+                            else g)
+                      for g in q["group"]]
     q["order"] = [((toks(c) if isinstance(c, list)
-                    else _strip_qual(c, valid)), d)
+                    else (_strip_qual(c, valid) if isinstance(c, str)
+                          else c)), d)
                   for c, d in q["order"]]
     q["joins"] = [(jt, t2, [(_strip_qual(ca, valid),
                              _strip_qual(cb, valid))
                             for ca, cb in pairs])
                   for jt, t2, pairs in q["joins"]]
-    for it in q["items"]:
+    for it in (q["items"] if q["items"] != "*" else ()):
         if it.expr_toks:
             it.expr_toks = toks(it.expr_toks)
         if it.over:
@@ -927,6 +959,10 @@ def _execute(q: dict, tables: dict):
         ds = ds.map_batches(filt, batch_format="pyarrow")
 
     items = q["items"]
+    if items == "*":
+        items = [_SelectItem("expr", expr_toks=[("ident", n)])
+                 for n in ds.schema().names]
+        q = dict(q, items=items)
     names = [_item_default_name(it, i) for i, it in enumerate(items)]
     if len(set(names)) != len(names):
         raise SqlError(f"duplicate output column names: {names}")
@@ -964,7 +1000,30 @@ def _execute(q: dict, tables: dict):
         return _finish(out, q, names)
 
     # aggregate shapes ------------------------------------------------------
-    group_cols = q["group"] or []
+    # normalize GROUP BY entries: ordinals → the select item's name
+    # (alias grouping), expressions → the matching select item's name,
+    # else a hidden computed key column (dropped from the output)
+    group_cols, hidden_group_nodes = [], {}
+    for j, g in enumerate(q["group"] or []):
+        if isinstance(g, str):
+            group_cols.append(g)
+        elif isinstance(g, int):
+            if not 1 <= g <= len(items):
+                raise SqlError(f"GROUP BY ordinal {g} out of range")
+            group_cols.append(names[g - 1])
+        else:
+            hit = next((names[i] for i, it in enumerate(items)
+                        if it.kind == "expr" and it.expr_toks == g),
+                       None)
+            if hit is not None:
+                group_cols.append(hit)
+            else:
+                node, used = _parse_expr_tokens(g)
+                if used != len(g):
+                    raise SqlError("trailing tokens in GROUP BY")
+                h = f"__grp{j}"
+                group_cols.append(h)
+                hidden_group_nodes[h] = node
     having_node, having_hidden = None, []
     if q["having"] and group_cols:
         # HAVING may use aggregates that are NOT select items: hoist
@@ -987,6 +1046,7 @@ def _execute(q: dict, tables: dict):
             if used != len(it.expr_toks):
                 raise SqlError("bad select expression")
             alias_nodes[names[i]] = node
+    alias_nodes.update(hidden_group_nodes)
     # non-aggregated select items must be GROUP BY columns (or aliases)
     for i, it in plain_items:
         ok = names[i] in group_cols or (
@@ -1426,6 +1486,10 @@ def _finish(out, q, names):
     if q["order"]:
         sort_cols, desc, hidden = [], [], []
         for j, (c, d) in enumerate(q["order"]):
+            if isinstance(c, int):
+                if not 1 <= c <= len(names):
+                    raise SqlError(f"ORDER BY ordinal {c} out of range")
+                c = names[c - 1]
             if isinstance(c, str):
                 if c not in names:
                     raise SqlError(

@@ -629,6 +629,44 @@ def test_sql_count_distinct_matches_duckdb(ray_session, sql, tables):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("sql,tables", [
+    # SELECT *
+    ("SELECT * FROM customer WHERE c_custkey < 5", ["customer"]),
+    ("SELECT * FROM nation ORDER BY n_nationkey LIMIT 7", ["nation"]),
+    # GROUP BY expression (with and without a matching select item)
+    ("SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey % 10",
+     ["orders"]),
+    ("SELECT o_custkey % 10 AS b, COUNT(*) AS n FROM orders "
+     "GROUP BY o_custkey % 10", ["orders"]),
+    ("SELECT COUNT(DISTINCT o_custkey) AS n FROM orders "
+     "GROUP BY o_custkey % 7", ["orders"]),
+    # GROUP BY / ORDER BY ordinals
+    ("SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+     ["orders"]),
+    ("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+     "GROUP BY o_orderstatus ORDER BY 2 DESC, 1", ["orders"]),
+    ("SELECT UPPER(c_mktsegment) || '_' || CAST(c_nationkey AS VARCHAR) "
+     "AS k, COUNT(*) AS n FROM customer GROUP BY 1 "
+     "ORDER BY 2 DESC, 1 LIMIT 5", ["customer"]),
+    # || concatenation: projection, predicate, NULL propagation via
+    # NULLIF, implicit number→string cast
+    ("SELECT o_orderkey, o_orderstatus || '-x' AS t FROM orders "
+     "WHERE o_orderkey < 10", ["orders"]),
+    ("SELECT o_orderkey FROM orders "
+     "WHERE o_orderstatus || o_orderpriority = 'O1-URGENT' "
+     "AND o_orderkey < 200", ["orders"]),
+    ("SELECT o_orderkey, NULLIF(o_orderstatus, 'O') || 'z' AS t "
+     "FROM orders WHERE o_orderkey < 20", ["orders"]),
+    ("SELECT o_orderkey, o_orderkey || '-' || o_orderstatus AS t "
+     "FROM orders WHERE o_orderkey < 10", ["orders"]),
+])
+def test_sql_star_groupexpr_ordinals_concat(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sql_count_distinct_rejects_unsupported(ray_session):
     import ray
     from georay.sql import SqlError, execute_sql
