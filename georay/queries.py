@@ -2200,6 +2200,29 @@ def q_sql_exists(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_WINDOW_RANGE_TEXT = (
+    "SELECT o_orderkey, "
+    "SUM(CAST(o_totalprice AS DOUBLE)) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) "
+    "AS rsum, "
+    "NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) "
+    "AS quart, "
+    "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey) AS lv "
+    "FROM orders WHERE o_custkey % 3 = 0")
+
+
+def q_sql_window_range(sf_dir: str):
+    """RANGE (value-distance) frames + NTILE + LAST_VALUE (default
+    frame ends at the current peer run): the window functions resolve
+    per hash partition with one global searchsorted over a per-segment
+    offset composite (windows._window_pass frame_bounds) — no
+    per-segment Python.  Oracle = IDENTICAL SQL text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_WINDOW_RANGE_TEXT,
+                       _sql_tables(sf_dir, "orders"))
+
+
 _SQL_WINDOW_FRAME_TEXT = (
     "SELECT o_custkey, o_orderkey, "
     "SUM(CAST(o_totalprice AS DOUBLE)) OVER (PARTITION BY o_custkey "
@@ -2310,14 +2333,15 @@ QUERIES = {
     "sql_json": q_sql_json,
     "raster_xyz": q_raster_xyz,
     "sql_count_distinct_group": q_sql_count_distinct_group,
+    "sql_window_range": q_sql_window_range,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
     "knn_customer_supplier": q_knn,
-    "doc_dedup": q_doc_dedup,
     "ann_topk": q_ann_topk,
     # ---- end of driver window (50 entries above this line) ----
+    "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
     "embedding_dups": q_embedding_dups,
@@ -2482,6 +2506,7 @@ ORACLE_SQL = {
         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
     """,
     "sql_count_distinct_group": _SQL_CDG_TEXT,
+    "sql_window_range": _SQL_WINDOW_RANGE_TEXT,
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,

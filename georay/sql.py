@@ -61,7 +61,8 @@ class SqlError(FilterSyntaxError):
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
               "STDDEV_POP", "STDDEV_SAMP"}
-_WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD"}
+_WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
+                      "FIRST_VALUE", "LAST_VALUE", "NTILE"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
                "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
                "JOIN", "INNER", "LEFT", "ON", "OVER", "PARTITION"}
@@ -358,6 +359,19 @@ class _SqlParser:
             if inner:
                 raise SqlError(f"{func} takes no arguments")
             return _SelectItem("window", func=func.lower())
+        if func == "NTILE":
+            if len(inner) != 1 or inner[0][0] != "num" \
+                    or float(inner[0][1]) != int(float(inner[0][1])) \
+                    or int(float(inner[0][1])) < 1:
+                raise SqlError("NTILE needs a positive integer literal")
+            return _SelectItem(
+                "window", func="ntile",
+                win_args={"ntile_n": int(float(inner[0][1]))})
+        if func in ("FIRST_VALUE", "LAST_VALUE"):
+            if not inner:
+                raise SqlError(f"{func} needs an argument")
+            return _SelectItem("window", func=func.lower(),
+                               expr_toks=inner)
         # LAG/LEAD(col [, offset [, default]])
         parts, depth, cur = [], 0, []
         for t in inner:
@@ -409,42 +423,46 @@ class _SqlParser:
             self.expect_kw("BY")
             rows_stop = (lambda k, v:
                          k in ("ident", "kw", "sqlkw")
-                         and str(v).upper() == "ROWS")
+                         and str(v).upper() in ("ROWS", "RANGE"))
             order.append(self._order_item(rows_stop))
             while self.peek() == ("op", ","):
                 self.next()
                 order.append(self._order_item(rows_stop))
         k, v = self.peek()
-        if k in ("ident", "kw", "sqlkw") and str(v).upper() == "ROWS":
+        if k in ("ident", "kw", "sqlkw") \
+                and str(v).upper() in ("ROWS", "RANGE"):
+            ftype = str(v).upper().lower()
             self.next()
-            frame = self._frame_extent()
+            frame = self._frame_extent(ftype)
         kk, vv = self.next()
         if (kk, vv) != ("op", ")"):
             raise SqlError(f"OVER: expected ), got {vv!r}")
         return (part, order, frame)
 
-    def _frame_extent(self):
-        """``ROWS BETWEEN <bound> AND <bound>`` (or the single-bound
-        shorthand ``ROWS <bound>`` ≡ start..CURRENT ROW) → ``(lo, hi)``
-        row offsets, ``None`` = unbounded.  RANGE/GROUPS frames are not
-        supported (the engine's default no-frame behavior IS the SQL
-        default RANGE UNBOUNDED PRECEDING..CURRENT ROW)."""
+    def _frame_extent(self, ftype="rows"):
+        """``ROWS|RANGE BETWEEN <bound> AND <bound>`` (or the
+        single-bound shorthand ``<bound>`` ≡ start..CURRENT ROW) →
+        ``(lo, hi, ftype)`` signed offsets, ``None`` = unbounded.  For
+        RANGE the offsets are numeric value distances applied to the
+        (single) ORDER BY key, CURRENT ROW ≡ offset 0 (which by
+        searchsorted left/right semantics includes peers — exactly the
+        SQL RANGE CURRENT ROW rule); GROUPS frames are not supported."""
         k, v = self.peek()
         if k in ("kw", "ident", "sqlkw") and str(v).upper() == "BETWEEN":
             self.next()
-            lo = self._frame_bound(start=True)
+            lo = self._frame_bound(start=True, ftype=ftype)
             kk, vv = self.next()
             if not (kk in ("kw", "ident") and str(vv).upper() == "AND"):
-                raise SqlError("ROWS BETWEEN needs AND")
-            hi = self._frame_bound(start=False)
+                raise SqlError(f"{ftype.upper()} BETWEEN needs AND")
+            hi = self._frame_bound(start=False, ftype=ftype)
         else:
-            lo = self._frame_bound(start=True)
+            lo = self._frame_bound(start=True, ftype=ftype)
             hi = 0
         if lo is not None and hi is not None and lo > hi:
             raise SqlError("frame start is after frame end")
-        return (lo, hi)
+        return (lo, hi, ftype)
 
-    def _frame_bound(self, start: bool):
+    def _frame_bound(self, start: bool, ftype="rows"):
         k, v = self.next()
         u = str(v).upper()
         if u == "UNBOUNDED":
@@ -470,10 +488,17 @@ class _SqlParser:
         if k == "num":
             kk, d = self.next()
             du = str(d).upper()
+            if ftype == "range":
+                off = float(v)
+            else:
+                if float(v) != int(float(v)):
+                    raise SqlError(f"ROWS frame offset must be an "
+                                   f"integer, got {v!r}")
+                off = int(float(v))
             if du == "PRECEDING":
-                return -int(v)
+                return -off
             if du == "FOLLOWING":
-                return int(v)
+                return off
             raise SqlError(f"frame offset needs PRECEDING/FOLLOWING, "
                            f"got {d!r}")
         raise SqlError(f"bad frame bound {v!r}")
@@ -1378,9 +1403,13 @@ def _execute_window(ds, q, items, names, win_items):
         if not part:
             raise SqlError("OVER() needs PARTITION BY (a global window "
                            "would serialize the whole dataset)")
+        ftype = None
+        if frame is not None and len(frame) == 3:
+            lo, hi, ftype = frame
+            frame = (lo, hi)
         spec = dict(func=it.func, arg=arg, name=f"wout{i}__",
                     partition_by=part, order_by=order, star=it.star,
-                    frame=frame)
+                    frame=frame, frame_type=ftype or "rows")
         spec.update(it.win_args or {})
         specs.append(spec)
 

@@ -93,7 +93,8 @@ def window_compute(ds, specs, num_partitions: int | None = None):
     """Append window-function columns to ``ds``.
 
     Each spec is a dict: ``func`` (row_number|rank|dense_rank|lag|lead|
-    sum|count|avg|min|max), ``arg`` (input column or None), ``name``
+    first_value|last_value|ntile|sum|count|avg|min|max), ``arg``
+    (input column or None), ``name``
     (output column), ``partition_by`` ([cols]), ``order_by``
     ([(col, desc)]), ``offset``/``default`` for lag/lead, ``star`` for
     COUNT(*).  Specs sharing (partition_by, order_by) run in one shuffle
@@ -114,8 +115,9 @@ def window_compute(ds, specs, num_partitions: int | None = None):
         passes.setdefault(key, []).append(s)
         f = s.get("frame")
         if f is not None:
-            s["frame"] = (None if f[0] is None else int(f[0]),
-                          None if f[1] is None else int(f[1]))
+            num = float if s.get("frame_type") == "range" else int
+            s["frame"] = (None if f[0] is None else num(f[0]),
+                          None if f[1] is None else num(f[1]))
 
     for (part_cols, order_items), group in passes.items():
         ds = _window_pass(ds, list(part_cols), list(order_items), group,
@@ -193,6 +195,46 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
         run_ends = np.concatenate([run_starts[1:], [n]]) - 1
 
         out = g.take(pa.array(order))
+
+        def frame_bounds(s):
+            """Per-row inclusive window [s_i, e_i] for an explicit
+            frame.  ROWS: index offsets clamped to the segment.  RANGE:
+            value-distance offsets on the single ORDER BY key, resolved
+            with ONE global searchsorted over a per-segment-offset
+            composite (A = key + M·seg_id with M > global key span +
+            max offset keeps segments in disjoint bands, so each probe
+            lands inside its own segment) — never a per-segment Python
+            loop."""
+            lo, hi = s["frame"]
+            if s.get("frame_type") == "range":
+                if len(order_items) != 1:
+                    raise ValueError("a RANGE frame needs exactly one "
+                                     "ORDER BY key")
+                c0 = order_items[0][0]
+                t0 = g[c0].type
+                if not (pa.types.is_integer(t0) or pa.types.is_floating(t0)
+                        or pa.types.is_timestamp(t0)
+                        or pa.types.is_boolean(t0)):
+                    raise ValueError("RANGE frame offsets need a numeric "
+                                     f"ORDER BY key, got {t0}")
+                v = okeys[0][order].astype(np.float64)
+                span = float(v.max() - v.min()) if n else 0.0
+                bmax = max(abs(lo) if lo is not None else 0.0,
+                           abs(hi) if hi is not None else 0.0)
+                M = span + bmax + 1.0
+                A = v + M * seg_id
+                s_i = seg_start if lo is None else np.searchsorted(
+                    A, v + lo + M * seg_id, side="left")
+                e_i = seg_end if hi is None else np.searchsorted(
+                    A, v + hi + M * seg_id, side="right") - 1
+            else:
+                lo, hi = s["frame"]
+                s_i = seg_start if lo is None \
+                    else np.maximum(seg_start, idx + lo)
+                e_i = seg_end if hi is None \
+                    else np.minimum(seg_end, idx + hi)
+            return s_i, e_i
+
         for s in specs:
             f = s["func"]
             name = s["name"]
@@ -225,6 +267,39 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     shifted = shifted.copy()
                     shifted[~ok] = default
                     col = pa.array(shifted)
+            elif f in ("first_value", "last_value"):
+                if not order_items:
+                    raise ValueError(f"{f.upper()} needs ORDER BY in "
+                                     "OVER()")
+                if s.get("frame") is not None:
+                    s_i, e_i = frame_bounds(s)
+                    emptyw = s_i > e_i
+                    pos = np.clip(s_i if f == "first_value" else e_i,
+                                  0, n - 1)
+                else:
+                    # SQL default frame RANGE UNBOUNDED PRECEDING →
+                    # CURRENT ROW: first = segment head, last = end of
+                    # the CURRENT PEER RUN (the classic LAST_VALUE trap,
+                    # DuckDB-identical)
+                    pos = seg_start if f == "first_value" \
+                        else run_ends[run_id]
+                    emptyw = np.zeros(n, dtype=bool)
+                col = out[s["arg"]].take(pa.array(pos))
+                if emptyw.any():
+                    col = pa.compute.if_else(
+                        pa.array(emptyw), pa.scalar(None, col.type), col)
+            elif f == "ntile":
+                if not order_items:
+                    raise ValueError("NTILE needs ORDER BY in OVER()")
+                k = int(s["ntile_n"])
+                size = seg_end - seg_start + 1
+                r = idx - seg_start
+                qq = size // k
+                rem = size % k
+                cut = (qq + 1) * rem
+                b = np.where(r < cut, r // np.maximum(qq + 1, 1),
+                             rem + (r - cut) // np.maximum(qq, 1)) + 1
+                col = pa.array(b.astype(np.int64))
             elif f in ("sum", "count", "avg", "min", "max"):
                 if s.get("star"):
                     xs = np.ones(n, dtype=np.int64)
@@ -239,8 +314,8 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                                          f"column")
                 frame = s.get("frame")
                 if frame is not None and not order_items:
-                    raise ValueError("a ROWS frame needs ORDER BY in "
-                                     "OVER()")
+                    raise ValueError("an explicit frame needs ORDER BY "
+                                     "in OVER()")
                 if order_items and f in ("min", "max") and frame is None:
                     raise ValueError(f"running {f.upper()} OVER (ORDER BY) "
                                      "is not supported; drop ORDER BY for "
@@ -250,13 +325,9 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     xs.astype(np.float64), nan=0.0), 0.0)
                 cnt = valid.astype(np.int64)
                 if frame is not None:
-                    # explicit ROWS frame: per-row window
-                    # [max(seg_start, i+lo), min(seg_end, i+hi)]
                     lo, hi = frame
-                    s_i = seg_start if lo is None \
-                        else np.maximum(seg_start, idx + lo)
-                    e_i = seg_end if hi is None \
-                        else np.minimum(seg_end, idx + hi)
+                    is_rows = s.get("frame_type") != "range"
+                    s_i, e_i = frame_bounds(s)
                     emptyw = s_i > e_i
                     s_c = np.clip(s_i, 0, n)
                     e_c = np.clip(e_i, -1, n - 1)
@@ -273,12 +344,14 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     elif f == "count":
                         col = pa.array(scnt.astype(np.int64))
                     else:
-                        if lo is not None and hi is not None:
-                            # bounded frame: sum the taps directly in
-                            # ascending window order — bit-reproducible
-                            # vs a direct windowed sum (the prefix-sum
-                            # DIFFERENCE cancels catastrophically at
-                            # ~1e9 magnitudes and missed 1e-9 parity)
+                        if is_rows and lo is not None and hi is not None:
+                            # bounded ROWS frame: sum the taps directly
+                            # in ascending window order — bit-
+                            # reproducible vs a direct windowed sum (the
+                            # prefix-sum DIFFERENCE cancels
+                            # catastrophically at ~1e9 magnitudes and
+                            # missed 1e-9 parity); RANGE windows have
+                            # variable width and use the prefix sums
                             ssum = np.zeros(n)
                             for t in range(lo, hi + 1):
                                 src = idx + t

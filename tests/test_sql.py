@@ -198,6 +198,42 @@ WINDOW_CASES = [
      "ROW_NUMBER() OVER (PARTITION BY o_custkey "
      "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
      "FROM orders WHERE o_custkey % 7 = 0", ["orders"]),
+    # FIRST_VALUE / LAST_VALUE: default frame (LAST_VALUE ends at the
+    # current PEER RUN — the classic trap), explicit unbounded frame,
+    # bounded ROWS frame over a string column, DESC order
+    ("SELECT o_orderkey, FIRST_VALUE(o_totalprice) OVER "
+     "(PARTITION BY o_custkey ORDER BY o_orderkey) AS fv FROM orders",
+     ["orders"]),
+    ("SELECT o_orderkey, LAST_VALUE(o_totalprice) OVER "
+     "(PARTITION BY o_custkey ORDER BY o_orderkey) AS lv FROM orders",
+     ["orders"]),
+    ("SELECT o_orderkey, LAST_VALUE(o_totalprice) OVER "
+     "(PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN "
+     "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM orders",
+     ["orders"]),
+    ("SELECT o_orderkey, FIRST_VALUE(o_orderstatus) OVER "
+     "(PARTITION BY o_custkey ORDER BY o_totalprice DESC ROWS BETWEEN "
+     "1 PRECEDING AND 1 FOLLOWING) AS fv FROM orders", ["orders"]),
+    # NTILE
+    ("SELECT o_orderkey, NTILE(4) OVER (PARTITION BY o_orderstatus "
+     "ORDER BY o_orderkey) AS q FROM orders", ["orders"]),
+    # RANGE frames: value-distance windows, both directions, peers via
+    # CURRENT ROW, DESC order keys
+    ("SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+     "ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) "
+     "AS s FROM orders", ["orders"]),
+    ("SELECT o_orderkey, COUNT(*) OVER (PARTITION BY o_custkey "
+     "ORDER BY o_totalprice RANGE BETWEEN 50000 PRECEDING AND "
+     "50000 FOLLOWING) AS c FROM orders", ["orders"]),
+    ("SELECT o_orderkey, AVG(o_totalprice) OVER "
+     "(PARTITION BY o_orderstatus ORDER BY o_orderkey RANGE BETWEEN "
+     "500 PRECEDING AND 200 FOLLOWING) AS a FROM orders", ["orders"]),
+    ("SELECT o_orderkey, MIN(o_totalprice) OVER "
+     "(PARTITION BY o_orderstatus ORDER BY o_orderkey RANGE BETWEEN "
+     "CURRENT ROW AND 300 FOLLOWING) AS m FROM orders", ["orders"]),
+    ("SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+     "ORDER BY o_orderkey DESC RANGE BETWEEN 100 PRECEDING AND "
+     "CURRENT ROW) AS s FROM orders", ["orders"]),
 ]
 
 
