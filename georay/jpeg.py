@@ -11,7 +11,12 @@ reference semantics: frmts/jpeg/jpgdataset.cpp wrapping libjpeg):
 * 1 (grayscale) or 3 (YCbCr) components; sampling factors 1×1 (4:4:4)
   or 2×2 luma (4:2:0) — both emitted and decoded;
 * restart markers (DRI/RSTn) honored on decode;
-* progressive (SOF2) / arithmetic / 12-bit variants raise.
+* PROGRESSIVE (SOF2, T.81 Annex G): both directions — spectral
+  selection + successive approximation scans (DC first/refine, AC bands
+  with EOB-run aggregation, AC refinement with embedded correction
+  bits), coefficient-exact vs the baseline path (see the Annex G
+  section at the end of this module);
+* arithmetic / lossless / hierarchical / 12-bit variants raise.
 
 Encoder: batched matrix FDCT over all blocks at once, per-symbol Huffman
 in a tight Python bit-writer (the encoder runs only in fixture
@@ -254,12 +259,19 @@ def _dqt_segment(tid: int, q: np.ndarray) -> bytes:
 
 
 def jpeg_encode(arr: np.ndarray, quality: int = 92,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                progressive: bool = False) -> bytes:
     """Encode a (h, w) gray or (h, w, 3) RGB uint8 array to baseline JFIF.
 
     ``subsample=True`` uses 4:2:0 chroma (2×2 luma sampling); default is
     4:4:4 — full chroma resolution, needed to keep PSNR ≥ 40 dB on
-    synthetic patterns with pixel-scale chroma edges."""
+    synthetic patterns with pixel-scale chroma edges.
+
+    ``progressive=True`` emits an SOF2 progressive stream (ITU-T T.81
+    Annex G) with both spectral selection AND successive approximation:
+    DC Al=1 + DC refinement, per-component AC bands 1-5 / 6-63 at Al=2,
+    then two AC refinement passes (Al=1, Al=0) — decoding to EXACTLY the
+    same coefficients as the baseline stream for the same input."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -312,6 +324,11 @@ def jpeg_encode(arr: np.ndarray, quality: int = 92,
                                (0, tw - plane.shape[1])), mode="edge")
         comp_zz.append(_plane_blocks(plane, q))
         comp_bw_blocks.append(tw // 8)
+
+    if progressive:
+        return _encode_progressive(
+            gray, comps, comp_zz, comp_bw_blocks, h, w, hmax, vmax,
+            mcux, mcuy, ql, qc)
 
     bw = _BitWriter()
     preds = [0] * len(comps)
@@ -526,7 +543,9 @@ def jpeg_decode(data) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 — progressive: dedicated multi-scan path
+            return _jpeg_decode_progressive(d)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})")
@@ -745,7 +764,6 @@ def jpeg_decode(data) -> np.ndarray:
                                 break
         mcu_done = end
 
-    planes = []
     for ci, c in enumerate(scomps):
         if ac_idx[ci]:
             coef[ci].reshape(-1)[np.asarray(ac_idx[ci])] = \
@@ -760,6 +778,16 @@ def jpeg_decode(data) -> np.ndarray:
                 preds[s0:e0] = np.cumsum(diffs[s0:e0])
             coef[ci].reshape(-1)[np.asarray(dc_bis[ci])] = \
                 preds.astype(np.int32)
+    return _coef_to_image(coef, scomps, qtables, h, w, hmax, vmax)
+
+
+def _coef_to_image(coef, comps, qtables, h, w, hmax, vmax) -> np.ndarray:
+    """Quantized zigzag coefficient stores (one (bw·bh, 64) array per
+    component on the padded MCU block grid) → decoded image: IDCT,
+    de-pad, chroma upsample, color convert.  Shared by the baseline and
+    progressive decoders."""
+    planes = []
+    for ci, c in enumerate(comps):
         blocks = _idct_blocks(coef[ci], qtables[c["tq"]])
         bh_, bw_ = c["bh"], c["bw"]
         plane = blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)\
@@ -809,3 +837,549 @@ def jpeg_decode(data) -> np.ndarray:
     np.clip(t, 0, 255, out=t)
     out[:, :, 2] = t
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — ITU-T T.81 Annex G
+#
+# The reference decodes progressive JPEG through libjpeg
+# (frmts/jpeg/jpgdataset.cpp); here both directions are from scratch.
+# Scans refine a shared per-component coefficient store: DC first /
+# refinement (successive approximation), AC spectral-selection bands
+# with EOB-run aggregation, and AC refinement with embedded correction
+# bits.  This is a coverage/correctness path — multi-scan streams decode
+# with a plain scalar bit reader, NOT the baseline decoder's per-bit
+# speculation engine (single-scan, flagship hot loop).  Parity is pinned
+# by tests: progressive and baseline encodes of the same input decode to
+# IDENTICAL pixels (same quantized coefficients).
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment (reads past
+    the end yield zero bits, as the padded tail of a scan requires)."""
+
+    __slots__ = ("d", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int):
+        while self.n < need:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def sym(self, lut) -> int:
+        """One Huffman symbol via a 16-bit peek LUT (sym list, len list)."""
+        self._fill(16)
+        idx = (self.acc >> (self.n - 16)) & 0xFFFF
+        L = lut[1][idx]
+        self.n -= L
+        self.acc &= (1 << self.n) - 1
+        return lut[0][idx]
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+class _ScanState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self):
+        self.eobrun = 0
+
+
+def _prog_ac_first(br, row, actab, Ss, Se, Al, st):
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = br.sym(actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += br.bits(r)
+            return
+        k += r
+        row[k] = _extend(br.bits(s), s) << Al
+        k += 1
+
+
+def _prog_ac_refine(br, row, actab, Ss, Se, Al, st):
+    """T.81 G.2 AC successive-approximation refinement: newly-significant
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    passed (or remaining, in an EOB run) carries one correction bit."""
+    p1 = 1 << Al
+    k = Ss
+    if st.eobrun == 0:
+        while k <= Se:
+            rs = br.sym(actab)
+            r, s = rs >> 4, rs & 15
+            if s:
+                v = p1 if br.bits(1) else -p1
+            else:
+                if r != 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.bits(r)
+                    break
+                v = 0
+            while k <= Se:
+                c = int(row[k])
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if v and k <= Se:
+                row[k] = v
+            k += 1
+    if st.eobrun > 0:
+        while k <= Se:
+            c = int(row[k])
+            if c != 0 and br.bits(1) and (c & p1) == 0:
+                row[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        st.eobrun -= 1
+
+
+def _jpeg_decode_progressive(d: bytes) -> np.ndarray:
+    import re
+
+    pos = 2
+    qtables: dict = {}
+    hufftabs: dict = {}
+    comps = None
+    coef = {}
+    h = w = None
+    hmax = vmax = mcux = mcuy = None
+    restart_interval = 0
+    n = len(d)
+    lut_cache: dict = {}
+
+    def lut(key):
+        if key not in lut_cache:
+            sym_np, len_np = _huff_lut(*hufftabs[key])
+            lut_cache[key] = (sym_np.tolist(), len_np.tolist())
+        return lut_cache[key]
+
+    while pos < n - 1:
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        seg = d[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.frombuffer(seg[o + 1:o + 65], dtype=np.uint8)\
+                    .astype(np.int32)
+                raster = np.empty(64, dtype=np.int32)
+                raster[_ZZ] = tbl
+                qtables[tq] = raster
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc, th_ = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nv])
+                hufftabs[(tc, th_)] = (bits, vals)
+                lut_cache.pop((tc, th_), None)
+                o += 17 + nv
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                coef[c["id"]] = np.zeros((c["bw"] * c["bh"], 64),
+                                         dtype=np.int32)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed frame types in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            sc = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i:3 + 2 * i]
+                sc.append((cs, tt >> 4, tt & 15))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            p = pos
+            while p < n - 1:
+                if d[p] == 0xFF and d[p + 1] != 0x00 \
+                        and not (0xD0 <= d[p + 1] <= 0xD7):
+                    break
+                p += 1
+            entropy = d[pos:p]
+            pos = p
+            segments = [s.replace(b"\xff\x00", b"\xff")
+                        for s in re.split(b"\xff[\xd0-\xd7]", entropy)]
+            by_id = {c["id"]: c for c in comps}
+
+            if Ss == 0:                       # DC scan
+                if Se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                # interleaved MCU walk (or single-component block walk)
+                units = []                    # (cid, block index)
+                if ns > 1 or (len(comps) == 1):
+                    for mi in range(mcux * mcuy):
+                        my, mx = divmod(mi, mcux)
+                        for cs, _, _ in sc:
+                            c = by_id[cs]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    units.append(
+                                        (cs, (my * c["v"] + by) * c["bw"]
+                                         + mx * c["h"] + bx))
+                    per_seg = (restart_interval or (mcux * mcuy)) \
+                        * sum(by_id[cs]["h"] * by_id[cs]["v"]
+                              for cs, _, _ in sc)
+                else:
+                    # our encoder (and every common one) interleaves DC
+                    raise NotImplementedError(
+                        "non-interleaved DC scan in a multi-component "
+                        "frame")
+                dtabs = {cs: lut((0, td)) for cs, td, _ in sc}
+                ui = 0
+                si = 0
+                while ui < len(units):
+                    br = _BitReader(segments[si] if si < len(segments)
+                                    else b"")
+                    si += 1
+                    preds = {cs: 0 for cs, _, _ in sc}
+                    end = min(ui + per_seg, len(units))
+                    for cs, bi in units[ui:end]:
+                        row = coef[cs][bi]
+                        if Ah == 0:
+                            s = br.sym(dtabs[cs])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[cs] += diff
+                            row[0] = preds[cs] << Al
+                        else:
+                            if br.bits(1):
+                                row[0] = int(row[0]) | (1 << Al)
+                    ui = end
+            else:                             # AC scan: single component
+                if ns != 1:
+                    raise ValueError("AC scan must be non-interleaved")
+                cs, _, ta = sc[0]
+                c = by_id[cs]
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                wb, hb = -(-cw // 8), -(-ch // 8)
+                actab = lut((1, ta))
+                rows = coef[cs]
+                per_seg = restart_interval or (wb * hb)
+                fn = _prog_ac_first if Ah == 0 else _prog_ac_refine
+                ui = 0
+                si = 0
+                order = [by * c["bw"] + bx
+                         for by in range(hb) for bx in range(wb)]
+                while ui < len(order):
+                    br = _BitReader(segments[si] if si < len(segments)
+                                    else b"")
+                    si += 1
+                    st = _ScanState()
+                    end = min(ui + per_seg, len(order))
+                    for bi in order[ui:end]:
+                        fn(br, rows[bi], actab, Ss, Se, Al, st)
+                    ui = end
+        # else: APPn / COM — skipped
+
+    if comps is None:
+        raise ValueError("truncated progressive JPEG (no SOF2)")
+    return _coef_to_image([coef[c["id"]] for c in comps], comps,
+                          qtables, h, w, hmax, vmax)
+
+
+# --------------------------------------------------------------- encoder
+
+def _uniform_dht(symbols):
+    """A legal single-length canonical table over ``symbols``: every code
+    is L = ceil(log2(n+1)) bits (the +1 keeps the all-ones codeword —
+    reserved by T.81 — unused).  Simpler than an optimal Huffman build
+    and within ~15% of it on these scan streams; the decoder cost is
+    identical (same 16-bit LUT)."""
+    syms = sorted(symbols)
+    n = len(syms)
+    L = max(1, (n + 1 - 1).bit_length())
+    if (1 << L) - 1 < n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, syms
+
+
+def _ops_to_entropy(ops, codes) -> bytes:
+    bw = _BitWriter()
+    for op in ops:
+        if op[0] == "s":
+            _, rs, extra, nb = op
+            c, L = codes[rs]
+            bw.put(c, L)
+            if nb:
+                bw.put(extra, nb)
+        else:
+            bw.put(op[1], op[2])
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _ac_first_ops(zzs, order, Ss, Se, Al):
+    """Spectral-selection first-scan symbol stream (T.81 G.1.2.2) with
+    EOB-run aggregation; AC point transform = sign·(|v|>>Al)."""
+    ops = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("s", r << 4, eobrun - (1 << r), r))
+            eobrun = 0
+
+    nb = Se - Ss + 1
+    for bi in order:
+        band = zzs[bi][Ss:Se + 1]
+        t = np.abs(band) >> Al
+        nz = np.nonzero(t)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        prev = -1
+        for i in nz.tolist():
+            run = i - prev - 1
+            while run > 15:
+                ops.append(("s", 0xF0, 0, 0))
+                run -= 16
+            v = int(t[i]) if band[i] >= 0 else -int(t[i])
+            s = int(t[i]).bit_length()
+            ops.append(("s", (run << 4) | s,
+                        v if v > 0 else v + (1 << s) - 1, s))
+            prev = i
+        if nz[-1] != nb - 1:
+            eobrun = 1
+    flush()
+    return ops
+
+
+def _ac_refine_ops(zzs, order, Ss, Se, Al):
+    """AC successive-approximation refinement symbol stream (T.81
+    G.1.2.3, the encode_mcu_AC_refine shape): newly-significant
+    coefficients (|v|>>Al == 1) code as (run<<4)|1 + sign bit; every
+    already-significant coefficient passed contributes one buffered
+    correction bit, flushed after the next emitted symbol (or attached
+    to the pending EOB run)."""
+    ops = []
+    eobrun = 0
+    pending = []          # correction bits belonging to the EOB run
+
+    def flush():
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        ops.append(("s", r << 4, eobrun - (1 << r), r))
+        for b in pending:
+            ops.append(("b", b, 1))
+        pending.clear()
+        eobrun = 0
+
+    for bi in order:
+        band = zzs[bi][Ss:Se + 1]
+        absv = (np.abs(band) >> Al).tolist()
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br_bits = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush()
+                ops.append(("s", 0xF0, 0, 0))
+                r -= 16
+                for b in br_bits:
+                    ops.append(("b", b, 1))
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush()
+            ops.append(("s", (r << 4) | 1, 0, 0))
+            ops.append(("b", 1 if band[i] > 0 else 0, 1))
+            r = 0
+            for b in br_bits:
+                ops.append(("b", b, 1))
+            br_bits = []
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def _sos_segment(scan_comps, Ss, Se, Ah, Al) -> bytes:
+    sos = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([Ss, Se, (Ah << 4) | Al])
+    return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+
+def _encode_progressive(gray, comps, comp_zz, comp_bw_blocks, h, w,
+                        hmax, vmax, mcux, mcuy, ql, qc) -> bytes:
+    """SOF2 progressive stream: DC Al=1 (std DC tables) + DC refinement
+    (raw bits), per-component AC bands 1-5 / 6-63 at Al=2, then AC
+    refinements Al=1 and Al=0.  Each AC scan carries its own DHT
+    (class 1, id 0, redefined between scans) built from the symbols the
+    scan actually emits."""
+    nc = len(comps)
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+
+    out = [b"\xff\xd8",
+           b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+           + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]),
+           _dqt_segment(0, ql)]
+    if not gray:
+        out.append(_dqt_segment(1, qc))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (_, _, _, _, hi, vi, qid) in enumerate(comps):
+        sof += bytes([i + 1, (hi << 4) | vi, qid])
+    out.append(b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof)
+    out.append(_dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    if not gray:
+        out.append(_dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+
+    # MCU-ordered (component, block) walk shared by both DC scans
+    dc_units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, _, _, _, hi, vi, _) in enumerate(comps):
+                bwb = comp_bw_blocks[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc_units.append(
+                            (ci, (my * vi + by) * bwb + mx * hi + bx))
+
+    # scan 1: DC first, Al=1, interleaved, standard DC tables
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, bi in dc_units:
+        dc = int(comp_zz[ci][bi][0]) >> 1            # point transform
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        codes = dc_l if ci == 0 else dc_c
+        s = abs(diff).bit_length()
+        c, L = codes[s]
+        bw.put(c, L)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out.append(_sos_segment(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+        0, 0, 0, 1))
+    out.append(bytes(bw.out))
+
+    # per-component AC block order (non-interleaved data-unit grid)
+    ac_orders = []
+    for ci, (_, _, _, _, hi, vi, _) in enumerate(comps):
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        bwb = comp_bw_blocks[ci]
+        ac_orders.append([by * bwb + bx
+                          for by in range(hb) for bx in range(wb)])
+
+    def ac_scan(ci, Ss, Se, Ah, Al):
+        if Ah == 0:
+            ops = _ac_first_ops(comp_zz[ci], ac_orders[ci], Ss, Se, Al)
+        else:
+            ops = _ac_refine_ops(comp_zz[ci], ac_orders[ci], Ss, Se, Al)
+        syms = {op[1] for op in ops if op[0] == "s"} or {0x00}
+        bits, vals = _uniform_dht(syms)
+        codes = _build_codes(bits, vals)
+        out.append(_dht_segment(1, 0, bits, vals))
+        out.append(_sos_segment([(ci + 1, 0, 0)], Ss, Se, Ah, Al))
+        out.append(_ops_to_entropy(ops, codes))
+
+    for ci in range(nc):
+        ac_scan(ci, 1, 5, 0, 2)
+    for ci in range(nc):
+        ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(nc):
+        ac_scan(ci, 1, 63, 2, 1)
+    for ci in range(nc):
+        ac_scan(ci, 1, 63, 1, 0)
+
+    # DC refinement: one raw bit per block, Ah=1 Al=0
+    bw = _BitWriter()
+    for ci, bi in dc_units:
+        bw.put(int(comp_zz[ci][bi][0]) & 1, 1)
+    bw.flush()
+    out.append(_sos_segment(
+        [(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0))
+    out.append(bytes(bw.out))
+
+    out.append(b"\xff\xd9")
+    return b"".join(out)

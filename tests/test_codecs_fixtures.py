@@ -126,13 +126,54 @@ def test_jpeg_decoder_rejects_non_baseline():
     from georay.jpeg import jpeg_decode
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg")
-    # progressive SOF2 marker → explicit NotImplementedError
+    # lossless SOF3 → explicit NotImplementedError (SOF2 progressive is
+    # implemented; see test_jpeg_progressive_*)
     import struct
     seg = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    data = (b"\xff\xd8" + b"\xff\xc2"
+    data = (b"\xff\xd8" + b"\xff\xc3"
             + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
         jpeg_decode(data)
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """SOF2 progressive (spectral selection + successive approximation,
+    T.81 Annex G): same input, same quant tables → the multi-scan
+    refinement must reassemble EXACTLY the baseline coefficients, so the
+    decoded pixels are identical bit for bit."""
+    from georay.jpeg import jpeg_decode, jpeg_encode
+    rng = np.random.default_rng(7)
+    cases = [
+        ((np.arange(64)[:, None] + np.arange(96)[None, :])
+         .astype(np.uint8), {}),                          # smooth gray
+        (rng.integers(0, 256, (37, 51), dtype=np.uint8), {}),   # odd gray
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), {}),  # rgb
+        (rng.integers(0, 256, (33, 47, 3), dtype=np.uint8),
+         {"subsample": True}),                            # 4:2:0 odd dims
+        (np.full((48, 48), 128, np.uint8), {}),   # flat → EOBRUN > 1
+    ]
+    for img, kw in cases:
+        for q in (92, 50):
+            base = jpeg_decode(jpeg_encode(img, quality=q, **kw))
+            prog_bytes = jpeg_encode(img, quality=q, progressive=True,
+                                     **kw)
+            # really progressive: SOF2 marker present, several SOS scans
+            assert b"\xff\xc2" in prog_bytes
+            assert prog_bytes.count(b"\xff\xda") >= 4
+            prog = jpeg_decode(prog_bytes)
+            assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_fidelity_gate():
+    """The progressive stream passes the same PSNR gate as baseline on
+    the engine's synthetic patterns."""
+    from georay import codecs as cd
+    from georay.jpeg import jpeg_decode, jpeg_encode
+    for i, (w, h) in enumerate([(64, 48), (57, 33)]):
+        arr = fx.pattern(i, w, h)
+        dec = jpeg_decode(jpeg_encode(arr, quality=95, progressive=True))
+        assert dec.shape == arr.shape
+        assert cd.psnr(arr, dec) >= 40.0
 
 
 def test_georef_deterministic_and_skewed():
