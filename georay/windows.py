@@ -359,8 +359,16 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                                 src = np.clip(src, 0, n - 1)
                                 ssum += np.where(ok, xz[src], 0.0)
                         else:
-                            csp = np.concatenate([[0.0], np.cumsum(xz)])
-                            ssum = csp[e_c + 1] - csp[s_c]
+                            # 80-bit prefix sums: the float64 prefix
+                            # DIFFERENCE cancels to ~1e-9 at ~1e6
+                            # magnitudes and missed the exact-parity
+                            # oracle gate; extended precision puts the
+                            # error below 1e-12 for any realistic window
+                            csp = np.concatenate(
+                                [np.zeros(1, np.longdouble),
+                                 np.cumsum(xz, dtype=np.longdouble)])
+                            ssum = (csp[e_c + 1] - csp[s_c])\
+                                .astype(np.float64)
                         ssum = np.where(emptyw, 0.0, ssum)
                         if f == "sum":
                             int_in = (not s.get("star") and pa.types
@@ -375,12 +383,14 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     continue
                 if order_items:
                     # RANGE UNBOUNDED PRECEDING..CURRENT ROW incl. peers
-                    cs = np.cumsum(xz)
+                    # (80-bit prefix sums — see the frame branch above)
+                    cs = np.cumsum(xz, dtype=np.longdouble)
                     cc = np.cumsum(cnt)
-                    base_s = np.where(seg_start > 0, cs[seg_start - 1], 0.0)
+                    base_s = np.where(seg_start > 0, cs[seg_start - 1],
+                                      np.longdouble(0.0))
                     base_c = np.where(seg_start > 0, cc[seg_start - 1], 0)
                     run_e = run_ends[run_id]
-                    ssum = cs[run_e] - base_s
+                    ssum = (cs[run_e] - base_s).astype(np.float64)
                     scnt = cc[run_e] - base_c
                 else:
                     segsum = np.add.reduceat(xz, starts)
