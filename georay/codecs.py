@@ -2,15 +2,16 @@
 
 The container has no imaging libraries (no PIL/libjpeg/OpenCV), so:
 
-* **PNG** is implemented for real (spec-conformant encoder/decoder for
-  8-bit gray/RGB/RGBA) — losslessly exact, the "exact for PNG" half of the
-  BASELINE fidelity gate.
-* **JPEG** decode is STUBBED: if PIL is importable we use it (real path);
-  otherwise ``fmt="jpeg"`` rows must carry bytes produced by the
-  deterministic lossy stand-in codec ``GRJ1`` (uniform quantization +
-  zlib), which is *actually lossy* so the PSNR≥40dB gate is exercised for
-  real (BASELINE input_hint: "PSNR≥40dB for lossy").  The Ray-side plumbing
-  (schema, actor-pool decode, batch sizing) is identical either way.
+* **PNG** is implemented for real — decoder covers the full static
+  spec: color types 0/2/3/4/6 (gray / RGB / palette / gray+alpha /
+  RGBA), bit depths 1/2/4/8/16, all five row filters, Adam7
+  interlacing, PLTE + tRNS palette alpha; encoder emits 8-bit
+  gray/RGB/RGBA (filter 0, optional Adam7) — losslessly exact, the
+  "exact for PNG" half of the BASELINE fidelity gate.
+* **JPEG** is real and from scratch (``georay.jpeg``): baseline SOF0
+  AND progressive SOF2, both directions; ``GRJ1`` (uniform quantization
+  + zlib) is kept as a deterministic lossy test codec under
+  ``fmt="grj1"``.
 
 GDAL analog: the raster driver decode path (frmts/…); we only need codec
 decode of the ``bytes`` column, not a driver framework (SURVEY.md §2.1).
@@ -38,23 +39,38 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
+def png_encode(arr: np.ndarray, compress_level: int = 6,
+               interlace: bool = False) -> bytes:
     """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes.
 
     Row filter 0 (None) throughout — simple, deterministic, exact.
-    """
+    ``interlace=True`` emits Adam7 (seven filter-independent passes)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     if ch not in _COLOR_TYPE:
         raise ValueError(f"unsupported channel count {ch}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
-    # prepend filter byte 0 to every row
-    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = arr.reshape(h, w * ch)
-    idat = zlib.compress(raw.tobytes(), compress_level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw = np.empty((ph, 1 + pw * ch), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub.reshape(ph, pw * ch)
+            parts.append(raw.tobytes())
+        idat = zlib.compress(b"".join(parts), compress_level)
+    else:
+        # prepend filter byte 0 to every row
+        raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = arr.reshape(h, w * ch)
+        idat = zlib.compress(raw.tobytes(), compress_level)
     return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
             + _chunk(b"IEND", b""))
 
@@ -66,12 +82,89 @@ def _paeth(a, b, c):
     return out.astype(np.uint8)
 
 
+# channels per color type: 0 gray, 2 RGB, 3 palette idx, 4 gray+alpha,
+# 6 RGBA
+_CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) — PNG spec 8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_rows(raw: np.ndarray, h: int, rowbytes: int,
+                   bpp: int) -> np.ndarray:
+    """PNG filter reconstruction over one (sub-)image: ``raw`` is
+    h·(1+rowbytes) filter-prefixed bytes; returns (h, rowbytes) uint8."""
+    rows = raw.reshape(h, 1 + rowbytes)
+    filters = rows[:, 0]
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    if not filters.any():
+        out[:] = rows[:, 1:]        # fast path: all filter 0 (our encoder)
+        return out
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y, 1:].astype(np.uint8).copy()
+        prev = out[y - 1] if y > 0 else np.zeros(rowbytes, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+            line = np.zeros(rowbytes, dtype=np.uint8)
+            for x in range(rowbytes):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    line[x] = (int(cur[x]) + a) & 0xFF
+                elif f == 3:
+                    line[x] = (int(cur[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = int(_paeth(np.asarray(a), np.asarray(b),
+                                      np.asarray(c)))
+                    line[x] = (int(cur[x]) + pred) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out
+
+
+def _rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int,
+                     scale_sub8: bool) -> np.ndarray:
+    """(h, rowbytes) unfiltered bytes → (h, w, ch) samples (uint8, or
+    uint16 for depth 16).  Sub-8-bit samples unpack MSB-first; gray
+    scales to full 8-bit range (spec sample depth scaling), palette
+    indices do NOT scale."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * ch].reshape(h, w, ch)
+    if depth == 16:
+        u16 = rows[:, :w * ch * 2].reshape(h, w * ch, 2).astype(np.uint16)
+        return ((u16[:, :, 0] << 8) | u16[:, :, 1]).reshape(h, w, ch)
+    # 1/2/4-bit (single channel only: gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+    vals = np.zeros((h, w), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth]
+    if scale_sub8:
+        vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1))\
+            .astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG → uint8 array."""
+    """Decode a PNG → numpy array: gray (h,w), gray+alpha (h,w,2),
+    RGB (h,w,3) or RGBA (h,w,4); uint8, or uint16 for 16-bit depth.
+
+    Full static-image spec coverage: color types 0/2/3/4/6, bit depths
+    1/2/4/8/16, all five row filters, Adam7 interlacing (each pass a
+    filter-independent sub-image), PLTE palette expansion and tRNS
+    palette alpha (→ RGBA when present)."""
     if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = []
+    plte = trns = None
     data = memoryview(data)
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -79,51 +172,63 @@ def png_decode(data: bytes) -> np.ndarray:
         payload = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, bit_depth, color_type, comp, filt, interlace = \
+            w, h, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
-            if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
-                raise ValueError("unsupported PNG variant")
-            ch = _CHANNELS[color_type]
+            if color_type not in _CT_CHANNELS:
+                raise ValueError(f"bad PNG color type {color_type}")
+            if depth not in (1, 2, 4, 8, 16) \
+                    or (depth < 8 and color_type not in (0, 3)) \
+                    or (depth == 16 and color_type == 3):
+                raise ValueError("illegal PNG depth/color combination")
+            ch = _CT_CHANNELS[color_type]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8)\
+                .reshape(-1, 3).copy()
+        elif tag == b"tRNS" and len(payload):
+            trns = np.frombuffer(payload, dtype=np.uint8).copy()
         elif tag == b"IDAT":
             idat.append(bytes(payload))
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * ch
-    rows = raw.reshape(h, stride)
-    filters = rows[:, 0]
-    out = np.zeros((h, w * ch), dtype=np.uint8)
-    if not filters.any():
-        out[:] = rows[:, 1:]  # fast path: all filter 0 (our encoder)
+    bpp = max(1, ch * depth // 8)
+    scale = color_type == 0          # gray scales, palette indices don't
+
+    def rowbytes(width):
+        return (width * ch * depth + 7) // 8
+
+    if interlace == 0:
+        rows = _unfilter_rows(raw, h, rowbytes(w), bpp)
+        img = _rows_to_samples(rows, w, ch, depth, scale)
+    elif interlace == 1:
+        img = np.zeros((h, w, ch),
+                       dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            nb = ph * (1 + rowbytes(pw))
+            rows = _unfilter_rows(raw[off:off + nb], ph, rowbytes(pw),
+                                  bpp)
+            off += nb
+            img[y0::dy, x0::dx] = _rows_to_samples(rows, pw, ch, depth,
+                                                   scale)
     else:
-        bpp = ch
-        for y in range(h):
-            f = filters[y]
-            cur = rows[y, 1:].astype(np.uint8).copy()
-            prev = out[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.uint8)
-            if f == 0:
-                out[y] = cur
-            elif f == 2:  # Up
-                out[y] = cur + prev
-            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
-                line = np.zeros(w * ch, dtype=np.uint8)
-                for x in range(w * ch):
-                    a = int(line[x - bpp]) if x >= bpp else 0
-                    b = int(prev[x])
-                    if f == 1:
-                        line[x] = (int(cur[x]) + a) & 0xFF
-                    elif f == 3:
-                        line[x] = (int(cur[x]) + (a + b) // 2) & 0xFF
-                    else:
-                        c = int(prev[x - bpp]) if x >= bpp else 0
-                        pred = int(_paeth(np.asarray(a), np.asarray(b),
-                                          np.asarray(c)))
-                        line[x] = (int(cur[x]) + pred) & 0xFF
-                out[y] = line
-            else:
-                raise ValueError(f"bad PNG filter {f}")
-    arr = out.reshape(h, w, ch)
-    return arr[:, :, 0] if ch == 1 else arr
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = img[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    return img[:, :, 0] if ch == 1 else img
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,85 @@ def test_jpeg_roundtrip_psnr():
     assert cd.psnr(smooth, ds) >= 40.0
 
 
+def test_png_full_spec_decode():
+    """PNG decode beyond the encoder's own subset: Adam7 interlace
+    (every pass shape, odd dims), palette with and without tRNS alpha,
+    1/2/4-bit packing, 16-bit samples, gray+alpha."""
+    import struct
+    import zlib
+
+    from georay.codecs import _PNG_SIG, _chunk, png_decode, png_encode
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (3, 2), (7, 9), (16, 16), (33, 47), (8, 1),
+                  (1, 8)]:
+        for ch in (None, 3, 4):
+            a = rng.integers(0, 256, shape if ch is None
+                             else (*shape, ch), dtype=np.uint8)
+            assert np.array_equal(a, png_decode(png_encode(
+                a, interlace=True)))
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [10, 20, 30]], np.uint8)
+    idx = rng.integers(0, 4, (5, 7)).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0)
+    raw = np.empty((5, 8), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = idx
+    base = _PNG_SIG + _chunk(b"IHDR", ihdr) \
+        + _chunk(b"PLTE", pal.tobytes())
+    tail = _chunk(b"IDAT", zlib.compress(raw.tobytes())) \
+        + _chunk(b"IEND", b"")
+    assert np.array_equal(png_decode(base + tail), pal[idx])
+    d2 = png_decode(base + _chunk(b"tRNS", bytes([255, 128])) + tail)
+    assert d2.shape == (5, 7, 4)
+    assert np.array_equal(d2[:, :, :3], pal[idx])
+    assert np.array_equal(
+        d2[:, :, 3], np.array([255, 128, 255, 255], np.uint8)[idx])
+    # 2-bit palette rows (MSB-first packing)
+    idx2 = rng.integers(0, 4, (4, 5)).astype(np.uint8)
+    rows = []
+    for y in range(4):
+        bits = np.zeros(16, np.uint8)
+        for x in range(5):
+            bits[2 * x] = (idx2[y, x] >> 1) & 1
+            bits[2 * x + 1] = idx2[y, x] & 1
+        rows.append(bytes([0]) + np.packbits(bits).tobytes())
+    p2 = _PNG_SIG \
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 2, 3, 0, 0, 0)) \
+        + _chunk(b"PLTE", pal.tobytes()) \
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows))) \
+        + _chunk(b"IEND", b"")
+    assert np.array_equal(png_decode(p2), pal[idx2])
+    # 1-bit gray scales to 0/255
+    g1 = rng.integers(0, 2, (6, 10)).astype(np.uint8)
+    rows = [bytes([0]) + np.packbits(g1[y]).tobytes() for y in range(6)]
+    p1 = _PNG_SIG \
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 6, 1, 0, 0, 0, 0)) \
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows))) \
+        + _chunk(b"IEND", b"")
+    assert np.array_equal(png_decode(p1), g1 * 255)
+    # 16-bit RGB returns uint16, big-endian samples
+    a16 = rng.integers(0, 65536, (4, 6, 3)).astype(np.uint16)
+    raw16 = np.empty((4, 1 + 36), np.uint8)
+    raw16[:, 0] = 0
+    raw16[:, 1:] = a16.astype(">u2").reshape(4, -1).view(np.uint8)
+    p16 = _PNG_SIG \
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 16, 2, 0, 0, 0)) \
+        + _chunk(b"IDAT", zlib.compress(raw16.tobytes())) \
+        + _chunk(b"IEND", b"")
+    d16 = png_decode(p16)
+    assert d16.dtype == np.uint16 and np.array_equal(d16, a16)
+    # gray+alpha
+    ga = rng.integers(0, 256, (5, 4, 2), dtype=np.uint8)
+    rawga = np.empty((5, 9), np.uint8)
+    rawga[:, 0] = 0
+    rawga[:, 1:] = ga.reshape(5, -1)
+    pga = _PNG_SIG \
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 4, 0, 0, 0)) \
+        + _chunk(b"IDAT", zlib.compress(rawga.tobytes())) \
+        + _chunk(b"IEND", b"")
+    assert np.array_equal(png_decode(pga), ga)
+
+
 def test_jpeg_fixture_rows_are_real_jfif():
     t = fx.images_table(4)
     for i in range(4):
