@@ -880,13 +880,241 @@ def _parse_proj_string(s: str):
     raise ValueError(f"unsupported +proj={proj!r}")
 
 
+def _tokenize_wkt(s: str):
+    """OGC WKT bracket structure → nested (KEYWORD, [args]) nodes; args
+    are quoted strings, numbers, bare words, or child nodes.  Both []
+    and () delimiters, "" quote escaping (the WKT1/WKT2 lexical rules
+    shared by every revision of the spec)."""
+    i, n = 0, len(s)
+
+    def node():
+        nonlocal i
+        while i < n and s[i] in " \t\r\n,":
+            i += 1
+        j = i
+        while i < n and (s[i].isalnum() or s[i] in "_-"):
+            i += 1
+        kw = s[j:i].upper()
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        if i >= n or s[i] not in "[(":
+            raise ValueError(f"WKT: expected [ after {kw!r}")
+        i += 1
+        args = []
+        while True:
+            while i < n and s[i] in " \t\r\n,":
+                i += 1
+            if i >= n:
+                raise ValueError("unterminated WKT")
+            c = s[i]
+            if c in "])":
+                i += 1
+                return (kw, args)
+            if c == '"':
+                i += 1
+                out = []
+                while i < n:
+                    if s[i] == '"':
+                        if i + 1 < n and s[i + 1] == '"':
+                            out.append('"')
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    out.append(s[i])
+                    i += 1
+                args.append("".join(out))
+                continue
+            j = i
+            while i < n and s[i] not in ",])[(":
+                i += 1
+            tok = s[j:i].strip()
+            if i < n and s[i] in "[(":
+                i = j
+                args.append(node())
+                continue
+            try:
+                args.append(float(tok))
+            except ValueError:
+                args.append(tok)
+
+    return node()
+
+
+def _wkt_find(tree, *keywords):
+    """First child node (depth-first) whose keyword is in ``keywords``."""
+    kw, args = tree
+    if kw in keywords:
+        return tree
+    for a in args:
+        if isinstance(a, tuple):
+            hit = _wkt_find(a, *keywords)
+            if hit is not None:
+                return hit
+    return None
+
+
+# WKT projection/method name → engine family (WKT1 ESRI/OGC underscore
+# names AND WKT2 EPSG method names, normalized to lowercase joined words)
+_WKT_METHODS = {
+    "transverse mercator": "tmerc",
+    "lambert conformal conic 2sp": "lcc",
+    "lambert conic conformal 2sp": "lcc",
+    "albers": "albers",
+    "albers conic equal area": "albers",
+    "albers equal area": "albers",
+    "polar stereographic": "ps",
+    "polar stereographic variant b": "ps",
+    "lambert azimuthal equal area": "laea",
+    "cylindrical equal area": "cea",
+    "lambert cylindrical equal area": "cea",
+    "lambert cylindrical equal area spherical": "cea",
+    "equal earth": "eqearth",
+    "mercator 1sp": "webmerc",
+    "mercator auxiliary sphere": "webmerc",
+    "popular visualisation pseudo mercator": "webmerc",
+}
+
+# WKT parameter name → engine parameter (same normalization)
+_WKT_PARAMS = {
+    "latitude of origin": "lat0",
+    "latitude of natural origin": "lat0",
+    "latitude of false origin": "lat0",
+    "latitude of center": "lat0",
+    "latitude of centre": "lat0",
+    "latitude of projection centre": "lat0",
+    "central meridian": "lon0",
+    "longitude of natural origin": "lon0",
+    "longitude of false origin": "lon0",
+    "longitude of center": "lon0",
+    "longitude of centre": "lon0",
+    "longitude of origin": "lon0",
+    "longitude of projection centre": "lon0",
+    "standard parallel 1": "lat1",
+    "latitude of 1st standard parallel": "lat1",
+    "standard parallel": "lat1",
+    "latitude of standard parallel": "lat1",
+    "standard parallel 2": "lat2",
+    "latitude of 2nd standard parallel": "lat2",
+    "scale factor": "k0",
+    "scale factor at natural origin": "k0",
+    "false easting": "e0",
+    "easting at false origin": "e0",
+    "easting at projection centre": "e0",
+    "false northing": "n0",
+    "northing at false origin": "n0",
+    "northing at projection centre": "n0",
+}
+
+
+def _wkt_norm(name: str) -> str:
+    return " ".join("".join(c if c.isalnum() else " "
+                            for c in name.lower()).split())
+
+
+def _parse_wkt_crs(s: str):
+    """OGC WKT CRS string (WKT1 PROJCS/GEOGCS or WKT2 PROJCRS/GEOGCRS)
+    → (kind, params) for the implemented projection families — the
+    engine-side slice of OGRSpatialReference::importFromWkt.  The
+    ellipsoid must be WGS84/GRS80-sized (semi-major within 0.5 m of
+    6378137 — the registry-wide WGS84-equivalent datum stance; other
+    datums are supported only through their EPSG codes in
+    georay.datum.DATUM_CRS)."""
+    tree = _tokenize_wkt(s)
+    kw = tree[0]
+    if kw in ("GEOGCS", "GEOGCRS", "GEODCRS"):
+        _check_wkt_ellipsoid(tree)
+        return ("longlat", {})
+    if kw not in ("PROJCS", "PROJCRS"):
+        raise ValueError(f"unsupported WKT root {kw!r}")
+    _check_wkt_ellipsoid(tree)
+    meth = _wkt_find(tree, "PROJECTION", "METHOD")
+    if meth is None:
+        raise ValueError("WKT without PROJECTION/METHOD")
+    mname = _wkt_norm(next(a for a in meth[1] if isinstance(a, str)))
+    if mname.endswith(" variant a"):
+        mname = mname[:-10]
+    kind = _WKT_METHODS.get(mname)
+    if kind is None:
+        raise ValueError(f"unsupported WKT projection {mname!r}")
+    p = {}
+    conv = _wkt_find(tree, "CONVERSION") or tree
+
+    def walk(t):
+        for a in t[1]:
+            if isinstance(a, tuple):
+                if a[0] == "PARAMETER":
+                    name = _wkt_norm(a[1][0])
+                    val = next(v for v in a[1][1:]
+                               if isinstance(v, float))
+                    key = _WKT_PARAMS.get(name)
+                    if key:
+                        p[key] = val
+                else:
+                    walk(a)
+
+    walk(conv)
+    if kind == "webmerc":
+        return ("webmerc", {})
+    if kind == "tmerc":
+        if p.get("lat0", 0.0) != 0.0:
+            raise ValueError("tmerc with non-zero origin latitude is "
+                             "not supported")
+        return ("tmerc", dict(lon0=p.get("lon0", 0.0),
+                              k0=p.get("k0", 1.0),
+                              e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+    if kind in ("lcc", "albers"):
+        return (kind, dict(lat1=p.get("lat1", 0.0),
+                           lat2=p.get("lat2", p.get("lat1", 0.0)),
+                           lat0=p.get("lat0", 0.0),
+                           lon0=p.get("lon0", 0.0),
+                           e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+    if kind == "ps":
+        if p.get("k0", 1.0) != 1.0:
+            raise ValueError("polar stereographic variant A (scale "
+                             "factor) is not supported — use variant B")
+        lat_ts = p.get("lat1", p.get("lat0"))
+        if lat_ts is None or abs(lat_ts) == 90.0:
+            raise ValueError("polar stereographic needs a standard "
+                             "parallel")
+        return ("ps", dict(lat_ts=lat_ts, lon0=p.get("lon0", 0.0),
+                           south=lat_ts < 0,
+                           e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+    if kind == "laea":
+        return ("laea", dict(lat0=p.get("lat0", 0.0),
+                             lon0=p.get("lon0", 0.0),
+                             e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+    if kind == "cea":
+        return ("cea", dict(lat_ts=p.get("lat1", p.get("lat0", 0.0)),
+                            lon0=p.get("lon0", 0.0),
+                            e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+    return ("eqearth", dict(lon0=p.get("lon0", 0.0),
+                            e0=p.get("e0", 0.0), n0=p.get("n0", 0.0)))
+
+
+def _check_wkt_ellipsoid(tree):
+    ell = _wkt_find(tree, "SPHEROID", "ELLIPSOID")
+    if ell is None:
+        return                       # no ellipsoid node: assume WGS84
+    a = next((v for v in ell[1] if isinstance(v, float)), None)
+    if a is not None and abs(a - 6378137.0) > 0.5:
+        raise ValueError(
+            f"unsupported ellipsoid (a={a}); WGS84/GRS80 only — other "
+            "datums resolve through their EPSG codes")
+
+
 def resolve_crs(crs: str):
     """CRS spec → (kind, params).  Accepts ``EPSG:nnnn`` (named conic /
-    tmerc rows + the UTM zone families) and proj-strings for the
-    implemented families.  kinds: longlat, webmerc, utm, tmerc, lcc,
-    albers, ps, laea, cea, eqearth, datum (OSGB36/ED50 codes)."""
+    tmerc rows + the UTM zone families), proj-strings, and OGC WKT
+    (WKT1 PROJCS/GEOGCS or WKT2 PROJCRS/GEOGCRS) for the implemented
+    families.  kinds: longlat, webmerc, utm, tmerc, lcc, albers, ps,
+    laea, cea, eqearth, datum (OSGB36/ED50 codes)."""
     if crs.startswith("+"):
         return _parse_proj_string(crs)
+    head = crs.lstrip()[:12].upper()
+    if any(head.startswith(k) for k in
+           ("PROJCS", "PROJCRS", "GEOGCS", "GEOGCRS", "GEODCRS")):
+        return _parse_wkt_crs(crs)
     if crs == "EPSG:4326":
         return ("longlat", {})
     if crs == "EPSG:3857":

@@ -164,3 +164,109 @@ def test_mga_and_etrs_utm_match_wgs_utm():
         xb, yb = crs_forward(b, sign * lat, lon + (137.0 if sign < 0
                                                    else 0.0))
         assert np.allclose(xa, xb) and np.allclose(ya, yb)
+
+
+# --------------------------------------------------------------- WKT input
+
+_WKT1_32631 = (
+    'PROJCS["WGS 84 / UTM zone 31N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],'
+    'PARAMETER["central_meridian",3],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1],'
+    'AUTHORITY["EPSG","32631"]]')
+
+_WKT1_2154 = (
+    'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",'
+    'DATUM["Reseau_Geodesique_Francais_1993",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",49],'
+    'PARAMETER["standard_parallel_2",44],'
+    'PARAMETER["latitude_of_origin",46.5],'
+    'PARAMETER["central_meridian",3],'
+    'PARAMETER["false_easting",700000],'
+    'PARAMETER["false_northing",6600000],UNIT["metre",1]]')
+
+_WKT1_5070 = (
+    'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",'
+    'DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],'
+    'PARAMETER["latitude_of_center",23],'
+    'PARAMETER["longitude_of_center",-96],'
+    'PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+
+_WKT2_3413 = (
+    'PROJCRS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",'
+    'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]]],'
+    'CONVERSION["US NSIDC Sea Ice polar stereographic north",'
+    'METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],'
+    'PARAMETER["Latitude of standard parallel",70,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8832]],'
+    'PARAMETER["Longitude of origin",-45,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8833]],'
+    'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+    'CS[Cartesian,2]]')
+
+_WKT2_3035 = (
+    'PROJCRS["ETRS89-extended / LAEA Europe",BASEGEOGCRS["ETRS89",'
+    'DATUM["European Terrestrial Reference System 1989",'
+    'ELLIPSOID["GRS 1980",6378137,298.257222101]]],'
+    'CONVERSION["Europe Equal Area 2001",'
+    'METHOD["Lambert Azimuthal Equal Area",ID["EPSG",9820]],'
+    'PARAMETER["Latitude of natural origin",52],'
+    'PARAMETER["Longitude of natural origin",10],'
+    'PARAMETER["False easting",4321000],'
+    'PARAMETER["False northing",3210000]],CS[Cartesian,2]]')
+
+
+@pytest.mark.parametrize("wkt,epsg", [
+    (_WKT1_32631, "EPSG:32631"),
+    (_WKT1_2154, "EPSG:2154"),
+    (_WKT1_5070, "EPSG:5070"),
+    (_WKT2_3413, "EPSG:3413"),
+    (_WKT2_3035, "EPSG:3035"),
+])
+def test_wkt_crs_matches_epsg_row(wkt, epsg):
+    """WKT1 and WKT2 strings resolve to EXACTLY the same projection as
+    the corresponding EPSG registry row — forward outputs identical on
+    a probe grid (same code path, same parameters)."""
+    kind, p = resolve_crs(epsg)
+    lats, lons = _domain(kind, p)
+    glat, glon = np.meshgrid(lats, lons)
+    xw, yw = crs_forward(wkt, glat.ravel(), glon.ravel())
+    xe, ye = crs_forward(epsg, glat.ravel(), glon.ravel())
+    np.testing.assert_array_equal(xw, xe)
+    np.testing.assert_array_equal(yw, ye)
+    # and the inverse round-trips through the WKT spec
+    ilat, ilon = crs_inverse(wkt, xw, yw)
+    assert np.max(np.abs(ilat - glat.ravel())) < 1e-9
+    dlon = np.abs(ilon - glon.ravel()) % 360.0
+    assert np.max(np.minimum(dlon, 360.0 - dlon)) < 1e-9
+
+
+def test_wkt_crs_rejections_and_geogcs():
+    from georay.mercator import _parse_wkt_crs
+    assert resolve_crs(
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]]') == ("longlat", {})
+    # non-WGS84-sized ellipsoid (Airy 1830) → explicit rejection: other
+    # datums resolve only through their EPSG codes (georay.datum)
+    with pytest.raises(ValueError, match="ellipsoid"):
+        _parse_wkt_crs(_WKT1_2154.replace("6378137", "6377563.396"))
+    with pytest.raises(ValueError, match="projection"):
+        _parse_wkt_crs(_WKT1_2154.replace(
+            "Lambert_Conformal_Conic_2SP", "Krovak"))
