@@ -223,14 +223,30 @@ def wav_decode(data: bytes):
     if fmt is None or samples is None:
         raise ValueError("truncated WAVE (missing fmt/data)")
     audio_fmt, n_ch, rate, _, _, bits = fmt
-    if audio_fmt != 1:
-        raise NotImplementedError("only PCM WAVE supported")
-    if bits == 16:
+    if audio_fmt == 3:              # IEEE float (WAVE_FORMAT_IEEE_FLOAT)
+        if bits == 32:
+            arr = np.frombuffer(samples, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(samples, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAVE")
+    elif audio_fmt != 1:
+        raise NotImplementedError("only PCM/IEEE-float WAVE supported")
+    elif bits == 16:
         arr = np.frombuffer(samples, dtype="<i2").astype(np.float64) \
             / 32767.0
     elif bits == 8:
         arr = (np.frombuffer(samples, dtype=np.uint8)
                .astype(np.float64) - 128.0) / 127.0
+    elif bits == 24:
+        # 3-byte little-endian signed → int32 (sign via arithmetic shift)
+        raw = np.frombuffer(samples, dtype=np.uint8)
+        raw = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.uint32)
+        u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        arr = (u.astype(np.int32) << 8 >> 8).astype(np.float64) / 8388607.0
+    elif bits == 32:
+        arr = np.frombuffer(samples, dtype="<i4").astype(np.float64) \
+            / 2147483647.0
     else:
         raise NotImplementedError(f"{bits}-bit PCM")
     if n_ch > 1:

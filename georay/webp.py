@@ -22,10 +22,17 @@ Implemented surface:
   deltas, least-squares factor fit on encode); color-indexing
   (palette, delta-coded entries) for 17..256 distinct colors.
 
-Honestly gated (raise, never silently wrong): palette pixel-bundling
-(≤16 colors), the 120-entry close-neighborhood distance map (the
-encoder only emits plain ``+120`` codes), and meta-prefix groups —
-each a clearly marked ``NotImplementedError`` branch in the decoder.
+Round 4 adds palette PIXEL BUNDLING (≤16 colors: 2/4/8 indices per
+green byte, coded width = ceil(w/ppb), leftmost pixel in the lowest
+bits, out-of-range index → 0x00000000) and META-PREFIX GROUPS (an
+entropy image of (red<<8)|green indices selects per-2^bits-block
+prefix-code groups; decode switches trees per pixel, the encoder's
+``meta_bits=`` splits top/bottom block halves into two groups) — both
+directions, roundtrip-pinned.  Still honestly gated (raise, never
+silently wrong): the 120-entry close-neighborhood distance map (the
+encoder only emits plain ``+120`` codes; the spec's explicit offset
+table cannot be sourced offline) — a ``NotImplementedError`` branch in
+the decoder.
 The right-edge TR border rule is a documented guess (TR := T) that
 our encoder's TR-free mode set never exercises.
 
@@ -562,7 +569,8 @@ def _rle_tokens(px: np.ndarray):
 def webp_encode(arr: np.ndarray, palette: str = "auto",
                 subtract_green: bool = True,
                 predictor: bool = False,
-                cross_color: bool = False) -> bytes:
+                cross_color: bool = False,
+                meta_bits: int | None = None) -> bytes:
     """uint8 image (HxW, HxWx3, HxWx4) → lossless WebP bytes.
     ``palette``: "auto" uses color-indexing when 17..256 distinct
     colors, "off" never.  ``subtract_green`` applies the spec's
@@ -595,7 +603,7 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
     bw.put(0, 3)
 
     uniq = np.unique(px)
-    if palette == "auto" and 16 < len(uniq) <= 256:
+    if palette == "auto" and 1 < len(uniq) <= 256:
         bw.put(1, 1)               # transform present
         bw.put(3, 2)               # color-indexing
         bw.put(len(uniq) - 1, 8)
@@ -608,7 +616,23 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
             | ((((pal >> 24) - (prev >> 24)) & 0xFF) << 24)
         _encode_image_stream(bw, delta.astype(np.uint32), is_level0=False)
         idx = np.searchsorted(uniq, px).astype(np.uint32)
-        px = (np.uint32(0xFF000000) | (idx << 8))   # index in GREEN
+        if len(uniq) <= 16:
+            # pixel BUNDLING: 2/4/8 indices pack into one green byte
+            # (leftmost pixel in the lowest bits) and the coded image
+            # narrows to ceil(w / ppb) — implied by palette size
+            psz = len(uniq)
+            xbits = 3 if psz <= 2 else (2 if psz <= 4 else 1)
+            ppb, bpp = 1 << xbits, 8 >> xbits
+            pw = (w + ppb - 1) // ppb
+            padded = np.zeros((h, pw * ppb), np.uint32)
+            padded[:, :w] = idx.reshape(h, w)
+            sub = padded.reshape(h, pw, ppb)
+            green = np.zeros((h, pw), np.uint32)
+            for j in range(ppb):
+                green |= sub[:, :, j] << np.uint32(bpp * j)
+            px = (np.uint32(0xFF000000) | (green << 8)).reshape(-1)
+        else:
+            px = (np.uint32(0xFF000000) | (idx << 8))   # index in GREEN
     elif predictor:
         size_bits = 4                               # 16-px blocks
         bw.put(1, 1)               # transform present
@@ -639,7 +663,8 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
         bch = ((px & 0xFF) - gch) & 0xFF
         px = (px & np.uint32(0xFF00FF00)) | (rch << 16) | bch
     bw.put(0, 1)                   # no more transforms
-    _encode_image_stream(bw, px, is_level0=True)
+    _encode_image_stream(bw, px, is_level0=True,
+                         w=len(px) // h, h=h, meta_bits=meta_bits)
     payload = bw.finish()
     size = len(payload)            # RIFF chunk size EXCLUDES the pad byte
     if size & 1:
@@ -648,10 +673,33 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool):
+def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool,
+                         w: int | None = None, h: int | None = None,
+                         meta_bits: int | None = None):
     bw.put(0, 1)                   # no color cache
+    garr = None
+    ngroups = 1
     if is_level0:
-        bw.put(0, 1)               # no meta-prefix image
+        if meta_bits is None:
+            bw.put(0, 1)           # no meta-prefix image
+        else:
+            # meta-prefix groups: top and bottom halves of the 2^bits
+            # block grid each get their own prefix-code group — real
+            # multi-entropy coding (spec §5), the win when image halves
+            # have different statistics
+            bw.put(1, 1)
+            bw.put(meta_bits - 2, 3)
+            hw = (w + (1 << meta_bits) - 1) >> meta_bits
+            hh = (h + (1 << meta_bits) - 1) >> meta_bits
+            grp_rows = (np.arange(hh) >= (hh + 1) // 2)\
+                .astype(np.uint32)
+            meta_img = np.repeat(grp_rows[:, None], hw, axis=1)
+            mpx = (np.uint32(0xFF000000)
+                   | (meta_img.reshape(-1) << np.uint32(8)))
+            _encode_image_stream(bw, mpx, is_level0=False)
+            ngroups = int(meta_img.max()) + 1
+            garr = np.repeat(grp_rows[np.arange(h) >> meta_bits], w)\
+                .astype(np.int64)
     same = _rle_tokens(px)
     # token stream: literals where not in a run; one (len,dist=1) per run
     g = ((px >> 8) & 0xFF).astype(np.int64)
@@ -659,15 +707,23 @@ def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool):
     b = (px & 0xFF).astype(np.int64)
     al = ((px >> 24) & 0xFF).astype(np.int64)
     lit = ~same
-    gfreq = np.bincount(g[lit], minlength=280 + 0).astype(np.int64)
-    gfreq = np.concatenate([gfreq, np.zeros(280 - len(gfreq), np.int64)])
-    rfreq = np.bincount(r[lit], minlength=256).astype(np.int64)
-    bfreq = np.bincount(b[lit], minlength=256).astype(np.int64)
-    afreq = np.bincount(al[lit], minlength=256).astype(np.int64)
+    n = len(px)
+    if garr is None:
+        garr0 = np.zeros(n, np.int64)
+    else:
+        garr0 = garr
+    gfreqs, rfreqs, bfreqs, afreqs, dfreqs = [], [], [], [], []
+    for gi in range(ngroups):
+        m = lit & (garr0 == gi)
+        gf = np.bincount(g[m], minlength=280).astype(np.int64)
+        gfreqs.append(np.concatenate(
+            [gf, np.zeros(max(0, 280 - len(gf)), np.int64)])[:280])
+        rfreqs.append(np.bincount(r[m], minlength=256).astype(np.int64))
+        bfreqs.append(np.bincount(b[m], minlength=256).astype(np.int64))
+        afreqs.append(np.bincount(al[m], minlength=256).astype(np.int64))
+        dfreqs.append(np.zeros(40, np.int64))
     # run lengths
     runs = []
-    i = 0
-    n = len(px)
     idx = np.flatnonzero(np.diff(np.concatenate(
         ([False], same, [False])).astype(np.int8)))
     starts, ends = idx[0::2], idx[1::2]
@@ -678,19 +734,12 @@ def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool):
         while ln > 0:
             take = min(ln, 4096)
             code, _, _ = _prefix_encode(take)
-            gfreq[256 + code] += 1
+            gi = int(garr0[posn])
+            gfreqs[gi][256 + code] += 1
+            dfreqs[gi][dist_code] += 1
             runs.append((posn, take))
             posn += take
             ln -= take
-    glen = _code_lengths(gfreq)
-    rlen = _code_lengths(rfreq)
-    blen = _code_lengths(bfreq)
-    alen = _code_lengths(afreq)
-    dfreq = np.zeros(40, np.int64)
-    dfreq[dist_code] = max(1, len(runs))
-    dlen = _code_lengths(dfreq)
-    for lengths in (glen, rlen, blen, alen, dlen):
-        _write_code(bw, lengths)
 
     def emit_len(lengths):
         # a 1-symbol prefix code consumes ZERO bits at decode time —
@@ -699,34 +748,43 @@ def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool):
             return np.zeros_like(lengths)
         return lengths
 
-    glen_e, rlen_e = emit_len(glen), emit_len(rlen)
-    blen_e, alen_e, dlen_e = emit_len(blen), emit_len(alen), \
-        emit_len(dlen)
-    gcodes, rcodes = _canonical_codes(glen), _canonical_codes(rlen)
-    bcodes, acodes = _canonical_codes(blen), _canonical_codes(alen)
-    dcodes = _canonical_codes(dlen)
+    groups = []
+    for gi in range(ngroups):
+        df = dfreqs[gi]
+        if df.sum() == 0:
+            df[dist_code] = 1
+        lens5 = [_code_lengths(gfreqs[gi]), _code_lengths(rfreqs[gi]),
+                 _code_lengths(bfreqs[gi]), _code_lengths(afreqs[gi]),
+                 _code_lengths(df)]
+        for lengths in lens5:
+            _write_code(bw, lengths)
+        groups.append([( _canonical_codes(L), emit_len(L))
+                       for L in lens5])
 
-    def emit(codes, lens, s):
+    def emit(pair, s):
+        codes, lens = pair
         bw.put(_reverse_bits(int(codes[s]), int(lens[s])), int(lens[s]))
 
     run_at = dict(runs)
     i = 0
     while i < n:
+        gc, rc, bc, ac, dc = groups[garr0[i]] if ngroups > 1 \
+            else groups[0]
         take = run_at.get(i)
         if take:
             code, extra, ev = _prefix_encode(take)
-            emit(gcodes, glen_e, 256 + code)
+            emit(gc, 256 + code)
             if extra:
                 bw.put(ev, extra)
-            emit(dcodes, dlen_e, dist_code)
+            emit(dc, dist_code)
             if dist_extra:
                 bw.put(dist_ev, dist_extra)
             i += take
             continue
-        emit(gcodes, glen_e, int(g[i]))
-        emit(rcodes, rlen_e, int(r[i]))
-        emit(bcodes, blen_e, int(b[i]))
-        emit(acodes, alen_e, int(al[i]))
+        emit(gc, int(g[i]))
+        emit(rc, int(r[i]))
+        emit(bc, int(b[i]))
+        emit(ac, int(al[i]))
         i += 1
 
 
@@ -755,9 +813,6 @@ def webp_decode(data: bytes) -> np.ndarray:
             transforms.append(("subgreen",))
         elif t == 3:               # color-indexing
             psize = br.get(8) + 1
-            if psize <= 16:
-                raise NotImplementedError(
-                    "palette pixel-bundling (≤16 colors)")
             delta = _decode_image_stream(br, psize, 1, is_level0=False)
             pal = np.zeros(psize, np.uint32)
             acc = np.uint32(0)
@@ -785,7 +840,20 @@ def webp_decode(data: bytes) -> np.ndarray:
                             (fimg >> 16) & 0xFF],
                            axis=-1).astype(np.int64).reshape(cbh, cbw, 3)
             transforms.append(("crosscolor", size_bits, fac))
-    px = _decode_image_stream(br, w, h, is_level0=True)
+    # ≤16-color palettes BUNDLE pixels: 2/4/8 indices pack into one
+    # green byte and the coded image narrows to ceil(w / ppb) — the
+    # bundling geometry is implied by the palette size alone (spec §4.4)
+    xbits = 0
+    stream_w = w
+    for tr in transforms:
+        if tr[0] == "palette" and len(tr[1]) <= 16:
+            psz = len(tr[1])
+            xbits = 3 if psz <= 2 else (2 if psz <= 4 else 1)
+            stream_w = (w + (1 << xbits) - 1) >> xbits
+            if len(transforms) > 1:
+                raise NotImplementedError(
+                    "pixel bundling combined with other transforms")
+    px = _decode_image_stream(br, stream_w, h, is_level0=True)
     for tr in reversed(transforms):
         if tr[0] == "crosscolor":
             px = _cross_color_apply(px, w, h, tr[1], tr[2],
@@ -794,8 +862,22 @@ def webp_decode(data: bytes) -> np.ndarray:
             px = _predictor_inverse(px.reshape(h, w), tr[1],
                                     tr[2]).reshape(-1)
         elif tr[0] == "palette":
-            idx = (px >> 8) & 0xFF
-            px = tr[1][idx]
+            if xbits:
+                # unbundle: leftmost pixel of each bundle in the LOWEST
+                # bits of the green byte
+                bpp = 8 >> xbits
+                green = ((px >> 8) & 0xFF).reshape(h, stream_w)
+                xsrc = np.arange(w) >> xbits
+                shifts = ((np.arange(w) & ((1 << xbits) - 1)) * bpp)\
+                    .astype(np.uint32)
+                idx = ((green[:, xsrc] >> shifts[None, :])
+                       & ((1 << bpp) - 1)).reshape(-1)
+            else:
+                idx = (px >> 8) & 0xFF
+            # spec: an index >= color_table_size decodes as 0x00000000
+            ok = idx < len(tr[1])
+            px = np.where(ok, tr[1][np.minimum(idx, len(tr[1]) - 1)],
+                          np.uint32(0))
         elif tr[0] == "subgreen":
             gch = (px >> 8) & 0xFF
             rch = (((px >> 16) & 0xFF) + gch) & 0xFF
@@ -816,19 +898,36 @@ def _decode_image_stream(br: _BitReader, w: int, h: int,
     cache_bits = 0
     if br.get(1):
         cache_bits = br.get(4)
+    garr = None
+    ngroups = 1
     if is_level0 and br.get(1):
-        raise NotImplementedError("meta-prefix groups")
+        # meta-prefix groups: an entropy image (itself VP8L-coded, one
+        # meta index = (red<<8)|green per 2^bits block) selects which
+        # of several prefix-code groups decodes each pixel's symbols;
+        # the color cache stays shared across groups (spec §5)
+        mbits = br.get(3) + 2
+        hw = (w + (1 << mbits) - 1) >> mbits
+        hh = (h + (1 << mbits) - 1) >> mbits
+        himg = _decode_image_stream(br, hw, hh, is_level0=False)
+        meta = ((((himg >> 16) & 0xFF) << 8) | ((himg >> 8) & 0xFF)) \
+            .astype(np.int64).reshape(hh, hw)
+        ngroups = int(meta.max()) + 1
+        ys = (np.arange(h) >> mbits)[:, None]
+        xs = (np.arange(w) >> mbits)[None, :]
+        garr = meta[ys, xs].reshape(-1)
     cache_size = (1 << cache_bits) if cache_bits else 0
-    gtree = _read_code(br, 256 + 24 + cache_size)
-    rtree = _read_code(br, 256)
-    btree = _read_code(br, 256)
-    atree = _read_code(br, 256)
-    dtree = _read_code(br, 40)
+    groups = [(_read_code(br, 256 + 24 + cache_size),
+               _read_code(br, 256), _read_code(br, 256),
+               _read_code(br, 256), _read_code(br, 40))
+              for _ in range(ngroups)]
+    gtree, rtree, btree, atree, dtree = groups[0]
     n = w * h
     px = np.zeros(n, np.uint32)
     cache = np.zeros(max(cache_size, 1), np.uint32)
     i = 0
     while i < n:
+        if garr is not None:
+            gtree, rtree, btree, atree, dtree = groups[garr[i]]
         s = gtree.read(br)
         if s < 256:
             rr = rtree.read(br)

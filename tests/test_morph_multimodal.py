@@ -157,6 +157,40 @@ def test_wav_roundtrip_and_chunk_walk():
     assert np.abs(dec2).max() < 1e-4  # L/R cancel
 
 
+def test_wav_extended_sample_formats():
+    """24/32-bit integer PCM and IEEE-float WAVE decode (the full
+    uncompressed WAV surface beyond the encoder's own 16-bit)."""
+    import struct
+
+    import numpy as np
+    from georay.multimodal import wav_decode
+
+    def wav(fmt, bits, body, n_ch=1, rate=8000):
+        block = n_ch * bits // 8
+        f = struct.pack("<HHIIHH", fmt, n_ch, rate, rate * block,
+                        block, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + f
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    t = np.linspace(0, 1, 800)
+    s = np.sin(2 * np.pi * 5 * t)
+    i24 = np.round(s * 8388607).astype(np.int32)
+    b24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in i24)
+    a, r = wav_decode(wav(1, 24, b24))
+    assert r == 8000 and np.abs(a - s).max() < 1e-6
+    i32 = np.round(s * 2147483647).astype(np.int64).astype(np.int32)
+    a, _ = wav_decode(wav(1, 32, i32.astype("<i4").tobytes()))
+    assert np.abs(a - s).max() < 1e-9
+    a, _ = wav_decode(wav(3, 32, s.astype("<f4").tobytes()))
+    assert np.abs(a - s).max() < 1e-6
+    a, _ = wav_decode(wav(3, 64, s.astype("<f8").tobytes()))
+    assert np.abs(a - s).max() == 0.0
+    import pytest
+    with pytest.raises(NotImplementedError):
+        wav_decode(wav(3, 16, s[:10].astype("<f4").tobytes()[:20]))
+
+
 def test_mulaw_lossy_but_high_snr():
     import numpy as np
     from georay.multimodal import mulaw_decode, mulaw_encode

@@ -182,3 +182,45 @@ def test_cross_color_transform():
         im = rng.integers(0, 256, shape, dtype=np.uint8)
         d = webp_encode(im, palette="off", cross_color=True)
         assert np.array_equal(webp_decode(d), im), shape
+
+
+def test_palette_pixel_bundling_roundtrips():
+    """≤16-color palettes bundle 2/4/8 indices per green byte and the
+    coded image narrows to ceil(w/ppb) — implied by palette size alone;
+    roundtrip across every bundling width, RGBA, and odd dims."""
+    import numpy as np
+
+    from georay.webp import webp_decode, webp_encode
+    rng = np.random.default_rng(5)
+    for ncol in (2, 3, 4, 9, 16):
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (23, 37))]
+        data = webp_encode(img)
+        assert np.array_equal(webp_decode(data), img)
+    pal = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    pal[:, 3] |= 1                      # distinct alphas
+    img = pal[rng.integers(0, 4, (9, 13))]
+    assert np.array_equal(webp_decode(webp_encode(img)), img)
+    # 2-color image roundtrips through the 8-px/byte bundling width
+    img2 = ((rng.integers(0, 2, (64, 64, 1)) * 255)
+            * np.ones(3, np.uint8)).astype(np.uint8)
+    assert np.array_equal(webp_decode(webp_encode(img2)), img2)
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Meta-prefix groups: an entropy image selects per-block prefix
+    code groups; the decoder reads it recursively and switches trees per
+    pixel, the encoder splits top/bottom halves with distinct stats."""
+    import numpy as np
+
+    from georay.webp import webp_decode, webp_encode
+    rng = np.random.default_rng(7)
+    img = np.concatenate([
+        rng.integers(0, 30, (16, 40, 3), dtype=np.uint8),
+        rng.integers(200, 256, (16, 40, 3), dtype=np.uint8)])
+    data = webp_encode(img, palette="off", meta_bits=3)
+    assert np.array_equal(webp_decode(data), img)
+    # single-block-row image: one group, still a valid meta stream
+    small = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    data2 = webp_encode(small, palette="off", meta_bits=4)
+    assert np.array_equal(webp_decode(data2), small)
