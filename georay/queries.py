@@ -2223,6 +2223,22 @@ def q_sql_window_range(sf_dir: str):
                        _sql_tables(sf_dir, "orders"))
 
 
+_SQL_INTERSECT_TEXT = (
+    "SELECT c_nationkey FROM customer INTERSECT "
+    "SELECT s_nationkey FROM supplier "
+    "ORDER BY c_nationkey")
+
+
+def q_sql_intersect(sf_dir: str):
+    """INTERSECT (distinct set semantics) — side-tagged row-hash
+    partition, one arrow group_by per bucket counting distinct sides
+    (sql._set_op_rows); trailing ORDER BY binds the whole operation.
+    Oracle = IDENTICAL SQL text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_INTERSECT_TEXT,
+                       _sql_tables(sf_dir, "customer", "supplier"))
+
+
 _SQL_WINDOW_FRAME_TEXT = (
     "SELECT o_custkey, o_orderkey, "
     "SUM(CAST(o_totalprice AS DOUBLE)) OVER (PARTITION BY o_custkey "
@@ -2334,13 +2350,14 @@ QUERIES = {
     "raster_xyz": q_raster_xyz,
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_window_range": q_sql_window_range,
+    "sql_intersect": q_sql_intersect,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
-    "knn_customer_supplier": q_knn,
     "ann_topk": q_ann_topk,
     # ---- end of driver window (50 entries above this line) ----
+    "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
@@ -2507,6 +2524,7 @@ ORACLE_SQL = {
     """,
     "sql_count_distinct_group": _SQL_CDG_TEXT,
     "sql_window_range": _SQL_WINDOW_RANGE_TEXT,
+    "sql_intersect": _SQL_INTERSECT_TEXT,
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,

@@ -814,12 +814,87 @@ def execute_sql(sql: str, tables: dict):
             else res
 
     parts = [as_ds(_execute(q, tables)) for q in parsed]
+    names = list(parts[0].schema().names)
+    setops = [a for a in alls if a in ("intersect", "except")]
+    if setops:
+        if any(a not in ("intersect", "except") for a in alls) \
+                or len(set(alls)) > 1:
+            raise SqlError("mixed UNION/INTERSECT/EXCEPT chains are "
+                           "not supported — parenthesize as separate "
+                           "queries")
+        # column names come from the FIRST branch (SQL set-op rule);
+        # later branches align by position
+        aligned = [parts[0]]
+        for p in parts[1:]:
+            pn = list(p.schema().names)
+            if len(pn) != len(names):
+                raise SqlError("set-operation branches must have the "
+                               "same number of columns")
+            if pn != names:
+                p = p.map_batches(
+                    lambda b, _n=tuple(names):
+                        b.rename_columns(list(_n)),
+                    batch_format="pyarrow")
+            aligned.append(p)
+        out = _set_op_rows(aligned, names, alls[0])
+        return _finish(out, dict(order=order, limit=limit,
+                                 offset=offset), names)
     out = parts[0].union(*parts[1:])
     names = list(out.schema().names)
     if not all(alls):
         out = _distinct_rows(out, names)
     return _finish(out, dict(order=order, limit=limit, offset=offset),
                    names)
+
+
+def _set_op_rows(parts, names, op):
+    """Distributed INTERSECT / EXCEPT (distinct set semantics, the SQL
+    default).  Set identities make any left-assoc chain ONE pass:
+    a INTERSECT b INTERSECT c keeps rows present in every branch;
+    a EXCEPT b EXCEPT c = a − (b ∪ c) keeps rows present ONLY in the
+    first branch.  Shape: per-branch local arrow dedup → side-tagged
+    row-hash partition (NULL-safe, same scheme as _distinct_rows) → one
+    arrow group_by per bucket counting distinct sides."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    P = max(8, 4 * (os.cpu_count() or 8))
+    nb = len(parts)
+
+    def tagger(si):
+        def tag(batch: pa.Table) -> pa.Table:
+            g = batch.select(names) \
+                .group_by(names, use_threads=False).aggregate([]) \
+                .select(names)
+            key = pd.util.hash_pandas_object(
+                g.to_pandas(), index=False).to_numpy(np.uint64)
+            g = g.append_column(
+                "part__", pa.array((key % np.uint64(P)).astype(np.int64)))
+            return g.append_column(
+                "side__",
+                pa.array(np.full(g.num_rows, si, dtype=np.int64)))
+        return tag
+
+    tagged = [p.map_batches(tagger(si), batch_format="pyarrow")
+              for si, p in enumerate(parts)]
+    allds = tagged[0].union(*tagged[1:])
+
+    def resolve(gt: pa.Table) -> pa.Table:
+        gt = gt.drop_columns(["part__"]).combine_chunks()
+        t = gt.group_by(names, use_threads=False).aggregate(
+            [("side__", "count_distinct"), ("side__", "min")])
+        nd = t["side___count_distinct"]
+        if op == "intersect":
+            keep = pc.equal(nd, nb)
+        else:
+            keep = pc.and_(pc.equal(nd, 1),
+                           pc.equal(t["side___min"], 0))
+        return t.filter(keep).select(names)
+
+    return allds.groupby("part__").map_groups(resolve,
+                                              batch_format="pyarrow")
 
 
 def _distinct_rows(out, names):
@@ -855,8 +930,9 @@ def _distinct_rows(out, names):
 
 
 def _split_union(toks):
-    """Split a token stream on top-level UNION [ALL] boundaries.
-    Returns (branch token lists, per-boundary ALL flags)."""
+    """Split a token stream on top-level UNION [ALL] / INTERSECT /
+    EXCEPT boundaries.  Returns (branch token lists, per-boundary op
+    markers: True = UNION ALL, False = UNION, "intersect"/"except")."""
     branches, alls, cur, depth = [], [], [], 0
     i = 0
     while i < len(toks):
@@ -865,15 +941,19 @@ def _split_union(toks):
             depth += 1
         elif (k, v) == ("op", ")"):
             depth -= 1
-        if depth == 0 and k in ("ident", "sqlkw") \
-                and str(v).upper() == "UNION":
+        u = str(v).upper() if k in ("ident", "sqlkw") else ""
+        if depth == 0 and u in ("UNION", "INTERSECT", "EXCEPT"):
             branches.append(cur)
             cur = []
-            is_all = (i + 1 < len(toks)
-                      and toks[i + 1][0] in ("ident", "sqlkw")
-                      and str(toks[i + 1][1]).upper() == "ALL")
-            alls.append(is_all)
-            i += 2 if is_all else 1
+            if u == "UNION":
+                is_all = (i + 1 < len(toks)
+                          and toks[i + 1][0] in ("ident", "sqlkw")
+                          and str(toks[i + 1][1]).upper() == "ALL")
+                alls.append(is_all)
+                i += 2 if is_all else 1
+            else:
+                alls.append(u.lower())
+                i += 1
             continue
         cur.append(toks[i])
         i += 1

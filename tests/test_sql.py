@@ -703,6 +703,44 @@ def test_sql_star_groupexpr_ordinals_concat(ray_session, sql, tables):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("sql,tables", [
+    ("SELECT c_nationkey FROM customer INTERSECT "
+     "SELECT s_nationkey FROM supplier", ["customer", "supplier"]),
+    ("SELECT n_nationkey FROM nation EXCEPT "
+     "SELECT s_nationkey FROM supplier", ["nation", "supplier"]),
+    # left-assoc chains collapse to one pass (set identities)
+    ("SELECT o_custkey FROM orders INTERSECT "
+     "SELECT c_custkey FROM customer INTERSECT "
+     "SELECT c_custkey FROM customer WHERE c_acctbal > 0",
+     ["orders", "customer"]),
+    ("SELECT n_nationkey FROM nation EXCEPT "
+     "SELECT s_nationkey FROM supplier EXCEPT "
+     "SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0",
+     ["nation", "supplier"]),
+    # trailing ORDER BY / LIMIT binds the whole set operation
+    ("SELECT c_nationkey FROM customer INTERSECT "
+     "SELECT s_nationkey FROM supplier ORDER BY c_nationkey LIMIT 5",
+     ["customer", "supplier"]),
+])
+def test_sql_intersect_except_matches_duckdb(ray_session, sql, tables):
+    got = _norm(_run(sql, tables))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_mixed_set_ops_rejected(ray_session):
+    import ray
+    from georay.sql import SqlError, execute_sql
+    tabs = {t: ray.data.read_parquet(f"{SF}/{t}.parquet")
+            for t in ("customer", "supplier", "nation")}
+    with pytest.raises(SqlError, match="mixed"):
+        execute_sql(
+            "SELECT c_nationkey FROM customer UNION "
+            "SELECT s_nationkey FROM supplier INTERSECT "
+            "SELECT n_nationkey FROM nation", tabs)
+
+
 def test_sql_count_distinct_rejects_unsupported(ray_session):
     import ray
     from georay.sql import SqlError, execute_sql
