@@ -485,8 +485,36 @@ def _idct_blocks(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
     return out
 
 
-def jpeg_decode(data) -> np.ndarray:
-    """Decode baseline JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3) RGB."""
+def _idct_blocks_scaled(zz: np.ndarray, q: np.ndarray,
+                        N: int) -> np.ndarray:
+    """(n, 64) zigzag ints → (n, N, N) spatial samples at 1/(8/N) scale:
+    the top-left N×N coefficient block inverse-transforms with the
+    orthonormal N-point DCT, rescaled by N/8 — libjpeg's reduced-size
+    IDCT (jidctred.c), the mechanism behind GDAL's JPEG overview levels
+    (frmts/jpeg exposes 1/2,1/4,1/8 via jpeg_core scale_denom).  N=1 is
+    exactly the block mean."""
+    deq = zz.astype(np.float32)
+    deq *= q[_ZZ].astype(np.float32)[None, :]
+    rast = np.empty_like(deq)
+    rast[:, _ZZ] = deq
+    f = rast.reshape(-1, 8, 8)[:, :N, :N] * np.float32(N / 8.0)
+    if N == 1:
+        out = f
+    else:
+        k = np.arange(N)
+        cn = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * N))
+        cn *= np.sqrt(2.0 / N)
+        cn[0] *= 1.0 / np.sqrt(2.0)
+        cn = cn.astype(np.float32)
+        out = cn.T[None] @ f @ cn[None]
+    return out + np.float32(128.0)
+
+
+def jpeg_decode(data, scale: int = 1) -> np.ndarray:
+    """Decode baseline JFIF/JPEG bytes → uint8 (h, w) gray or (h, w, 3)
+    RGB.  ``scale`` ∈ {1, 2, 4, 8} decodes at 1/scale resolution
+    directly from the low-frequency coefficients (reduced-size IDCT —
+    the JPEG overview fast path; output dims are ceil(dim/scale))."""
     d = bytes(data)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -544,7 +572,7 @@ def jpeg_decode(data) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
         elif marker == 0xC2:  # SOF2 — progressive: dedicated multi-scan path
-            return _jpeg_decode_progressive(d)
+            return _jpeg_decode_progressive(d, scale)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -778,27 +806,41 @@ def jpeg_decode(data) -> np.ndarray:
                 preds[s0:e0] = np.cumsum(diffs[s0:e0])
             coef[ci].reshape(-1)[np.asarray(dc_bis[ci])] = \
                 preds.astype(np.int32)
-    return _coef_to_image(coef, scomps, qtables, h, w, hmax, vmax)
+    return _coef_to_image(coef, scomps, qtables, h, w, hmax, vmax,
+                          scale=scale)
 
 
-def _coef_to_image(coef, comps, qtables, h, w, hmax, vmax) -> np.ndarray:
+def _coef_to_image(coef, comps, qtables, h, w, hmax, vmax,
+                   scale: int = 1) -> np.ndarray:
     """Quantized zigzag coefficient stores (one (bw·bh, 64) array per
     component on the padded MCU block grid) → decoded image: IDCT,
     de-pad, chroma upsample, color convert.  Shared by the baseline and
-    progressive decoders."""
+    progressive decoders.  ``scale`` > 1 swaps in the reduced-size IDCT
+    (N = 8/scale output samples per block)."""
+    if scale not in (1, 2, 4, 8):
+        raise ValueError("scale must be 1, 2, 4 or 8")
+    N = 8 // scale
     planes = []
     for ci, c in enumerate(comps):
-        blocks = _idct_blocks(coef[ci], qtables[c["tq"]])
+        if scale == 1:
+            blocks = _idct_blocks(coef[ci], qtables[c["tq"]])
+        else:
+            blocks = _idct_blocks_scaled(coef[ci], qtables[c["tq"]], N)
         bh_, bw_ = c["bh"], c["bw"]
-        plane = blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)\
-            .reshape(bh_ * 8, bw_ * 8)
-        cw = -(-w * c["h"] // hmax)
-        ch = -(-h * c["v"] // vmax)
+        plane = blocks.reshape(bh_, bw_, N, N).transpose(0, 2, 1, 3)\
+            .reshape(bh_ * N, bw_ * N)
+        cw_full = -(-w * c["h"] // hmax)
+        ch_full = -(-h * c["v"] // vmax)
+        cw = -(-cw_full // scale)
+        ch = -(-ch_full // scale)
         plane = plane[:ch, :cw]
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                               hmax // c["h"], axis=1)
-        planes.append(plane[:h, :w])
+        planes.append(plane)
+    h = -(-h // scale)
+    w = -(-w // scale)
+    planes = [p[:h, :w] for p in planes]
 
     if len(planes) == 1:
         p = planes[0]
@@ -966,7 +1008,7 @@ def _prog_ac_refine(br, row, actab, Ss, Se, Al, st):
         st.eobrun -= 1
 
 
-def _jpeg_decode_progressive(d: bytes) -> np.ndarray:
+def _jpeg_decode_progressive(d: bytes, scale: int = 1) -> np.ndarray:
     import re
 
     pos = 2
@@ -1140,7 +1182,7 @@ def _jpeg_decode_progressive(d: bytes) -> np.ndarray:
     if comps is None:
         raise ValueError("truncated progressive JPEG (no SOF2)")
     return _coef_to_image([coef[c["id"]] for c in comps], comps,
-                          qtables, h, w, hmax, vmax)
+                          qtables, h, w, hmax, vmax, scale=scale)
 
 
 # --------------------------------------------------------------- encoder

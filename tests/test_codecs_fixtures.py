@@ -243,6 +243,38 @@ def test_jpeg_progressive_matches_baseline_exactly():
             assert np.array_equal(base, prog)
 
 
+def test_jpeg_scaled_decode():
+    """Reduced-size IDCT decode (scale 2/4/8 — libjpeg jidctred.c, the
+    mechanism behind GDAL's JPEG overview levels): output dims are
+    ceil(dim/scale); scale=8 is exactly the 8×8 block mean; scaled
+    output tracks box means of the full decode on smooth data; a
+    progressive stream decodes to the same scaled pixels as a baseline
+    stream of the same input (same coefficients)."""
+    from georay.jpeg import jpeg_decode, jpeg_encode
+    g = (64 + (np.arange(64)[:, None] * 0.8
+               + np.arange(96)[None, :] * 0.7)).astype(np.uint8)
+    b = jpeg_encode(g, quality=92)
+    full = jpeg_decode(b).astype(np.float64)
+    for s in (2, 4, 8):
+        d = jpeg_decode(b, scale=s)
+        assert d.shape == (-(-64 // s), -(-96 // s))
+        box = full.reshape(64 // s, s, 96 // s, s).mean((1, 3))
+        assert np.abs(d.astype(np.float64) - box).max() <= 1.0
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (37, 51, 3), dtype=np.uint8)
+    bsub = jpeg_encode(img, quality=90, subsample=True)
+    for s in (1, 2, 4, 8):
+        d = jpeg_decode(bsub, scale=s)
+        assert d.shape == (-(-37 // s), -(-51 // s), 3)
+    bp = jpeg_encode(img, quality=90, progressive=True)
+    for s in (2, 4):
+        assert np.array_equal(
+            jpeg_decode(bp, scale=s),
+            jpeg_decode(jpeg_encode(img, quality=90), scale=s))
+    with pytest.raises(ValueError):
+        jpeg_decode(b, scale=3)
+
+
 def test_jpeg_progressive_fidelity_gate():
     """The progressive stream passes the same PSNR gate as baseline on
     the engine's synthetic patterns."""
