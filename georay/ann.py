@@ -10,6 +10,11 @@ training-data-pipeline extension.
 * :func:`ann_topk_lsh` — the scale path: random-hyperplane bucket keys on
   both sides; only buckets containing a query are scanned (multi-probe on
   the query side raises recall).  Approximate by construction.
+* :func:`ann_topk_ivf` — k-means coarse quantizer, scan fraction ≈
+  n_probe/n_centroids.
+* :func:`ann_topk_pq` — product quantization + ADC: vectors compress to
+  m uint8 codes (32× at D=64), scores come from per-query LUT gathers —
+  the memory-compression scale path.
 """
 
 from __future__ import annotations
@@ -19,7 +24,8 @@ import pyarrow as pa
 
 from .util import fsl_to_numpy
 
-__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf"]
+__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+           "ann_topk_pq"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -287,4 +293,104 @@ def ann_topk_ivf(ds, queries: pa.Table, k: int = 5, *,
                               batch_size=batch_size,
                               concurrency=concurrency or default_concurrency())
 
+    return _merge_topk(partials, k, id_col)
+
+
+def _kmeans_sub(sample: np.ndarray, ksub: int, iters: int = 12,
+                seed: int = 13) -> np.ndarray:
+    """Plain L2 Lloyd on one PQ subspace (driver-side, tiny sample)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(ksub, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def ann_topk_pq(ds, queries: pa.Table, k: int = 5, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "vec_id", m: int = 8,
+                ksub: int = 256, train_sample: int = 2048,
+                seed: int = 13, batch_size: int = 4096,
+                concurrency=None):
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC) — the memory-compression scale path (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", public).
+
+    The D-dim vectors split into ``m`` subspaces; each subspace gets a
+    ``ksub``-centroid L2 codebook trained DRIVER-SIDE on a small sample
+    (at 100 TB: ``ds.random_sample().take_batch()``), so every vector
+    compresses to m uint8 codes (D·4 bytes → m bytes, 32× at D=64 m=8).
+    Scoring never reconstructs vectors: each query precomputes an
+    (m, ksub) inner-product LUT against the codebooks (broadcast once
+    via ``ray.put``), and a batch's score is m LUT gathers + a sum —
+    no matmul against raw vectors.  Local per-batch top-k partials
+    merge through the same hash-partitioned vectorized reducer as the
+    exact path."""
+    import ray
+    from .util import default_concurrency
+
+    q_ids = queries[query_id_col].to_numpy()
+    q_mat = _normalize(fsl_to_numpy(queries[vec_col]))
+    d = q_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds_sub = d // m
+    sample = _normalize(fsl_to_numpy(
+        ds.limit(train_sample).take_batch(
+            train_sample, batch_format="pyarrow")[vec_col]))
+    books = np.stack([
+        _kmeans_sub(sample[:, j * ds_sub:(j + 1) * ds_sub],
+                    ksub, seed=seed + j)
+        for j in range(m)])                       # (m, ksub', ds_sub)
+    # per-query ADC lookup tables: inner products vs every codeword
+    luts = np.einsum("qjd,jkd->qjk",
+                     q_mat.reshape(len(q_mat), m, ds_sub),
+                     books)                       # (nq, m, ksub')
+    ref = ray.put((q_ids, luts, books))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.luts, self.books = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            vecs = _normalize(fsl_to_numpy(batch[vec_col]))
+            n, dd = vecs.shape
+            sub = vecs.reshape(n, m, ds_sub)
+            # encode: nearest codeword per subspace (expanded-norm trick
+            # keeps it one matmul per subspace)
+            codes = np.empty((n, m), np.int64)
+            for j in range(m):
+                b = self.books[j]
+                d2 = (b * b).sum(1)[None, :] - 2.0 * (sub[:, j] @ b.T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ADC: sim[q, i] = sum_j LUT[q, j, codes[i, j]]
+            sim = np.zeros((len(self.q_ids), n))
+            for j in range(m):
+                sim += self.luts[:, j, codes[:, j]]
+            kk = min(k, n)
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sim.shape[0]), kk)
+            cols = part.ravel()
+            ids = batch[id_col].to_numpy()
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.q_ids, kk)),
+                id_col: pa.array(ids[cols]),
+                "cosine": pa.array(sim[rows, cols]),
+            })
+
+    partials = ds.map_batches(Score, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency
+                              or default_concurrency())
     return _merge_topk(partials, k, id_col)
