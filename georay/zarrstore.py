@@ -6,8 +6,11 @@ Layout (spec): an array is a directory with a ``.zarray`` JSON document
 (shape, chunks, dtype in numpy typestr form, compressor, fill_value,
 C order) + one file per chunk named ``i.j.k`` (C-order chunk indices
 joined by '.').  Chunks are ALWAYS the full chunk shape; edge chunks are
-padded with ``fill_value``.  Compressors supported here: ``zlib`` and
-raw (null) — blosc needs a native lib this container lacks.
+padded with ``fill_value``.  Compressors supported here: ``zlib``, raw
+(null), and ``blosc`` with zlib or lz4 inner streams + byte shuffle —
+the Blosc1 container and the LZ4 block codec are implemented from
+scratch off their public specs in :mod:`georay.blosc` (bit-shuffle and
+blosclz/zstd/snappy inner codecs raise loudly).
 
 Ray mapping: a chunk is the natural unit of parallelism — the source
 emits one row per chunk (indices + bytes decoded in ``map_batches``),
@@ -31,6 +34,22 @@ __all__ = ["zarr_create", "zarr_write_chunk", "zarr_read_chunk",
            "zarr_chunk_grid", "dataset_to_zarr", "zarr_to_dataset"]
 
 
+def _compressor_meta(compressor, level: int):
+    """Normalize the compressor argument into .zarray metadata: None,
+    ``"zlib"``, ``"blosc"`` (zlib inner, byte shuffle — the fast
+    default), or a full numcodecs-style dict."""
+    if compressor is None:
+        return None
+    if isinstance(compressor, dict):
+        return dict(compressor)
+    if compressor == "zlib":
+        return {"id": "zlib", "level": int(level)}
+    if compressor == "blosc":
+        return {"id": "blosc", "cname": "zlib", "clevel": int(level),
+                "shuffle": 1, "blocksize": 0}
+    raise ValueError(f"unknown compressor {compressor!r}")
+
+
 def zarr_create(path: str, shape, chunks, dtype, *, compressor="zlib",
                 level: int = 1, fill_value=0, attrs: dict | None = None):
     """Write the ``.zarray`` metadata document (spec v2)."""
@@ -41,8 +60,7 @@ def zarr_create(path: str, shape, chunks, dtype, *, compressor="zlib",
         "shape": [int(s) for s in shape],
         "chunks": [int(c) for c in chunks],
         "dtype": dt.str,
-        "compressor": ({"id": "zlib", "level": int(level)}
-                       if compressor == "zlib" else None),
+        "compressor": _compressor_meta(compressor, level),
         "fill_value": (fill_value if not isinstance(fill_value, np.generic)
                        else fill_value.item()),
         "order": "C",
@@ -64,7 +82,7 @@ def zarr_meta(path: str) -> dict:
     if meta.get("order", "C") != "C":
         raise NotImplementedError("only C order supported")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
         raise NotImplementedError(f"compressor {comp.get('id')!r} "
                                   "not available (no native libs)")
     return meta
@@ -76,14 +94,27 @@ def _chunk_name(idx) -> str:
 
 def _encode(arr: np.ndarray, meta: dict) -> bytes:
     raw = np.ascontiguousarray(arr).tobytes()
-    if meta["compressor"] is not None:
-        return zlib.compress(raw, meta["compressor"].get("level", 1))
-    return raw
+    comp = meta["compressor"]
+    if comp is None:
+        return raw
+    if comp["id"] == "zlib":
+        return zlib.compress(raw, comp.get("level", 1))
+    from . import blosc
+    return blosc.blosc_encode(
+        raw, np.dtype(meta["dtype"]).itemsize,
+        cname=comp.get("cname", "zlib"), clevel=comp.get("clevel", 5),
+        shuffle=comp.get("shuffle", 1),
+        blocksize=comp.get("blocksize", 0) or 0)
 
 
 def _decode(buf: bytes, meta: dict) -> np.ndarray:
-    if meta["compressor"] is not None:
-        buf = zlib.decompress(buf)
+    comp = meta["compressor"]
+    if comp is not None:
+        if comp["id"] == "zlib":
+            buf = zlib.decompress(buf)
+        else:
+            from . import blosc
+            buf = blosc.blosc_decode(buf)
     return np.frombuffer(buf, dtype=np.dtype(meta["dtype"])).reshape(
         meta["chunks"]).copy()
 
