@@ -2292,6 +2292,37 @@ def q_sql_scalar_corr(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_MEDIAN_TEXT = (
+    "SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty, "
+    "QUANTILE_CONT(l_quantity, 0.9) AS p90_qty, "
+    "COUNT(l_quantity) AS n_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+
+
+def q_sql_median(sf_dir: str):
+    """MEDIAN / QUANTILE_CONT grouped aggregates — the exact
+    (key, value)-census plan of georay/quantiles.py (block combiner →
+    one groupby → vectorized per-bucket resolve; the reference's SQLite
+    dialect gets median from sqlite3 itself).  Identical text in
+    DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_MEDIAN_TEXT, _sql_tables(sf_dir, "lineitem"))
+
+
+def q_quantile_prices(sf_dir: str):
+    """Exact GLOBAL quantiles of a continuous, high-cardinality column
+    (l_extendedprice) via the histogram-refinement selection of
+    georay/quantiles.py — O(log_bins n) streaming passes, never a full
+    sort, never a materialization (the raster analog is
+    gcore/rasterband.cpp GetHistogram bucketing).  Matches DuckDB's
+    quantile_cont interpolation exactly."""
+    from .quantiles import global_quantiles
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+    return global_quantiles(ds, "l_extendedprice",
+                            [0.25, 0.5, 0.75, 0.99],
+                            q_names=["q25", "q50", "q75", "q99"])
+
+
 QUERIES = {
 # Driver-run order matters: the correctness harness runs EXACTLY the
 # first 50 entries in dict order (r3 evidence: of 73 committed queries
@@ -2351,12 +2382,14 @@ QUERIES = {
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_window_range": q_sql_window_range,
     "sql_intersect": q_sql_intersect,
+    "sql_median": q_sql_median,
+    "quantile_prices": q_quantile_prices,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
-    "image_dedup": q_image_dedup,
-    "tile_checksums": q_tile_checksums,
     "ann_topk": q_ann_topk,
     # ---- end of driver window (50 entries above this line) ----
+    "image_dedup": q_image_dedup,      # rows-only; driver rows r1-r3
+    "tile_checksums": q_tile_checksums,  # rows-only; driver rows r1-r3
     "knn_customer_supplier": q_knn,
     "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
@@ -2525,6 +2558,14 @@ ORACLE_SQL = {
     "sql_count_distinct_group": _SQL_CDG_TEXT,
     "sql_window_range": _SQL_WINDOW_RANGE_TEXT,
     "sql_intersect": _SQL_INTERSECT_TEXT,
+    "sql_median": _SQL_MEDIAN_TEXT,
+    "quantile_prices": """
+        SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+               quantile_cont(l_extendedprice, 0.50) AS q50,
+               quantile_cont(l_extendedprice, 0.75) AS q75,
+               quantile_cont(l_extendedprice, 0.99) AS q99
+        FROM lineitem
+    """,
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,

@@ -60,7 +60,8 @@ class SqlError(FilterSyntaxError):
 
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
-              "STDDEV_POP", "STDDEV_SAMP"}
+              "STDDEV_POP", "STDDEV_SAMP", "MEDIAN", "QUANTILE_CONT"}
+_QUANT_FUNCS = ("MEDIAN", "QUANTILE_CONT")
 _WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
                       "FIRST_VALUE", "LAST_VALUE", "NTILE"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
@@ -1169,6 +1170,13 @@ def _execute(q: dict, tables: dict):
             raise SqlError(f"{it.func}(DISTINCT) is not supported")
     cd = [(i, it) for i, it in agg_items
           if it.func == "COUNT" and it.distinct]
+    if any(it.func in _QUANT_FUNCS for _, it in agg_items):
+        if cd:
+            raise SqlError("MEDIAN/QUANTILE_CONT cannot be mixed with "
+                           "COUNT(DISTINCT)")
+        return _execute_quantile(
+            ds, q, items, names, group_cols, agg_items, alias_nodes,
+            having_node, having_hidden)
     if cd:
         for i, it in agg_items:
             if not it.distinct and it.func not in (
@@ -1274,6 +1282,164 @@ def _execute(q: dict, tables: dict):
             v = 0   # SQL COUNT over an empty input is 0, not NULL
         row[names[i]] = [v]
     return pa.table(row)
+
+
+def _split_call_args(toks):
+    """Split a function-argument token stream on top-level commas."""
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if depth == 0 and t == ("op", ","):
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
+def _execute_quantile(ds, q, items, names, group_cols, agg_items,
+                      alias_nodes, having_node, having_hidden):
+    """MEDIAN(x) / QUANTILE_CONT(x, q) — grouped and global, optionally
+    mixed with COUNT(*)/COUNT/SUM/AVG/MIN/MAX over the SAME expression
+    (the reference's SQLite dialect gets median from sqlite3 itself;
+    here it maps onto the census / histogram-refinement plans of
+    georay.quantiles — see that module for the scale analysis).
+
+    Grouped = exact (key, value)-census plan, one vectorized resolve per
+    hash bucket; companions derive from the census with NO extra pass
+    (census values are cast to float64, so MIN/MAX/SUM over an integer
+    column surface as DOUBLE — use a separate plain aggregate query if
+    integer-typed output matters).  Global = histogram refinement for
+    the quantiles + one streaming aggregate pass for the companions.
+    """
+    from .quantiles import global_quantiles, grouped_quantiles
+
+    qi, plain = [], []
+    for i, it in agg_items:
+        (qi if it.func in _QUANT_FUNCS else plain).append((i, it))
+    qspec = []           # (select idx, fraction, value expr toks)
+    for i, it in qi:
+        if it.func == "MEDIAN":
+            qspec.append((i, 0.5, tuple(it.expr_toks)))
+            continue
+        parts = _split_call_args(it.expr_toks)
+        if len(parts) != 2 or len(parts[1]) != 1 \
+                or parts[1][0][0] != "num":
+            raise SqlError("QUANTILE_CONT needs (expr, fraction) with "
+                           "a literal fraction")
+        frac = float(parts[1][0][1])
+        if not 0.0 <= frac <= 1.0:
+            raise SqlError("QUANTILE_CONT fraction must be in [0, 1]")
+        qspec.append((i, frac, tuple(parts[0])))
+    vtoks = qspec[0][2]
+    if any(t != vtoks for _, _, t in qspec):
+        raise SqlError("all MEDIAN/QUANTILE_CONT items in one query "
+                       "must aggregate the same expression (one census "
+                       "per query) — split the query otherwise")
+    extras = {}
+    for i, it in plain:
+        if it.func == "COUNT" and it.star:
+            extras[names[i]] = "count_star"
+        elif it.func in ("COUNT", "SUM", "AVG", "MIN", "MAX") \
+                and tuple(it.expr_toks) == vtoks:
+            extras[names[i]] = it.func.lower()
+        else:
+            raise SqlError(
+                f"{it.func} mixed with MEDIAN/QUANTILE_CONT must "
+                f"aggregate the same expression (or be COUNT(*)) — "
+                f"split the query otherwise")
+    vnode, used = _parse_expr_tokens(list(vtoks))
+    if used != len(vtoks):
+        raise SqlError("bad MEDIAN/QUANTILE_CONT expression")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for g in group_cols:
+            if g in alias_nodes:
+                v = _eval(alias_nodes[g], batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                cols[g] = v
+            else:
+                cols[g] = batch[g]
+        v = _eval(vnode, batch)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * batch.num_rows)
+        cols["qv__"] = v
+        if "count_star" in extras.values() and not group_cols:
+            # Ray's Count() without `on` yields 0 in the global path
+            cols["one__"] = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    q_names = [names[i] for i, _, _ in qspec]
+    qs_list = [f for _, f, _ in qspec]
+
+    if group_cols:
+        out = grouped_quantiles(prepped, group_cols, "qv__", qs_list,
+                                q_names=q_names, extras=extras)
+
+        def proj2(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for i, it in enumerate(items):
+                if it.kind == "agg" or names[i] in group_cols:
+                    cols[names[i]] = batch[names[i]]
+                else:
+                    cols[names[i]] = batch[it.expr_toks[0][1]]
+            return pa.table(cols)
+
+        out = out.map_batches(proj2, batch_format="pyarrow")
+        if having_node is not None:
+            def hav(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.fill_null(_eval(having_node, batch), False))
+
+            out = out.map_batches(hav, batch_format="pyarrow")
+            if having_hidden:
+                out = out.map_batches(
+                    lambda b, _h=tuple(having_hidden):
+                        b.drop_columns(list(_h)),
+                    batch_format="pyarrow")
+                visible = [n for n in names if n not in having_hidden]
+                return _finish(out, q, visible)
+        return _finish(out, q, names)
+
+    # global form: histogram-refinement quantiles + one aggregate pass
+    if q["having"]:
+        raise SqlError("HAVING requires GROUP BY")
+    qt = global_quantiles(prepped, "qv__", qs_list, q_names=q_names)
+    row = {}
+    if extras:
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+        aggs, kinds = [], []
+        for nm, kind in extras.items():
+            kinds.append((nm, kind))
+            if kind == "count_star":
+                aggs.append(Sum("one__", alias_name=nm))
+            elif kind == "count":
+                aggs.append(Count("qv__", ignore_nulls=True,
+                                  alias_name=nm))
+            elif kind == "sum":
+                aggs.append(Sum("qv__", alias_name=nm))
+            elif kind == "avg":
+                aggs.append(Mean("qv__", alias_name=nm))
+            elif kind == "min":
+                aggs.append(Min("qv__", alias_name=nm))
+            else:
+                aggs.append(Max("qv__", alias_name=nm))
+        res = prepped.aggregate(*aggs)
+        for nm, kind in kinds:
+            v = res[nm]
+            if v is None and kind in ("count", "count_star"):
+                v = 0
+            row[nm] = [v]
+    for nm in q_names:
+        row[nm] = [qt[nm][0].as_py()]
+    return pa.table({nm: row[nm] for nm in names})
 
 
 def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
