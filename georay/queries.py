@@ -2323,6 +2323,34 @@ def q_quantile_prices(sf_dir: str):
                             q_names=["q25", "q50", "q75", "q99"])
 
 
+_SQL_Q5_TEXT = (
+    "SELECT n_name, "
+    "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+    "AS DOUBLE)) AS revenue_cents, COUNT(*) AS n "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_totalprice > 50000 "
+    "GROUP BY n_name ORDER BY revenue_cents DESC, n_name")
+
+
+def q_sql_q5(sf_dir: str):
+    """TPC-H Q5 shape: FIVE-way join with a composite-key hop
+    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey — the
+    'local supplier' condition) folded left through the size-adaptive
+    equi_join, then re-referencing a merged join key (s_nationkey) in a
+    later ON — SQL scope semantics restored by the post-join re-alias.
+    Revenue sums integer cents through DOUBLE (exact < 2^53; the
+    SUM(BIGINT)→HUGEINT dtype trap from NOTES.md avoided).  Identical
+    text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q5_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders",
+                                   "lineitem", "supplier", "nation"))
+
+
 _SQL_BM25_TEXT = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -2443,12 +2471,13 @@ QUERIES = {
     "sql_median": q_sql_median,
     "quantile_prices": q_quantile_prices,
     "raster_xyz": q_raster_xyz,
+    "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_distinct_approx": q_doc_distinct_approx,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
-    "ann_topk": q_ann_topk,
     # ---- end of driver window (50 entries above this line) ----
+    "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it
     # (never-driver-verified queries outrank re-checks: image_dedup /
     # tile_checksums have rows-only driver rows from r1-r3 and byte-
     # level test pins, so they rotate behind the window this round)
@@ -2625,6 +2654,7 @@ ORACLE_SQL = {
     "sql_window_range": _SQL_WINDOW_RANGE_TEXT,
     "sql_intersect": _SQL_INTERSECT_TEXT,
     "sql_median": _SQL_MEDIAN_TEXT,
+    "sql_q5": _SQL_Q5_TEXT,
     "doc_bm25_topk": _SQL_BM25_TEXT,
     "doc_distinct_approx": """
         SELECT COUNT(DISTINCT term) AS exact_distinct,

@@ -1051,6 +1051,24 @@ def _execute(q: dict, tables: dict):
             else:
                 ds = equi_join(ds, rds, left_on=lks, right_on=rks,
                                join_type=jtype)
+            if jtype == "inner":
+                # Ray's join merges the right KEY columns into the left
+                # ones; SQL keeps both names in scope (a later JOIN ON
+                # or SELECT may reference s_nationkey after joining on
+                # it).  Equal values under inner semantics → re-alias
+                # (zero-copy column append).  After LEFT OUTER the right
+                # key is NULL for unmatched rows, so no alias there.
+                pairs_lr = [(ln, rn) for ln, rn in zip(lks, rks)
+                            if rn != ln]
+                if pairs_lr:
+                    def realias(batch: pa.Table,
+                                _p=tuple(pairs_lr)) -> pa.Table:
+                        for ln, rn in _p:
+                            if rn not in batch.column_names:
+                                batch = batch.append_column(rn, batch[ln])
+                        return batch
+
+                    ds = ds.map_batches(realias, batch_format="pyarrow")
             left_names |= rnames
     if q["where"]:
         wtoks = _resolve_subqueries(q["where"], tables,

@@ -769,3 +769,18 @@ def test_sql_having_unselected_aggregate(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_join_key_reuse_after_merge(ray_session):
+    """A later JOIN ON (or SELECT) may reference a right-side key column
+    that Ray's join merged away — the post-join re-alias restores SQL
+    scope semantics (TPC-H Q5's s_nationkey double use)."""
+    sql = ("SELECT n_name, s_nationkey, COUNT(*) AS n "
+           "FROM customer "
+           "JOIN supplier ON c_nationkey = s_nationkey "
+           "JOIN nation ON s_nationkey = n_nationkey "
+           "GROUP BY n_name, s_nationkey ORDER BY n_name")
+    got = _norm(_run(sql, ["customer", "supplier", "nation"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
