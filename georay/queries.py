@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 from .geom import box_ring, wkb_polygon
 from .mercator import latlon_to_tile_xyz
+from .sample import weighted_sample_sql
 
 __all__ = ["QUERIES", "ORACLE_SQL", "derived_lon", "derived_lat"]
 
@@ -2351,6 +2352,16 @@ def q_sql_q5(sf_dir: str):
                                    "lineitem", "supplier", "nation"))
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis keys on the Knuth hash — sample.py): 50 docs
+    drawn with probability ∝ n_chars, reproducible on any cluster size.
+    The oracle runs the verbatim POWER(u, 1/w) formula in DuckDB."""
+    from .sample import weighted_sample
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", 50)
+
+
 _SQL_BM25_TEXT = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -2451,7 +2462,6 @@ QUERIES = {
     # -- (b) rows-only queries with no driver row in any round --
     "augment_images": q_augment_images,
     "footprint_images": q_footprint_images,
-    "raster_stats": q_raster_stats,
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
     # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
@@ -2473,6 +2483,7 @@ QUERIES = {
     "raster_xyz": q_raster_xyz,
     "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_distinct_approx": q_doc_distinct_approx,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
@@ -2481,6 +2492,7 @@ QUERIES = {
     # (never-driver-verified queries outrank re-checks: image_dedup /
     # tile_checksums have rows-only driver rows from r1-r3 and byte-
     # level test pins, so they rotate behind the window this round)
+    "raster_stats": q_raster_stats,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
     "icosa_multires": q_icosa_multires,
@@ -2656,6 +2668,7 @@ ORACLE_SQL = {
     "sql_median": _SQL_MEDIAN_TEXT,
     "sql_q5": _SQL_Q5_TEXT,
     "doc_bm25_topk": _SQL_BM25_TEXT,
+    "doc_weighted_sample": weighted_sample_sql("doc_id", "n_chars", 50),
     "doc_distinct_approx": """
         SELECT COUNT(DISTINCT term) AS exact_distinct,
                TRUE AS within_3pct

@@ -17,7 +17,7 @@ import pyarrow as pa
 from .util import hash_strings
 
 __all__ = ["hash_bucket", "hash_sample", "hash_split",
-           "hash_topk_per_key"]
+           "hash_topk_per_key", "weighted_sample"]
 
 _KNUTH = 2654435761
 _MOD = 1 << 32
@@ -135,6 +135,52 @@ def hash_topk_per_key(ds, key_col: str, order_col: str, k: int,
 
     return partial.groupby("part__").map_groups(
         final, batch_format="pyarrow")
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, n: int):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006):
+    every row gets the key ``u^(1/w)`` with ``u`` the Knuth hash of
+    ``key_col`` mapped into (0, 1), and the global top-``n`` keys are
+    the sample — inclusion probability proportional to ``w`` at each
+    draw, reproducible on any cluster size (pure function of the key,
+    like everything in this module).
+
+    Scale shape: per-block score + top-``n`` pre-truncation in
+    ``map_batches`` (at most n rows leave a block), then one tiny
+    global sort+limit.  Rows with ``w <= 0`` or null never sample.
+    Returns (key_col, es_key) — ``weighted_sample_sql`` emits the
+    verbatim-identical DuckDB text."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = (hash_bucket(k).astype(np.float64) + 0.5) / _MOD
+        ok = np.isfinite(w) & (w > 0)
+        es = np.zeros(len(k), np.float64)
+        es[ok] = u[ok] ** (1.0 / w[ok])
+        t = pa.table({key_col: batch[key_col],
+                      "es_key": pa.array(es)}).filter(pa.array(ok))
+        if t.num_rows > n:
+            import pyarrow.compute as pc
+            order = pc.sort_indices(
+                t, sort_keys=[("es_key", "descending"),
+                              (key_col, "ascending")])
+            t = t.take(order[:n])
+        return t
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["es_key", key_col], descending=[True, False])
+              .limit(n))
+
+
+def weighted_sample_sql(key: str, weight: str, n: int) -> str:
+    """The full SELECT computing the identical weighted sample."""
+    return (f"SELECT {key}, POWER((({key} * {_KNUTH}) % {_MOD} + 0.5) "
+            f"/ {_MOD}.0, 1.0 / {weight}) AS es_key FROM documents "
+            f"WHERE {weight} > 0 "
+            f"ORDER BY es_key DESC, {key} LIMIT {n}")
 
 
 def topk_per_key_sql(key: str, order: str, k: int) -> str:

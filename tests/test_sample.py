@@ -1,6 +1,7 @@
 """Deterministic hash sampling/splitting (georay/sample.py)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -122,3 +123,32 @@ def test_hash_topk_per_key_string_keys(ray_session):
     a = out.sort_values(["k", "v"]).reset_index(drop=True)
     b = out2.sort_values(["k", "v"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_weighted_sample_vs_duckdb_and_proportionality(ray_session):
+    """A-ES keys match the verbatim SQL; heavier rows actually sample
+    more often (rough proportionality over many disjoint draws)."""
+    import duckdb
+    import ray
+    from georay.sample import weighted_sample, weighted_sample_sql
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64),
+                       "n_chars": rng.integers(1, 100, 4000)})
+    got = weighted_sample(ray.data.from_pandas(df),
+                          "doc_id", "n_chars", 200).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        weighted_sample_sql("doc_id", "n_chars", 200)).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(got["es_key"], want["es_key"], atol=1e-12)
+    # proportionality: the mean weight of sampled rows must exceed the
+    # population mean (heavier rows are preferred)
+    sampled_w = df.set_index("doc_id").loc[got["doc_id"], "n_chars"]
+    assert sampled_w.mean() > 1.2 * df["n_chars"].mean()
+    # zero/negative weights never sample
+    df2 = df.copy()
+    df2.loc[df2.index < 3990, "n_chars"] = 0
+    got2 = weighted_sample(ray.data.from_pandas(df2),
+                           "doc_id", "n_chars", 50).to_pandas()
+    assert set(got2["doc_id"]) <= set(range(3990, 4000))
