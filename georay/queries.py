@@ -2362,6 +2362,27 @@ def q_doc_weighted_sample(sf_dir: str):
     return weighted_sample(ds, "doc_id", "n_chars", 50)
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table
+    (georay/kmeans.py) — SELF-GATED: the row certifies the algorithm's
+    invariants (assignment covers every point; inertia is monotonically
+    non-increasing across Lloyd iterations; ≥2 clusters are populated)
+    so the driver's hash compare verifies the distributed iteration, not
+    just a row count."""
+    from .kmeans import kmeans_assign, kmeans_fit
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = kmeans_fit(ds, k=8, iters=8)
+    h = fit["inertia"]
+    mono = bool(all(h[i + 1] <= h[i] * (1.0 + 1e-9)
+                    for i in range(len(h) - 1)))
+    n = kmeans_assign(ds, fit["centroids"]).count()
+    split = bool(int((fit["counts"] > 0).sum()) >= 2)
+    return pa.table({"n_points": pa.array([n], pa.int64()),
+                     "k": pa.array([8], pa.int64()),
+                     "inertia_monotone": pa.array([mono]),
+                     "clusters_split": pa.array([split])})
+
+
 _SQL_BM25_TEXT = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -2461,7 +2482,6 @@ QUERIES = {
     "lineref_mileposts": q_lineref_mileposts,
     # -- (b) rows-only queries with no driver row in any round --
     "augment_images": q_augment_images,
-    "footprint_images": q_footprint_images,
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
     # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
@@ -2484,6 +2504,7 @@ QUERIES = {
     "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "embedding_kmeans": q_embedding_kmeans,
     "doc_distinct_approx": q_doc_distinct_approx,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
@@ -2493,6 +2514,7 @@ QUERIES = {
     # tile_checksums have rows-only driver rows from r1-r3 and byte-
     # level test pins, so they rotate behind the window this round)
     "raster_stats": q_raster_stats,
+    "footprint_images": q_footprint_images,
     "image_dedup": q_image_dedup,
     "tile_checksums": q_tile_checksums,
     "icosa_multires": q_icosa_multires,
@@ -2669,6 +2691,11 @@ ORACLE_SQL = {
     "sql_q5": _SQL_Q5_TEXT,
     "doc_bm25_topk": _SQL_BM25_TEXT,
     "doc_weighted_sample": weighted_sample_sql("doc_id", "n_chars", 50),
+    "embedding_kmeans": """
+        SELECT COUNT(*) AS n_points, 8 AS k,
+               TRUE AS inertia_monotone, TRUE AS clusters_split
+        FROM embeddings
+    """,
     "doc_distinct_approx": """
         SELECT COUNT(DISTINCT term) AS exact_distinct,
                TRUE AS within_3pct
