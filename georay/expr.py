@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -246,6 +247,18 @@ class _Parser:
         if k == "kw" and v == "NULL":
             return ("lit", None)
         if k == "ident":
+            if v.upper() in ("DATE", "TIMESTAMP") \
+                    and self.peek()[0] == "str":
+                # DATE '1995-01-01' / TIMESTAMP '1995-01-01 12:00:00'
+                # typed literals → timestamp[us] scalar (comparisons
+                # against timestamp columns cast exactly, as in DuckDB)
+                _, s = self.next()
+                try:
+                    ts = np.datetime64(s, "us")
+                except ValueError:
+                    raise FilterSyntaxError(
+                        f"bad {v.upper()} literal {s!r}")
+                return ("lit", ts)
             if v.upper() == "CASE":
                 return self._case()
             if v.upper() == "EXTRACT" and self.peek() == ("op", "("):
@@ -504,6 +517,8 @@ _CAST_TYPES = {
     "REAL": pa.float32(), "FLOAT": pa.float32(),
     "VARCHAR": pa.string(), "TEXT": pa.string(), "STRING": pa.string(),
     "BOOLEAN": pa.bool_(), "BOOL": pa.bool_(),
+    "DATE": pa.timestamp("us"),   # truncated in _eval
+    "TIMESTAMP": pa.timestamp("us"),
 }
 
 _FUNCS = {
@@ -578,6 +593,12 @@ def _eval(node, batch: pa.Table):
         return _FUNCS[node[1]](node[2], batch)
     if kind == "cast":
         v = _eval(node[2], batch)
+        if node[1] == "DATE":
+            # CAST(ts AS DATE): truncate to day but STAY timestamp[us]
+            # — DuckDB's pandas output maps DATE to datetime64 midnight,
+            # so a date32 here would break oracle value parity
+            return pc.floor_temporal(pc.cast(v, pa.timestamp("us")),
+                                     unit="day")
         target = _CAST_TYPES[node[1]]
         vt = getattr(v, "type", None)
         if (pa.types.is_integer(target) and vt is not None

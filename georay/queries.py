@@ -2383,6 +2383,23 @@ def q_embedding_kmeans(sf_dir: str):
                      "clusters_split": pa.array([split])})
 
 
+_SQL_ROLLUP_TEXT = (
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "COUNT(*) FILTER (WHERE o_orderdate >= DATE '1999-01-01') "
+    "AS recent FROM orders "
+    "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")
+
+
+def q_sql_rollup(sf_dir: str):
+    """GROUP BY ROLLUP + aggregate FILTER + DATE literal in one text —
+    the round-4 dialect additions composed.  ROLLUP computes every
+    grouping level in ONE shuffle (rows explode into L+1 gid-tagged
+    copies; rolled keys take type fillers so Ray's sort groupby never
+    sees nulls, then null back).  Identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_ROLLUP_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_BM25_TEXT = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -2509,6 +2526,7 @@ QUERIES = {
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_rollup": q_sql_rollup,      # r5 rotation candidate
     "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it
     # (never-driver-verified queries outrank re-checks: image_dedup /
     # tile_checksums have rows-only driver rows from r1-r3 and byte-
@@ -2689,6 +2707,7 @@ ORACLE_SQL = {
     "sql_intersect": _SQL_INTERSECT_TEXT,
     "sql_median": _SQL_MEDIAN_TEXT,
     "sql_q5": _SQL_Q5_TEXT,
+    "sql_rollup": _SQL_ROLLUP_TEXT,
     "doc_bm25_topk": _SQL_BM25_TEXT,
     "doc_weighted_sample": weighted_sample_sql("doc_id", "n_chars", 50),
     "embedding_kmeans": """

@@ -85,10 +85,11 @@ def _split_clauses(sql: str):
 
 class _SelectItem:
     __slots__ = ("kind", "func", "distinct", "expr_toks", "name", "star",
-                 "over", "win_args")
+                 "over", "win_args", "filt_toks")
 
     def __init__(self, kind, func=None, distinct=False, expr_toks=None,
                  name=None, star=False, over=None, win_args=None):
+        self.filt_toks = None       # FILTER (WHERE ...) condition tokens
         self.kind = kind            # "agg" | "expr" | "window"
         self.func = func
         self.distinct = distinct
@@ -207,13 +208,25 @@ class _SqlParser:
         if self.peek() == ("sqlkw", "WHERE"):
             self.next()
             where = self._expr_until(stop)
+        rollup = False
         if self.peek() == ("sqlkw", "GROUP"):
             self.next()
             self.expect_kw("BY")
-            group = [self._group_item()]
+            pk, pv = self.peek()
+            if pk == "ident" and str(pv).upper() == "ROLLUP":
+                rollup = True
+                self.next()
+                kk, vv = self.next()
+                if (kk, vv) != ("op", "("):
+                    raise SqlError("ROLLUP needs (cols...)")
+            group = [self._group_item(rollup)]
             while self.peek() == ("op", ","):
                 self.next()
-                group.append(self._group_item())
+                group.append(self._group_item(rollup))
+            if rollup:
+                kk, vv = self.next()
+                if (kk, vv) != ("op", ")"):
+                    raise SqlError("ROLLUP: expected )")
         if self.peek() == ("sqlkw", "HAVING"):
             self.next()
             having = self._expr_until(stop)
@@ -241,7 +254,7 @@ class _SqlParser:
         return dict(items=items, distinct=distinct, table=table,
                     joins=joins, where=where, group=group, having=having,
                     order=order, limit=limit, offset=offset,
-                    aliases=aliases)
+                    aliases=aliases, rollup=rollup)
 
     def _on_col(self):
         """JOIN ON column — a plain (table-unqualified) name; the two
@@ -259,7 +272,7 @@ class _SqlParser:
             raise SqlError(f"expected column name, got {v!r}")
         return v
 
-    def _group_item(self):
+    def _group_item(self, in_rollup: bool = False):
         """One GROUP BY entry: a column name (str), a 1-based select
         ordinal (int), or an expression (token list — grouped via a
         hidden computed key column, or the matching select item)."""
@@ -322,9 +335,30 @@ class _SqlParser:
             kk, vv = self.next()
             if (kk, vv) != ("op", ")"):
                 raise SqlError(f"{func}: expected ), got {vv!r}")
+            pk, pv = self.peek()
+            if pk == "ident" and str(pv).upper() == "FILTER":
+                # agg(...) FILTER (WHERE cond) — the input is nulled
+                # where cond fails (COUNT/SUM/AVG/MIN/MAX/STDDEV all
+                # ignore nulls, so this is exact)
+                self.next()
+                kk, vv = self.next()
+                if (kk, vv) != ("op", "("):
+                    raise SqlError("FILTER needs (WHERE ...)")
+                kk, vv = self.next()
+                if str(vv).upper() != "WHERE":
+                    raise SqlError("FILTER needs WHERE")
+                item.filt_toks = self._expr_until([lambda k, v: False])
+                if not item.filt_toks:
+                    raise SqlError("empty FILTER condition")
+                kk, vv = self.next()
+                if (kk, vv) != ("op", ")"):
+                    raise SqlError("FILTER: expected )")
             if self.peek() == ("sqlkw", "OVER"):
                 if item.distinct:
                     raise SqlError("DISTINCT not supported in window "
+                                   "aggregates")
+                if item.filt_toks:
+                    raise SqlError("FILTER not supported in window "
                                    "aggregates")
                 item.kind = "window"
                 item.func = func.lower()
@@ -1003,6 +1037,8 @@ def _dequalify(q: dict) -> dict:
     for it in (q["items"] if q["items"] != "*" else ()):
         if it.expr_toks:
             it.expr_toks = toks(it.expr_toks)
+        if it.filt_toks:
+            it.filt_toks = toks(it.filt_toks)
         if it.over:
             part, order, frame = it.over
             it.over = ([_strip_qual(p, valid) for p in part],
@@ -1188,6 +1224,10 @@ def _execute(q: dict, tables: dict):
             raise SqlError(f"{it.func}(DISTINCT) is not supported")
     cd = [(i, it) for i, it in agg_items
           if it.func == "COUNT" and it.distinct]
+    if (cd or any(it.func in _QUANT_FUNCS for _, it in agg_items)) \
+            and any(it.filt_toks for _, it in agg_items):
+        raise SqlError("FILTER is not supported with COUNT(DISTINCT) "
+                       "or MEDIAN/QUANTILE_CONT")
     if any(it.func in _QUANT_FUNCS for _, it in agg_items):
         if cd:
             raise SqlError("MEDIAN/QUANTILE_CONT cannot be mixed with "
@@ -1207,12 +1247,18 @@ def _execute(q: dict, tables: dict):
 
     # evaluate group keys + aggregate inputs in one projection
     agg_nodes = {}
+    filt_nodes = {}
     for i, it in agg_items:
         if not it.star:
             node, used = _parse_expr_tokens(it.expr_toks)
             if used != len(it.expr_toks):
                 raise SqlError("bad aggregate expression")
             agg_nodes[i] = node
+        if it.filt_toks:
+            node, used = _parse_expr_tokens(it.filt_toks)
+            if used != len(it.filt_toks):
+                raise SqlError("bad FILTER condition")
+            filt_nodes[i] = node
 
     def prep(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -1225,23 +1271,80 @@ def _execute(q: dict, tables: dict):
             else:
                 cols[g] = batch[g]
         for i, it in agg_items:
-            if it.star:
+            if it.star and i not in filt_nodes:
                 continue
-            cols[f"a{i}__"] = _eval(agg_nodes[i], batch)
-        if any(it.star for _, it in agg_items) or not cols:
+            if it.star:
+                # COUNT(*) FILTER (WHERE c) → count a 1/NULL column
+                v = pa.array([1] * batch.num_rows, pa.int64())
+            else:
+                v = _eval(agg_nodes[i], batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+            if i in filt_nodes:
+                c = pc.fill_null(pc.cast(_eval(filt_nodes[i], batch),
+                                         pa.bool_()), False)
+                vt = v.type if not isinstance(v, pa.ChunkedArray) \
+                    else v.type
+                v = pc.if_else(c, v, pa.scalar(None, vt))
+            cols[f"a{i}__"] = v
+        if any(it.star and i not in filt_nodes
+               for i, it in agg_items) or not cols:
             # COUNT(*) needs a concrete column: Ray's Count() without
             # `on` yields 0 in the global-aggregate path
             cols["one__"] = pa.array([1] * batch.num_rows, pa.int64())
         return pa.table(cols)
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
+    rollup = bool(q.get("rollup")) and bool(group_cols)
+    if rollup:
+        # GROUP BY ROLLUP (k1..kL): each prepped row explodes into L+1
+        # grouping levels (gid = number of leading keys kept; rolled
+        # keys take a type filler so Ray's sort-based groupby never
+        # sees nulls) — ONE shuffle computes every level; the rolled
+        # keys are nulled back after the aggregate, matching SQL.
+        L = len(group_cols)
+
+        def _filler(t):
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return pa.scalar("", t)
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                return pa.scalar(0, t)
+            if pa.types.is_boolean(t):
+                return pa.scalar(False, t)
+            return pa.scalar(0, t)
+
+        def explode(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            parts = []
+            for gid in range(L, -1, -1):
+                cols = {}
+                for j, g in enumerate(group_cols):
+                    col = batch[g]
+                    if j < gid:
+                        cols[g] = col
+                    else:
+                        t = col.type
+                        cols[g] = pa.array([_filler(t).as_py()] * n, t)
+                for name in batch.column_names:
+                    if name not in cols:
+                        cols[name] = batch[name]
+                cols["gid__"] = pa.array([gid] * n, pa.int64())
+                parts.append(pa.table(cols))
+            return pa.concat_tables(parts, promote_options="default")
+
+        prepped = prepped.map_batches(explode, batch_format="pyarrow")
+        group_cols = group_cols + ["gid__"]
     aggs = []
     for i, it in agg_items:
         alias = names[i]
         col = f"a{i}__"
         if it.func == "COUNT" and it.star:
-            aggs.append(Count(alias_name=alias) if group_cols
-                        else Sum("one__", alias_name=alias))
+            if i in filt_nodes:
+                aggs.append(Count(col, ignore_nulls=True,
+                                  alias_name=alias))
+            else:
+                aggs.append(Count(alias_name=alias) if group_cols
+                            else Sum("one__", alias_name=alias))
         elif it.func == "COUNT":
             aggs.append(Count(col, ignore_nulls=True, alias_name=alias))
         elif it.func == "SUM":
@@ -1261,6 +1364,22 @@ def _execute(q: dict, tables: dict):
 
     if group_cols:
         out = prepped.groupby(group_cols).aggregate(*aggs)
+        if rollup:
+            group_cols = group_cols[:-1]     # drop gid__ from scope
+
+            def unroll(batch: pa.Table) -> pa.Table:
+                gid = batch["gid__"]
+                for j, g in enumerate(group_cols):
+                    col = batch[g]
+                    keep = pc.greater(gid, j)
+                    t = col.type if not isinstance(col, pa.ChunkedArray) \
+                        else col.type
+                    batch = batch.set_column(
+                        batch.column_names.index(g), g,
+                        pc.if_else(keep, col, pa.scalar(None, t)))
+                return batch.drop_columns(["gid__"])
+
+            out = out.map_batches(unroll, batch_format="pyarrow")
 
         def proj2(batch: pa.Table) -> pa.Table:
             cols = {}

@@ -784,3 +784,54 @@ def test_sql_join_key_reuse_after_merge(ray_session):
     want = _norm(_duck(sql))
     want.columns = got.columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_date_literals_and_cast_date(ray_session):
+    for sql in [
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate >= DATE '1995-01-01'",
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderdate BETWEEN "
+        "DATE '1995-01-01' AND TIMESTAMP '1996-06-01 12:00:00'",
+        "SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n "
+        "FROM orders GROUP BY d ORDER BY n DESC, d LIMIT 3",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_aggregate_filter_clause(ray_session):
+    for sql in [
+        "SELECT SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F') "
+        "AS s, COUNT(*) AS n FROM orders",
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_totalprice > 200000) AS hi, "
+        "COUNT(*) AS n, "
+        "AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS a "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "SELECT COUNT(*) FILTER "
+        "(WHERE o_orderdate >= DATE '1999-01-01') AS recent FROM orders",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_rollup(ray_session):
+    for sql in [
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS s FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus)",
+        # rollup composing with HAVING
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "HAVING COUNT(*) > 50",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
