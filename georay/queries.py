@@ -728,8 +728,9 @@ def q_webp_images(sf_dir: str):
 
     class WebpTranscode:
         def __init__(self):
-            from .webp import webp_decode, webp_encode
-            self._enc = webp_encode
+            from .webp import webp_decode, webp_encode_auto
+            self._enc = webp_encode_auto   # mode search: smallest of
+            # palette / subtract-green / predictor / cross-color
             self._dec = webp_decode
             self._checksum = gdal_checksum
 

@@ -47,7 +47,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["webp_encode", "webp_decode"]
+__all__ = ["webp_encode", "webp_encode_auto", "webp_decode"]
 
 _ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14,
           15]
@@ -671,6 +671,29 @@ def webp_encode(arr: np.ndarray, palette: str = "auto",
         payload += b"\x00"
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", size) + payload
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def webp_encode_auto(arr: np.ndarray) -> bytes:
+    """Mode-searching encode (libwebp -m analog, exhaustive over this
+    encoder's transform set): palette engages by itself when ≤256
+    colors; otherwise subtract-green, spatial-predictor and cross-color
+    candidates are all produced and the smallest stream wins.  Costs up
+    to 3 encodes — use in transcode/sink stages where output size
+    matters more than encode time."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("webp_encode needs uint8")
+    a3 = np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
+    argb = (a3[:, :, 0].astype(np.uint32) << 16) \
+        | (a3[:, :, 1].astype(np.uint32) << 8) | a3[:, :, 2]
+    if len(np.unique(argb)) <= 256 and a3.shape[2] != 4:
+        return webp_encode(arr)                  # palette path wins
+    cands = [webp_encode(arr, subtract_green=True),
+             webp_encode(arr, palette="off", subtract_green=False,
+                         predictor=True),
+             webp_encode(arr, palette="off", subtract_green=False,
+                         cross_color=True)]
+    return min(cands, key=len)
 
 
 def _encode_image_stream(bw: _BitWriter, px: np.ndarray, is_level0: bool,

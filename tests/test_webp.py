@@ -224,3 +224,22 @@ def test_meta_prefix_groups_roundtrip():
     small = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
     data2 = webp_encode(small, palette="off", meta_bits=4)
     assert np.array_equal(webp_decode(data2), small)
+
+
+def test_webp_encode_auto_picks_best_and_roundtrips():
+    """Mode search: gradient → predictor stream (much smaller than
+    subtract-green); noisy/palette inputs never regress; all roundtrip
+    bit-exact."""
+    import numpy as np
+    from georay.webp import webp_decode, webp_encode, webp_encode_auto
+    rng = np.random.default_rng(1)
+    y, x = np.mgrid[0:48, 0:48]
+    grad = np.stack([(x * 2 + y) % 256, (x + y * 2) % 256,
+                     (x + y) % 256], -1).astype(np.uint8)
+    noise = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    pal = (rng.integers(0, 4, (48, 48, 3)) * 60).astype(np.uint8)
+    for img in (grad, noise, pal):
+        auto = webp_encode_auto(img)
+        assert (webp_decode(auto)[:, :, :3] == img).all()
+        assert len(auto) <= len(webp_encode(img))
+    assert len(webp_encode_auto(grad)) < 0.2 * len(webp_encode(grad))
