@@ -2384,6 +2384,31 @@ def q_embedding_kmeans(sf_dir: str):
                      "clusters_split": pa.array([split])})
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Exact heavy hitters: top-10 corpus terms via Misra-Gries-
+    compressed candidate pass + exact verify pass (georay/sketch.py —
+    never a full vocabulary groupby).  The `certified` column carries
+    the proof that MG pruning could not have displaced the top-10 (D=0
+    here: block vocabularies fit the capacity).  Oracle: the verbatim
+    unnest + GROUP BY + LIMIT."""
+    import pyarrow.compute as _pc
+
+    from .sketch import heavy_hitters
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"term": _pc.list_flatten(_pc.split_pattern(col, " "))})
+
+    top, certified = heavy_hitters(
+        ds.map_batches(explode, batch_format="pyarrow"), "term", k=10)
+    return top.append_column(
+        "certified", pa.array([certified] * top.num_rows))
+
+
 _SQL_ROLLUP_TEXT = (
     "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
     "COUNT(*) FILTER (WHERE o_orderdate >= DATE '1999-01-01') "
@@ -2499,7 +2524,6 @@ QUERIES = {
     "sql_q3": q_sql_q3,
     "lineref_mileposts": q_lineref_mileposts,
     # -- (b) rows-only queries with no driver row in any round --
-    "augment_images": q_augment_images,
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
     # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
@@ -2524,10 +2548,12 @@ QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "embedding_kmeans": q_embedding_kmeans,
     "doc_distinct_approx": q_doc_distinct_approx,
+    "doc_top_terms": q_doc_top_terms,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
     "sql_rollup": q_sql_rollup,      # r5 rotation candidate
+    "augment_images": q_augment_images,  # rows-only; in-repo determinism pins
     "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it
     # (never-driver-verified queries outrank re-checks: image_dedup /
     # tile_checksums have rows-only driver rows from r1-r3 and byte-
@@ -2709,6 +2735,12 @@ ORACLE_SQL = {
     "sql_median": _SQL_MEDIAN_TEXT,
     "sql_q5": _SQL_Q5_TEXT,
     "sql_rollup": _SQL_ROLLUP_TEXT,
+    "doc_top_terms": """
+        SELECT term, COUNT(*) AS n, TRUE AS certified
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY n DESC, term LIMIT 10
+    """,
     "doc_bm25_topk": _SQL_BM25_TEXT,
     "doc_weighted_sample": weighted_sample_sql("doc_id", "n_chars", 50),
     "embedding_kmeans": """

@@ -20,7 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hll_partial", "hll_merge", "hll_estimate", "approx_distinct"]
+__all__ = ["hll_partial", "hll_merge", "hll_estimate",
+           "approx_distinct", "heavy_hitters"]
 
 
 def _bitlen(x: np.ndarray) -> np.ndarray:
@@ -93,6 +94,92 @@ def hll_estimate(reg: np.ndarray) -> float:
     if e <= 2.5 * m and zeros > 0:
         return float(m * np.log(m / zeros))     # linear counting
     return float(e)
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 4096,
+                  slack: int = 16):
+    """EXACT top-k most frequent values via a Misra-Gries-compressed
+    candidate pass + an exact verify pass — the heavy-hitters op a
+    boilerplate/frequent-ngram scan needs at 100 TB (no full
+    ``groupby(term)`` over the corpus vocabulary).
+
+    Pass 1: each block computes exact value counts (arrow
+    ``value_counts``) and MG-compresses to ``capacity`` entries
+    (subtract the (capacity+1)-th count ``d_b``, keep positives —
+    the classic mergeable summary; a pruned value's true count is
+    ≤ Σ d_b).  The per-value partials sum through one small groupby
+    and only the top ``k+slack`` candidates plus D = Σ d_b survive.
+
+    Pass 2: candidate values broadcast; blocks count ONLY those
+    exactly; top-k by (count desc, value asc).
+
+    Returns (table, certified): ``certified`` is True iff the k-th
+    exact count > D, which PROVES no pruned value could displace the
+    returned top-k (when every block's distinct count fits
+    ``capacity``, D = 0 and the result is unconditionally exact).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        col_a = batch[col]
+        if isinstance(col_a, pa.ChunkedArray):
+            col_a = col_a.combine_chunks()
+        vc = pc.value_counts(col_a.drop_null())
+        vals, cnts = vc.field("values"), vc.field("counts").to_numpy()
+        ded = 0
+        if len(cnts) > capacity:
+            order = np.argsort(-cnts, kind="stable")
+            ded = int(cnts[order[capacity]])
+            keep = order[:capacity][cnts[order[:capacity]] > ded]
+            vals = vals.take(pa.array(keep))
+            cnts = cnts[keep] - ded
+        n = len(vals)
+        return pa.table({
+            "v__": vals,
+            "c__": pa.array(cnts.astype(np.int64)),
+            "d__": pa.array(([ded] + [0] * (n - 1)) if n
+                            else [ded], pa.int64())
+        } if n else {
+            "v__": pa.array([None], col_a.type),
+            "c__": pa.array([0], pa.int64()),
+            "d__": pa.array([ded], pa.int64())})
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    total_ded = int(partials.aggregate(Sum("d__", alias_name="d"))["d"]
+                    or 0)
+    cand = (partials
+            .map_batches(lambda b: b.filter(pc.is_valid(b["v__"])),
+                         batch_format="pyarrow")
+            .groupby("v__").aggregate(Sum("c__", alias_name="c__"))
+            .sort(["c__", "v__"], descending=[True, False])
+            .limit(k + slack)
+            .take_all())
+    cand_vals = pa.array([r["v__"] for r in cand])
+    ref = ray.put(cand_vals)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        cv = ray.get(ref)
+        col_a = batch[col]
+        if isinstance(col_a, pa.ChunkedArray):
+            col_a = col_a.combine_chunks()
+        col_a = col_a.drop_null()
+        hit = col_a.filter(pc.is_in(col_a, value_set=cv))
+        vc = pc.value_counts(hit)
+        return pa.table({"v__": vc.field("values"),
+                         "c__": pc.cast(vc.field("counts"), pa.int64())})
+
+    top = (ds.map_batches(exact, batch_format="pyarrow")
+             .groupby("v__").aggregate(Sum("c__", alias_name="n"))
+             .sort(["n", "v__"], descending=[True, False])
+             .limit(k)
+             .take_all())
+    table = pa.table({col: pa.array([r["v__"] for r in top]),
+                      "n": pa.array([r["n"] for r in top], pa.int64())})
+    certified = bool(len(top) < k or
+                     (len(top) and top[-1]["n"] > total_ded))
+    return table, certified
 
 
 def approx_distinct(ds, col: str, p: int = 14,

@@ -132,3 +132,39 @@ def test_approx_distinct_ray(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame({"v": pd.array(
         [], dtype="int64")}))
     assert approx_distinct(empty, "v") == 0.0
+
+
+def test_heavy_hitters_exact_and_certified(ray_session):
+    from georay.sketch import heavy_hitters
+    rng = np.random.default_rng(12)
+    # zipf-ish: value i appears ~ 3000/(i+1) times
+    vals = np.concatenate([np.full(3000 // (i + 1), f"t{i}")
+                           for i in range(200)])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"term": vals})) \
+        .repartition(8)
+    top, certified = heavy_hitters(ds, "term", k=10)
+    assert certified
+    import collections
+    exp = sorted(collections.Counter(vals).items(),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(top["term"]) == [pa.scalar(t) for t, _ in exp] or \
+        top["term"].to_pylist() == [t for t, _ in exp]
+    assert top["n"].to_pylist() == [n for _, n in exp]
+
+
+def test_heavy_hitters_compression_path(ray_session):
+    """capacity smaller than block vocabulary: MG pruning engages, the
+    verify pass still returns exact counts, and the certification bound
+    reflects the deductions."""
+    from georay.sketch import heavy_hitters
+    rng = np.random.default_rng(13)
+    heavy = np.repeat([f"H{i}" for i in range(5)], 500)
+    tail = np.array([f"x{i}" for i in range(4000)])
+    vals = np.concatenate([heavy, tail, tail])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"term": vals})) \
+        .repartition(4)
+    top, certified = heavy_hitters(ds, "term", k=5, capacity=64)
+    assert top["term"].to_pylist() == [f"H{i}" for i in range(5)]
+    assert top["n"].to_pylist() == [500] * 5
