@@ -2533,7 +2533,6 @@ QUERIES = {
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
-    "webp_images": q_webp_images,
     "sql_dates": q_sql_dates,
     "sql_date_trunc": q_sql_date_trunc,
     "sql_json": q_sql_json,
@@ -2549,10 +2548,14 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "doc_distinct_approx": q_doc_distinct_approx,
     "doc_top_terms": q_doc_top_terms,
+    "sql_rollup": q_sql_rollup,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
-    "sql_rollup": q_sql_rollup,      # r5 rotation candidate
+    # (rows-only queries may sit behind the window: the driver check for
+    # them is row-count only, which the in-repo tests pin harder; window
+    # slots go to oracle-backed queries first.)
+    "webp_images": q_webp_images,    # rows-only; bit-exact in-repo pins
     "augment_images": q_augment_images,  # rows-only; in-repo determinism pins
     "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it
     # (never-driver-verified queries outrank re-checks: image_dedup /

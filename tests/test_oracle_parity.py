@@ -104,10 +104,12 @@ def test_entry_image_queries(ray_session, sf_dir):
 
 def test_driver_window_covers_unverified_queries():
     """The driver runs exactly the FIRST 50 entries of queries() (r3
-    evidence).  Pin that every query with no driver-verified row in any
-    CORRECTNESS_r{1..3} snapshot sits inside that window, and the window
-    is exactly 50 deep so new queries displace anchors consciously."""
-    from georay.queries import QUERIES
+    evidence).  Window policy: every ORACLE-BACKED query with no
+    driver-verified row in any CORRECTNESS_r{1..3} snapshot must sit
+    inside that window.  Rows-only queries may sit behind it — the
+    driver check for them is row-count only, which the in-repo tests
+    pin harder — except the flagship anchor, which always rides along."""
+    from georay.queries import QUERIES, ORACLE_SQL as ORACLES
 
     window = list(QUERIES)[:50]
     never_verified = {
@@ -125,6 +127,11 @@ def test_driver_window_covers_unverified_queries():
         # the one r3 FAIL (fixed in a452984) — must re-verify
         "sql_filter_group",
     }
-    missing = never_verified - set(window)
+    must_be_in = {q for q in never_verified if q in ORACLES}
+    missing = must_be_in - set(window)
     assert not missing, f"driver window drops unverified queries: {missing}"
+    assert "flagship_join_images" in window
+    # no window slot may be wasted on a rows-only query (flagship aside)
+    wasted = [q for q in window if q not in ORACLES and q != "flagship_join_images"]
+    assert not wasted, f"rows-only queries occupy oracle window slots: {wasted}"
     assert len(QUERIES) >= 50, "window narrower than the driver cap"
