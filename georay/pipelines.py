@@ -25,7 +25,17 @@ def read_images(images_path: str, *, columns=None, read_concurrency=None):
     many-concurrent-writers page-fault contention this sandbox's VM
     exhibits (reads overlap compute under streaming execution either way).
     """
+    import os
+
     import ray
+
+    if os.path.isdir(images_path) and os.path.exists(
+            os.path.join(images_path, "_latest.manifest")):
+        # lance-layout dataset (the north rule's named input format):
+        # fragment-parallel read with the same projection pushdown
+        from .lancefmt import read_lance
+        return read_lance(images_path, columns=columns,
+                          concurrency=read_concurrency)
     kwargs = {}
     if read_concurrency is not None:
         kwargs["concurrency"] = read_concurrency

@@ -1770,6 +1770,30 @@ def q_gpkg_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_lance_zone_join(sf_dir: str):
+    """Customer points routed through a LANCE-LAYOUT dataset roundtrip
+    (georay.lancefmt — the north rule's named input format: versioned
+    manifests, immutable column-chunked fragments, fragment-parallel Ray
+    read with projection pushdown).  The points Dataset is written as a
+    multi-fragment lance dataset, read back with only the three needed
+    columns, and drives the same broadcast PIP join under the zone
+    oracle — green parity proves the fragment encode/decode + manifest
+    chain end-to-end."""
+    import tempfile
+
+    from .join import spatial_join_points
+    from .lancefmt import read_lance, write_lance
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir, extra_cols=["c_mktsegment"])
+    root = tempfile.mkdtemp(prefix="georay_q_lance_", dir="/tmp")
+    write_lance(pts.repartition(4), root)
+    back = read_lance(root, columns=["c_custkey", "lon", "lat"])
+    return spatial_join_points(
+        back, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping character-window chunking (window 500 / stride 400) —
     the training-pipeline context splitter, vectorized by chunk index.
@@ -2521,6 +2545,7 @@ QUERIES = {
     "zarr_density": q_zarr_density,
     "doc_chunks": q_doc_chunks,
     "gpkg_zone_join": q_gpkg_zone_join,
+    "lance_zone_join": q_lance_zone_join,
     "sql_q3": q_sql_q3,
     "lineref_mileposts": q_lineref_mileposts,
     # -- (b) rows-only queries with no driver row in any round --
@@ -2546,12 +2571,15 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
     "embedding_kmeans": q_embedding_kmeans,
-    "doc_distinct_approx": q_doc_distinct_approx,
     "doc_top_terms": q_doc_top_terms,
     "sql_rollup": q_sql_rollup,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    # doc_distinct_approx rotated behind to make room for lance_zone_join:
+    # its oracle is a self-gated within-3% band (weakest of the round-4
+    # set) and the HLL estimator is pinned by in-repo tests.
+    "doc_distinct_approx": q_doc_distinct_approx,
     # (rows-only queries may sit behind the window: the driver check for
     # them is row-count only, which the in-repo tests pin harder; window
     # slots go to oracle-backed queries first.)
@@ -2866,6 +2894,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "gpkg_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "lance_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""
