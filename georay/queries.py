@@ -1967,6 +1967,17 @@ def q_sql_count_distinct_group(sf_dir: str):
     return execute_sql(_SQL_CDG_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+_SQL_CTE_TEXT = """
+    WITH big AS (SELECT o_custkey ck, o_totalprice tp FROM orders
+                 WHERE o_totalprice > 150000),
+    per_cust AS (SELECT ck, COUNT(*) n_big, SUM(tp) sum_tp
+                 FROM big GROUP BY ck)
+    SELECT c_mktsegment seg, COUNT(*) n_cust, SUM(n_big) n_orders
+    FROM customer JOIN (SELECT * FROM per_cust) pc ON c_custkey = pc.ck
+    GROUP BY seg ORDER BY seg
+"""
+
+
 _SQL_CASE_TEXT = """
     SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
                 WHEN o_totalprice > 100000 THEN 'mid'
@@ -1990,6 +2001,15 @@ _SQL_UNION_DISTINCT_TEXT = """
     SELECT COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CARS') AS seg
     FROM customer
 """
+
+
+def q_sql_cte(sf_dir: str):
+    """Chained WITH ctes + a derived JOIN subquery + bare aliases —
+    the compositional SQL surface (sql._expand_ctes_and_derived), the
+    IDENTICAL text through DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_CTE_TEXT,
+                       _sql_tables(sf_dir, "orders", "customer"))
 
 
 def q_sql_case(sf_dir: str):
@@ -2554,7 +2574,7 @@ QUERIES = {
     # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
     "sql_case": q_sql_case,
     "sql_union": q_sql_union,
-    "sql_union_distinct": q_sql_union_distinct,
+    "sql_cte": q_sql_cte,
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
@@ -2576,6 +2596,9 @@ QUERIES = {
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_union_distinct": q_sql_union_distinct,  # rotated behind: shares
+    # the UNION machinery with sql_union (in-window) + distinct covered
+    # by sql_distinct (green r3)
     # doc_distinct_approx rotated behind to make room for lance_zone_join:
     # its oracle is a self-gated within-3% band (weakest of the round-4
     # set) and the HLL estimator is pinned by in-repo tests.
@@ -2795,6 +2818,7 @@ ORACLE_SQL = {
     "sql_case": _SQL_CASE_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,
+    "sql_cte": _SQL_CTE_TEXT,
     "osm_nodes_census": """
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s

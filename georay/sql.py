@@ -371,11 +371,27 @@ class _SqlParser:
             if not toks:
                 raise SqlError("empty select item")
             item = _SelectItem("expr", expr_toks=toks)
+            # bare alias (``expr alias``, no AS): the expression parse
+            # consumes every token EXCEPT one trailing identifier — this
+            # can't misfire on ``a IS NULL``/``x NOT LIKE y`` because
+            # those parses consume the final token too
+            if len(toks) >= 2 and toks[-1][0] == "ident":
+                try:
+                    _, used = _parse_expr_tokens(toks)
+                except Exception:
+                    used = None
+                if used == len(toks) - 1:
+                    item = _SelectItem("expr", expr_toks=toks[:-1],
+                                       name=toks[-1][1])
             if self.peek() == ("sqlkw", "OVER"):
                 item = self._window_item(toks)
                 item.over = self._over_clause()
         if self.peek() == ("sqlkw", "AS"):
             self.next()
+            item.name = self._ident()
+        elif item.name is None and self.peek()[0] == "ident" \
+                and str(self.peek()[1]).upper() != "FILTER":
+            # bare alias after an aggregate / window call
             item.name = self._ident()
         return item
 
@@ -822,14 +838,95 @@ def _resolve_subqueries(toks, tables, outer_names=()):
     return out
 
 
+def _balanced_end(toks, i):
+    """toks[i] must be '('; index just past the matching ')'."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == ("op", "("):
+            depth += 1
+        elif toks[j] == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise SqlError("unbalanced parentheses")
+
+
+def _as_dataset(res):
+    import ray
+    return ray.data.from_arrow(res) if isinstance(res, pa.Table) else res
+
+
+def _expand_ctes_and_derived(toks, tables):
+    """WITH ctes and derived tables (``FROM (SELECT …) alias``) compile
+    COMPOSITIONALLY: each subquery executes through ``execute_sql``
+    recursively and registers its (lazy where possible) result Dataset
+    under its name; the outer token stream is rewritten to reference the
+    registered name.  A CTE referenced twice re-executes its lineage —
+    documented cost; materialize driver-side first if that matters.
+    Returns (rewritten_toks, extended_tables)."""
+    tables = dict(tables)
+    # WITH name AS ( q ) [, name AS ( q )]* — later CTEs see earlier ones
+    if toks and toks[0][0] == "ident" and toks[0][1].upper() == "WITH":
+        i = 1
+        while True:
+            if i >= len(toks) or toks[i][0] != "ident":
+                raise SqlError("expected CTE name after WITH")
+            name = toks[i][1]
+            i += 1
+            if i >= len(toks) or toks[i] != ("sqlkw", "AS"):
+                raise SqlError(f"expected AS after CTE name {name!r}")
+            i += 1
+            if i >= len(toks) or toks[i] != ("op", "("):
+                raise SqlError("expected ( after AS in WITH")
+            j = _balanced_end(toks, i)
+            tables[name] = _as_dataset(
+                execute_sql(toks[i + 1:j - 1], tables))
+            i = j
+            if i < len(toks) and toks[i] == ("op", ","):
+                i += 1
+                continue
+            break
+        toks = toks[i:]
+    # derived tables at ANY depth: FROM/JOIN immediately followed by a
+    # parenthesized query (inside an expression a FROM is always followed
+    # by a table name, so this pattern is unambiguous)
+    out = []
+    i = 0
+    gen = 0
+    while i < len(toks):
+        t = toks[i]
+        out.append(t)
+        if (t[0] == "sqlkw" and t[1] in ("FROM", "JOIN")
+                and i + 1 < len(toks) and toks[i + 1] == ("op", "(")):
+            j = _balanced_end(toks, i + 1)
+            inner = toks[i + 2:j - 1]
+            k = j
+            if k < len(toks) and toks[k] == ("sqlkw", "AS"):
+                k += 1
+            if k < len(toks) and toks[k][0] == "ident":
+                alias = toks[k][1]
+                k += 1
+            else:
+                gen += 1
+                alias = f"__derived{gen}"
+            tables[alias] = _as_dataset(execute_sql(inner, tables))
+            out.append(("ident", alias))
+            i = k
+            continue
+        i += 1
+    return out, tables
+
+
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT against ``tables`` ({name: ray.data.Dataset}); returns
     a Dataset for streaming shapes, or a pyarrow table for global
     aggregates / OFFSET slices (small results).  Top-level
     ``UNION [ALL]`` chains compile to ``Dataset.union`` (plus a distinct
     pass for plain UNION); a trailing ORDER BY / LIMIT binds the whole
-    union, as in standard SQL."""
+    union, as in standard SQL.  WITH ctes and derived FROM-subqueries
+    compile compositionally (see :func:`_expand_ctes_and_derived`)."""
     toks = _split_clauses(sql) if isinstance(sql, str) else sql
+    toks, tables = _expand_ctes_and_derived(toks, tables)
     branches, alls = _split_union(toks)
     if len(branches) == 1:
         return _execute(_SqlParser(branches[0]).parse(), tables)

@@ -835,3 +835,45 @@ def test_sql_rollup(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_cte_and_derived_tables(ray_session):
+    """WITH ctes (chained, later sees earlier) and derived FROM/JOIN
+    subqueries compile compositionally; identical text through DuckDB."""
+    for sql, tables in [
+        ("WITH t AS (SELECT o_orderpriority AS p FROM orders) "
+         "SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY p",
+         ["orders"]),
+        ("WITH a AS (SELECT o_custkey AS k FROM orders), "
+         "b AS (SELECT k, COUNT(*) AS c FROM a GROUP BY k) "
+         "SELECT MAX(c) AS mx, MIN(c) AS mn FROM b", ["orders"]),
+        ("SELECT COUNT(*) AS n FROM (SELECT * FROM "
+         "(SELECT o_orderkey FROM orders) x) y", ["orders"]),
+        ("SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer "
+         "JOIN (SELECT o_custkey FROM orders) o "
+         "ON c_custkey = o_custkey GROUP BY seg ORDER BY seg",
+         ["customer", "orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_bare_alias(ray_session):
+    """``expr alias`` / ``COUNT(*) n`` without AS (standard SQL); the
+    stripper must NOT misfire on IS NULL / NOT LIKE tails."""
+    for sql in [
+        "SELECT o_orderpriority p, COUNT(*) n FROM orders "
+        "GROUP BY p ORDER BY p",
+        "SELECT o_totalprice * 2.0 dbl FROM orders ORDER BY dbl LIMIT 3",
+        "SELECT COUNT(*) n FROM orders WHERE o_orderpriority IS NOT NULL",
+        "SELECT o_orderpriority p, ROW_NUMBER() OVER "
+        "(PARTITION BY o_orderpriority ORDER BY o_orderkey) rn "
+        "FROM orders ORDER BY p, rn LIMIT 5",
+        "SELECT COUNT(*) n FROM orders WHERE o_orderpriority NOT LIKE '1%'",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
