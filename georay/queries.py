@@ -1794,6 +1794,29 @@ def q_lance_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_doc_decontam(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
+    doc_id % 37 == 0 act as the held-out benchmark; every other doc
+    sharing ANY character 20-gram with it is flagged with its distinct
+    shared-gram count.  Benchmark gram set broadcast once; corpus
+    streams — no shuffle (georay/decontam.py).  Oracle: the exact
+    string-join in SQL."""
+    from .decontam import benchmark_ngram_set, flag_contaminated
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 37 == 0))
+
+    def corpus_part(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 37 != 0))
+
+    bench = docs.map_batches(bench_part, batch_format="pyarrow")
+    corpus = docs.map_batches(corpus_part, batch_format="pyarrow")
+    ref = benchmark_ngram_set(bench, n=20)
+    return flag_contaminated(corpus, ref, n=20)
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping character-window chunking (window 500 / stride 400) —
     the training-pipeline context splitter, vectorized by chunk index.
@@ -2564,6 +2587,7 @@ QUERIES = {
     "sql_exists": q_sql_exists,
     "zarr_density": q_zarr_density,
     "doc_chunks": q_doc_chunks,
+    "doc_decontam": q_doc_decontam,
     "gpkg_zone_join": q_gpkg_zone_join,
     "lance_zone_join": q_lance_zone_join,
     "sql_q3": q_sql_q3,
@@ -2579,7 +2603,6 @@ QUERIES = {
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
     "sql_dates": q_sql_dates,
-    "sql_date_trunc": q_sql_date_trunc,
     "sql_json": q_sql_json,
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_window_range": q_sql_window_range,
@@ -2596,6 +2619,8 @@ QUERIES = {
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_date_trunc": q_sql_date_trunc,  # rotated behind: shares the
+    # datetime kernel table with sql_dates (in-window)
     "sql_union_distinct": q_sql_union_distinct,  # rotated behind: shares
     # the UNION machinery with sql_union (in-window) + distinct covered
     # by sql_distinct (green r3)
@@ -3254,6 +3279,18 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "doc_decontam": """
+        WITH bench AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+        bg AS (SELECT DISTINCT unnest(list_transform(
+                generate_series(1, greatest(length(text) - 19, 1)),
+                i -> substring(text, i, 20))) AS gram FROM bench),
+        cg AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                generate_series(1, greatest(length(text) - 19, 1)),
+                i -> substring(text, i, 20))) AS gram
+               FROM documents WHERE doc_id % 37 <> 0)
+        SELECT doc_id, COUNT(*) AS n_hits FROM cg JOIN bg USING (gram)
+        GROUP BY doc_id
     """,
     "doc_chunks": """
         WITH s AS (SELECT i FROM generate_series(0, 255) AS t(i))

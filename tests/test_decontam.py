@@ -1,0 +1,47 @@
+"""Benchmark decontamination: membership semantics + streaming filter."""
+import numpy as np
+import pyarrow as pa
+
+from georay.decontam import (benchmark_ngram_set, decontaminate,
+                             flag_contaminated)
+
+
+def _ds(rows):
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    }))
+
+
+def test_flag_and_filter(ray_session):
+    bench = _ds([(1, "the quick brown fox jumps over the lazy dog tonight"),
+                 (2, "completely unrelated benchmark prompt text here")])
+    corpus = _ds([
+        (10, "xx the quick brown fox jumps over the lazy dog tonight yy"),
+        (11, "nothing in common with anything at all whatsoever zzz"),
+        (12, "completely unrelated benchmark prompt text here verbatim"),
+    ])
+    ref = benchmark_ngram_set(bench, n=20)
+    flagged = flag_contaminated(corpus, ref, n=20).to_pandas()
+    assert sorted(flagged["doc_id"]) == [10, 12]
+    assert (flagged["n_hits"] >= 1).all()
+    clean = decontaminate(corpus, bench, n=20).to_pandas()
+    assert sorted(clean["doc_id"]) == [11]
+
+
+def test_short_docs_only_match_exactly(ray_session):
+    # docs shorter than n: padded hashes equal only on identical text
+    bench = _ds([(1, "tiny")])
+    corpus = _ds([(10, "tiny"), (11, "tinyX"), (12, "other")])
+    ref = benchmark_ngram_set(bench, n=20)
+    flagged = flag_contaminated(corpus, ref, n=20).to_pandas()
+    assert sorted(flagged["doc_id"]) == [10]
+
+
+def test_empty_benchmark(ray_session):
+    import ray
+    bench = _ds([]).filter(lambda r: False)
+    corpus = _ds([(10, "anything at all in this corpus row")])
+    ref = benchmark_ngram_set(bench, n=20)
+    assert flag_contaminated(corpus, ref, n=20).count() == 0
