@@ -1817,6 +1817,16 @@ def q_doc_decontam(sf_dir: str):
     return flag_contaminated(corpus, ref, n=20)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Word-bigram repetition quality signals (Gopher/C4 filtering
+    family): top-bigram fraction + duplicate-bigram fraction per doc,
+    one lexsort per batch (georay/text.py).  Oracle: the verbatim
+    formula over string_split + list_transform bigrams."""
+    from .text import repetition_stats_batch
+    return _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+
+
 def q_doc_chunks(sf_dir: str):
     """Overlapping character-window chunking (window 500 / stride 400) —
     the training-pipeline context splitter, vectorized by chunk index.
@@ -2588,6 +2598,7 @@ QUERIES = {
     "zarr_density": q_zarr_density,
     "doc_chunks": q_doc_chunks,
     "doc_decontam": q_doc_decontam,
+    "doc_repetition": q_doc_repetition,
     "gpkg_zone_join": q_gpkg_zone_join,
     "lance_zone_join": q_lance_zone_join,
     "sql_q3": q_sql_q3,
@@ -2603,7 +2614,6 @@ QUERIES = {
     "kml_zone_join": q_kml_zone_join,
     "gpx_waypoint_census": q_gpx_waypoint_census,
     "sql_dates": q_sql_dates,
-    "sql_json": q_sql_json,
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_window_range": q_sql_window_range,
     "sql_intersect": q_sql_intersect,
@@ -2619,6 +2629,8 @@ QUERIES = {
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_json": q_sql_json,  # rotated behind: one extract_regex kernel,
+    # pinned by test_sql
     "sql_date_trunc": q_sql_date_trunc,  # rotated behind: shares the
     # datetime kernel table with sql_dates (in-window)
     "sql_union_distinct": q_sql_union_distinct,  # rotated behind: shares
@@ -3279,6 +3291,20 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "doc_repetition": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS g
+               FROM w WHERE len(ws) >= 2),
+        cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, SUM(c) AS tot, MAX(c) AS mx,
+                       COUNT(*) AS dist FROM cnt GROUP BY doc_id)
+        SELECT doc_id, ROUND(mx * 1.0 / tot, 6) AS top_bigram_frac,
+               ROUND(1.0 - dist * 1.0 / tot, 6) AS dup_bigram_frac
+        FROM agg
     """,
     "doc_decontam": """
         WITH bench AS (SELECT text FROM documents WHERE doc_id % 37 = 0),

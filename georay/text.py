@@ -181,6 +181,65 @@ def distinct_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
                  .append_column("ttr", ttr))
 
 
+def repetition_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Word-bigram repetition signals (Gopher rules 'fraction of
+    characters in the most common n-gram' / C4 boilerplate cut, word
+    flavor): per doc, ``top_bigram_frac`` = occurrences of the most
+    frequent word bigram / total bigrams, ``dup_bigram_frac`` = 1 −
+    distinct/total.  Tokenizer is a plain single-space split — chosen to
+    equal SQL ``string_split(text, ' ')`` exactly so the oracle is the
+    verbatim formula.  Docs with < 2 words emit no row (no bigrams).
+
+    Vectorized: one split per batch; bigram keys are a 64-bit mix of
+    adjacent word hashes; per-doc stats via one (row, key) lexsort +
+    run-length pass — no per-doc Python."""
+    from .util import hash_strings
+    n = batch.num_rows
+    empty = pa.table({
+        "doc_id": pa.array([], batch["doc_id"].type),
+        "top_bigram_frac": pa.array([], pa.float64()),
+        "dup_bigram_frac": pa.array([], pa.float64()),
+    })
+    if n == 0:
+        return empty
+    lists = pc.split_pattern(batch[col], pattern=" ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    h = hash_strings(flat).astype(np.uint64)
+    # adjacent pairs WITHIN a doc: drop each doc's last word position
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ends = np.cumsum(lens) - 1          # last word index per doc
+    valid = np.ones(h.size, dtype=bool)
+    valid[ends[lens > 0]] = False
+    if not valid.any():
+        return empty
+    i0 = np.flatnonzero(valid)
+    key = h[i0] * np.uint64(0x9E3779B97F4A7C15) + h[i0 + 1]
+    rows = rows[i0]
+    order = np.lexsort((key, rows))
+    rs, ks = rows[order], key[order]
+    first = np.ones(rs.size, dtype=bool)
+    first[1:] = (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])
+    starts = np.flatnonzero(first)
+    run = np.diff(np.concatenate([starts, [rs.size]]))
+    tot = np.bincount(rs, minlength=n).astype(np.int64)
+    dist = np.bincount(rs[first], minlength=n).astype(np.int64)
+    mx = np.zeros(n, dtype=np.int64)
+    np.maximum.at(mx, rs[starts], run)
+    keep = tot > 0
+    tot_f = tot[keep].astype(np.float64)
+    return pa.table({
+        "doc_id": batch["doc_id"].filter(pa.array(keep)),
+        "top_bigram_frac": pa.array(
+            np.round(mx[keep] / tot_f, 6)),
+        "dup_bigram_frac": pa.array(
+            np.round(1.0 - dist[keep] / tot_f, 6)),
+    })
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text",
                       window: int = 16) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over

@@ -45,3 +45,20 @@ def test_empty_benchmark(ray_session):
     corpus = _ds([(10, "anything at all in this corpus row")])
     ref = benchmark_ngram_set(bench, n=20)
     assert flag_contaminated(corpus, ref, n=20).count() == 0
+
+
+def test_repetition_stats_edges(ray_session):
+    from georay.text import repetition_stats_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a b a b",      # top bigram 'a b' ×3 of 5
+                          "one",               # no bigrams -> dropped
+                          "",                  # no bigrams -> dropped
+                          "x y z"]),           # all distinct
+    })
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 4]
+    assert out.loc[1, "top_bigram_frac"] == 0.6      # 3/5
+    assert out.loc[1, "dup_bigram_frac"] == 0.6      # 1 - 2/5
+    assert out.loc[4, "top_bigram_frac"] == 0.5      # 1/2
+    assert out.loc[4, "dup_bigram_frac"] == 0.0
