@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     "zarr_density", "sample_per_key", "sql_exists", "doc_chunks",
     "gpkg_zone_join", "sql_q3", "lineref_mileposts", "augment_images",
     "sql_case", "sql_union", "osm_nodes_census", "kml_zone_join",
-    "gpx_waypoint_census", "webp_images",
+    "gpx_waypoint_census", "webp_images", "lance_zone_join",
+    "doc_decontam", "doc_repetition", "sql_cte", "doc_bm25_topk",
+    "embedding_kmeans", "doc_top_terms",
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on
