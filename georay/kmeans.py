@@ -145,3 +145,42 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
         return batch.append_column(out_col, pa.array(a.astype(np.int64)))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   threshold: float = 0.95, iters: int = 10):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then within each
+    cluster drop every point that has a LOWER-id neighbor with cosine
+    ≥ ``threshold`` (first-occurrence-wins — deterministic on any
+    partitioning, matching the exact-dedup keep rule).
+
+    Scale shape: the clustering is the streaming distributed Lloyd fit
+    above; the within-cluster pass is a ``groupby(cluster)`` co-shuffle
+    with ONE vectorized normalized-matmul per cluster.  As in the
+    paper, ``k`` must grow with N so per-cluster sizes stay bounded
+    (the per-cluster work is O(n_c²) — choose k ≈ N/5000); the group
+    count is k, so per-group Python dispatch is k calls, not N."""
+    fit = kmeans_fit(ds, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    tagged = kmeans_assign(ds, fit["centroids"], vec_col=vec_col)
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        x = fsl_to_numpy(g[vec_col], dtype=np.float64)
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        x, ids = x[order], ids[order]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-12)
+        sim = xn @ xn.T
+        # drop i iff any j < i has cosine ≥ threshold (strict upper
+        # triangle read column-wise)
+        dup = np.any(np.triu(sim >= threshold, 1), axis=0)
+        keep = pa.array(order[~dup])
+        return pa.table({
+            id_col: g[id_col].take(keep),
+            "cluster": g["cluster"].take(keep),
+        })
+
+    return tagged.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow")

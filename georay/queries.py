@@ -1817,6 +1817,16 @@ def q_doc_decontam(sf_dir: str):
     return flag_contaminated(corpus, ref, n=20)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (k-means buckets → within-cluster cosine prune,
+    first-occurrence-wins).  No SQL oracle (k-means); kept-set
+    invariants + partitioning determinism pinned in test_decontam."""
+    from .kmeans import semantic_dedup
+    return semantic_dedup(
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, threshold=0.98)
+
+
 def q_doc_repetition(sf_dir: str):
     """Word-bigram repetition quality signals (Gopher/C4 filtering
     family): top-bigram fraction + duplicate-bigram fraction per doc,
@@ -2640,6 +2650,8 @@ QUERIES = {
     # its oracle is a self-gated within-3% band (weakest of the round-4
     # set) and the HLL estimator is pinned by in-repo tests.
     "doc_distinct_approx": q_doc_distinct_approx,
+    "semantic_dedup": q_semantic_dedup,  # rows-only by nature (k-means);
+    # invariants pinned in test_decontam
     # (rows-only queries may sit behind the window: the driver check for
     # them is row-count only, which the in-repo tests pin harder; window
     # slots go to oracle-backed queries first.)

@@ -62,3 +62,40 @@ def test_repetition_stats_edges(ray_session):
     assert out.loc[1, "dup_bigram_frac"] == 0.6      # 1 - 2/5
     assert out.loc[4, "top_bigram_frac"] == 0.5      # 1/2
     assert out.loc[4, "dup_bigram_frac"] == 0.0
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session):
+    import ray
+
+    from georay.kmeans import semantic_dedup
+    from georay.util import fsl_to_numpy
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    # 10 near-dup copies of the first 10 rows (tiny perturbation)
+    vecs = np.vstack([base, base[:10] + rng.randn(10, 16) * 1e-3])
+    vecs = vecs.astype(np.float32)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel()), 16),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = semantic_dedup(ds, k=4, threshold=0.999).to_pandas()
+    kept = set(out["vec_id"])
+    # invariant 1: the 10 perturbed copies (ids 40..49) are dropped iff
+    # their original landed in the same cluster — at threshold 0.999
+    # every copy pairs with its original, so at most one of each pair
+    # survives per cluster
+    xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = xn @ xn.T
+    cl = dict(zip(out["vec_id"], out["cluster"]))
+    for i in kept:
+        for j in kept:
+            if j < i and cl[i] == cl[j]:
+                assert sim[i, j] < 0.999, (i, j)
+    # invariant 2: deterministic across partitionings
+    out2 = semantic_dedup(ds.repartition(2), k=4,
+                          threshold=0.999).to_pandas()
+    assert kept == set(out2["vec_id"])
