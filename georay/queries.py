@@ -1819,12 +1819,28 @@ def q_doc_decontam(sf_dir: str):
 
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (k-means buckets → within-cluster cosine prune,
-    first-occurrence-wins).  No SQL oracle (k-means); kept-set
-    invariants + partitioning determinism pinned in test_decontam."""
+    first-occurrence-wins).  The fixture embeddings have no natural
+    near-dups (max pairwise cosine ≈0.51), so the pipeline INJECTS an
+    exact copy of every third vector under a higher id: the copy lands
+    in the same cluster by construction (identical distances) and its
+    cosine is exactly 1, so the kept set is provably the original
+    table — an end-to-end SQL gate through the whole kmeans + prune
+    chain."""
     from .kmeans import semantic_dedup
-    return semantic_dedup(
-        _rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        k=8, threshold=0.98)
+
+    base = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch["vec_id"].to_numpy() % 3 == 0)
+        dup = batch.filter(keep)
+        return pa.table({
+            "vec_id": pa.array(dup["vec_id"].to_numpy() + 1_000_000),
+            "embedding": dup["embedding"],
+        })
+
+    injected = base.union(base.map_batches(copies, batch_format="pyarrow"))
+    out = semantic_dedup(injected, k=8, threshold=0.999)
+    return out.select_columns(["vec_id"])
 
 
 def q_doc_repetition(sf_dir: str):
@@ -2650,8 +2666,8 @@ QUERIES = {
     # its oracle is a self-gated within-3% band (weakest of the round-4
     # set) and the HLL estimator is pinned by in-repo tests.
     "doc_distinct_approx": q_doc_distinct_approx,
-    "semantic_dedup": q_semantic_dedup,  # rows-only by nature (k-means);
-    # invariants pinned in test_decontam
+    "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
+    # exact copies; rotate into the window next round
     # (rows-only queries may sit behind the window: the driver check for
     # them is row-count only, which the in-repo tests pin harder; window
     # slots go to oracle-backed queries first.)
@@ -3303,6 +3319,9 @@ ORACLE_SQL = {
         SELECT split, count(*) AS n, min(doc_id) AS min_id,
                max(doc_id) AS max_id
         FROM s GROUP BY split
+    """,
+    "semantic_dedup": """
+        SELECT vec_id FROM embeddings
     """,
     "doc_repetition": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
