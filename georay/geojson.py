@@ -123,7 +123,8 @@ def wkb_to_geometry(buf: bytes) -> dict:
 
 def feature_collection_to_table(fc: dict) -> pa.Table:
     """FeatureCollection → Arrow table (wkb + unified property columns)."""
-    feats = fc["features"] if fc.get("type") == "FeatureCollection" else fc
+    feats = fc["features"] if isinstance(fc, dict) \
+        and fc.get("type") == "FeatureCollection" else fc
     keys: list = []
     for f in feats:
         for k in (f.get("properties") or {}):
@@ -171,3 +172,118 @@ def write_geojson(ds_or_table, path: str, wkb_col: str = "wkb") -> str:
     with open(path, "w") as f:
         json.dump(table_to_feature_collection(t, wkb_col), f)
     return path
+
+
+# ---------------------------------------------------------------- seq
+
+def _features_to_lines(t: pa.Table, wkb_col: str) -> str:
+    props = [c for c in t.schema.names if c != wkb_col]
+    out = []
+    for i in range(t.num_rows):
+        w = t[wkb_col][i].as_py()
+        out.append(json.dumps({
+            "type": "Feature",
+            "geometry": None if w is None else wkb_to_geometry(w),
+            "properties": {k: t[k][i].as_py() for k in props},
+        }, separators=(",", ":")))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def write_geojsonseq(ds_or_table, path: str, wkb_col: str = "wkb") -> str:
+    """Newline-delimited GeoJSON (GeoJSONSeq / .geojsonl — reference
+    driver ogr/ogrsf_frmts/geojson/ogrgeojsonseqdriver.cpp).  A Dataset
+    writes ONE FILE PER BLOCK under ``path``/part-*.geojsonl
+    (task-parallel, atomic rename — the resumable-partitioned-sink
+    contract); a table writes a single file at ``path``."""
+    import os
+    import uuid
+
+    if isinstance(ds_or_table, pa.Table):
+        with open(path, "w") as f:
+            f.write(_features_to_lines(ds_or_table, wkb_col))
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    def sink(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.geojsonl")
+        tmp = name + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_features_to_lines(batch, wkb_col))
+        os.replace(tmp, name)
+        return pa.table({"path": pa.array([name]),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    ds_or_table.map_batches(sink, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    return path
+
+
+def _parse_lines(raw: bytes) -> pa.Table:
+    feats = [json.loads(ln) for ln in raw.split(b"\n") if ln.strip()]
+    return feature_collection_to_table(feats)
+
+
+def read_geojsonseq(path: str, *, target_bytes: int = 64 << 20):
+    """GeoJSONSeq → ``ray.data.Dataset``.  A directory reads one task
+    per file; a single file is split into ~``target_bytes`` byte ranges
+    ALIGNED AT NEWLINES inside each task (read [start, stop+overrun),
+    drop everything before the first newline unless at 0 — the standard
+    distributed text-split contract), so one huge .geojsonl still scans
+    in parallel."""
+    import os
+
+    import ray
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, p) for p in os.listdir(path)
+            if p.endswith((".geojsonl", ".geojson", ".jsonl")))
+        src = ray.data.from_items(
+            [{"path": p, "start": -1, "stop": -1} for p in files],
+            override_num_blocks=max(1, len(files)))
+    else:
+        size = os.path.getsize(path)
+        cuts = list(range(0, max(size, 1), target_bytes)) + [size]
+        src = ray.data.from_items(
+            [{"path": path, "start": a, "stop": b}
+             for a, b in zip(cuts[:-1], cuts[1:]) if b > a],
+            override_num_blocks=max(1, len(cuts) - 1))
+
+    def load(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            p = batch["path"][i].as_py()
+            a = int(batch["start"][i].as_py())
+            b = int(batch["stop"][i].as_py())
+            with open(p, "rb") as f:
+                if a < 0:                       # whole file
+                    raw = f.read()
+                elif a == 0:
+                    raw = f.read(b)
+                    if raw and not raw.endswith(b"\n"):
+                        raw += f.readline()
+                else:
+                    # a line belongs to this range iff it STARTS in
+                    # [a, b): peek at byte a-1 — if it is a newline the
+                    # line at ``a`` is complete and ours; otherwise we
+                    # are mid-line and skip to the first newline
+                    f.seek(a - 1)
+                    raw = f.read(b - a + 1)
+                    prev, raw = raw[:1], raw[1:]
+                    if prev != b"\n":
+                        cut = raw.find(b"\n")
+                        raw = b"" if cut < 0 else raw[cut + 1:]
+                    # the line spanning ``b`` is ours too (it started
+                    # inside) — extend to its newline
+                    if raw and not raw.endswith(b"\n"):
+                        raw += f.readline()
+            if raw.strip():
+                outs.append(_parse_lines(raw))
+        if not outs:
+            return pa.table({"wkb": pa.array([], pa.binary())})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return src.map_batches(load, batch_format="pyarrow", batch_size=1)

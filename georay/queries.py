@@ -1794,6 +1794,49 @@ def q_lance_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_geojsonseq_zone_join(sf_dir: str):
+    """Zone polygons through a GeoJSONSeq roundtrip with a BYTE-RANGE
+    split read (13-line file read in ~3 ranges exercises the
+    peek-at-a-minus-1 line contract), under the zone oracle."""
+    import tempfile
+
+    from .geojson import read_geojsonseq, write_geojsonseq
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    path = tempfile.mktemp(suffix=".geojsonl", prefix="georay_q_",
+                           dir="/tmp")
+    write_geojsonseq(zones.select(["wkb", "n_name"]), path)
+    import os
+    back_ds = read_geojsonseq(path,
+                              target_bytes=os.path.getsize(path) // 3 + 1)
+    back = pa.concat_tables(list(back_ds.iter_batches(
+        batch_size=4096, batch_format="pyarrow")))
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, back, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
+def q_arrow_ipc_zone_join(sf_dir: str):
+    """Customer points through an Arrow IPC (Feather v2) roundtrip —
+    partitioned sink + record-batch-parallel source with projection —
+    under the zone oracle (reference driver ogr/ogrsf_frmts/arrow)."""
+    import tempfile
+
+    from .arrowipc import read_arrow_ipc, write_arrow_ipc
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir, extra_cols=["c_mktsegment"])
+    d = tempfile.mkdtemp(prefix="georay_q_ipc_", dir="/tmp")
+    write_arrow_ipc(pts.repartition(3), d)
+    back = read_arrow_ipc(d, columns=["c_custkey", "lon", "lat"])
+    return spatial_join_points(
+        back, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_doc_decontam(sf_dir: str):
     """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
     doc_id % 37 == 0 act as the held-out benchmark; every other doc
@@ -2666,6 +2709,9 @@ QUERIES = {
     # its oracle is a self-gated within-3% band (weakest of the round-4
     # set) and the HLL estimator is pinned by in-repo tests.
     "doc_distinct_approx": q_doc_distinct_approx,
+    "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
+    # rotate into the window next round (in-repo parity pins it now)
+    "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
     # exact copies; rotate into the window next round
     # (rows-only queries may sit behind the window: the driver check for
@@ -2986,6 +3032,12 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "lance_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "geojsonseq_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "arrow_ipc_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""

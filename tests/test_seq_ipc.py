@@ -1,0 +1,81 @@
+"""GeoJSONSeq byte-range splits + Arrow IPC batch-parallel driver."""
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.arrowipc import (read_arrow_ipc, read_arrow_ipc_table,
+                             write_arrow_ipc)
+from georay.geojson import (geometry_to_wkb, read_geojsonseq,
+                            write_geojsonseq)
+
+
+def _pts_table(n=50, start=0):
+    ids = np.arange(start, start + n, dtype=np.int64)
+    wkbs = [geometry_to_wkb({"type": "Point",
+                             "coordinates": [float(i % 360 - 180),
+                                             float(i % 120 - 60)]})
+            for i in ids]
+    return pa.table({"wkb": pa.array(wkbs, pa.binary()),
+                     "fid": pa.array(ids)})
+
+
+def test_geojsonseq_single_file_roundtrip(tmp_path, ray_session):
+    t = _pts_table(40)
+    p = str(tmp_path / "pts.geojsonl")
+    write_geojsonseq(t, p)
+    back = read_geojsonseq(p).to_pandas().sort_values("fid")
+    assert list(back["fid"]) == list(range(40))
+    assert list(back.columns) == ["wkb", "fid"]
+
+
+def test_geojsonseq_byte_range_split_exact(tmp_path, ray_session):
+    """Every line lands in exactly one range, no matter where the cuts
+    fall (the peek-at-a-minus-1 contract)."""
+    t = _pts_table(200)
+    p = str(tmp_path / "pts.geojsonl")
+    write_geojsonseq(t, p)
+    size = os.path.getsize(p)
+    # brutal: 13-byte ranges — far smaller than one line
+    for tb in (13, 97, size // 3, size * 2):
+        back = read_geojsonseq(p, target_bytes=tb).to_pandas()
+        assert sorted(back["fid"]) == list(range(200)), tb
+
+
+def test_geojsonseq_dataset_sink_parallel(tmp_path, ray_session):
+    import ray
+    t = _pts_table(120)
+    out = str(tmp_path / "seqdir")
+    write_geojsonseq(ray.data.from_arrow(t).repartition(4), out)
+    files = [f for f in os.listdir(out) if f.endswith(".geojsonl")]
+    assert len(files) == 4
+    back = read_geojsonseq(out).to_pandas()
+    assert sorted(back["fid"]) == list(range(120))
+
+
+def test_arrow_ipc_roundtrip_and_projection(tmp_path, ray_session):
+    import ray
+    t = _pts_table(300)
+    d = str(tmp_path / "ipcdir")
+    write_arrow_ipc(ray.data.from_arrow(t).repartition(3), d)
+    assert len([f for f in os.listdir(d) if f.endswith(".arrow")]) == 3
+    back = read_arrow_ipc(d).to_pandas()
+    assert sorted(back["fid"]) == list(range(300))
+    proj = read_arrow_ipc(d, columns=["fid"]).to_pandas()
+    assert list(proj.columns) == ["fid"]
+    tb = read_arrow_ipc_table(d, columns=["fid"])
+    assert tb.num_rows == 300
+
+
+def test_arrow_ipc_batch_ranges(tmp_path, ray_session):
+    # one file, many record batches → multiple scan units
+    t = _pts_table(1000)
+    p = str(tmp_path / "one.arrow")
+    import pyarrow.ipc as pipc
+    with pipc.new_file(p, t.schema) as w:
+        for i in range(0, 1000, 50):        # 20 record batches
+            w.write_table(t.slice(i, 50))
+    back = read_arrow_ipc(p, batches_per_task=3).to_pandas()
+    assert sorted(back["fid"]) == list(range(1000))
