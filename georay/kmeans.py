@@ -112,7 +112,55 @@ def _iterate(ds, vec_col: str, cent: np.ndarray,
 def kmeans_fit(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                k: int = 8, iters: int = 10, tol: float = 1e-7,
                sample_frac: float = 0.05):
-    """Fit → dict(centroids (k,d), counts, inertia list, n_iters)."""
+    """Fit → dict(centroids (k,d), counts, inertia list, n_iters).
+
+    The input's (id, vec) projection is ``materialize()``d ONCE before
+    the loop: Lloyd fundamentally re-scans the data every iteration, so
+    the pinned set (just the projected embedding table — the object
+    store spills it if needed) is the Ray-idiomatic cache for an
+    iterative consumer.
+
+    SIZE-ADAPTIVE (the equi_join discipline): each distributed pass
+    costs ~1 s of streaming-executor fixed overhead regardless of data
+    size, so iters=10 on a small table pays ~10 s of pure orchestration
+    (measured 12.9 s for 50k×64f at sf0.1).  When the pinned projection
+    is ≤ ``local_cap`` bytes the loop runs driver-side on the collected
+    matrix with the IDENTICAL init + update rules (float summation
+    order differs — same tolerance contract as the distributed path,
+    whose partial sums are block-order-dependent too)."""
+    ds = ds.map_batches(
+        lambda b: b.select([id_col, vec_col]),
+        batch_format="pyarrow").materialize()
+    local_cap = 64 << 20
+    nbytes = ds.size_bytes() or 0
+    if 0 < nbytes <= local_cap:
+        t = pa.concat_tables(
+            ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        mat = fsl_to_numpy(t[vec_col], dtype=np.float64)[order]
+        ids = ids[order]
+        cent = _local_init(ids, mat, k, sample_frac)
+        history = []
+        x2 = np.sum(mat * mat, axis=1)
+        cnt = np.zeros(k)
+        for it in range(iters):
+            c2 = np.sum(cent * cent, axis=1)
+            dist = c2[None, :] - 2.0 * (mat @ cent.T)
+            a = np.argmin(dist, axis=1)
+            history.append(float((np.min(dist, axis=1) + x2).sum()))
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            new = cent.copy()
+            nz = cnt > 0
+            new[nz] = sums[nz] / cnt[nz, None]
+            shift = float(np.max(np.sum((new - cent) ** 2, axis=1)))
+            cent = new
+            if shift < tol:
+                break
+        return {"centroids": cent, "counts": cnt.astype(np.int64),
+                "inertia": history, "n_iters": len(history)}
     cent = _init_centroids(ds, vec_col, id_col, k, sample_frac)
     history = []
     for it in range(iters):
@@ -127,6 +175,24 @@ def kmeans_fit(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             break
     return {"centroids": cent, "counts": cnt.astype(np.int64),
             "inertia": history, "n_iters": len(history)}
+
+
+def _local_init(ids: np.ndarray, mat: np.ndarray, k: int,
+                sample_frac: float) -> np.ndarray:
+    """Driver-side mirror of :func:`_init_centroids` — same hash sample,
+    same id sort, same farthest-point walk."""
+    cut = int(round(sample_frac * _MOD))
+    keep = hash_bucket(ids) < cut
+    sub = mat[keep]
+    if sub.shape[0] < k:
+        raise ValueError(f"init sample ({sub.shape[0]}) smaller than "
+                         f"k={k} — raise sample_frac")
+    cent = [sub[0]]
+    d2 = np.sum((sub - cent[0]) ** 2, axis=1)
+    for _ in range(1, k):
+        cent.append(sub[int(np.argmax(d2))])
+        d2 = np.minimum(d2, np.sum((sub - cent[-1]) ** 2, axis=1))
+    return np.asarray(cent)
 
 
 def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
