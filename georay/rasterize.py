@@ -179,6 +179,33 @@ def sample_at_points(arr: np.ndarray, gt, px, py, method: str = "near"):
              + band[y1, x0c] * (1 - tx) * ty
              + band[y1, x1] * tx * ty)
         return np.where(valid, v, np.nan)
+    if method == "cubic":
+        # 4×4 cubic-convolution (Keys a=-0.5 — the GRA_Cubic kernel,
+        # gcore/gdal_interpolateatpoint.cpp CubicKernel), edge-clamped
+        def k(t):
+            at = np.abs(t)
+            return np.where(
+                at <= 1.0, (1.5 * at - 2.5) * at * at + 1.0,
+                np.where(at < 2.0,
+                         ((-0.5 * at + 2.5) * at - 4.0) * at + 2.0, 0.0))
+        cx = fx - 0.5
+        cy = fy - 0.5
+        x0 = np.floor(cx).astype(np.int64)
+        y0 = np.floor(cy).astype(np.int64)
+        tx = cx - x0
+        ty = cy - y0
+        valid = (cx >= 0) & (cx <= w - 1) & (cy >= 0) & (cy <= h - 1)
+        v = np.zeros_like(cx)
+        for dy in range(-1, 3):
+            wy = k(ty - dy)
+            yc = np.clip(y0 + dy, 0, h - 1)
+            row = np.zeros_like(cx)
+            for dx in range(-1, 3):
+                wx = k(tx - dx)
+                xc = np.clip(x0 + dx, 0, w - 1)
+                row += band[yc, xc] * wx
+            v += row * wy
+        return np.where(valid, v, np.nan)
     raise ValueError(method)
 
 

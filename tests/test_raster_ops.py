@@ -119,6 +119,18 @@ def test_sample_at_points():
     vb = RZ.sample_at_points(arr, gt, [2.0], [2.0], method="bilinear")
     # center of the grid: average of the 4 middle pixels (5,6,9,10) = 7.5
     assert vb[0] == pytest.approx(7.5)
+    # cubic (Keys a=-0.5): partition of unity → constants exact; the
+    # kernel reproduces LINEAR surfaces exactly, so on this linear ramp
+    # cubic == bilinear everywhere inside the valid window
+    xs, ys = np.meshgrid(np.arange(8) + 0.5, np.arange(8) + 0.5)
+    ramp = 2.0 * xs + 3.0 * ys
+    gt2 = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    px = np.array([2.3, 4.9, 3.5])
+    py = np.array([3.7, 2.2, 4.5])
+    vc = RZ.sample_at_points(ramp, gt2, px, py, method="cubic")
+    assert np.allclose(vc, 2.0 * px + 3.0 * py)
+    out = RZ.sample_at_points(ramp, gt2, [50.0], [1.0], method="cubic")
+    assert np.isnan(out[0])
 
 
 def test_gridding():
