@@ -992,3 +992,81 @@ def connected_components(pairs_ds, *, a_col: str = "id_a",
     return (edges.groupby("part")
             .map_groups(finalize, batch_format="pyarrow")
             .select_columns(["node", "comp"]))
+
+
+def substr_dup_counts(ds, *, n: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text", num_partitions=None):
+    """Duplicated-passage detection (ExactSubstr flavor of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): per document, the number of DISTINCT character
+    ``n``-grams that also occur in at least one OTHER document.
+
+    Scale shape: only (gram-hash, doc_id) DISTINCT pairs enter the
+    shuffle — one row per distinct gram per doc, never text.  Pairs are
+    hash-partitioned on the gram hash; each partition resolves ALL its
+    grams in one vectorized pass (sort → run detection → multi-doc
+    grams → per-doc partial counts), and a tiny ``groupby(doc).sum``
+    folds the partials.  Same Horner rolling family as the rest of the
+    near-dup stack."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        num_partitions = 4 * max(
+            2, int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    P = np.uint64(num_partitions)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        if not texts:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "part__": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh, offsets = _batch_shingles(texts, n)
+        doc = np.repeat(np.arange(len(texts), dtype=np.int64),
+                        np.diff(offsets))
+        # distinct (doc, gram) within the batch: one lexsort
+        order = np.lexsort((sh, doc))
+        d, h = doc[order], sh[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[first], h[first]
+        mix = h * np.uint64(0x9E3779B97F4A7C15)
+        mix ^= mix >> np.uint64(29)
+        return pa.table({
+            "h": pa.array(h.view(np.int64)),
+            id_col: pa.array(ids[d]),
+            "part__": pa.array((mix % P).astype(np.int64)),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy().view(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        hs, ds_ = h[order], ids[order]
+        # (doc, gram) pairs are distinct per batch but a doc can span
+        # batches — re-unique, then count distinct docs per gram
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_ = hs[first], ds_[first]
+        new_gram = np.ones(hs.size, dtype=bool)
+        new_gram[1:] = hs[1:] != hs[:-1]
+        gram_id = np.cumsum(new_gram) - 1
+        docs_per_gram = np.bincount(gram_id)
+        shared = docs_per_gram[gram_id] >= 2
+        if not shared.any():
+            return pa.table({id_col: pa.array([], g[id_col].type),
+                             "n_shared": pa.array([], pa.int64())})
+        keep_ids = ds_[shared]
+        u, cnt = np.unique(keep_ids, return_counts=True)
+        return pa.table({id_col: pa.array(u),
+                         "n_shared": pa.array(cnt.astype(np.int64))})
+
+    part = (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("part__")
+              .map_groups(resolve, batch_format="pyarrow"))
+    out = part.groupby(id_col).aggregate(
+        Sum("n_shared", alias_name="n_shared"))
+    return out

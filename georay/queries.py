@@ -1886,6 +1886,15 @@ def q_semantic_dedup(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_doc_substr_dups(sf_dir: str):
+    """Duplicated-passage detection (ExactSubstr flavor, Lee et al.
+    2022): per doc, distinct 50-grams shared with any other doc.  Only
+    (gram-hash, doc) pairs shuffle; partitions resolve vectorized."""
+    from .dedup import substr_dup_counts
+    return substr_dup_counts(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), n=50)
+
+
 def q_doc_repetition(sf_dir: str):
     """Word-bigram repetition quality signals (Gopher/C4 filtering
     family): top-bigram fraction + duplicate-bigram fraction per doc,
@@ -2668,6 +2677,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "doc_decontam": q_doc_decontam,
     "doc_repetition": q_doc_repetition,
+    "doc_substr_dups": q_doc_substr_dups,
     "gpkg_zone_join": q_gpkg_zone_join,
     "lance_zone_join": q_lance_zone_join,
     "sql_q3": q_sql_q3,
@@ -2681,7 +2691,6 @@ QUERIES = {
     "sql_cte": q_sql_cte,
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
-    "gpx_waypoint_census": q_gpx_waypoint_census,
     "sql_dates": q_sql_dates,
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_window_range": q_sql_window_range,
@@ -2698,6 +2707,8 @@ QUERIES = {
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "gpx_waypoint_census": q_gpx_waypoint_census,  # rotated behind:
+    # repr-exact float roundtrip pinned by test_xmldrivers
     "sql_json": q_sql_json,  # rotated behind: one extract_regex kernel,
     # pinned by test_sql
     "sql_date_trunc": q_sql_date_trunc,  # rotated behind: shares the
@@ -3374,6 +3385,15 @@ ORACLE_SQL = {
     """,
     "semantic_dedup": """
         SELECT vec_id FROM embeddings
+    """,
+    "doc_substr_dups": """
+        WITH g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                generate_series(1, greatest(length(text) - 49, 1)),
+                i -> substring(text, i, 50))) AS gram FROM documents),
+        multi AS (SELECT gram FROM g GROUP BY gram
+                  HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT doc_id, COUNT(*) AS n_shared FROM g JOIN multi USING (gram)
+        GROUP BY doc_id
     """,
     "doc_repetition": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
