@@ -454,6 +454,20 @@ def _fn_nullif(args, batch):
                       pa.scalar(None, getattr(a, "type", pa.null())), a)
 
 
+def _fn_coalesce(args, batch):
+    """COALESCE: untyped NULL literal args are dropped up front (a NULL
+    arg is never selected, so this is semantics-preserving; pc.coalesce
+    rejects bare python None)."""
+    _n_args("COALESCE", args, 1, 64)
+    vals = [_eval(a, batch) for a in args]
+    typed = [v for v in vals
+             if v is not None and not (isinstance(v, pa.Scalar)
+                                       and pa.types.is_null(v.type))]
+    if not typed:
+        return pa.scalar(None, pa.null())
+    return pc.coalesce(*typed) if len(typed) > 1 else typed[0]
+
+
 def _fn_concat(args, batch):
     _n_args("CONCAT", args, 1, 64)
     vals = [_eval(a, batch) for a in args]
@@ -542,9 +556,7 @@ _FUNCS = {
     "TRIM": _elementwise(pc.utf8_trim_whitespace),
     "SUBSTR": _fn_substr, "SUBSTRING": _fn_substr,
     "CONCAT": _fn_concat,
-    "COALESCE": lambda args, batch: (
-        _n_args("COALESCE", args, 1, 64),
-        pc.coalesce(*[_eval(a, batch) for a in args]))[1],
+    "COALESCE": lambda args, batch: _fn_coalesce(args, batch),
     "NULLIF": _fn_nullif,
     "YEAR": _elementwise(pc.year),
     "MONTH": _elementwise(pc.month),

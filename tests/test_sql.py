@@ -877,3 +877,16 @@ def test_sql_bare_alias(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_coalesce_null_literal(ray_session):
+    for sql in [
+        "SELECT COALESCE(NULL, o_orderpriority, 'x') AS p FROM orders "
+        "ORDER BY p LIMIT 3",
+        "SELECT COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'u') AS p, "
+        "COUNT(*) AS n FROM orders GROUP BY p ORDER BY p",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
