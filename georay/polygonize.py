@@ -657,3 +657,79 @@ def contour_tiled(tiles_ds, levels, *, source_col: str = "source_id"):
     return (tiles_ds.map_batches(per_tile, batch_format="pyarrow")
             .groupby([source_col, "level"])
             .map_groups(stitch, batch_format="pyarrow"))
+
+
+def contour_polygons(band: np.ndarray, levels, gt=None,
+                     connect8: bool = False):
+    """gdal_contour polygon mode (``-p``, apps/gdal_contour_bin.cpp /
+    contour writer ogr polygons): polygons of the level BANDS
+    ``(-inf, l0), [l0, l1), …, [lk, +inf)`` with ``band_index`` /
+    ``level_min`` / ``level_max`` attributes.
+
+    PIXEL-ALIGNED variant: pixels classify into their band and
+    connected same-band regions polygonize — the classify→polygonize
+    idiom rather than marching-squares interpolated boundaries
+    (documented divergence: boundaries are pixel edges; band MEMBERSHIP
+    per pixel is exact, and band areas sum to the raster area, which
+    the interpolated writer does not guarantee under ring snapping).
+
+    Returns list of ``(band_index, level_min, level_max, wkb,
+    pixel_count)`` — level_min/max as ±inf floats at the open ends."""
+    lv = np.asarray(sorted(levels), dtype=np.float64)
+    idx = np.digitize(band.astype(np.float64), lv).astype(np.uint8)
+    if len(lv) > 254:
+        raise ValueError("more than 254 contour levels")
+    out = []
+    for value, wkb, n in polygonize(idx, gt=gt, connect8=connect8):
+        b = int(value)
+        lo = -np.inf if b == 0 else float(lv[b - 1])
+        hi = float(lv[b]) if b < len(lv) else np.inf
+        out.append((b, lo, hi, wkb, n))
+    return out
+
+
+def contour_polygons_tiled(tiles_ds, levels, *,
+                           source_col: str = "source_id",
+                           connect8: bool = False):
+    """Distributed contour polygons with the SAME cross-tile dissolve as
+    :func:`polygonize_tiled`: tiles classify into band indices inside
+    ``map_batches`` (pure relabel — the uint8 tile contract holds), then
+    the existing per-tile polygonize + border-edge cancellation runs
+    unchanged.  Output adds ``level_min`` / ``level_max``.
+
+    Known limit (inherited from the dissolve): two 4-connectivity-
+    separate same-band regions that touch ONLY at a corner lying
+    exactly on a tile border may chain into one feature after border-
+    edge cancellation (the unsplit trace keeps them separate); total
+    pixel counts are conserved.  Realistic contour bands (smooth
+    fields) don't produce that case — pinned on a sinusoid+gradient
+    surface."""
+    lv = np.asarray(sorted(levels), dtype=np.float64)
+    if len(lv) > 254:
+        raise ValueError("more than 254 contour levels")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        bands = []
+        for i in range(batch.num_rows):
+            h = int(batch["h"][i].as_py())
+            w = int(batch["w"][i].as_py())
+            t = np.frombuffer(batch["band"][i].as_buffer(),
+                              dtype=np.uint8).reshape(h, w)
+            bands.append(np.digitize(t.astype(np.float64), lv)
+                         .astype(np.uint8).tobytes())
+        return batch.set_column(batch.schema.get_field_index("band"),
+                                "band", pa.array(bands, pa.binary()))
+
+    polys = polygonize_tiled(tiles_ds.map_batches(
+        classify, batch_format="pyarrow"), source_col=source_col,
+        connect8=connect8)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        b = batch["value"].to_numpy()
+        lo = np.where(b == 0, -np.inf, lv[np.maximum(b - 1, 0)])
+        hi = np.where(b >= len(lv), np.inf,
+                      lv[np.minimum(b, len(lv) - 1)])
+        return (batch.append_column("level_min", pa.array(lo))
+                     .append_column("level_max", pa.array(hi)))
+
+    return polys.map_batches(attach, batch_format="pyarrow")

@@ -79,3 +79,45 @@ def test_arrow_ipc_batch_ranges(tmp_path, ray_session):
             w.write_table(t.slice(i, 50))
     back = read_arrow_ipc(p, batches_per_task=3).to_pandas()
     assert sorted(back["fid"]) == list(range(1000))
+
+
+def test_contour_polygons_pixel_exact(ray_session):
+    """Band membership is exact per pixel and areas partition the
+    raster; 4-tile split == unsplit through the tiled path."""
+    import ray
+
+    from georay.polygonize import (contour_polygons,
+                                   contour_polygons_tiled,
+                                   split_image_tiles)
+
+    ys, xs = np.mgrid[0:40, 0:48]
+    band = (50 + 30 * np.sin(xs / 7.0) + 0.8 * ys).astype(np.uint8)
+    levels = [25.0, 50.0, 75.0]
+    polys = contour_polygons(band, levels)
+    # pixel counts partition the raster and match the classification
+    idx = np.digitize(band.astype(np.float64), np.asarray(levels))
+    assert sum(p[4] for p in polys) == band.size
+    for b in range(4):
+        assert (sum(p[4] for p in polys if p[0] == b)
+                == int((idx == b).sum()))
+    lv_arr = np.asarray(levels)
+    for p in polys:
+        assert p[1] == (-np.inf if p[0] == 0 else lv_arr[p[0] - 1])
+        assert p[2] == (np.inf if p[0] == len(levels) else lv_arr[p[0]])
+
+    # tiled == unsplit (per (band, pixel_count) multiset of features)
+    rows = []
+    for (ox, oy, tile) in split_image_tiles(band, 16):
+        rows.append({"source_id": "img0", "ox": ox, "oy": oy,
+                     "h": tile.shape[0], "w": tile.shape[1],
+                     "band": tile.tobytes()})
+    ds = ray.data.from_items(rows, override_num_blocks=len(rows))
+    got = contour_polygons_tiled(ds, levels).to_pandas()
+    a = sorted(zip(got["value"], got["pixel_count"]))
+    b_ = sorted((p[0], p[4]) for p in polys)
+    assert a == b_
+    lv = np.asarray(levels)
+    for _, r in got.iterrows():
+        v = int(r["value"])
+        assert r["level_min"] == (-np.inf if v == 0 else lv[v - 1])
+        assert r["level_max"] == (np.inf if v == 3 else lv[v])
