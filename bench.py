@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "gpkg_zone_join", "sql_q3", "lineref_mileposts", "augment_images",
     "sql_case", "sql_union", "osm_nodes_census", "kml_zone_join",
     "gpx_waypoint_census", "webp_images", "lance_zone_join",
-    "doc_decontam", "doc_repetition", "sql_cte", "doc_bm25_topk",
+    "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
 ]
 
@@ -95,6 +95,36 @@ def run_headline() -> dict:
             "images_per_sec": N_IMAGES / dt}
 
 
+def _bench_images_lance() -> str:
+    """One-time parquet → lance-layout conversion of the bench fixture
+    (cached by marker).  The north rule's input is a LANCE image+caption
+    table; the lance arm times the identical flagship over it."""
+    import os
+    root = f"/tmp/georay_bench_lance_{N_IMAGES}_u8192"
+    marker = os.path.join(root, ".complete-v1")
+    if not os.path.exists(marker):
+        import ray
+        from georay.lancefmt import write_lance
+        pq_path = _bench_images_path()
+        ds = ray.data.read_parquet(pq_path)
+        write_lance(ds, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def run_headline_lance() -> dict:
+    from georay.pipelines import flagship_join
+    root = _bench_images_lance()
+    t0 = time.perf_counter()
+    out = flagship_join(root, zoom=12, n_polygons=500, decode=True,
+                        cut=True, verify=True, source="direct")
+    rows = out.count()
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "images": N_IMAGES, "rows": rows,
+            "images_per_sec": N_IMAGES / dt}
+
+
 def run_queries() -> dict:
     import statistics
     from georay.queries import QUERIES
@@ -129,6 +159,7 @@ def main_plain():
     _bench_images_path()          # build fixture outside the timed window
     run_headline()                # warm-up: page cache + actor pools
     head = run_headline()
+    lance_head = run_headline_lance()
     queries = run_queries()
     result = {
         "metric": "flagship spatial-join+tile-assign (sec)",
@@ -137,6 +168,8 @@ def main_plain():
         "images_per_sec": round(head["images_per_sec"], 1),
         "images": head["images"],
         "join_rows": head["rows"],
+        "lance_images_per_sec": round(lance_head["images_per_sec"], 1),
+        "lance_sec": round(lance_head["sec"], 3),
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": NUM_CPUS,

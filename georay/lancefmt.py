@@ -379,24 +379,72 @@ def _read_filemeta(path: str):
 
 
 def read_fragment(path: str, schema: pa.Schema,
-                  columns: list[str] | None = None) -> pa.Table:
-    """Projection-pushdown fragment read: only the requested columns'
-    byte ranges leave disk (plus the footer + metadata small reads)."""
+                  columns: list[str] | None = None,
+                  row_range: tuple[int, int] | None = None) -> pa.Table:
+    """Projection + ROW-RANGE pushdown fragment read: only the requested
+    columns' byte ranges for rows [a, b) leave disk (offsets narrow the
+    variable-width data reads; bitmaps read their covering bytes).  This
+    is the scan unit for sub-fragment parallelism — a wide fragment
+    serves many tasks without any task reading the whole thing."""
     num_rows, cols = _read_filemeta(path)
+    a, b = (0, num_rows) if row_range is None else row_range
+    b = min(b, num_rows)
+    n = max(b - a, 0)
     want = list(columns) if columns is not None else [
         c["name"] for c in cols]
     by_name = {c["name"]: c for c in cols}
     arrays, names = [], []
     with open(path, "rb") as f:
+
+        def _read(off, ln):
+            f.seek(off)
+            return f.read(ln)
+
         for name in want:
             cm = by_name[name]
-            raw = {}
-            for b in cm["buffers"]:
-                f.seek(b["offset"])
-                raw[b["role"]] = f.read(b["length"])
+            bufs = {bb["role"]: bb for bb in cm["buffers"]}
             t = schema.field(name).type
-            arrays.append(_decode_column(raw, t, num_rows,
-                                         cm["null_count"]))
+            code, list_size, value_code = _type_code(t)
+            raw = {}
+            mask = None
+            if 1 in bufs:       # validity bitmap: covering byte range
+                v = bufs[1]
+                raw_bits = _read(v["offset"] + a // 8,
+                                 (b + 7) // 8 - a // 8)
+                bits = np.unpackbits(
+                    np.frombuffer(raw_bits, np.uint8),
+                    bitorder="little")[a % 8:a % 8 + n]
+                mask = ~bits.astype(bool)
+                if not mask.any():
+                    mask = None
+            if code in _FIXED or code == 8:
+                it = np.dtype(_FIXED[code if code in _FIXED
+                                     else value_code][0]).itemsize
+                k = list_size if code == 8 else 1
+                raw[3] = _read(bufs[3]["offset"] + a * it * k,
+                               n * it * k)
+            elif code in (5, 6):
+                offs = np.frombuffer(
+                    _read(bufs[2]["offset"] + a * 8, (n + 1) * 8),
+                    np.int64) if n else np.zeros(1, np.int64)
+                raw[2] = (offs - offs[0]).tobytes()
+                raw[3] = _read(bufs[3]["offset"] + int(offs[0]),
+                               int(offs[-1] - offs[0]))
+            elif code == 7:
+                raw_bits = _read(bufs[3]["offset"] + a // 8,
+                                 (b + 7) // 8 - a // 8)
+                bits = np.unpackbits(
+                    np.frombuffer(raw_bits, np.uint8),
+                    bitorder="little")[a % 8:a % 8 + n]
+                arrays.append(pa.array(bits.astype(bool), mask=mask))
+                names.append(name)
+                continue
+            if mask is not None:
+                raw[1] = np.packbits(~mask, bitorder="little").tobytes()
+            arr = _decode_column(raw, t, n,
+                                 int(mask.sum()) if mask is not None
+                                 else 0)
+            arrays.append(arr)
             names.append(name)
     return pa.table(dict(zip(names, arrays))) if names else \
         pa.table({}).slice(0, 0)

@@ -339,8 +339,24 @@ def _flagship_direct_fn(batch: pa.Table, *, index_ref, zoom, decode, cut,
     only the small summary rows do."""
     import pyarrow.parquet as pq_mod
     paths = batch["path"].to_pylist()
-    rgs = batch["row_groups"].to_pylist()
     outs = []
+    if "start" in batch.column_names:        # lance fragment row ranges
+        from .lancefmt import lance_manifest, read_fragment
+        roots = batch["root"].to_pylist()
+        starts = batch["start"].to_pylist()
+        stops = batch["stop"].to_pylist()
+        for root, path, a, b in zip(roots, paths, starts, stops):
+            key = ("lance_schema", root)
+            sch = _STAGE_CACHE.get(key)
+            if sch is None:
+                sch = lance_manifest(root)["schema"]
+                _STAGE_CACHE[key] = sch
+            tbl = read_fragment(path, sch, row_range=(int(a), int(b)))
+            outs.append(_flagship_fn(tbl, index_ref=index_ref, zoom=zoom,
+                                     decode=decode, cut=cut,
+                                     verify=verify))
+        return pa.concat_tables(outs)
+    rgs = batch["row_groups"].to_pylist()
     for path, groups in zip(paths, rgs):
         tbl = pq_mod.ParquetFile(path).read_row_groups(list(groups))
         outs.append(_flagship_fn(tbl, index_ref=index_ref, zoom=zoom,
@@ -360,6 +376,22 @@ def flagship_work_units(images_path: str, groups_per_task: int = 2):
     tail-free — the floor only matters when input ≈ cluster size."""
     import os
     import pyarrow.parquet as pq_mod
+    if os.path.exists(os.path.join(images_path, "_latest.manifest")):
+        # lance root: sub-fragment row ranges are the unit (the
+        # read_fragment row-range pushdown makes this a true partial
+        # read — same ~512-row unit size as the parquet path)
+        from .lancefmt import lance_manifest
+        man = lance_manifest(images_path)
+        units = []
+        rows_per_unit = 512
+        for fr in man["fragments"]:
+            full = os.path.join(images_path, "data", fr["filename"])
+            for a in range(0, fr["num_rows"], rows_per_unit):
+                units.append({"root": images_path, "path": full,
+                              "start": a,
+                              "stop": min(a + rows_per_unit,
+                                          fr["num_rows"])})
+        return units
     units = []
     for f in sorted(os.listdir(images_path)):
         if not f.endswith(".parquet"):

@@ -181,3 +181,23 @@ def test_flagship_over_lance_table(tmp_path, ray_session):
     pb_ = b[key].sort_values(key).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(pa_, pb_)
+
+
+def test_row_range_reads(tmp_path):
+    """Row-range pushdown == full read sliced, for every type + nulls,
+    across unaligned bitmap boundaries."""
+    t = _mixed_table(257)
+    # add a nullable column to exercise validity bit slicing
+    vals = [None if i % 7 == 3 else i * 1.5 for i in range(257)]
+    t = t.append_column("nl", pa.array(vals, pa.float64()))
+    p = str(tmp_path / "f.lancef")
+    lf.write_fragment(t, p)
+    full = lf.read_fragment(p, t.schema)
+    for a, b in [(0, 257), (0, 1), (13, 14), (7, 93), (250, 257),
+                 (8, 16), (1, 256), (100, 100)]:
+        part = lf.read_fragment(p, t.schema, row_range=(a, b))
+        assert part.equals(full.slice(a, b - a)), (a, b)
+    # projection + range together
+    part = lf.read_fragment(p, t.schema, columns=["name", "nl"],
+                            row_range=(31, 77))
+    assert part.equals(full.select(["name", "nl"]).slice(31, 46))
