@@ -1860,6 +1860,37 @@ def q_doc_decontam(sf_dir: str):
     return flag_contaminated(corpus, ref, n=20)
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio path through the driver surface: deterministic
+    sine-mixture fixtures (real WAV / pcm16 / G.711 μ-law codecs, the
+    opus rows stay honest stubs → decoded=false), mel-spectrogram
+    actor-pool stage, per-row frame count + rounded mel norm.  Row
+    count scales with the documents table so the rows-only check is
+    size-sensitive; every value is a pure function of row index."""
+    import ray
+
+    from .multimodal import MelSpectrogram, audio_table
+
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+    t = audio_table(min(int(n_docs), 400))
+    ds = ray.data.from_arrow(t).repartition(4)
+    feats = ds.map_batches(MelSpectrogram, batch_format="pyarrow",
+                           concurrency=(1, 4), batch_size=64)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        mel = np.asarray(batch["mel_mean"].to_pylist(), dtype=np.float64)
+        norm = np.round(np.linalg.norm(mel, axis=1), 6) if mel.size             else np.zeros(0)
+        return pa.table({
+            "audio_id": batch["audio_id"],
+            "decoded": batch["decoded"],
+            "n_frames_stft": batch["n_frames_stft"],
+            "mel_norm": pa.array(norm),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (k-means buckets → within-cluster cosine prune,
     first-occurrence-wins).  The fixture embeddings have no natural
@@ -2723,6 +2754,8 @@ QUERIES = {
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
+    "audio_features": q_audio_features,  # rows-only (multimodal audio
+    # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
     # exact copies; rotate into the window next round
     # (rows-only queries may sit behind the window: the driver check for
