@@ -401,6 +401,110 @@ def _fn_substr(args, batch):
     return pc.utf8_slice_codeunits(_eval(args[0], batch), start, stop)
 
 
+def _lit_str(node, what):
+    if node[0] != "lit" or not isinstance(node[1], str):
+        raise FilterSyntaxError(f"{what} needs a string literal")
+    return node[1]
+
+
+def _fn_replace(args, batch):
+    _n_args("REPLACE", args, 3, 3)
+    return pc.replace_substring(_eval(args[0], batch),
+                                pattern=_lit_str(args[1], "REPLACE from"),
+                                replacement=_lit_str(args[2],
+                                                     "REPLACE to"))
+
+
+def _fn_regexp_replace(args, batch):
+    _n_args("REGEXP_REPLACE", args, 3, 3)
+    return pc.replace_substring_regex(
+        _eval(args[0], batch),
+        pattern=_lit_str(args[1], "REGEXP_REPLACE pattern"),
+        replacement=_lit_str(args[2], "REGEXP_REPLACE replacement"))
+
+
+def _fn_regexp_matches(args, batch):
+    _n_args("REGEXP_MATCHES", args, 2, 2)
+    return pc.match_substring_regex(
+        _eval(args[0], batch),
+        pattern=_lit_str(args[1], "REGEXP_MATCHES pattern"))
+
+
+def _fn_contains(args, batch):
+    _n_args("CONTAINS", args, 2, 2)
+    return pc.match_substring(_eval(args[0], batch),
+                              pattern=_lit_str(args[1], "CONTAINS"))
+
+
+def _fn_strpos(args, batch):
+    """STRPOS/INSTR: 1-based position of the first match, 0 if absent
+    (DuckDB semantics; find_substring's -1 maps to 0 via the +1)."""
+    _n_args("STRPOS", args, 2, 2)
+    pos = pc.find_substring(_eval(args[0], batch),
+                            pattern=_lit_str(args[1], "STRPOS"))
+    return pc.add(pos, 1)
+
+
+def _fn_left(args, batch):
+    _n_args("LEFT", args, 2, 2)
+    n = _lit_int(args[1], "LEFT length")
+    return pc.utf8_slice_codeunits(_eval(args[0], batch), 0, max(n, 0))
+
+
+def _fn_right(args, batch):
+    """RIGHT(s, n): last n characters ('' for n <= 0)."""
+    _n_args("RIGHT", args, 2, 2)
+    n = _lit_int(args[1], "RIGHT length")
+    if n <= 0:
+        s = _eval(args[0], batch)
+        return pc.utf8_slice_codeunits(s, 0, 0)
+    return pc.utf8_slice_codeunits(_eval(args[0], batch), -n)
+
+
+def _fn_pad(side):
+    def call(args, batch):
+        _n_args("LPAD/RPAD", args, 2, 3)
+        width = _lit_int(args[1], "pad width")
+        padding = _lit_str(args[2], "pad fill") if len(args) == 3 else " "
+        fn = pc.utf8_lpad if side == "l" else pc.utf8_rpad
+        # SQL LPAD also TRUNCATES to width when the string is longer
+        return pc.utf8_slice_codeunits(
+            fn(_eval(args[0], batch), width=width, padding=padding),
+            0, width)
+    return call
+
+
+def _fn_repeat(args, batch):
+    _n_args("REPEAT", args, 2, 2)
+    return pc.binary_repeat(_eval(args[0], batch),
+                            _lit_int(args[1], "REPEAT count"))
+
+
+def _fn_split_part(args, batch):
+    """SPLIT_PART(s, delim, n): 1-based field, '' when out of range
+    (DuckDB).  Vectorized: one split, then a guarded take over the
+    flattened values."""
+    import numpy as np
+    _n_args("SPLIT_PART", args, 3, 3)
+    s = _eval(args[0], batch)
+    delim = _lit_str(args[1], "SPLIT_PART delimiter")
+    n = _lit_int(args[2], "SPLIT_PART field")
+    lists = pc.split_pattern(s, pattern=delim)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = np.where(np.isnan(lens.astype(np.float64)), 0,
+                    lens).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    idx = offs + (n - 1)
+    ok = (n >= 1) & (n <= lens)
+    flat = lists.flatten()
+    take = pa.array(np.where(ok, idx, 0), pa.int64())
+    vals = flat.take(take) if len(flat) else pa.array(
+        [""] * len(lens), pa.string())
+    return pc.if_else(pa.array(ok), vals, pa.scalar("", pa.string()))
+
+
 def _fn_date_trunc(args, batch):
     """DATE_TRUNC('unit', ts) — DuckDB-compatible floor to unit."""
     _n_args("DATE_TRUNC", args, 2, 2)
@@ -554,6 +658,29 @@ _FUNCS = {
     "LOWER": _elementwise(pc.utf8_lower),
     "LENGTH": _elementwise(pc.utf8_length),
     "TRIM": _elementwise(pc.utf8_trim_whitespace),
+    "LTRIM": _elementwise(pc.utf8_ltrim_whitespace),
+    "RTRIM": _elementwise(pc.utf8_rtrim_whitespace),
+    "REVERSE": _elementwise(pc.utf8_reverse),
+    "SIGN": _elementwise(pc.sign),
+    "GREATEST": _elementwise(pc.max_element_wise, 2),
+    "LEAST": _elementwise(pc.min_element_wise, 2),
+    "REPLACE": _fn_replace,
+    "REGEXP_REPLACE": _fn_regexp_replace,
+    "REGEXP_MATCHES": _fn_regexp_matches,
+    "CONTAINS": _fn_contains,
+    "STRPOS": _fn_strpos, "INSTR": _fn_strpos,
+    "STARTS_WITH": lambda args, batch: (
+        _n_args("STARTS_WITH", args, 2, 2),
+        pc.starts_with(_eval(args[0], batch),
+                       pattern=_lit_str(args[1], "STARTS_WITH")))[1],
+    "ENDS_WITH": lambda args, batch: (
+        _n_args("ENDS_WITH", args, 2, 2),
+        pc.ends_with(_eval(args[0], batch),
+                     pattern=_lit_str(args[1], "ENDS_WITH")))[1],
+    "LEFT": _fn_left, "RIGHT": _fn_right,
+    "LPAD": _fn_pad("l"), "RPAD": _fn_pad("r"),
+    "REPEAT": _fn_repeat,
+    "SPLIT_PART": _fn_split_part,
     "SUBSTR": _fn_substr, "SUBSTRING": _fn_substr,
     "CONCAT": _fn_concat,
     "COALESCE": lambda args, batch: _fn_coalesce(args, batch),

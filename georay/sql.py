@@ -75,9 +75,14 @@ def _split_clauses(sql: str):
     toks = _tokenize(sql)
     # classify keywords our expr tokenizer labels as identifiers
     norm = []
-    for k, v in toks:
+    for i, (k, v) in enumerate(toks):
         if k == "ident" and v.upper() in (_CLAUSE_KWS | _AGG_FUNCS):
-            norm.append(("sqlkw", v.upper()))
+            # LEFT( / RIGHT( are the string FUNCTIONS, not join keywords
+            if v.upper() in ("LEFT", "RIGHT") and i + 1 < len(toks) \
+                    and toks[i + 1] == ("op", "("):
+                norm.append((k, v))
+            else:
+                norm.append(("sqlkw", v.upper()))
         else:
             norm.append((k, v))
     return norm

@@ -890,3 +890,42 @@ def test_sql_coalesce_null_literal(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_string_functions_vs_duckdb(ray_session):
+    """Round-4 string/util scalar additions, identical text both engines."""
+    for sql in [
+        "SELECT REPLACE(o_orderpriority, '-', '_') AS p, COUNT(*) AS n "
+        "FROM orders GROUP BY p ORDER BY p",
+        "SELECT REVERSE(o_orderpriority) AS r FROM orders ORDER BY r LIMIT 3",
+        "SELECT STRPOS(o_orderpriority, 'URGENT') AS s, COUNT(*) AS n "
+        "FROM orders GROUP BY s ORDER BY s",
+        "SELECT LEFT(o_orderpriority, 3) AS l, RIGHT(o_orderpriority, 2) "
+        "AS r, COUNT(*) AS n FROM orders GROUP BY l, r ORDER BY l, r",
+        "SELECT LPAD(o_orderpriority, 12, '.') AS p FROM orders "
+        "ORDER BY p LIMIT 3",
+        "SELECT SPLIT_PART(o_orderpriority, '-', 2) AS w, COUNT(*) AS n "
+        "FROM orders GROUP BY w ORDER BY w",
+        "SELECT SPLIT_PART(o_orderpriority, '-', 5) AS w, COUNT(*) AS n "
+        "FROM orders GROUP BY w ORDER BY w",
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE CONTAINS(o_orderpriority, 'HIGH')",
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE STARTS_WITH(o_orderpriority, '1')",
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE REGEXP_MATCHES(o_orderpriority, '^[12]-')",
+        "SELECT REGEXP_REPLACE(o_orderpriority, '[0-9]', '#') AS p, "
+        "COUNT(*) AS n FROM orders GROUP BY p ORDER BY p",
+        "SELECT GREATEST(o_orderkey % 7, o_orderkey % 5) AS g, "
+        "COUNT(*) AS n FROM orders GROUP BY g ORDER BY g",
+        "SELECT LEAST(o_orderkey % 7, o_orderkey % 5) AS g, COUNT(*) AS n "
+        "FROM orders GROUP BY g ORDER BY g",
+        "SELECT SIGN(o_orderkey % 3 - 1) AS s, COUNT(*) AS n FROM orders "
+        "GROUP BY s ORDER BY s",
+        "SELECT REPEAT(LEFT(o_orderpriority, 1), 3) AS r, COUNT(*) AS n "
+        "FROM orders GROUP BY r ORDER BY r",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
