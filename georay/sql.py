@@ -214,24 +214,62 @@ class _SqlParser:
             self.next()
             where = self._expr_until(stop)
         rollup = False
+        grouping_sets = None
         if self.peek() == ("sqlkw", "GROUP"):
             self.next()
             self.expect_kw("BY")
             pk, pv = self.peek()
-            if pk == "ident" and str(pv).upper() == "ROLLUP":
-                rollup = True
+            if pk == "ident" and str(pv).upper() in ("ROLLUP", "CUBE"):
+                rollup = str(pv).upper().lower()   # "rollup" | "cube"
                 self.next()
                 kk, vv = self.next()
                 if (kk, vv) != ("op", "("):
-                    raise SqlError("ROLLUP needs (cols...)")
-            group = [self._group_item(rollup)]
-            while self.peek() == ("op", ","):
+                    raise SqlError(f"{rollup.upper()} needs (cols...)")
+            elif pk == "ident" and str(pv).upper() == "GROUPING":
+                # GROUPING SETS ((a, b), (a), ()) — plain columns only
                 self.next()
-                group.append(self._group_item(rollup))
-            if rollup:
                 kk, vv = self.next()
-                if (kk, vv) != ("op", ")"):
-                    raise SqlError("ROLLUP: expected )")
+                if str(vv).upper() != "SETS":
+                    raise SqlError("expected SETS after GROUPING")
+                if self.next() != ("op", "("):
+                    raise SqlError("GROUPING SETS needs ( ... )")
+                grouping_sets = []
+                group = []
+                while True:
+                    if self.next() != ("op", "("):
+                        raise SqlError("GROUPING SETS: expected (")
+                    one = []
+                    if self.peek() != ("op", ")"):
+                        while True:
+                            kk, vv = self.next()
+                            if kk != "ident":
+                                raise SqlError("GROUPING SETS items "
+                                               "must be column names")
+                            one.append(vv)
+                            if vv not in group:
+                                group.append(vv)
+                            if self.peek() == ("op", ","):
+                                self.next()
+                                continue
+                            break
+                    if self.next() != ("op", ")"):
+                        raise SqlError("GROUPING SETS: expected )")
+                    grouping_sets.append(tuple(one))
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+                if self.next() != ("op", ")"):
+                    raise SqlError("GROUPING SETS: expected final )")
+            if grouping_sets is None:
+                group = [self._group_item(bool(rollup))]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    group.append(self._group_item(bool(rollup)))
+                if rollup:
+                    kk, vv = self.next()
+                    if (kk, vv) != ("op", ")"):
+                        raise SqlError(f"{rollup.upper()}: expected )")
         if self.peek() == ("sqlkw", "HAVING"):
             self.next()
             having = self._expr_until(stop)
@@ -259,7 +297,8 @@ class _SqlParser:
         return dict(items=items, distinct=distinct, table=table,
                     joins=joins, where=where, group=group, having=having,
                     order=order, limit=limit, offset=offset,
-                    aliases=aliases, rollup=rollup)
+                    aliases=aliases, rollup=rollup,
+                    grouping_sets=grouping_sets)
 
     def _on_col(self):
         """JOIN ON column — a plain (table-unqualified) name; the two
@@ -1397,14 +1436,31 @@ def _execute(q: dict, tables: dict):
         return pa.table(cols)
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    rollup = bool(q.get("rollup")) and bool(group_cols)
+    gsets = q.get("grouping_sets")
+    rollup = (bool(q.get("rollup")) or gsets is not None) \
+        and bool(group_cols)
     if rollup:
-        # GROUP BY ROLLUP (k1..kL): each prepped row explodes into L+1
-        # grouping levels (gid = number of leading keys kept; rolled
-        # keys take a type filler so Ray's sort-based groupby never
-        # sees nulls) — ONE shuffle computes every level; the rolled
+        # GROUP BY ROLLUP/CUBE/GROUPING SETS: each prepped row explodes
+        # into one copy per grouping set (gid = BITMASK of kept keys;
+        # dropped keys take a type filler so Ray's sort-based groupby
+        # never sees nulls) — ONE shuffle computes every set; dropped
         # keys are nulled back after the aggregate, matching SQL.
         L = len(group_cols)
+        if q.get("rollup") == "cube":
+            if L > 6:
+                raise SqlError("CUBE over more than 6 keys explodes "
+                               "64x+ per row — use GROUPING SETS")
+            masks = list(range((1 << L) - 1, -1, -1))
+        elif gsets is not None:
+            bit = {g: j for j, g in enumerate(group_cols)}
+            masks = []
+            for st in gsets:
+                m = 0
+                for c in st:
+                    m |= 1 << bit[c]
+                masks.append(m)
+        else:                                   # ROLLUP: prefix masks
+            masks = [(1 << g) - 1 for g in range(L, -1, -1)]
 
         def _filler(t):
             if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -1418,11 +1474,11 @@ def _execute(q: dict, tables: dict):
         def explode(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             parts = []
-            for gid in range(L, -1, -1):
+            for gid in masks:
                 cols = {}
                 for j, g in enumerate(group_cols):
                     col = batch[g]
-                    if j < gid:
+                    if (gid >> j) & 1:
                         cols[g] = col
                     else:
                         t = col.type
@@ -1473,7 +1529,8 @@ def _execute(q: dict, tables: dict):
                 gid = batch["gid__"]
                 for j, g in enumerate(group_cols):
                     col = batch[g]
-                    keep = pc.greater(gid, j)
+                    keep = pc.not_equal(
+                        pc.bit_wise_and(gid, 1 << j), 0)
                     t = col.type if not isinstance(col, pa.ChunkedArray) \
                         else col.type
                     batch = batch.set_column(

@@ -929,3 +929,23 @@ def test_sql_string_functions_vs_duckdb(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_cube_and_grouping_sets(ray_session):
+    """CUBE and GROUPING SETS via bitmask grouping ids (one shuffle for
+    all sets); identical text both engines."""
+    for sql, tables in [
+        ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+         "SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s FROM orders "
+         "GROUP BY CUBE (o_orderstatus, o_orderpriority)", ["orders"]),
+        ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+         "FROM orders GROUP BY GROUPING SETS "
+         "((o_orderstatus, o_orderpriority), (o_orderpriority), ())",
+         ["orders"]),
+        ("SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+         "GROUP BY GROUPING SETS ((c_mktsegment), ())", ["customer"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
