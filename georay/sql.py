@@ -63,7 +63,8 @@ _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX",
               "STDDEV_POP", "STDDEV_SAMP", "MEDIAN", "QUANTILE_CONT"}
 _QUANT_FUNCS = ("MEDIAN", "QUANTILE_CONT")
 _WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
-                      "FIRST_VALUE", "LAST_VALUE", "NTILE"}
+                      "FIRST_VALUE", "LAST_VALUE", "NTILE",
+                      "PERCENT_RANK", "CUME_DIST"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
                "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
                "JOIN", "INNER", "LEFT", "ON", "OVER", "PARTITION"}
@@ -450,7 +451,8 @@ class _SqlParser:
                            "ROW_NUMBER/RANK/DENSE_RANK/LAG/LEAD call")
         func = toks[0][1].upper()
         inner = toks[2:-1]
-        if func in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+        if func in ("ROW_NUMBER", "RANK", "DENSE_RANK",
+                    "PERCENT_RANK", "CUME_DIST"):
             if inner:
                 raise SqlError(f"{func} takes no arguments")
             return _SelectItem("window", func=func.lower())

@@ -249,6 +249,17 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
             elif f == "dense_rank":
                 cr = np.cumsum(chg)
                 col = pa.array((cr - cr[seg_start] + 1).astype(np.int64))
+            elif f == "percent_rank":
+                # (rank - 1) / (seg_rows - 1); 0 for 1-row segments
+                r = (run_starts[run_id] - seg_start).astype(np.float64)
+                denom = (seg_end - seg_start).astype(np.float64)
+                col = pa.array(np.where(denom > 0, r / np.maximum(
+                    denom, 1.0), 0.0))
+            elif f == "cume_dist":
+                # rows with ORDER key <= current / seg_rows (= run end)
+                col = pa.array((run_ends[run_id] - seg_start + 1)
+                               / (seg_end - seg_start + 1).astype(
+                                   np.float64))
             elif f in ("lag", "lead"):
                 k = int(s.get("offset", 1))
                 xs = out[s["arg"]].to_numpy(zero_copy_only=False)

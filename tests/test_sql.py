@@ -949,3 +949,24 @@ def test_sql_cube_and_grouping_sets(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_percent_rank_cume_dist(ray_session):
+    for sql in [
+        "SELECT o_orderkey, PERCENT_RANK() OVER (PARTITION BY "
+        "o_orderpriority ORDER BY o_totalprice) AS pr FROM orders "
+        "WHERE o_orderkey < 600",
+        "SELECT o_orderkey, CUME_DIST() OVER (PARTITION BY "
+        "o_orderpriority ORDER BY o_totalprice) AS cd FROM orders "
+        "WHERE o_orderkey < 600",
+        # ties: CUME_DIST counts the whole run, PERCENT_RANK its start
+        "SELECT o_orderkey, PERCENT_RANK() OVER (PARTITION BY "
+        "o_orderstatus ORDER BY o_orderkey % 5) AS pr, CUME_DIST() "
+        "OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey % 5) "
+        "AS cd FROM orders WHERE o_orderkey < 100",
+    ]:
+        got = _norm(_run(sql, ["orders"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      atol=1e-12)
