@@ -1947,6 +1947,20 @@ def _execute_window(ds, q, items, names, win_items):
         if not part:
             raise SqlError("OVER() needs PARTITION BY (a global window "
                            "would serialize the whole dataset)")
+        # expression ORDER BY keys hoist to hidden computed columns,
+        # exactly like expression arguments
+        norm_order = []
+        for j, (c, d) in enumerate(order or []):
+            if isinstance(c, str):
+                norm_order.append((c, d))
+            else:
+                node, used = _parse_expr_tokens(c)
+                if used != len(c):
+                    raise SqlError("bad window ORDER BY expression")
+                cname = f"wo{i}_{j}__"
+                prep_nodes[cname] = node
+                norm_order.append((cname, d))
+        order = norm_order
         ftype = None
         if frame is not None and len(frame) == 3:
             lo, hi, ftype = frame

@@ -110,8 +110,12 @@ def window_compute(ds, specs, num_partitions: int | None = None):
 
     passes = {}
     for s in specs:
+        # expression ORDER BY keys are token LISTS — repr() them so the
+        # pass-grouping key stays hashable (grouping only; the spec
+        # itself carries the real key)
         key = (tuple(s["partition_by"]),
-               tuple((c, bool(d)) for c, d in s.get("order_by") or []))
+               tuple((c if isinstance(c, str) else repr(c), bool(d))
+                     for c, d in s.get("order_by") or []))
         passes.setdefault(key, []).append(s)
         f = s.get("frame")
         if f is not None:
