@@ -2612,6 +2612,22 @@ def q_sql_rollup(sf_dir: str):
     return execute_sql(_SQL_ROLLUP_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+_SQL_CUBE_TEXT = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_sql_cube(sf_dir: str):
+    """GROUP BY CUBE — all 2^L grouping sets in ONE shuffle (bitmask
+    gid explode, the generalized rollup machinery).  Identical text in
+    DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_CUBE_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_BM25_TEXT = """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
@@ -2754,6 +2770,7 @@ QUERIES = {
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
+    "sql_cube": q_sql_cube,  # oracle-backed; rotate into window next round
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -2944,6 +2961,7 @@ ORACLE_SQL = {
     "sql_median": _SQL_MEDIAN_TEXT,
     "sql_q5": _SQL_Q5_TEXT,
     "sql_rollup": _SQL_ROLLUP_TEXT,
+    "sql_cube": _SQL_CUBE_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term
