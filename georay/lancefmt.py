@@ -75,7 +75,7 @@ import pyarrow as pa
 
 __all__ = [
     "write_lance", "read_lance", "read_lance_table", "lance_manifest",
-    "write_fragment", "read_fragment", "fragment_stats",
+    "write_fragment", "read_fragment", "fragment_stats", "compact_lance",
 ]
 
 _MAGIC = b"LANC"
@@ -697,3 +697,71 @@ def read_lance_table(root: str, *, columns=None, version=None,
         return pa.table({c: pa.array([], man["schema"].field(c).type)
                          for c in cols})
     return pa.concat_tables(tabs)
+
+
+def compact_lance(root: str, *, target_rows: int = 65536,
+                  concurrency: int | None = None) -> dict:
+    """Lance ``optimize/compact_files`` analog: bin-pack fragments
+    smaller than ``target_rows`` into new ~target_rows fragments and
+    commit a NEW version whose manifest lists the rewritten fragments
+    (old versions still read the old files — time travel is preserved;
+    nothing is deleted).
+
+    Scale shape: the bin-packing PLAN is driver-side over fragment
+    metadata only; each output fragment is rewritten by one Ray task
+    that reads only its input fragments.  Fragments already at or above
+    ``target_rows`` are carried over untouched."""
+    import ray
+
+    man = lance_manifest(root)
+    schema = man["schema"]
+    keep, small = [], []
+    for fr in man["fragments"]:
+        (keep if fr["num_rows"] >= target_rows else small).append(fr)
+    if len(small) <= 1:
+        return {"version": man["version"], "compacted": 0,
+                "num_fragments": len(man["fragments"])}
+    bins, cur, cur_rows = [], [], 0
+    for fr in small:
+        cur.append(fr)
+        cur_rows += fr["num_rows"]
+        if cur_rows >= target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        bins.append(cur)
+    schema_ser = schema.serialize().to_pybytes()
+    data_dir = os.path.join(root, "data")
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        sch = pa.ipc.read_schema(pa.py_buffer(schema_ser))
+        outs = []
+        for i in range(batch.num_rows):
+            names = batch["files"][i].as_py()
+            t = pa.concat_tables([
+                read_fragment(os.path.join(data_dir, nm), sch)
+                for nm in names])
+            info = write_fragment(t, os.path.join(
+                data_dir, f"frag-{uuid.uuid4().hex}.lancef"))
+            outs.append(info)
+        return pa.table({
+            "filename": pa.array([o["filename"] for o in outs]),
+            "num_rows": pa.array([o["num_rows"] for o in outs],
+                                 pa.int64()),
+        })
+
+    src = ray.data.from_items(
+        [{"files": [fr["filename"] for fr in b]} for b in bins],
+        override_num_blocks=len(bins))
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    new_infos = [{"filename": r["filename"],
+                  "num_rows": int(r["num_rows"])}
+                 for r in src.map_batches(rewrite, batch_format="pyarrow",
+                                          batch_size=1, **kwargs)
+                 .take_all()]
+    infos = [{"filename": fr["filename"], "num_rows": fr["num_rows"]}
+             for fr in keep] + new_infos
+    _write_manifest(root, man["version"] + 1, schema, infos)
+    return {"version": man["version"] + 1,
+            "compacted": len(small),
+            "num_fragments": len(infos)}

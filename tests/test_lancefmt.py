@@ -201,3 +201,24 @@ def test_row_range_reads(tmp_path):
     part = lf.read_fragment(p, t.schema, columns=["name", "nl"],
                             row_range=(31, 77))
     assert part.equals(full.select(["name", "nl"]).slice(31, 46))
+
+
+def test_compact_preserves_rows_and_time_travel(tmp_path, ray_session):
+    import ray
+    t = _mixed_table(500)
+    root = str(tmp_path / "d.lance")
+    lf.write_lance(ray.data.from_arrow(t).repartition(10), root)
+    assert len(lf.lance_manifest(root)["fragments"]) == 10
+    res = lf.compact_lance(root, target_rows=200)
+    assert res["version"] == 2 and res["compacted"] == 10
+    man = lf.lance_manifest(root)
+    assert len(man["fragments"]) < 10
+    back = lf.read_lance_table(root)
+    assert back.sort_by("id").equals(t.sort_by("id"))
+    # time travel: version 1 still reads the original fragments
+    v1 = lf.read_lance_table(root, version=1)
+    assert v1.sort_by("id").equals(t.sort_by("id"))
+    # idempotence: fragments at target are carried over
+    res2 = lf.compact_lance(root, target_rows=200)
+    assert res2["compacted"] in (0, 1) or res2["num_fragments"] <= \
+        res["num_fragments"]
