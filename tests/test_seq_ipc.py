@@ -121,3 +121,40 @@ def test_contour_polygons_pixel_exact(ray_session):
         v = int(r["value"])
         assert r["level_min"] == (-np.inf if v == 0 else lv[v - 1])
         assert r["level_max"] == (np.inf if v == 3 else lv[v])
+
+
+def test_layer_info_and_raster_info(ray_session):
+    import ray
+
+    from georay.geojson import geometry_to_wkb
+    from georay.info import layer_info, raster_info
+
+    t = _pts_table(60)
+    # one polygon + one null geometry for the type histogram
+    poly = geometry_to_wkb({"type": "Polygon", "coordinates": [
+        [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]})
+    t2 = pa.table({
+        "wkb": pa.array(list(t["wkb"].to_pylist()) + [poly, None],
+                        pa.binary()),
+        "fid": pa.array(list(range(62)), pa.int64()),
+    })
+    info = layer_info(t2)
+    assert info["feature_count"] == 62
+    assert info["geometry_types"]["POINT"] == 60
+    assert info["geometry_types"]["POLYGON"] == 1
+    assert info["geometry_types"]["NULL"] == 1
+    assert info["fields"] == {"fid": "int64"}
+    minx, miny, maxx, maxy = info["extent"]
+    assert minx <= -180 + 1e-9 and maxx >= 4
+    # distributed == driver-side
+    dinfo = layer_info(ray.data.from_arrow(t2).repartition(4))
+    assert dinfo == info
+
+    arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    ri = raster_info(arr, gt=(100.0, 0.5, 0.0, 200.0, 0.0, -0.5),
+                     nodata=0)
+    assert ri["size"] == (8, 6) and ri["bands"] == 1
+    assert ri["corners"]["upper_left"] == (100.0, 200.0)
+    assert ri["corners"]["lower_right"] == (104.0, 197.0)
+    assert ri["band_stats"][0]["min"] == 1.0   # nodata=0 masked
+    assert ri["band_stats"][0]["max"] == 47.0
