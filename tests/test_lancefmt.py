@@ -222,3 +222,34 @@ def test_compact_preserves_rows_and_time_travel(tmp_path, ray_session):
     res2 = lf.compact_lance(root, target_rows=200)
     assert res2["compacted"] in (0, 1) or res2["num_fragments"] <= \
         res["num_fragments"]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(-2**62, 2**62),
+              st.one_of(st.none(), st.text(max_size=12)),
+              st.one_of(st.none(), st.floats(allow_nan=False,
+                                             allow_infinity=False)),
+              st.booleans(),
+              st.binary(max_size=9)),
+    min_size=0, max_size=60))
+def test_fragment_roundtrip_property(tmp_path_factory, rows):
+    t = pa.table({
+        "i": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.string()),
+        "f": pa.array([r[2] for r in rows], pa.float64()),
+        "b": pa.array([r[3] for r in rows], pa.bool_()),
+        "z": pa.array([r[4] for r in rows], pa.binary()),
+    })
+    p = str(tmp_path_factory.mktemp("lf") / "f.lancef")
+    lf.write_fragment(t, p)
+    back = lf.read_fragment(p, t.schema)
+    assert back.equals(t)
+    if t.num_rows > 1:
+        a = t.num_rows // 3
+        b = 2 * t.num_rows // 3 + 1
+        part = lf.read_fragment(p, t.schema, row_range=(a, b))
+        assert part.equals(t.slice(a, b - a))
