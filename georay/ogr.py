@@ -221,3 +221,75 @@ def split_list_fields(ds, max_elements: int | None = None):
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def read_parquet_bbox(path, bbox, *, lon_col: str = "lon",
+                      lat_col: str = "lat", columns=None):
+    """Spatial-filtered parquet read with ROW-GROUP pushdown — the READ
+    side of the GeoParquet SORT_BY_BBOX story (the reference prunes via
+    the bbox covering + parquet row-group statistics,
+    ogr/ogrsf_frmts/parquet/ogrparquetlayer.cpp bbox filtering): the
+    driver inspects per-row-group min/max stats for the coordinate
+    columns and plans ONLY intersecting groups; each Ray task reads its
+    groups and applies the EXACT bbox filter (correct even without
+    stats).  On Hilbert-sorted files (``spatial_sort``) the stats are
+    tight and most groups prune.
+
+    Returns (dataset, plan) where plan = {"total_row_groups",
+    "read_row_groups"} so callers/tests can see the pruning rate."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    minx, miny, maxx, maxy = bbox
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")] if os.path.isdir(path)
+             else [path])
+    units = []
+    total = 0
+    for f in files:
+        md = pq_mod.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        keep = []
+        for rg in range(md.num_row_groups):
+            total += 1
+            ok = True
+            for col, lo, hi in ((lon_col, minx, maxx),
+                                (lat_col, miny, maxy)):
+                if col not in names:
+                    continue
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or st.min is None:
+                    continue        # no stats → cannot prune, keep
+                if st.max < lo or st.min > hi:
+                    ok = False
+                    break
+            if ok:
+                keep.append(rg)
+        if keep:
+            units.append({"path": f, "row_groups": keep})
+    plan = {"total_row_groups": total,
+            "read_row_groups": sum(len(u["row_groups"]) for u in units)}
+
+    if not units:
+        return ray.data.from_items([]), plan
+
+    def load(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            f = batch["path"][i].as_py()
+            rgs = list(batch["row_groups"][i].as_py())
+            t = pq_mod.ParquetFile(f).read_row_groups(
+                rgs, columns=columns)
+            lon = t[lon_col].to_numpy()
+            lat = t[lat_col].to_numpy()
+            m = (lon >= minx) & (lon <= maxx) \
+                & (lat >= miny) & (lat <= maxy)
+            outs.append(t.filter(pa.array(m)))
+        return pa.concat_tables(outs)
+
+    src = ray.data.from_items(units, override_num_blocks=len(units))
+    return src.map_batches(load, batch_format="pyarrow",
+                           batch_size=1), plan

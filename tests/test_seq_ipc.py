@@ -158,3 +158,38 @@ def test_layer_info_and_raster_info(ray_session):
     assert ri["corners"]["lower_right"] == (104.0, 197.0)
     assert ri["band_stats"][0]["min"] == 1.0   # nodata=0 masked
     assert ri["band_stats"][0]["max"] == 47.0
+
+
+def test_parquet_bbox_rowgroup_pushdown(tmp_path, ray_session):
+    """Hilbert-sorted parquet + bbox read: row groups prune AND the
+    result equals the exact full-scan filter."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from georay.ogr import VectorPipeline, read_parquet_bbox
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    t = pa.table({
+        "fid": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rng.uniform(-180, 180, n)),
+        "lat": pa.array(rng.uniform(-85, 85, n)),
+    })
+    srt = VectorPipeline(ray.data.from_arrow(t)).spatial_sort().ds
+    ordered = pa.concat_tables(list(srt.iter_batches(
+        batch_size=65536, batch_format="pyarrow"))).drop_columns(
+        ["hilbert_key"])
+    p = str(tmp_path / "pts.parquet")
+    pq.write_table(ordered, p, row_group_size=250)
+
+    bbox = (10.0, 10.0, 40.0, 40.0)
+    ds, plan = read_parquet_bbox(p, bbox)
+    got = ds.to_pandas().sort_values("fid").reset_index(drop=True)
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    m = (lon >= 10) & (lon <= 40) & (lat >= 10) & (lat <= 40)
+    want = t.filter(pa.array(m)).to_pandas() \
+        .sort_values("fid").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+    assert plan["read_row_groups"] < plan["total_row_groups"] * 0.6, plan
