@@ -37,8 +37,9 @@ _T_BYTE, _T_ASCII, _T_SHORT, _T_LONG, _T_RATIONAL = 1, 2, 3, 4, 5
 _T_SBYTE, _T_UNDEF, _T_SSHORT, _T_SLONG = 6, 7, 8, 9
 _T_FLOAT, _T_DOUBLE = 11, 12
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 # ---------------------------------------------------------------------------
@@ -177,16 +178,27 @@ def lzw_encode(data: bytes) -> bytes:
 # Reader
 # ---------------------------------------------------------------------------
 
-def _read_ifd(data: memoryview, off: int, e: str):
-    n = struct.unpack_from(e + "H", data, off)[0]
+def _read_ifd(data: memoryview, off: int, e: str, big: bool = False):
+    """One IFD → (tags, next_off).  ``big`` = BigTIFF IFD8 layout
+    (u64 entry count, 20-byte entries, u64 value slots, u64 next)."""
+    if big:
+        n = struct.unpack_from(e + "Q", data, off)[0]
+        head, esz, vsz, vfmt = 8, 20, 8, "Q"
+    else:
+        n = struct.unpack_from(e + "H", data, off)[0]
+        head, esz, vsz, vfmt = 2, 12, 4, "I"
     tags = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(e + "HHI", data,
-                                           off + 2 + 12 * i)
+        ent = off + head + esz * i
+        if big:
+            tag, typ = struct.unpack_from(e + "HH", data, ent)
+            cnt = struct.unpack_from(e + "Q", data, ent + 4)[0]
+        else:
+            tag, typ, cnt = struct.unpack_from(e + "HHI", data, ent)
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        voff = off + 2 + 12 * i + 8
-        if size > 4:
-            voff = struct.unpack_from(e + "I", data, voff)[0]
+        voff = ent + (12 if big else 8)
+        if size > vsz:
+            voff = struct.unpack_from(e + vfmt, data, voff)[0]
         if typ in _TYPE_FMT:
             vals = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ],
                                       data, voff)
@@ -200,7 +212,8 @@ def _read_ifd(data: memoryview, off: int, e: str):
         else:
             vals = (bytes(data[voff:voff + cnt]),)
         tags[tag] = vals
-    nxt = struct.unpack_from(e + "I", data, off + 2 + 12 * n)[0]
+    nxt = struct.unpack_from(e + ("Q" if big else "I"), data,
+                             off + head + esz * n)[0]
     return tags, nxt
 
 
@@ -291,12 +304,20 @@ def tiff_decode(data: bytes, overview: int | None = None):
     data = memoryview(data)
     bom = bytes(data[:2])
     e = {"II": "<", "MM": ">"}.get(bom.decode("ascii", "replace"))
-    if e is None or struct.unpack_from(e + "H", data, 2)[0] != 42:
+    magic = None if e is None else struct.unpack_from(e + "H", data, 2)[0]
+    if e is None or magic not in (42, 43):
         raise ValueError("not a TIFF file")
-    off = struct.unpack_from(e + "I", data, 4)[0]
+    big = magic == 43
+    if big:
+        osz, pad = struct.unpack_from(e + "HH", data, 4)
+        if osz != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        off = struct.unpack_from(e + "Q", data, 8)[0]
+    else:
+        off = struct.unpack_from(e + "I", data, 4)[0]
     ifds = []
     while off:
-        tags, off = _read_ifd(data, off, e)
+        tags, off = _read_ifd(data, off, e, big)
         ifds.append(tags)
     levels = [(int(t[257][0]), int(t[256][0])) for t in ifds]
     pick = ifds[overview or 0]
@@ -352,12 +373,22 @@ def _geo_tags(geotransform, crs):
     return tags
 
 
-def _pack_ifds(ifd_specs, data_blocks):
+def _pack_ifds(ifd_specs, data_blocks, big: bool = False):
     """Assemble header + all IFDs (up front, COG-style) + value arrays +
-    pixel data; patch chunk-offset tags once positions are known."""
-    # layout: 8-byte header | IFDs | oversize tag values | pixel data
-    ifd_sizes = [2 + 12 * len(tags) + 4 for tags, _ in ifd_specs]
-    pos_ifd = [8]
+    pixel data; patch chunk-offset tags once positions are known.
+    ``big`` = BigTIFF (magic 43, 16-byte header, IFD8 20-byte entries,
+    u64 counts/offsets/value slots; chunk-offset tags widen to LONG8 so
+    files address past 4 GiB — frmts/gtiff BIGTIFF=YES)."""
+    # layout: header | IFDs | oversize tag values | pixel data
+    head_sz = 16 if big else 8
+    ehead, esz, vsz = (8, 20, 8) if big else (2, 12, 4)
+    if big:
+        ifd_specs = [([(tag, (16 if tag == chunk_tag and typ == 4
+                              else typ), vals)
+                       for tag, typ, vals in tags], chunk_tag)
+                     for tags, chunk_tag in ifd_specs]
+    ifd_sizes = [ehead + esz * len(tags) + vsz for tags, _ in ifd_specs]
+    pos_ifd = [head_sz]
     for s in ifd_sizes[:-1]:
         pos_ifd.append(pos_ifd[-1] + s)
     val_pos = pos_ifd[-1] + ifd_sizes[-1]
@@ -370,7 +401,7 @@ def _pack_ifds(ifd_specs, data_blocks):
     for tags, _ in ifd_specs:
         for tag, typ, vals in tags:
             b = vbytes(typ, vals)
-            if b > 4:
+            if b > vsz:
                 val_area += b + (b & 1)
     data_pos = val_pos + val_area
     # assign chunk offsets
@@ -382,9 +413,13 @@ def _pack_ifds(ifd_specs, data_blocks):
             offs.append(p)
             p += len(b) + (len(b) & 1)
         chunk_offsets.append(offs)
-    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    if big:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
+    else:
+        out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
     vcursor = val_pos
     vbuf = bytearray()
+    cnt_fmt = "Q" if big else "I"
     for idx, (tags, chunk_tag) in enumerate(ifd_specs):
         full = []
         for tag, typ, vals in tags:
@@ -392,7 +427,7 @@ def _pack_ifds(ifd_specs, data_blocks):
                 vals = tuple(chunk_offsets[idx])
             full.append((tag, typ, vals))
         full.sort()
-        out += struct.pack("<H", len(full))
+        out += struct.pack("<" + ("Q" if big else "H"), len(full))
         for tag, typ, vals in full:
             if typ == _T_ASCII:
                 payload = vals[0].encode("ascii") + b"\0"
@@ -401,17 +436,18 @@ def _pack_ifds(ifd_specs, data_blocks):
                 payload = struct.pack("<" + str(len(vals))
                                       + _TYPE_FMT[typ], *vals)
                 cnt = len(vals)
-            if len(payload) <= 4:
-                out += struct.pack("<HHI", tag, typ, cnt)
-                out += payload.ljust(4, b"\0")
+            if len(payload) <= vsz:
+                out += struct.pack("<HH" + cnt_fmt, tag, typ, cnt)
+                out += payload.ljust(vsz, b"\0")
             else:
-                out += struct.pack("<HHII", tag, typ, cnt, vcursor)
+                out += struct.pack("<HH" + cnt_fmt + cnt_fmt,
+                                   tag, typ, cnt, vcursor)
                 vbuf += payload
                 if len(payload) & 1:
                     vbuf += b"\0"
                 vcursor += len(payload) + (len(payload) & 1)
         nxt = pos_ifd[idx + 1] if idx + 1 < len(ifd_specs) else 0
-        out += struct.pack("<I", nxt)
+        out += struct.pack("<" + cnt_fmt, nxt)
     out += vbuf
     for blocks in data_blocks:
         for b in blocks:
@@ -451,8 +487,11 @@ def _apply_predictor(a: np.ndarray) -> np.ndarray:
 
 def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
                 predictor: int = 1, geotransform=None, crs=None,
-                rows_per_strip: int | None = None) -> bytes:
-    """Array → striped (Geo)TIFF bytes, little-endian, chunky."""
+                rows_per_strip: int | None = None,
+                bigtiff: bool = False) -> bytes:
+    """Array → striped (Geo)TIFF bytes, little-endian, chunky.
+    ``bigtiff`` writes the magic-43 IFD8 layout (u64 offsets — the
+    >4 GiB format, frmts/gtiff BIGTIFF=YES)."""
     arr = np.ascontiguousarray(arr)
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
@@ -471,7 +510,7 @@ def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
              (278, _T_LONG, (rps,)),
              (279, _T_LONG, tuple(len(s) for s in strips))]
     tags += _geo_tags(geotransform, crs)
-    return _pack_ifds([(tags, 273)], [strips])
+    return _pack_ifds([(tags, 273)], [strips], big=bigtiff)
 
 
 def _tile_blocks(a3: np.ndarray, tile: int, comp: str, predictor: int):
@@ -488,7 +527,7 @@ def _tile_blocks(a3: np.ndarray, tile: int, comp: str, predictor: int):
     return blocks
 
 
-def cog_encode(arr: np.ndarray, *, tile: int = 256,
+def cog_encode(arr: np.ndarray, *, tile: int = 256, bigtiff: bool = False,
                compression: str = "deflate", predictor: int = 1,
                geotransform=None, crs=None, min_overview: int = 512
                ) -> bytes:
@@ -525,4 +564,4 @@ def cog_encode(arr: np.ndarray, *, tile: int = 256,
             tags.append((254, _T_LONG, (1,)))    # reduced-res subfile
         specs.append((tags, 324))
         data.append(blocks)
-    return _pack_ifds(specs, data)
+    return _pack_ifds(specs, data, big=bigtiff)

@@ -126,3 +126,37 @@ def test_codec_dispatch():
     a = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_image(a, "tiff"), "tiff"),
                           a)
+
+
+import georay.gtiff as G
+
+
+def test_bigtiff_roundtrip_strips_and_cog():
+    """BigTIFF (magic 43, IFD8, u64 offsets): striped + COG encodes
+    decode to identical pixels/geo as the classic layout."""
+    rng = np.random.RandomState(9)
+    arr = (rng.rand(70, 90, 3) * 255).astype(np.uint8)
+    gt = (500000.0, 10.0, 0.0, 4600000.0, 0.0, -10.0)
+    for comp in ("deflate", "none", "lzw"):
+        big = G.tiff_encode(arr, compression=comp, geotransform=gt,
+                            crs="EPSG:32631", bigtiff=True)
+        assert big[2:4] == b"\x2b\x00"           # magic 43
+        a, meta = G.tiff_decode(big)
+        classic, meta2 = G.tiff_decode(
+            G.tiff_encode(arr, compression=comp, geotransform=gt,
+                          crs="EPSG:32631"))
+        assert np.array_equal(a, classic)
+        assert meta["geotransform"] == meta2["geotransform"]
+    big_arr = (rng.rand(300, 420, 3) * 255).astype(np.uint8)
+    cogb = G.cog_encode(big_arr, tile=64, geotransform=gt,
+                        crs="EPSG:32631", bigtiff=True,
+                        min_overview=128)
+    a, meta = G.tiff_decode(cogb)
+    classic = G.cog_encode(big_arr, tile=64, geotransform=gt,
+                           crs="EPSG:32631", min_overview=128)
+    ac, metac = G.tiff_decode(classic)
+    assert np.array_equal(np.asarray(a), np.asarray(ac))
+    assert meta["levels"] == metac["levels"] and len(meta["levels"]) >= 2
+    ov, _ = G.tiff_decode(cogb, overview=1)
+    ovc, _ = G.tiff_decode(classic, overview=1)
+    assert np.array_equal(np.asarray(ov), np.asarray(ovc))
