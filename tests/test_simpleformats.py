@@ -1,0 +1,76 @@
+"""ENVI / AAIGrid / XYZ-grid drivers: roundtrips + georeference math."""
+import numpy as np
+import pytest
+
+from georay.simpleformats import (aaigrid_read, aaigrid_write,
+                                  envi_read, envi_write, xyz_read_grid)
+
+
+def test_envi_roundtrip_interleaves(tmp_path):
+    rng = np.random.RandomState(2)
+    arr = (rng.rand(13, 17, 3) * 1000).astype(np.uint16)
+    gt = (500.25, 2.5, 0.0, 8000.75, 0.0, -2.5)
+    for il in ("bsq", "bil", "bip"):
+        p = str(tmp_path / f"r_{il}.img")
+        envi_write(p, arr, geotransform=gt, interleave=il)
+        back, gt2 = envi_read(p)
+        assert np.array_equal(back, arr), il
+        assert gt2 == pytest.approx(gt)
+
+
+def test_envi_single_band_and_dtypes(tmp_path):
+    for dt in (np.uint8, np.int16, np.int32, np.float32, np.float64):
+        arr = np.arange(20, dtype=dt).reshape(4, 5)
+        p = str(tmp_path / f"b_{np.dtype(dt).name}.img")
+        envi_write(p, arr)
+        back, _ = envi_read(p)
+        assert back.dtype == np.dtype(dt)
+        assert np.array_equal(back, arr)
+
+
+def test_aaigrid_roundtrip(tmp_path):
+    arr = np.array([[1, 2, 3], [4, -9999, 6]], dtype=np.int64)
+    gt = (100.0, 5.0, 0.0, 210.0, 0.0, -5.0)
+    p = str(tmp_path / "g.asc")
+    aaigrid_write(p, arr, geotransform=gt, nodata=-9999)
+    back, gt2, nd = aaigrid_read(p)
+    assert np.array_equal(back, arr)
+    assert gt2 == pytest.approx(gt)
+    assert nd == -9999
+    # float payload
+    arrf = np.array([[0.5, 1.25], [2.0, -3.75]])
+    p2 = str(tmp_path / "g2.asc")
+    aaigrid_write(p2, arrf, geotransform=(0, 0.25, 0, 1, 0, -0.25))
+    backf, _, _ = aaigrid_read(p2)
+    assert np.allclose(backf, arrf)
+
+
+def test_xyz_grid_read(tmp_path):
+    # build from a known grid through the engine's own xyz writer path:
+    # cell centers, top row = max y
+    h, w = 4, 6
+    gt = (10.0, 2.0, 0.0, 50.0, 0.0, -2.0)
+    arr = np.arange(h * w, dtype=np.float64).reshape(h, w)
+    lines = []
+    for r in range(h):
+        for c in range(w):
+            x = gt[0] + (c + 0.5) * gt[1]
+            y = gt[3] + (r + 0.5) * gt[5]
+            lines.append(f"{x} {y} {arr[r, c]}")
+    # scrambled order must not matter
+    import random
+    random.Random(1).shuffle(lines)
+    p = str(tmp_path / "g.xyz")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    grid, gt2 = xyz_read_grid(p)
+    assert np.array_equal(grid, arr)
+    assert gt2 == pytest.approx(gt)
+
+
+def test_xyz_irregular_raises(tmp_path):
+    p = str(tmp_path / "bad.xyz")
+    with open(p, "w") as f:
+        f.write("0 0 1\n1 0 2\n3 0 3\n0 1 4\n1 1 5\n3 1 6\n")
+    with pytest.raises(ValueError):
+        xyz_read_grid(p)
