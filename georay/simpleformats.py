@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 __all__ = ["envi_write", "envi_read", "aaigrid_write", "aaigrid_read",
-           "xyz_read_grid"]
+           "xyz_read_grid", "srtmhgt_read", "srtmhgt_write"]
 
 # ENVI data type codes (ENVI header spec)
 _ENVI_DT = {1: np.uint8, 2: np.int16, 3: np.int32, 4: np.float32,
@@ -200,3 +200,38 @@ def xyz_read_grid(path: str):
     grid[len(ys) - 1 - iy, ix] = data[:, 2]
     gt = (xs[0] - sx / 2, sx, 0.0, ys[-1] + sy / 2, 0.0, -sy)
     return grid, gt
+
+
+def srtmhgt_read(path: str):
+    """SRTM ``.hgt`` tile (frmts/srtmhgt/srtmhgtdataset.cpp): raw
+    big-endian int16, square n×n grid, georeference ENTIRELY from the
+    filename (``N37W123.hgt`` = cell CORNERS at lat 37..38, lon
+    -123..-122; rows north→south; -32768 = void).  Returns
+    (array int16, geotransform, nodata)."""
+    name = os.path.basename(path).split(".")[0].upper()
+    ns, lat = name[0], int(name[1:3])
+    ew, lon = name[3], int(name[4:7])
+    if ns not in "NS" or ew not in "EW":
+        raise ValueError(f"not an SRTM HGT name: {name!r}")
+    lat0 = lat if ns == "N" else -lat
+    lon0 = lon if ew == "E" else -lon
+    raw = np.fromfile(path, dtype=">i2")
+    n = int(round(np.sqrt(raw.size)))
+    if n * n != raw.size:
+        raise ValueError(f"HGT size {raw.size} is not a square grid")
+    arr = raw.reshape(n, n).astype(np.int16)
+    # sample spacing: the n×n grid spans exactly 1° INCLUSIVE of both
+    # edges (3601 for 1-arcsec, 1201 for 3-arcsec); pixel-center georef
+    step = 1.0 / (n - 1)
+    gt = (lon0 - step / 2, step, 0.0,
+          lat0 + 1 + step / 2, 0.0, -step)
+    return arr, gt, -32768
+
+
+def srtmhgt_write(path: str, arr: np.ndarray) -> str:
+    """int16 square grid → .hgt (big-endian; the filename carries the
+    georeference, so callers must name the file N##E###.hgt)."""
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        raise ValueError("HGT needs a square single-band grid")
+    arr.astype(">i2").tofile(path)
+    return path

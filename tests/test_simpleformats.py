@@ -74,3 +74,27 @@ def test_xyz_irregular_raises(tmp_path):
         f.write("0 0 1\n1 0 2\n3 0 3\n0 1 4\n1 1 5\n3 1 6\n")
     with pytest.raises(ValueError):
         xyz_read_grid(p)
+
+
+def test_srtmhgt_roundtrip(tmp_path):
+    from georay.simpleformats import srtmhgt_read, srtmhgt_write
+    rng = np.random.RandomState(4)
+    arr = (rng.randn(1201, 1201) * 500).astype(np.int16)
+    arr[5, 7] = -32768
+    p = str(tmp_path / "N37W123.hgt")
+    srtmhgt_write(p, arr)
+    back, gt, nd = srtmhgt_read(p)
+    assert np.array_equal(back, arr)
+    assert nd == -32768
+    step = 1.0 / 1200
+    assert gt[1] == pytest.approx(step) and gt[5] == pytest.approx(-step)
+    # corner samples sit exactly on the integer graticule
+    assert gt[0] + 0.5 * gt[1] == pytest.approx(-123.0)
+    assert gt[3] + 0.5 * gt[5] == pytest.approx(38.0)
+    # southern/eastern hemisphere name parse
+    p2 = str(tmp_path / "S02E045.hgt")
+    srtmhgt_write(p2, arr[:3, :3].copy() if False else
+                  np.zeros((1201, 1201), np.int16))
+    _, gt2, _ = srtmhgt_read(p2)
+    assert gt2[0] + 0.5 * gt2[1] == pytest.approx(45.0)
+    assert gt2[3] + 0.5 * gt2[5] == pytest.approx(-1.0)
