@@ -16,7 +16,8 @@ import os
 import numpy as np
 
 __all__ = ["envi_write", "envi_read", "aaigrid_write", "aaigrid_read",
-           "xyz_read_grid", "srtmhgt_read", "srtmhgt_write"]
+           "xyz_read_grid", "srtmhgt_read", "srtmhgt_write",
+           "open_raster"]
 
 # ENVI data type codes (ENVI header spec)
 _ENVI_DT = {1: np.uint8, 2: np.int16, 3: np.int32, 4: np.float32,
@@ -235,3 +236,50 @@ def srtmhgt_write(path: str, arr: np.ndarray) -> str:
         raise ValueError("HGT needs a square single-band grid")
     arr.astype(">i2").tofile(path)
     return path
+
+
+def open_raster(path: str):
+    """GDALOpen analog: identify the driver (extension + magic sniff)
+    and return ``(array, geotransform | None, nodata | None)`` for any
+    single-dataset raster format the engine reads (GTiff/BigTIFF/COG,
+    PNG, JPEG, WebP-lossless, NITF, ENVI, AAIGrid, XYZ grid, SRTM HGT,
+    Zarr store directory)."""
+    low = path.lower()
+    if os.path.isdir(path):
+        from .zarrstore import zarr_meta, zarr_read
+        meta = zarr_meta(path)
+        return zarr_read(path), None, meta.get("fill_value")
+    if low.endswith(".hgt"):
+        return srtmhgt_read(path)
+    if low.endswith(".asc"):
+        return aaigrid_read(path)
+    if low.endswith(".xyz"):
+        arr, gt = xyz_read_grid(path)
+        return arr, gt, None
+    if os.path.exists(path + ".hdr") or (
+            low.endswith((".img", ".bsq", ".bil", ".bip"))
+            and os.path.exists(os.path.splitext(path)[0] + ".hdr")):
+        arr, gt = envi_read(path)
+        return arr, gt, None
+    with open(path, "rb") as f:
+        head = f.read(16)
+        f.seek(0)
+        data = f.read()
+    if head[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        from .gtiff import tiff_decode
+        arr, meta = tiff_decode(data)
+        return np.asarray(arr), meta.get("geotransform"), None
+    if head[:9] == b"NITF02.10":
+        from .nitf import nitf_decode
+        arr, meta = nitf_decode(data)
+        return arr, None, None
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        from .codecs import decode_image
+        return decode_image(data, "png"), None, None
+    if head[:2] == b"\xff\xd8":
+        from .codecs import decode_image
+        return decode_image(data, "jpeg"), None, None
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        from .codecs import decode_image
+        return decode_image(data, "webp"), None, None
+    raise ValueError(f"open_raster: no driver identifies {path!r}")

@@ -98,3 +98,47 @@ def test_srtmhgt_roundtrip(tmp_path):
     _, gt2, _ = srtmhgt_read(p2)
     assert gt2[0] + 0.5 * gt2[1] == pytest.approx(45.0)
     assert gt2[3] + 0.5 * gt2[5] == pytest.approx(-1.0)
+
+
+def test_open_raster_dispatch(tmp_path):
+    from georay.gtiff import tiff_encode
+    from georay.simpleformats import open_raster, srtmhgt_write
+
+    arr = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    gt = (0.0, 1.0, 0.0, 5.0, 0.0, -1.0)
+    # GTiff (classic + big)
+    for big in (False, True):
+        p = str(tmp_path / f"t{big}.tif")
+        with open(p, "wb") as f:
+            f.write(tiff_encode(arr, geotransform=gt, crs="EPSG:4326",
+                                bigtiff=big))
+        a, g, _ = open_raster(p)
+        assert np.array_equal(np.asarray(a), arr)
+        assert tuple(g) == pytest.approx(gt)
+    # ENVI
+    p = str(tmp_path / "e.img")
+    envi_write(p, arr, geotransform=gt)
+    a, g, _ = open_raster(p)
+    assert np.array_equal(a, arr)
+    # AAIGrid
+    p = str(tmp_path / "g.asc")
+    aaigrid_write(p, arr.astype(np.int64), geotransform=gt, nodata=-1)
+    a, g, nd = open_raster(p)
+    assert np.array_equal(a, arr) and nd == -1
+    # HGT
+    p = str(tmp_path / "N00E000.hgt")
+    srtmhgt_write(p, np.zeros((1201, 1201), np.int16))
+    a, g, nd = open_raster(p)
+    assert a.shape == (1201, 1201) and nd == -32768
+    # NITF
+    from georay.nitf import nitf_encode
+    p = str(tmp_path / "x.ntf")
+    with open(p, "wb") as f:
+        f.write(nitf_encode(arr))
+    a, _, _ = open_raster(p)
+    assert np.array_equal(a, arr)
+    with pytest.raises(ValueError):
+        bad = str(tmp_path / "junk.bin")
+        with open(bad, "wb") as f:
+            f.write(b"nonsense")
+        open_raster(bad)
