@@ -1,0 +1,85 @@
+"""OGROpen analog: identify the vector driver from extension + magic
+sniff and return a ``ray.data.Dataset`` (ogr/ogrsf_frmts/generic/
+ogrsfdriverregistrar.cpp Open dispatch).
+
+Formats: Shapefile, FlatGeobuf, GeoPackage, MBTiles, GeoJSON,
+GeoJSONSeq, OGR CSV, GPX, KML, GML, OSM PBF, Arrow IPC/Feather,
+Parquet, lance-layout datasets."""
+from __future__ import annotations
+
+import os
+
+__all__ = ["open_vector"]
+
+
+def open_vector(path: str, **kw):
+    """→ ray.data.Dataset of features (wkb + attribute columns, or the
+    format's native rows).  ``kw`` passes through to the driver
+    (e.g. ``bbox=`` for fgb/gpkg, ``table=`` for gpkg,
+    ``kind=`` for osm.pbf)."""
+    import ray
+
+    low = path.lower()
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "_latest.manifest")):
+            from .lancefmt import read_lance
+            return read_lance(path, **kw)
+        if any(p.endswith(".parquet") for p in os.listdir(path)):
+            return ray.data.read_parquet(path, **kw)
+        if any(p.endswith((".geojsonl", ".jsonl"))
+               for p in os.listdir(path)):
+            from .geojson import read_geojsonseq
+            return read_geojsonseq(path, **kw)
+        if any(p.endswith((".arrow", ".feather"))
+               for p in os.listdir(path)):
+            from .arrowipc import read_arrow_ipc
+            return read_arrow_ipc(path, **kw)
+        raise ValueError(f"open_vector: no driver identifies dir {path!r}")
+    if low.endswith(".shp"):
+        from .shapefile import read_shapefile
+        return read_shapefile(path[:-4], **kw).to_dataset()
+    if low.endswith(".osm.pbf"):
+        from .osmpbf import read_osm_pbf
+        return read_osm_pbf(path, **kw)
+    if low.endswith((".geojsonl", ".jsonl", ".ndjson")):
+        from .geojson import read_geojsonseq
+        return read_geojsonseq(path, **kw)
+    if low.endswith((".geojson", ".json")):
+        from .geojson import read_geojson
+        return read_geojson(path, **kw)
+    if low.endswith(".csv"):
+        from .csvdriver import read_csv_vector
+        return ray.data.from_arrow(read_csv_vector(path, **kw))
+    if low.endswith(".gpx"):
+        from .xmldrivers import read_gpx_files
+        return ray.data.from_arrow(read_gpx_files([path], **kw))
+    if low.endswith(".kml"):
+        from .xmldrivers import read_kml
+        return ray.data.from_arrow(read_kml(path, **kw))
+    if low.endswith(".gml"):
+        from .xmldrivers import read_gml
+        return ray.data.from_arrow(read_gml(path, **kw))
+    if low.endswith(".parquet"):
+        return ray.data.read_parquet(path, **kw)
+    if low.endswith((".arrow", ".feather", ".ipc")):
+        from .arrowipc import read_arrow_ipc
+        return read_arrow_ipc(path, **kw)
+    # magic sniffs for extensionless/unusual names
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head[:8] == b"fgb\x03fgb\x00":
+        from .flatgeobuf import read_fgb
+        with open(path, "rb") as f:
+            return ray.data.from_arrow(read_fgb(f.read(), **kw))
+    if head[:16] == b"SQLite format 3\x00":
+        with open(path, "rb") as f:
+            data = f.read()
+        from .gpkg import read_gpkg, read_mbtiles
+        if low.endswith(".mbtiles"):
+            return ray.data.from_arrow(read_mbtiles(data, **kw))
+        return ray.data.from_arrow(read_gpkg(data, **kw))
+    if low.endswith(".fgb"):
+        from .flatgeobuf import read_fgb
+        with open(path, "rb") as f:
+            return ray.data.from_arrow(read_fgb(f.read(), **kw))
+    raise ValueError(f"open_vector: no driver identifies {path!r}")

@@ -1,0 +1,60 @@
+"""open_vector driver identification across formats."""
+import numpy as np
+import pyarrow as pa
+
+from georay.geojson import geometry_to_wkb
+from georay.vectoropen import open_vector
+
+
+def _pts(n=25):
+    ids = np.arange(n, dtype=np.int64)
+    wkbs = [geometry_to_wkb({"type": "Point",
+                             "coordinates": [float(i), float(i % 7)]})
+            for i in ids]
+    return pa.table({"wkb": pa.array(wkbs, pa.binary()),
+                     "fid": pa.array(ids)})
+
+
+def test_open_vector_formats(tmp_path, ray_session):
+    import ray
+    t = _pts()
+
+    from georay.shapefile import write_shapefile
+    write_shapefile(t, str(tmp_path / "pts"))
+    assert open_vector(str(tmp_path / "pts.shp")).count() == 25
+
+    from georay.flatgeobuf import write_fgb
+    p = str(tmp_path / "pts.fgb")
+    with open(p, "wb") as f:
+        f.write(write_fgb(t))
+    assert open_vector(p).count() == 25
+
+    from georay.geojson import write_geojson, write_geojsonseq
+    p = str(tmp_path / "pts.geojson")
+    write_geojson(t, p)
+    assert open_vector(p).count() == 25
+    p = str(tmp_path / "pts.geojsonl")
+    write_geojsonseq(t, p)
+    assert open_vector(p).count() == 25
+
+    from georay.arrowipc import write_arrow_ipc
+    p = str(tmp_path / "pts.arrow")
+    write_arrow_ipc(t, p)
+    assert open_vector(p).count() == 25
+
+    import pyarrow.parquet as pq
+    p = str(tmp_path / "pts.parquet")
+    pq.write_table(t, p)
+    assert open_vector(p).count() == 25
+
+    from georay.lancefmt import write_lance
+    root = str(tmp_path / "pts.lance")
+    write_lance(t, root)
+    assert open_vector(root).count() == 25
+
+    import pytest
+    bad = str(tmp_path / "x.unknown")
+    with open(bad, "wb") as f:
+        f.write(b"zzzz")
+    with pytest.raises(ValueError):
+        open_vector(bad)
