@@ -2612,6 +2612,55 @@ def q_sql_rollup(sf_dir: str):
     return execute_sql(_SQL_ROLLUP_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+_SQL_Q6_TEXT = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+"""
+
+
+_SQL_Q14_TEXT = """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+_SQL_Q4_TEXT = """
+    SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1995-04-01'
+      AND EXISTS (SELECT * FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_sql_q6(sf_dir: str):
+    """TPC-H Q6 verbatim — ROUND over SUM exercises the aggregate-in-
+    expression hoist (hidden agg items + post-aggregation eval)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q6_TEXT, _sql_tables(sf_dir, "lineitem"))
+
+
+def q_sql_q14(sf_dir: str):
+    """TPC-H Q14 verbatim — CASE inside SUM, ratio of two hoisted
+    aggregates, through the size-adaptive join."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q14_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "part"))
+
+
+def q_sql_q4(sf_dir: str):
+    """TPC-H Q4 verbatim — correlated EXISTS decorrelated to a
+    broadcast semi-join + date-window filter."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q4_TEXT,
+                       _sql_tables(sf_dir, "orders", "lineitem"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -2771,6 +2820,9 @@ QUERIES = {
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
     "sql_cube": q_sql_cube,  # oracle-backed; rotate into window next round
+    "sql_q6": q_sql_q6,      # oracle-backed (TPC-H Q6 verbatim)
+    "sql_q14": q_sql_q14,    # oracle-backed (TPC-H Q14 verbatim)
+    "sql_q4": q_sql_q4,      # oracle-backed (TPC-H Q4 verbatim)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -2962,6 +3014,9 @@ ORACLE_SQL = {
     "sql_q5": _SQL_Q5_TEXT,
     "sql_rollup": _SQL_ROLLUP_TEXT,
     "sql_cube": _SQL_CUBE_TEXT,
+    "sql_q6": _SQL_Q6_TEXT,
+    "sql_q14": _SQL_Q14_TEXT,
+    "sql_q4": _SQL_Q4_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

@@ -358,9 +358,32 @@ class _SqlParser:
             return int(float(toks[0][1])), desc   # 1-based ordinal
         return toks, desc                    # expression -> hidden key
 
+    def _agg_call_is_subexpr(self) -> bool:
+        """True when the aggregate call at the cursor is part of a
+        larger expression (``SUM(x) / COUNT(*)``) — then the item must
+        parse as an expression and the aggregates hoist later."""
+        j = self.i + 1
+        if j >= len(self.toks) or self.toks[j] != ("op", "("):
+            return False
+        depth = 0
+        while j < len(self.toks):
+            if self.toks[j] == ("op", "("):
+                depth += 1
+            elif self.toks[j] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        j += 1
+        if j >= len(self.toks):
+            return False
+        k2, v2 = self.toks[j]
+        return k2 == "op" and v2 in ("+", "-", "*", "/", "%", "||")
+
     def _select_item(self):
         k, v = self.peek()
-        if k == "sqlkw" and v in _AGG_FUNCS:
+        if k == "sqlkw" and v in _AGG_FUNCS \
+                and not self._agg_call_is_subexpr():
             self.next()
             func = v
             kk, vv = self.next()
@@ -599,6 +622,49 @@ class _SqlParser:
             raise SqlError(f"frame offset needs PRECEDING/FOLLOWING, "
                            f"got {d!r}")
         raise SqlError(f"bad frame bound {v!r}")
+
+
+def _find_agg_calls(toks):
+    """Top-level aggregate calls inside an expression token list →
+    [(start, end, FUNC, inner_tokens)].  Calls followed by OVER are
+    window functions (not hoisted); DISTINCT / FILTER inside an
+    expression aggregate are rejected."""
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        k, v = toks[i]
+        if k in ("ident", "sqlkw") and str(v).upper() in _AGG_FUNCS \
+                and i + 1 < n and toks[i + 1] == ("op", "("):
+            depth = 0
+            j = i + 1
+            while j < n:
+                if toks[j] == ("op", "("):
+                    depth += 1
+                elif toks[j] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                raise SqlError(f"unbalanced parens in {v} call")
+            end = j + 1
+            if end < n and toks[end] == ("sqlkw", "OVER"):
+                i = end
+                continue
+            inner = toks[i + 2:j]
+            if inner and inner[0] == ("sqlkw", "DISTINCT"):
+                raise SqlError("DISTINCT aggregates inside expressions "
+                               "are not supported")
+            if end < n and toks[end][0] == "ident" \
+                    and str(toks[end][1]).upper() == "FILTER":
+                raise SqlError("FILTER on an aggregate inside an "
+                               "expression is not supported")
+            out.append((i, end, str(v).upper(), inner))
+            i = end
+            continue
+        i += 1
+    return out
 
 
 def _item_default_name(item: _SelectItem, idx: int) -> str:
@@ -1269,6 +1335,38 @@ def _execute(q: dict, tables: dict):
     names = [_item_default_name(it, i) for i, it in enumerate(items)]
     if len(set(names)) != len(names):
         raise SqlError(f"duplicate output column names: {names}")
+    # aggregates INSIDE expressions (ROUND(SUM(x)), 100*SUM(a)/SUM(b)):
+    # each aggregate call hoists to a HIDDEN agg item and the outer
+    # expression is rewritten to reference it; the expression itself
+    # evaluates AFTER aggregation (postagg), then hidden columns drop
+    visible_n = len(items)
+    postagg = {}
+    items = list(items)
+    for i in range(visible_n):
+        it = items[i]
+        if it.kind != "expr":
+            continue
+        spans = _find_agg_calls(it.expr_toks)
+        if not spans:
+            continue
+        newtoks = []
+        last = 0
+        for k, (a, b, func, inner) in enumerate(spans):
+            hname = f"aggh{i}_{k}__"
+            newtoks += it.expr_toks[last:a]
+            newtoks.append(("ident", hname))
+            last = b
+            star = inner == [("op", "*")]
+            hid = _SelectItem("agg", func=func,
+                              expr_toks=None if star else inner,
+                              star=star)
+            items.append(hid)
+            names.append(hname)
+        newtoks += it.expr_toks[last:]
+        node, used = _parse_expr_tokens(newtoks)
+        if used != len(newtoks):
+            raise SqlError("bad aggregate expression")
+        postagg[i] = node
     has_agg = any(it.kind == "agg" for it in items)
 
     win_items = [(i, it) for i, it in enumerate(items)
@@ -1342,6 +1440,8 @@ def _execute(q: dict, tables: dict):
     # computed into the key column inside ``prep``
     alias_nodes = {}
     for i, it in plain_items:
+        if i in postagg:
+            continue
         if names[i] in group_cols and not (
                 len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
                 and it.expr_toks[0][1] == names[i]):
@@ -1352,6 +1452,8 @@ def _execute(q: dict, tables: dict):
     alias_nodes.update(hidden_group_nodes)
     # non-aggregated select items must be GROUP BY columns (or aliases)
     for i, it in plain_items:
+        if i in postagg:
+            continue
         ok = names[i] in group_cols or (
             len(it.expr_toks) == 1 and it.expr_toks[0][0] == "ident"
             and it.expr_toks[0][1] in group_cols)
@@ -1375,6 +1477,9 @@ def _execute(q: dict, tables: dict):
         if cd:
             raise SqlError("MEDIAN/QUANTILE_CONT cannot be mixed with "
                            "COUNT(DISTINCT)")
+        if postagg:
+            raise SqlError("MEDIAN/QUANTILE_CONT cannot appear inside "
+                           "an expression")
         return _execute_quantile(
             ds, q, items, names, group_cols, agg_items, alias_nodes,
             having_node, having_hidden)
@@ -1384,6 +1489,9 @@ def _execute(q: dict, tables: dict):
                     "COUNT", "SUM", "AVG", "MIN", "MAX"):
                 raise SqlError(
                     f"{it.func} cannot be mixed with COUNT(DISTINCT)")
+        if postagg:
+            raise SqlError("COUNT(DISTINCT) cannot mix with aggregates "
+                           "inside expressions")
         return _execute_count_distinct(
             ds, q, items, names, group_cols, agg_items, alias_nodes,
             having_node, having_hidden)
@@ -1544,14 +1652,22 @@ def _execute(q: dict, tables: dict):
 
         def proj2(batch: pa.Table) -> pa.Table:
             cols = {}
-            for i, it in enumerate(items):
-                if it.kind == "agg" or names[i] in group_cols:
+            for i, it in enumerate(items[:visible_n]):
+                if i in postagg:
+                    v = _eval(postagg[i], batch)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.array([v.as_py()] * batch.num_rows)
+                    cols[names[i]] = v
+                elif it.kind == "agg" or names[i] in group_cols:
                     cols[names[i]] = batch[names[i]]
                 else:
                     cols[names[i]] = batch[it.expr_toks[0][1]]
+            for h in having_hidden:     # HAVING's hoisted aggregates
+                cols[h] = batch[h]      # pass through; dropped post-filter
             return pa.table(cols)
 
         out = out.map_batches(proj2, batch_format="pyarrow")
+        vnames = names[:visible_n]
         if having_node is not None:
             def hav(batch: pa.Table) -> pa.Table:
                 return batch.filter(
@@ -1565,9 +1681,9 @@ def _execute(q: dict, tables: dict):
                     lambda b, _h=tuple(having_hidden):
                         b.drop_columns(list(_h)),
                     batch_format="pyarrow")
-                visible = [n for n in names if n not in having_hidden]
+                visible = [n for n in vnames if n not in having_hidden]
                 return _finish(out, q, visible)
-        return _finish(out, q, names)
+        return _finish(out, q, vnames)
 
     # global aggregate → one-row table
     if q["having"]:
@@ -1579,7 +1695,18 @@ def _execute(q: dict, tables: dict):
         if v is None and it.func == "COUNT":
             v = 0   # SQL COUNT over an empty input is 0, not NULL
         row[names[i]] = [v]
-    return pa.table(row)
+    t = pa.table(row)
+    if postagg:
+        cols = {}
+        for i, it in enumerate(items[:visible_n]):
+            if i in postagg:
+                v = _eval(postagg[i], t)
+                cols[names[i]] = (pa.array([v.as_py()])
+                                  if isinstance(v, pa.Scalar) else v)
+            elif it.kind == "agg":
+                cols[names[i]] = t[names[i]]
+        return pa.table(cols)
+    return t
 
 
 def _split_call_args(toks):

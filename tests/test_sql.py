@@ -970,3 +970,48 @@ def test_sql_percent_rank_cume_dist(ray_session):
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       atol=1e-12)
+
+
+def test_sql_aggregates_inside_expressions(ray_session):
+    """ROUND(SUM(..)), SUM(..)/COUNT(*), CASE inside SUM, HAVING on a
+    wrapped aggregate — hoisted to hidden agg items, evaluated post-
+    aggregation.  Identical text both engines (TPC-H Q6/Q14 shapes)."""
+    for sql, tables in [
+        ("SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+         "FROM lineitem WHERE l_shipdate >= DATE '1994-01-01' "
+         "AND l_shipdate < DATE '1995-01-01' "
+         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+         ["lineitem"]),
+        ("SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+         "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+         "/ SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+         "FROM lineitem JOIN part ON l_partkey = p_partkey",
+         ["lineitem", "part"]),
+        ("SELECT o_orderpriority, ROUND(AVG(o_totalprice) / "
+         "MAX(o_totalprice), 6) AS ratio FROM orders "
+         "GROUP BY o_orderpriority ORDER BY o_orderpriority", ["orders"]),
+        ("SELECT o_orderstatus, SUM(o_totalprice) / COUNT(*) AS avg2, "
+         "AVG(o_totalprice) AS avg1 FROM orders GROUP BY o_orderstatus "
+         "ORDER BY o_orderstatus", ["orders"]),
+        ("SELECT o_orderpriority, SUM(o_totalprice) AS s FROM orders "
+         "GROUP BY o_orderpriority "
+         "HAVING ROUND(AVG(o_totalprice), 0) > 150000 "
+         "ORDER BY o_orderpriority", ["orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_tpch_q4_exists(ray_session):
+    sql = ("SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+           "WHERE o_orderdate >= DATE '1995-01-01' "
+           "AND o_orderdate < DATE '1995-04-01' "
+           "AND EXISTS (SELECT * FROM lineitem "
+           "WHERE l_orderkey = o_orderkey) "
+           "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    got = _norm(_run(sql, ["orders", "lineitem"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
