@@ -1029,6 +1029,131 @@ def _expand_ctes_and_derived(toks, tables):
     return out, tables
 
 
+def _rewrite_comma_joins(toks, tables):
+    """``FROM a, b[, c] WHERE a_k = b_k AND …`` → explicit
+    ``JOIN … ON`` chains (the TPC-H implicit-join style).  Equality
+    conjuncts whose two column names live in different listed tables
+    become join conditions (resolved against the registered table
+    schemas); everything else stays in WHERE.  Tables chain greedily —
+    each next table must share at least one join condition with the
+    tables joined so far (pure cross joins are rejected)."""
+    # locate FROM ident (, ident)+ at top level
+    try:
+        fi = toks.index(("sqlkw", "FROM"))
+    except ValueError:
+        return toks
+    names = []
+    i = fi + 1
+    while i + 1 < len(toks) and toks[i][0] == "ident" \
+            and toks[i + 1] == ("op", ","):
+        names.append(toks[i][1])
+        i += 2
+    if not names or i >= len(toks) or toks[i][0] != "ident":
+        return toks
+    names.append(toks[i][1])
+    i += 1
+    if len(names) < 2:
+        return toks
+    cols = {}
+    for t in names:
+        if t not in tables:
+            return toks          # unknown table → let _execute report
+        s = tables[t].schema()
+        for c in getattr(s, "names", []):
+            cols.setdefault(c, set()).add(t)
+    # WHERE conjuncts at top level
+    tail_kws = ("GROUP", "HAVING", "ORDER", "LIMIT")
+    wi = None
+    for j in range(i, len(toks)):
+        if toks[j] == ("sqlkw", "WHERE"):
+            wi = j
+            break
+        if toks[j][0] == "sqlkw" and toks[j][1] in tail_kws:
+            break
+    if wi is None:
+        raise SqlError("comma-join needs WHERE join conditions")
+    wend = len(toks)
+    depth = 0
+    for j in range(wi + 1, len(toks)):
+        if toks[j] == ("op", "("):
+            depth += 1
+        elif toks[j] == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and toks[j][0] == "sqlkw" \
+                and toks[j][1] in tail_kws:
+            wend = j
+            break
+    conjs, cur = [], []
+    depth = 0
+    for j in range(wi + 1, wend):
+        t = toks[j]
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if depth == 0 and t[0] in ("kw", "ident") \
+                and str(t[1]).upper() == "AND":
+            conjs.append(cur)
+            cur = []
+            continue
+        cur.append(t)
+    conjs.append(cur)
+
+    def owner(col):
+        hit = cols.get(col, set())
+        return next(iter(hit)) if len(hit) == 1 else None
+
+    join_conds, rest = [], []
+    for c in conjs:
+        if (len(c) == 3 and c[0][0] == "ident" and c[1] == ("op", "=")
+                and c[2][0] == "ident"):
+            ta, tb = owner(c[0][1]), owner(c[2][1])
+            if ta and tb and ta != tb:
+                join_conds.append((ta, tb, c[0][1], c[2][1]))
+                continue
+        rest.append(c)
+    if not join_conds:
+        raise SqlError("comma-join: no equality join conditions found")
+    joined = {names[0]}
+    chain = []               # [(table, [(ca, cb), ...])]
+    pending = list(join_conds)
+    while len(joined) < len(names):
+        for t in names:
+            if t in joined:
+                continue
+            conds = [(ca, cb) for ta, tb, ca, cb in pending
+                     if (ta in joined and tb == t)
+                     or (tb in joined and ta == t)]
+            if conds:
+                chain.append((t, conds))
+                joined.add(t)
+                pending = [p for p in pending
+                           if not ((p[0] in joined and p[1] in joined))]
+                break
+        else:
+            raise SqlError(f"comma-join: tables {sorted(set(names) - joined)} "
+                           "have no join condition to the joined set")
+    new = list(toks[:fi])
+    new.append(("sqlkw", "FROM"))
+    new.append(("ident", names[0]))
+    for t, conds in chain:
+        new.append(("sqlkw", "JOIN"))
+        new.append(("ident", t))
+        new.append(("sqlkw", "ON"))
+        for k, (ca, cb) in enumerate(conds):
+            if k:
+                new.append(("kw", "AND"))
+            new += [("ident", ca), ("op", "="), ("ident", cb)]
+    if rest:
+        new.append(("sqlkw", "WHERE"))
+        for k, c in enumerate(rest):
+            if k:
+                new.append(("kw", "AND"))
+            new += c
+    new += toks[wend:]
+    return new
+
+
 def execute_sql(sql: str, tables: dict):
     """Run a SELECT against ``tables`` ({name: ray.data.Dataset}); returns
     a Dataset for streaming shapes, or a pyarrow table for global
@@ -1040,6 +1165,7 @@ def execute_sql(sql: str, tables: dict):
     toks = _split_clauses(sql) if isinstance(sql, str) else sql
     toks, tables = _expand_ctes_and_derived(toks, tables)
     branches, alls = _split_union(toks)
+    branches = [_rewrite_comma_joins(b, tables) for b in branches]
     if len(branches) == 1:
         return _execute(_SqlParser(branches[0]).parse(), tables)
     parsed = [_SqlParser(b).parse() for b in branches]

@@ -1015,3 +1015,33 @@ def test_sql_tpch_q4_exists(ray_session):
     want = _norm(_duck(sql))
     want.columns = got.columns
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_comma_joins(ray_session):
+    """TPC-H implicit-join style FROM a, b, c WHERE — rewritten to
+    explicit JOIN chains by schema-resolved equality conjuncts."""
+    for sql, tables in [
+        ("SELECT c_custkey, c_name, "
+         "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+         "FROM customer, orders, lineitem "
+         "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+         "AND o_orderdate >= DATE '1996-10-01' "
+         "AND o_orderdate < DATE '1997-01-01' AND l_returnflag = 'R' "
+         "GROUP BY c_custkey, c_name "
+         "ORDER BY revenue DESC, c_custkey LIMIT 20",
+         ["customer", "orders", "lineitem"]),
+        ("SELECT c_mktsegment, COUNT(*) AS n "
+         "FROM customer, orders WHERE c_custkey = o_custkey "
+         "AND o_totalprice > 200000 GROUP BY c_mktsegment "
+         "ORDER BY c_mktsegment", ["customer", "orders"]),
+    ]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    import pytest
+
+    from georay.sql import SqlError
+    with pytest.raises(SqlError):
+        _run("SELECT COUNT(*) AS n FROM customer, part "
+             "WHERE c_custkey > 0", ["customer", "part"])  # cross join
