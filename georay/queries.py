@@ -2653,6 +2653,27 @@ def q_sql_q14(sf_dir: str):
                        _sql_tables(sf_dir, "lineitem", "part"))
 
 
+_SQL_Q10_TEXT = """
+    SELECT c_custkey, c_name,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-10-01'
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_sql_q10(sf_dir: str):
+    """TPC-H Q10 (subset columns) verbatim — implicit comma-joins +
+    aggregate-in-expression + ORDER BY expr alias + LIMIT."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q10_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders",
+                                   "lineitem"))
+
+
 def q_sql_q4(sf_dir: str):
     """TPC-H Q4 verbatim — correlated EXISTS decorrelated to a
     broadcast semi-join + date-window filter."""
@@ -2823,6 +2844,7 @@ QUERIES = {
     "sql_q6": q_sql_q6,      # oracle-backed (TPC-H Q6 verbatim)
     "sql_q14": q_sql_q14,    # oracle-backed (TPC-H Q14 verbatim)
     "sql_q4": q_sql_q4,      # oracle-backed (TPC-H Q4 verbatim)
+    "sql_q10": q_sql_q10,    # oracle-backed (TPC-H Q10 verbatim)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3017,6 +3039,7 @@ ORACLE_SQL = {
     "sql_q6": _SQL_Q6_TEXT,
     "sql_q14": _SQL_Q14_TEXT,
     "sql_q4": _SQL_Q4_TEXT,
+    "sql_q10": _SQL_Q10_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term
