@@ -76,6 +76,7 @@ import pyarrow as pa
 __all__ = [
     "write_lance", "read_lance", "read_lance_table", "lance_manifest",
     "write_fragment", "read_fragment", "fragment_stats", "compact_lance",
+    "delete_lance",
 ]
 
 _MAGIC = b"LANC"
@@ -473,9 +474,12 @@ def _write_manifest(root: str, version: int, schema: pa.Schema,
                     fragments: list[dict]):
     body = _schema_proto(schema)
     for i, fr in enumerate(fragments):
-        body += _len_field(2, _varint_field(1, i)
-                           + _len_field(2, fr["filename"].encode())
-                           + _varint_field(3, fr["num_rows"]))
+        frag = (_varint_field(1, i)
+                + _len_field(2, fr["filename"].encode())
+                + _varint_field(3, fr["num_rows"]))
+        if fr.get("del_file"):
+            frag += _len_field(4, fr["del_file"].encode())
+        body += _len_field(2, frag)
     body += _varint_field(3, version)
     body += _varint_field(4, sum(fr["num_rows"] for fr in fragments))
     vdir = os.path.join(root, "_versions")
@@ -532,6 +536,8 @@ def lance_manifest(root: str, version: int | None = None) -> dict:
                     fr["filename"] = v2.decode()
                 elif f2 == 3:
                     fr["num_rows"] = v2
+                elif f2 == 4:
+                    fr["del_file"] = v2.decode()
             frags.append(fr)
         elif field == 3:
             ver = val
@@ -608,8 +614,8 @@ def write_lance(ds, root: str, *, mode: str = "create",
         prev = lance_manifest(root)
         if prev["schema"].names != out_schema.names:
             raise ValueError("append schema mismatch")
-        infos = [{"filename": fr["filename"], "num_rows": fr["num_rows"]}
-                 for fr in prev["fragments"]] + infos
+        infos = [{k: fr[k] for k in ("filename", "num_rows", "del_file")
+                  if k in fr} for fr in prev["fragments"]] + infos
         version = prev["version"] + 1
     else:
         version = 1
@@ -662,6 +668,7 @@ def read_lance(root: str, *, columns: list[str] | None = None,
         frags = _prune_keep(root, frags, schema, prune)
     want = columns
     paths = [os.path.join(root, "data", fr["filename"]) for fr in frags]
+    del_names = [fr.get("del_file", "") for fr in frags]
     if not paths:
         empty = pa.table({c: pa.array([], schema.field(c).type)
                           for c in (want or schema.names)})
@@ -670,12 +677,22 @@ def read_lance(root: str, *, columns: list[str] | None = None,
 
     def load(batch: pa.Table) -> pa.Table:
         sch = pa.ipc.read_schema(pa.py_buffer(schema_ser))
-        out = [read_fragment(p, sch, want)
-               for p in batch["path"].to_pylist()]
+        out = []
+        for p, d in zip(batch["path"].to_pylist(),
+                        batch["del_file"].to_pylist()):
+            t = read_fragment(p, sch, want)
+            if d:
+                dels = np.frombuffer(
+                    open(os.path.join(os.path.dirname(p), d),
+                         "rb").read(), "<u8")
+                t = _apply_deletes(t, dels)
+            out.append(t)
         return pa.concat_tables(out)
 
-    src = ray.data.from_items([{"path": p} for p in paths],
-                              override_num_blocks=len(paths))
+    src = ray.data.from_items(
+        [{"path": p, "del_file": d}
+         for p, d in zip(paths, del_names)],
+        override_num_blocks=len(paths))
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
@@ -690,13 +707,107 @@ def read_lance_table(root: str, *, columns=None, version=None,
     frags = man["fragments"]
     if prune is not None:
         frags = _prune_keep(root, frags, man["schema"], prune)
-    tabs = [read_fragment(os.path.join(root, "data", fr["filename"]),
-                          man["schema"], columns) for fr in frags]
+    tabs = [_apply_deletes(
+        read_fragment(os.path.join(root, "data", fr["filename"]),
+                      man["schema"], columns),
+        _read_deletes(root, fr)) for fr in frags]
     if not tabs:
         cols = columns or man["schema"].names
         return pa.table({c: pa.array([], man["schema"].field(c).type)
                          for c in cols})
     return pa.concat_tables(tabs)
+
+
+def _read_deletes(root: str, fr: dict) -> np.ndarray:
+    """Sorted physical row indices deleted from a fragment (empty when
+    no tombstone file).  Tombstones are raw little-endian uint64 —
+    self-canonical like the rest of the wire (real lance uses arrow /
+    roaring containers; the SEMANTICS — data files immutable, deletes
+    as per-fragment sidecars named by the manifest — are the same)."""
+    name = fr.get("del_file")
+    if not name:
+        return np.empty(0, np.uint64)
+    with open(os.path.join(root, "data", name), "rb") as f:
+        return np.frombuffer(f.read(), "<u8")
+
+
+def _apply_deletes(t: pa.Table, dels: np.ndarray,
+                   row_range=None) -> pa.Table:
+    if dels.size == 0:
+        return t
+    if row_range is not None:
+        a, b = row_range
+        dels = dels[(dels >= a) & (dels < b)] - a
+        if dels.size == 0:
+            return t
+    keep = np.ones(t.num_rows, dtype=bool)
+    keep[dels.astype(np.int64)] = False
+    return t.filter(pa.array(keep))
+
+
+def delete_lance(root: str, predicate, *, columns=None,
+                 concurrency: int | None = None) -> dict:
+    """Delete rows matching ``predicate`` (callable pa.Table → bool
+    numpy mask) WITHOUT rewriting data: each fragment evaluates the
+    predicate in its own Ray task and writes/merges a tombstone sidecar
+    of physical row indices; a new manifest version names the sidecars.
+    Old versions still read the undeleted data (time travel); data
+    files never change.  ``columns`` limits what the predicate reads."""
+    import ray
+
+    man = lance_manifest(root)
+    schema_ser = man["schema"].serialize().to_pybytes()
+    data_dir = os.path.join(root, "data")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        sch = pa.ipc.read_schema(pa.py_buffer(schema_ser))
+        outs = {"filename": [], "del_file": [], "n_deleted": []}
+        for i in range(batch.num_rows):
+            fname = batch["filename"][i].as_py()
+            old = batch["old_del"][i].as_py() or ""
+            t = read_fragment(os.path.join(data_dir, fname), sch,
+                              columns=columns)
+            mask = np.asarray(predicate(t), dtype=bool)
+            prev = (np.frombuffer(
+                open(os.path.join(data_dir, old), "rb").read(), "<u8")
+                if old else np.empty(0, np.uint64))
+            mask[prev.astype(np.int64)] = True     # merge old tombstones
+            idx = np.flatnonzero(mask).astype(np.uint64)
+            if idx.size == prev.size:
+                outs["filename"].append(fname)
+                outs["del_file"].append(old)
+                outs["n_deleted"].append(int(prev.size))
+                continue
+            dname = f"del-{uuid.uuid4().hex}.bin"
+            tmp = os.path.join(data_dir, dname + ".tmp")
+            with open(tmp, "wb") as f:
+                f.write(idx.astype("<u8").tobytes())
+            os.replace(tmp, os.path.join(data_dir, dname))
+            outs["filename"].append(fname)
+            outs["del_file"].append(dname)
+            outs["n_deleted"].append(int(idx.size))
+        return pa.table({k: pa.array(v) for k, v in outs.items()})
+
+    src = ray.data.from_items(
+        [{"filename": fr["filename"],
+          "old_del": fr.get("del_file", "")}
+         for fr in man["fragments"]],
+        override_num_blocks=max(1, len(man["fragments"])))
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    rows = src.map_batches(mark, batch_format="pyarrow", batch_size=1,
+                           **kwargs).take_all()
+    by_name = {r["filename"]: r for r in rows}
+    infos = []
+    deleted = 0
+    for fr in man["fragments"]:
+        r = by_name[fr["filename"]]
+        info = {"filename": fr["filename"], "num_rows": fr["num_rows"]}
+        if r["del_file"]:
+            info["del_file"] = r["del_file"]
+            deleted += int(r["n_deleted"])
+        infos.append(info)
+    _write_manifest(root, man["version"] + 1, man["schema"], infos)
+    return {"version": man["version"] + 1, "deleted_rows": deleted}
 
 
 def compact_lance(root: str, *, target_rows: int = 65536,
@@ -738,9 +849,17 @@ def compact_lance(root: str, *, target_rows: int = 65536,
         outs = []
         for i in range(batch.num_rows):
             names = batch["files"][i].as_py()
-            t = pa.concat_tables([
-                read_fragment(os.path.join(data_dir, nm), sch)
-                for nm in names])
+            dels = batch["dels"][i].as_py()
+            parts = []
+            for nm, dl in zip(names, dels):
+                t1 = read_fragment(os.path.join(data_dir, nm), sch)
+                if dl:
+                    dd = np.frombuffer(
+                        open(os.path.join(data_dir, dl), "rb").read(),
+                        "<u8")
+                    t1 = _apply_deletes(t1, dd)
+                parts.append(t1)
+            t = pa.concat_tables(parts)
             info = write_fragment(t, os.path.join(
                 data_dir, f"frag-{uuid.uuid4().hex}.lancef"))
             outs.append(info)
@@ -751,7 +870,8 @@ def compact_lance(root: str, *, target_rows: int = 65536,
         })
 
     src = ray.data.from_items(
-        [{"files": [fr["filename"] for fr in b]} for b in bins],
+        [{"files": [fr["filename"] for fr in b],
+          "dels": [fr.get("del_file", "") for fr in b]} for b in bins],
         override_num_blocks=len(bins))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     new_infos = [{"filename": r["filename"],
@@ -759,8 +879,8 @@ def compact_lance(root: str, *, target_rows: int = 65536,
                  for r in src.map_batches(rewrite, batch_format="pyarrow",
                                           batch_size=1, **kwargs)
                  .take_all()]
-    infos = [{"filename": fr["filename"], "num_rows": fr["num_rows"]}
-             for fr in keep] + new_infos
+    infos = [{k: fr[k] for k in ("filename", "num_rows", "del_file")
+              if k in fr} for fr in keep] + new_infos
     _write_manifest(root, man["version"] + 1, schema, infos)
     return {"version": man["version"] + 1,
             "compacted": len(small),

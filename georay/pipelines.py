@@ -341,17 +341,29 @@ def _flagship_direct_fn(batch: pa.Table, *, index_ref, zoom, decode, cut,
     paths = batch["path"].to_pylist()
     outs = []
     if "start" in batch.column_names:        # lance fragment row ranges
-        from .lancefmt import lance_manifest, read_fragment
+        import numpy as _np
+
+        from .lancefmt import _apply_deletes, lance_manifest, \
+            read_fragment
         roots = batch["root"].to_pylist()
         starts = batch["start"].to_pylist()
         stops = batch["stop"].to_pylist()
-        for root, path, a, b in zip(roots, paths, starts, stops):
+        dels = batch["del_file"].to_pylist() \
+            if "del_file" in batch.column_names else [""] * len(paths)
+        import os as _os
+        for root, path, a, b, dl in zip(roots, paths, starts, stops,
+                                        dels):
             key = ("lance_schema", root)
             sch = _STAGE_CACHE.get(key)
             if sch is None:
                 sch = lance_manifest(root)["schema"]
                 _STAGE_CACHE[key] = sch
             tbl = read_fragment(path, sch, row_range=(int(a), int(b)))
+            if dl:
+                dd = _np.frombuffer(
+                    open(_os.path.join(root, "data", dl), "rb").read(),
+                    "<u8")
+                tbl = _apply_deletes(tbl, dd, row_range=(int(a), int(b)))
             outs.append(_flagship_fn(tbl, index_ref=index_ref, zoom=zoom,
                                      decode=decode, cut=cut,
                                      verify=verify))
@@ -390,7 +402,8 @@ def flagship_work_units(images_path: str, groups_per_task: int = 2):
                 units.append({"root": images_path, "path": full,
                               "start": a,
                               "stop": min(a + rows_per_unit,
-                                          fr["num_rows"])})
+                                          fr["num_rows"]),
+                              "del_file": fr.get("del_file", "")})
         return units
     units = []
     for f in sorted(os.listdir(images_path)):

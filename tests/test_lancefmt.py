@@ -253,3 +253,65 @@ def test_fragment_roundtrip_property(tmp_path_factory, rows):
         b = 2 * t.num_rows // 3 + 1
         part = lf.read_fragment(p, t.schema, row_range=(a, b))
         assert part.equals(t.slice(a, b - a))
+
+
+def test_deletion_vectors(tmp_path, ray_session):
+    """delete_lance: tombstone sidecars, no data rewrite, time travel,
+    merge on repeat, purge on compaction."""
+    import ray
+    t = _mixed_table(300)
+    root = str(tmp_path / "d.lance")
+    lf.write_lance(ray.data.from_arrow(t).repartition(3), root)
+    data_files = set(os.listdir(os.path.join(root, "data")))
+
+    res = lf.delete_lance(
+        root, lambda tb: tb["id"].to_numpy() % 5 == 0, columns=["id"])
+    assert res["version"] == 2 and res["deleted_rows"] == 60
+    # data files unchanged, only tombstones added
+    now = set(os.listdir(os.path.join(root, "data")))
+    assert data_files <= now
+    assert all(f.startswith("del-") for f in now - data_files)
+
+    back = lf.read_lance_table(root)
+    ids = np.sort(back["id"].to_numpy())
+    assert len(ids) == 240 and not (ids % 5 == 0).any()
+    # Ray source applies deletes too
+    assert lf.read_lance(root).count() == 240
+    # time travel: version 1 still sees everything
+    assert lf.read_lance_table(root, version=1).num_rows == 300
+
+    # second delete merges with existing tombstones
+    res2 = lf.delete_lance(
+        root, lambda tb: tb["id"].to_numpy() % 7 == 0, columns=["id"])
+    back2 = lf.read_lance_table(root)
+    ids2 = back2["id"].to_numpy()
+    assert not ((ids2 % 5 == 0) | (ids2 % 7 == 0)).any()
+    assert res2["deleted_rows"] == int(
+        ((np.arange(300) % 5 == 0) | (np.arange(300) % 7 == 0)).sum())
+
+    # compaction materializes deletes and drops tombstones
+    res3 = lf.compact_lance(root, target_rows=500)
+    man = lf.lance_manifest(root)
+    assert all("del_file" not in fr for fr in man["fragments"])
+    back3 = lf.read_lance_table(root)
+    assert back3.sort_by("id").equals(back2.sort_by("id"))
+
+
+def test_flagship_direct_respects_deletes(tmp_path, ray_session):
+    import ray
+
+    from georay import fixtures
+    from georay.pipelines import flagship_join
+
+    t = fixtures.images_table(40)
+    root = str(tmp_path / "imgs.lance")
+    lf.write_lance(ray.data.from_arrow(t).repartition(2), root)
+    full = flagship_join(root).to_pandas()
+    lf.delete_lance(
+        root, lambda tb: np.array([s.endswith(("0", "5"))
+                                   for s in tb["image_id"].to_pylist()]),
+        columns=["image_id"])
+    part = flagship_join(root).to_pandas()
+    assert not part["image_id"].str.endswith(("0", "5")).any()
+    kept = full[~full["image_id"].str.endswith(("0", "5"))]
+    assert sorted(part["image_id"]) == sorted(kept["image_id"])
