@@ -49,3 +49,22 @@ def test_truncated_rejects():
     b = nitf_encode(arr)
     with pytest.raises(Exception):
         nitf_decode(b"JUNK" + b[4:])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from([1, 3]), st.booleans())
+def test_nitf_roundtrip_property(h, w, nb, wide):
+    rng = np.random.RandomState(h * 41 + w)
+    if wide:
+        arr = (rng.rand(h, w, nb) * 60000).astype(np.uint16)
+    else:
+        arr = (rng.rand(h, w, nb) * 255).astype(np.uint8)
+    if nb == 1:
+        arr = arr[:, :, 0]
+    back, meta = nitf_decode(nitf_encode(arr))
+    assert np.array_equal(back, arr)
+    assert meta["nbands"] == nb
