@@ -2682,6 +2682,75 @@ def q_sql_q4(sf_dir: str):
                        _sql_tables(sf_dir, "orders", "lineitem"))
 
 
+_SQL_Q7_TEXT = """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_q7(sf_dir: str):
+    """TPC-H Q7 verbatim — the SELF-JOIN query: two instances of
+    ``nation`` under aliases n1/n2.  Aliased colliding instances are
+    physically renamed to ``alias.col`` (zero-copy arrow rename) so
+    both ride the same hash-shuffle equi_join fold; qualified
+    references resolve to the renamed columns, EXTRACT(year FROM …)
+    desugars to the YEAR kernel (sql.py _dequalify/_rewrite_extract;
+    reference dialect: ogrsqliteexecutesql.cpp passes aliases to
+    sqlite)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q7_TEXT,
+                       _sql_tables(sf_dir, "supplier", "lineitem",
+                                   "orders", "customer", "nation"))
+
+
+_SQL_Q8_TEXT = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_sql_q8(sf_dir: str):
+    """TPC-H Q8 verbatim — EIGHT-way implicit join with a nation
+    self-join (customer's nation n1 → region filter, supplier's nation
+    n2 → market-share bucket), CASE inside SUM, ratio of two hoisted
+    aggregates, derived-table wrapper."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q8_TEXT,
+                       _sql_tables(sf_dir, "part", "supplier", "lineitem",
+                                   "orders", "customer", "nation",
+                                   "region"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -2845,6 +2914,8 @@ QUERIES = {
     "sql_q14": q_sql_q14,    # oracle-backed (TPC-H Q14 verbatim)
     "sql_q4": q_sql_q4,      # oracle-backed (TPC-H Q4 verbatim)
     "sql_q10": q_sql_q10,    # oracle-backed (TPC-H Q10 verbatim)
+    "sql_q7": q_sql_q7,      # oracle-backed (TPC-H Q7 verbatim — self-join)
+    "sql_q8": q_sql_q8,      # oracle-backed (TPC-H Q8 verbatim — self-join)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3040,6 +3111,8 @@ ORACLE_SQL = {
     "sql_q14": _SQL_Q14_TEXT,
     "sql_q4": _SQL_Q4_TEXT,
     "sql_q10": _SQL_Q10_TEXT,
+    "sql_q7": _SQL_Q7_TEXT,
+    "sql_q8": _SQL_Q8_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

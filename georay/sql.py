@@ -89,6 +89,35 @@ def _split_clauses(sql: str):
     return norm
 
 
+_EXTRACT_PARTS = {"YEAR": "YEAR", "MONTH": "MONTH", "DAY": "DAY",
+                  "HOUR": "HOUR", "MINUTE": "MINUTE", "SECOND": "SECOND",
+                  "DOW": "DAYOFWEEK", "DAYOFWEEK": "DAYOFWEEK"}
+
+
+def _rewrite_extract(toks):
+    """``EXTRACT(part FROM expr)`` → ``PART(expr)`` — token-level sugar
+    onto the existing date-part scalar functions (DuckDB/standard SQL
+    spelling; the reference's SQLite dialect exposes strftime instead)."""
+    out = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        k, v = toks[i]
+        if (k in ("ident", "sqlkw") and str(v).upper() == "EXTRACT"
+                and i + 3 < n and toks[i + 1] == ("op", "(")
+                and toks[i + 2][0] in ("ident", "sqlkw")
+                and toks[i + 3] == ("sqlkw", "FROM")):
+            part = str(toks[i + 2][1]).upper()
+            if part not in _EXTRACT_PARTS:
+                raise SqlError(f"EXTRACT: unsupported part {part!r}")
+            out += [("ident", _EXTRACT_PARTS[part]), ("op", "(")]
+            i += 4
+            continue
+        out.append((k, v))
+        i += 1
+    return out
+
+
 class _SelectItem:
     __slots__ = ("kind", "func", "distinct", "expr_toks", "name", "star",
                  "over", "win_args", "filt_toks")
@@ -170,14 +199,17 @@ class _SqlParser:
         if k not in ("ident", "sqlkw"):
             raise SqlError(f"expected table name, got {table!r}")
         aliases = {}
+        from_alias = None
         if self.peek() == ("sqlkw", "AS"):
             self.next()
             kk, al = self.next()
             if kk != "ident":
                 raise SqlError(f"expected table alias, got {al!r}")
             aliases[al] = table
+            from_alias = al
         elif self.peek()[0] == "ident":
-            aliases[self.peek()[1]] = table
+            from_alias = self.peek()[1]
+            aliases[from_alias] = table
             self.next()
         joins = []
         while self.peek()[0] == "sqlkw" and self.peek()[1] in (
@@ -192,6 +224,17 @@ class _SqlParser:
             kk, t2 = self.next()
             if kk not in ("ident", "sqlkw"):
                 raise SqlError(f"expected table name, got {t2!r}")
+            jalias = None
+            if self.peek() == ("sqlkw", "AS"):
+                self.next()
+                kk, jalias = self.next()
+                if kk != "ident":
+                    raise SqlError(f"expected table alias, got {jalias!r}")
+                aliases[jalias] = t2
+            elif self.peek()[0] == "ident":
+                jalias = self.peek()[1]
+                aliases[jalias] = t2
+                self.next()
             self.expect_kw("ON")
             pairs = []
             while True:
@@ -205,7 +248,7 @@ class _SqlParser:
                     self.next()
                     continue
                 break
-            joins.append((jtype, t2, pairs))
+            joins.append((jtype, t2, pairs, jalias))
         where = group = having = None
         order = []
         limit = offset = None
@@ -298,7 +341,7 @@ class _SqlParser:
         return dict(items=items, distinct=distinct, table=table,
                     joins=joins, where=where, group=group, having=having,
                     order=order, limit=limit, offset=offset,
-                    aliases=aliases, rollup=rollup,
+                    aliases=aliases, from_alias=from_alias, rollup=rollup,
                     grouping_sets=grouping_sets)
 
     def _on_col(self):
@@ -1037,30 +1080,42 @@ def _rewrite_comma_joins(toks, tables):
     schemas); everything else stays in WHERE.  Tables chain greedily —
     each next table must share at least one join condition with the
     tables joined so far (pure cross joins are rejected)."""
-    # locate FROM ident (, ident)+ at top level
+    # locate FROM ident [alias] (, ident [alias])+ at top level
     try:
         fi = toks.index(("sqlkw", "FROM"))
     except ValueError:
         return toks
-    names = []
+    entries = []                 # [(table, alias|None)]
     i = fi + 1
-    while i + 1 < len(toks) and toks[i][0] == "ident" \
-            and toks[i + 1] == ("op", ","):
-        names.append(toks[i][1])
-        i += 2
-    if not names or i >= len(toks) or toks[i][0] != "ident":
+    while i < len(toks) and toks[i][0] == "ident":
+        t = toks[i][1]
+        i += 1
+        al = None
+        if i < len(toks) and toks[i] == ("sqlkw", "AS"):
+            i += 1
+        if i < len(toks) and toks[i][0] == "ident":
+            al = toks[i][1]
+            i += 1
+        entries.append((t, al))
+        if i < len(toks) and toks[i] == ("op", ","):
+            i += 1
+            continue
+        break
+    if len(entries) < 2:
         return toks
-    names.append(toks[i][1])
-    i += 1
-    if len(names) < 2:
-        return toks
-    cols = {}
-    for t in names:
+    keys = [al or t for t, al in entries]
+    if len(set(keys)) != len(keys):
+        raise SqlError("comma-join: a table listed twice needs a "
+                       "distinct alias per instance")
+    inst_cols = {}               # key -> frozenset of its table's columns
+    cols = {}                    # column -> set of instance keys
+    for (t, al), key in zip(entries, keys):
         if t not in tables:
             return toks          # unknown table → let _execute report
         s = tables[t].schema()
-        for c in getattr(s, "names", []):
-            cols.setdefault(c, set()).add(t)
+        inst_cols[key] = frozenset(getattr(s, "names", []))
+        for c in inst_cols[key]:
+            cols.setdefault(c, set()).add(key)
     # WHERE conjuncts at top level
     tail_kws = ("GROUP", "HAVING", "ORDER", "LIMIT")
     wi = None
@@ -1099,8 +1154,14 @@ def _rewrite_comma_joins(toks, tables):
         cur.append(t)
     conjs.append(cur)
 
-    def owner(col):
-        hit = cols.get(col, set())
+    def owner(ref):
+        """Instance key owning a (possibly alias-qualified) column ref."""
+        if "." in ref:
+            pre, suf = ref.split(".", 1)
+            if pre in inst_cols and suf in inst_cols[pre]:
+                return pre
+            return None
+        hit = cols.get(ref, set())
         return next(iter(hit)) if len(hit) == 1 else None
 
     join_conds, rest = [], []
@@ -1114,11 +1175,12 @@ def _rewrite_comma_joins(toks, tables):
         rest.append(c)
     if not join_conds:
         raise SqlError("comma-join: no equality join conditions found")
-    joined = {names[0]}
-    chain = []               # [(table, [(ca, cb), ...])]
+    by_key = dict(zip(keys, entries))
+    joined = {keys[0]}
+    chain = []               # [(instance key, [(ca, cb), ...])]
     pending = list(join_conds)
-    while len(joined) < len(names):
-        for t in names:
+    while len(joined) < len(keys):
+        for t in keys:
             if t in joined:
                 continue
             conds = [(ca, cb) for ta, tb, ca, cb in pending
@@ -1131,14 +1193,18 @@ def _rewrite_comma_joins(toks, tables):
                            if not ((p[0] in joined and p[1] in joined))]
                 break
         else:
-            raise SqlError(f"comma-join: tables {sorted(set(names) - joined)} "
+            raise SqlError(f"comma-join: tables {sorted(set(keys) - joined)} "
                            "have no join condition to the joined set")
     new = list(toks[:fi])
     new.append(("sqlkw", "FROM"))
-    new.append(("ident", names[0]))
+    new.append(("ident", entries[0][0]))
+    if entries[0][1]:
+        new.append(("ident", entries[0][1]))
     for t, conds in chain:
         new.append(("sqlkw", "JOIN"))
-        new.append(("ident", t))
+        new.append(("ident", by_key[t][0]))
+        if by_key[t][1]:
+            new.append(("ident", by_key[t][1]))
         new.append(("sqlkw", "ON"))
         for k, (ca, cb) in enumerate(conds):
             if k:
@@ -1163,6 +1229,7 @@ def execute_sql(sql: str, tables: dict):
     union, as in standard SQL.  WITH ctes and derived FROM-subqueries
     compile compositionally (see :func:`_expand_ctes_and_derived`)."""
     toks = _split_clauses(sql) if isinstance(sql, str) else sql
+    toks = _rewrite_extract(toks)
     toks, tables = _expand_ctes_and_derived(toks, tables)
     branches, alls = _split_union(toks)
     branches = [_rewrite_comma_joins(b, tables) for b in branches]
@@ -1344,31 +1411,97 @@ def _strip_qual(name, valid):
     return name
 
 
-def _dequalify(q: dict) -> dict:
-    valid = {q["table"]} | {t2 for _, t2, _ in q["joins"]} \
-        | set(q.get("aliases") or ())
+def _dequalify(q: dict, tables: dict | None = None) -> dict:
+    """Resolve table-qualified column references against the query's
+    FROM/JOIN scope (ogr/swq supports qualified names the same way).
+
+    Two regimes, decided per relation INSTANCE (a FROM or JOIN entry,
+    identified by its alias when one is given):
+
+    - no column collision with any other instance → the qualifier is
+      simply STRIPPED (``lineitem.l_qty`` / ``l.l_qty`` → ``l_qty``),
+      the long-standing behavior;
+    - an ALIASED instance whose columns collide with another instance
+      (the self-join case, ``FROM nation n1 JOIN nation n2``) is
+      RENAMED: every column ``c`` becomes the physical name
+      ``alias.c`` (zero-copy arrow rename in _execute), qualified
+      references keep that physical spelling, and bare references to a
+      column owned by exactly one renamed instance are rewritten to
+      it.  ``q["renamed"]`` records {alias: [cols]} for _execute.
+
+    Unknown qualifiers pass through untouched — they may belong to an
+    inner subquery scope, whose own _execute pass resolves them (a
+    genuinely unknown name still fails loudly at column lookup)."""
+    insts = [(q["table"], q.get("from_alias"))]
+    insts += [(t2, al) for _, t2, _, al in q["joins"]]
+    valid = {t for t, _ in insts} | {a for _, a in insts if a}
+
+    renamed = {}
+    inst_cols = []
+    if len(insts) > 1 and any(al for _, al in insts):
+        # column ownership per instance (needs registered schemas)
+        for t, al in insts:
+            tb = (tables or {}).get(t)
+            cols = frozenset(_schema_names(tb)) if tb is not None \
+                else frozenset()
+            inst_cols.append((t, al, cols))
+        for i, (t, al, cols) in enumerate(inst_cols):
+            if not al:
+                continue
+            others = set().union(
+                *(c for j, (_, _, c) in enumerate(inst_cols) if j != i))
+            if cols & others:
+                renamed[al] = sorted(cols)
+    q["renamed"] = renamed
+    # bare name → unique renamed owner (only when NO un-renamed
+    # instance also owns it — the un-renamed physical name wins there)
+    bare_map = {}
+    if renamed:
+        owners = {}
+        for t, al, cols in inst_cols:
+            for c in cols:
+                owners.setdefault(c, []).append(al if al in renamed
+                                                else None)
+        for c, own in owners.items():
+            if len(own) == 1 and own[0] is not None:
+                bare_map[c] = f"{own[0]}.{c}"
+
+    def one(name):
+        """Resolve a single identifier (qualified or bare)."""
+        if not isinstance(name, str):
+            return name
+        if "." in name:
+            pre, suf = name.split(".", 1)
+            if pre in renamed:
+                return name            # physical spelling already
+            if pre in valid:
+                return suf
+            return name
+        return bare_map.get(name, name)
 
     def toks(tl):
         if not tl:
             return tl
-        return [("ident", _strip_qual(v, valid)) if k == "ident" else (k, v)
-                for k, v in tl]
+        out = []
+        for j, (k, v) in enumerate(tl):
+            if k == "ident" and not (j + 1 < len(tl)
+                                     and tl[j + 1] == ("op", "(")):
+                out.append(("ident", one(v)))
+            else:
+                out.append((k, v))
+        return out
 
     q["where"] = toks(q["where"])
     q["having"] = toks(q["having"])
     if q["group"]:
         q["group"] = [toks(g) if isinstance(g, list)
-                      else (_strip_qual(g, valid) if isinstance(g, str)
-                            else g)
+                      else (one(g) if isinstance(g, str) else g)
                       for g in q["group"]]
     q["order"] = [((toks(c) if isinstance(c, list)
-                    else (_strip_qual(c, valid) if isinstance(c, str)
-                          else c)), d)
+                    else (one(c) if isinstance(c, str) else c)), d)
                   for c, d in q["order"]]
-    q["joins"] = [(jt, t2, [(_strip_qual(ca, valid),
-                             _strip_qual(cb, valid))
-                            for ca, cb in pairs])
-                  for jt, t2, pairs in q["joins"]]
+    q["joins"] = [(jt, t2, [(one(ca), one(cb)) for ca, cb in pairs], al)
+                  for jt, t2, pairs, al in q["joins"]]
     for it in (q["items"] if q["items"] != "*" else ()):
         if it.expr_toks:
             it.expr_toks = toks(it.expr_toks)
@@ -1376,31 +1509,55 @@ def _dequalify(q: dict) -> dict:
             it.filt_toks = toks(it.filt_toks)
         if it.over:
             part, order, frame = it.over
-            it.over = ([_strip_qual(p, valid) for p in part],
-                       [(_strip_qual(c, valid), d) for c, d in order],
+            it.over = ([one(p) for p in part],
+                       [(one(c), d) for c, d in order],
                        frame)
     return q
+
+
+def _rename_instance(ds, alias: str, cols):
+    """Physically rename an aliased instance's columns to ``alias.c``
+    (zero-copy: arrow rename_columns is metadata-only)."""
+    mapping = {c: f"{alias}.{c}" for c in cols}
+
+    def ren(batch: pa.Table, _m=mapping) -> pa.Table:
+        return batch.rename_columns(
+            [_m.get(c, c) for c in batch.column_names])
+
+    if isinstance(ds, pa.Table):
+        return ren(ds)
+    return ds.map_batches(ren, batch_format="pyarrow")
 
 
 def _execute(q: dict, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
-    q = _dequalify(q)
+    q = _dequalify(q, tables)
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]
+    renamed = q.get("renamed") or {}
+    fal = q.get("from_alias")
+    if fal in renamed:
+        ds = _rename_instance(ds, fal, renamed[fal])
     if q["joins"]:
         # FROM a JOIN b ON x = y — fold left through the engine's
         # hash-shuffle equi_join (byte-sized partitions); column names
         # across the joined tables must be disjoint so unqualified
-        # references stay unambiguous (the TPC-H / OGR naming style)
+        # references stay unambiguous (the TPC-H / OGR naming style);
+        # self-joins get per-alias renamed instances (see _dequalify)
         from .join import equi_join
-        left_names = set(ds.schema().names)
-        for jtype, t2, pairs in q["joins"]:
+        left_names = ({f"{fal}.{c}" for c in renamed[fal]}
+                      if fal in renamed else set(ds.schema().names))
+        for jtype, t2, pairs, jal in q["joins"]:
             if t2 not in tables:
                 raise SqlError(f"unknown table {t2!r}")
             rds = tables[t2]
-            rnames = set(rds.schema().names)
+            if jal in renamed:
+                rds = _rename_instance(rds, jal, renamed[jal])
+                rnames = {f"{jal}.{c}" for c in renamed[jal]}
+            else:
+                rnames = set(rds.schema().names)
             dup = left_names & rnames
             if dup:
                 raise SqlError(
@@ -1459,6 +1616,13 @@ def _execute(q: dict, tables: dict):
                  for n in ds.schema().names]
         q = dict(q, items=items)
     names = [_item_default_name(it, i) for i, it in enumerate(items)]
+    # a default (un-AS'd) name over a renamed self-join instance keeps
+    # only the column part (SELECT n1.n_name → column "n_name"), like SQL
+    names = [n.split(".", 1)[1]
+             if ("." in n and it.name is None
+                 and n.split(".", 1)[0] in (q.get("renamed") or ()))
+             else n
+             for n, it in zip(names, items)]
     if len(set(names)) != len(names):
         raise SqlError(f"duplicate output column names: {names}")
     # aggregates INSIDE expressions (ROUND(SUM(x)), 100*SUM(a)/SUM(b)):
@@ -2331,6 +2495,12 @@ def _finish(out, q, names):
                     raise SqlError(f"ORDER BY ordinal {c} out of range")
                 c = names[c - 1]
             if isinstance(c, str):
+                if c not in names and "." in c \
+                        and c.split(".", 1)[0] in (q.get("renamed") or ()) \
+                        and c.split(".", 1)[1] in names:
+                    # ORDER BY n1.n_name where the select list exposed
+                    # the stripped default name n_name
+                    c = c.split(".", 1)[1]
                 if c not in names:
                     raise SqlError(
                         f"ORDER BY column {c!r} not in SELECT list")

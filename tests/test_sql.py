@@ -1045,3 +1045,67 @@ def test_sql_comma_joins(ray_session):
     with pytest.raises(SqlError):
         _run("SELECT COUNT(*) AS n FROM customer, part "
              "WHERE c_custkey > 0", ["customer", "part"])  # cross join
+
+
+def test_sql_table_aliases_self_join(ray_session):
+    """Self-joins via table aliases: two instances of ``nation`` under
+    n1/n2 are physically renamed to alias-qualified columns and folded
+    through the same equi_join; qualified references, bare-unique
+    references and default output names all resolve.  Explicit-JOIN and
+    implicit comma-join spellings both verified against DuckDB."""
+    explicit = (
+        "SELECT n1.n_name AS na, n2.n_name AS nb, "
+        "n1.n_regionkey AS rk "
+        "FROM nation n1 JOIN nation AS n2 "
+        "ON n1.n_regionkey = n2.n_regionkey "
+        "WHERE n1.n_name < n2.n_name "
+        "ORDER BY na, nb LIMIT 15")
+    implicit = (
+        "SELECT n1.n_name AS na, COUNT(*) AS n "
+        "FROM supplier, nation n1, nation n2 "
+        "WHERE s_nationkey = n1.n_nationkey "
+        "AND n1.n_regionkey = n2.n_regionkey "
+        "AND n1.n_name <> n2.n_name "
+        "GROUP BY na ORDER BY n DESC, na LIMIT 10")
+    for sql in (explicit, implicit):
+        got = _norm(_run(sql, ["supplier", "nation"]))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # default output name keeps only the column part (n1.n_name → n_name)
+    one = _run("SELECT n1.n_name FROM nation n1 "
+               "JOIN nation n2 ON n1.n_nationkey = n2.n_nationkey "
+               "ORDER BY n1.n_name LIMIT 3", ["nation"])
+    assert list(one.columns) == ["n_name"]
+
+
+def test_sql_extract_sugar(ray_session):
+    """EXTRACT(part FROM expr) desugars onto the date-part kernels."""
+    sql = ("SELECT EXTRACT(year FROM o_orderdate) AS y, "
+           "EXTRACT(month FROM o_orderdate) AS m, COUNT(*) AS n "
+           "FROM orders GROUP BY y, m ORDER BY y, m LIMIT 12")
+    got = _norm(_run(sql, ["orders"]))
+    want = _norm(_duck(sql))
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    import pytest
+
+    from georay.sql import SqlError
+    with pytest.raises(SqlError):
+        _run("SELECT EXTRACT(epoch FROM o_orderdate) AS e FROM orders "
+             "LIMIT 1", ["orders"])
+
+
+def test_sql_tpch_q7_q8(ray_session):
+    """TPC-H Q7 and Q8 (the self-join queries) verbatim vs DuckDB at
+    sf0.001 through the driver query texts."""
+    from georay.queries import _SQL_Q7_TEXT, _SQL_Q8_TEXT
+    for sql, tables in [
+            (_SQL_Q7_TEXT, ["supplier", "lineitem", "orders",
+                            "customer", "nation"]),
+            (_SQL_Q8_TEXT, ["part", "supplier", "lineitem", "orders",
+                            "customer", "nation", "region"])]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
