@@ -2751,6 +2751,110 @@ def q_sql_q8(sf_dir: str):
                                    "region"))
 
 
+_SQL_Q12_TEXT = """
+    SELECT l_returnflag,
+           SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END
+               AS DOUBLE)) AS high_line_count,
+           SUM(CAST(CASE WHEN o_orderpriority <> '1-URGENT'
+                     AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END
+               AS DOUBLE)) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_q12(sf_dir: str):
+    """TPC-H Q12 shape (l_returnflag for the missing l_shipmode column)
+    — priority-bucket CASE sums over a date-windowed join."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q12_TEXT,
+                       _sql_tables(sf_dir, "orders", "lineitem"))
+
+
+_SQL_Q13_TEXT = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_q13(sf_dir: str):
+    """TPC-H Q13 verbatim — LEFT OUTER JOIN with null-skipping
+    COUNT(col) (customers with zero orders land in the c_count=0
+    bucket), re-grouped through a derived table."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q13_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
+_SQL_Q17_TEXT = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
+                        WHERE l_partkey = p_partkey)
+"""
+
+
+def q_sql_q17(sf_dir: str):
+    """TPC-H Q17 (0.5 threshold keeps rows at the fixture quantity
+    distribution) — CORRELATED scalar subquery whose select item is an
+    expression OVER the aggregate (0.5 * AVG): decorrelated to one
+    grouped aggregate with the scalar expression applied to the
+    broadcast value vector (sql.py _try_correlated_scalar)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q17_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "part"))
+
+
+_SQL_Q18_TEXT = """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 150)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_sql_q18(sf_dir: str):
+    """TPC-H Q18 verbatim — IN over a grouped-HAVING subquery
+    (broadcast value set), multi-column GROUP BY, top-k ORDER."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q18_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders",
+                                   "lineitem"))
+
+
+_SQL_Q19_TEXT = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 40))
+"""
+
+
+def q_sql_q19(sf_dir: str):
+    """TPC-H Q19 shape — OR-of-AND residual predicates over an
+    equi-join (the join key is extracted from the conjunct level; the
+    disjunction stays a vectorized WHERE)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q19_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "part"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -2916,6 +3020,11 @@ QUERIES = {
     "sql_q10": q_sql_q10,    # oracle-backed (TPC-H Q10 verbatim)
     "sql_q7": q_sql_q7,      # oracle-backed (TPC-H Q7 verbatim — self-join)
     "sql_q8": q_sql_q8,      # oracle-backed (TPC-H Q8 verbatim — self-join)
+    "sql_q12": q_sql_q12,    # oracle-backed (TPC-H Q12 shape)
+    "sql_q13": q_sql_q13,    # oracle-backed (TPC-H Q13 verbatim)
+    "sql_q17": q_sql_q17,    # oracle-backed (TPC-H Q17 — corr scalar expr)
+    "sql_q18": q_sql_q18,    # oracle-backed (TPC-H Q18 verbatim)
+    "sql_q19": q_sql_q19,    # oracle-backed (TPC-H Q19 shape)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3113,6 +3222,11 @@ ORACLE_SQL = {
     "sql_q10": _SQL_Q10_TEXT,
     "sql_q7": _SQL_Q7_TEXT,
     "sql_q8": _SQL_Q8_TEXT,
+    "sql_q12": _SQL_Q12_TEXT,
+    "sql_q13": _SQL_Q13_TEXT,
+    "sql_q17": _SQL_Q17_TEXT,
+    "sql_q18": _SQL_Q18_TEXT,
+    "sql_q19": _SQL_Q19_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

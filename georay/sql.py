@@ -893,9 +893,42 @@ def _try_correlated_scalar(inner, tables, outer_names):
         return None
     if q["table"] not in tables or not q["where"]:
         return None
-    if (len(q["items"]) != 1 or q["items"][0].kind != "agg"
-            or q["items"][0].distinct or q["group"] or q["order"]
+    if (len(q["items"]) != 1 or q["group"] or q["order"]
             or q["limit"] is not None or q["joins"] or q["distinct"]):
+        return None
+    it0 = q["items"][0]
+    post_node = None             # expression applied to the agg result
+    if it0.kind == "agg":
+        agg_it = it0
+    elif it0.kind == "expr" and it0.expr_toks:
+        # (SELECT 0.5 * AVG(x) FROM …) — exactly one aggregate call,
+        # the rest of the expression a pure function of it (constants /
+        # scalar functions only); hoist the agg, apply the expression
+        # to the grouped result vector afterwards
+        spans = _find_agg_calls(it0.expr_toks)
+        if len(spans) != 1:
+            return None
+        a, b, func, inner_toks = spans[0]
+        star = inner_toks == [("op", "*")]
+        agg_it = _SelectItem("agg", func=func,
+                             expr_toks=None if star else inner_toks,
+                             star=star)
+        newtoks = (it0.expr_toks[:a] + [("ident", "__corr_agg__")]
+                   + it0.expr_toks[b:])
+        for j, (k, v) in enumerate(newtoks):
+            if k == "ident" and v != "__corr_agg__" \
+                    and not (j + 1 < len(newtoks)
+                             and newtoks[j + 1] == ("op", "(")):
+                return None      # references another column
+        try:
+            post_node, used = _parse_expr_tokens(newtoks)
+        except FilterSyntaxError:
+            return None
+        if used != len(newtoks):
+            return None
+    else:
+        return None
+    if agg_it.distinct:
         return None
     inner_names = set(_schema_names(tables[q["table"]]))
     conj = _split_conjuncts(q["where"])
@@ -911,7 +944,6 @@ def _try_correlated_scalar(inner, tables, outer_names):
         if k:
             new_where.append(("kw", "AND"))
         new_where.extend(c)
-    agg_it = q["items"][0]
     q2 = dict(q)
     q2["items"] = [_SelectItem("expr", expr_toks=[("ident", inner_col)],
                                name=inner_col), agg_it]
@@ -928,6 +960,15 @@ def _try_correlated_scalar(inner, tables, outer_names):
     keys = res.column(0).combine_chunks()
     vals = res.column(1).combine_chunks()
     default = 0 if agg_it.func == "COUNT" else None
+    if post_node is not None:
+        vals = _eval(post_node, pa.table({"__corr_agg__": vals}))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if default is not None:
+            d = _eval(post_node, pa.table(
+                {"__corr_agg__": pa.array([default],
+                                          res.column(1).type)}))
+            default = d[0].as_py()
     return ("vmap", (outer_col, keys, vals, default))
 
 

@@ -1109,3 +1109,25 @@ def test_sql_tpch_q7_q8(ray_session):
         want = _norm(_duck(sql))
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_tpch_q12_q13_q17_q18_q19(ray_session):
+    """The round-out TPC-H set vs DuckDB at sf0.001: Q12 (CASE-bucket
+    sums), Q13 (LEFT JOIN + null-skipping COUNT through a derived
+    table), Q17 (correlated scalar subquery whose item is an expression
+    over the aggregate), Q18 (IN over grouped HAVING), Q19 (OR-of-AND
+    residual join predicates)."""
+    from georay.queries import (_SQL_Q12_TEXT, _SQL_Q13_TEXT,
+                                _SQL_Q17_TEXT, _SQL_Q18_TEXT,
+                                _SQL_Q19_TEXT)
+    for sql, tables in [
+            (_SQL_Q12_TEXT, ["orders", "lineitem"]),
+            (_SQL_Q13_TEXT, ["customer", "orders"]),
+            (_SQL_Q17_TEXT, ["lineitem", "part"]),
+            (_SQL_Q18_TEXT, ["customer", "orders", "lineitem"]),
+            (_SQL_Q19_TEXT, ["lineitem", "part"])]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        assert len(got) > 0 or "q17" not in sql
+        want.columns = got.columns
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
