@@ -144,8 +144,13 @@ def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
         broadcast = 0 < rsz <= broadcast_bytes_cap \
             and join_type in ("inner", "left_outer")
     if broadcast:
-        right_tbl = pa.concat_tables(
-            ray.get(right_ds.to_arrow_refs())).combine_chunks()
+        # drop schema-less empty blocks (Ray's Aggregate op can emit a
+        # zero-column empty block alongside the real ones, which would
+        # fail the concat)
+        tbls = [t for t in ray.get(right_ds.to_arrow_refs())
+                if t.num_columns]
+        right_tbl = pa.concat_tables(tbls).combine_chunks() if tbls \
+            else pa.table({})
         return _broadcast_equi_join(left_ds, right_tbl, left_on=left_on,
                                     right_on=right_on, join_type=join_type)
     if num_partitions is None:

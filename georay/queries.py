@@ -2855,6 +2855,57 @@ def q_sql_q19(sf_dir: str):
                        _sql_tables(sf_dir, "lineitem", "part"))
 
 
+_SQL_Q15_TEXT = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS max_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def q_sql_q15(sf_dir: str):
+    """TPC-H Q15 verbatim (CTE in place of the CREATE VIEW framing) —
+    the revenue CTE is referenced TWICE (join side + uncorrelated
+    scalar MAX); the within-engine float equality keeps the argmax
+    consistent on both engines."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q15_TEXT,
+                       _sql_tables(sf_dir, "lineitem", "supplier"))
+
+
+_SQL_Q22_TEXT = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (SELECT substr(c_name, 18, 1) AS cntrycode, c_acctbal,
+                 c_custkey
+          FROM customer
+          WHERE substr(c_name, 18, 1) IN ('1', '2', '3', '4', '5')
+            AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.00)) custsale
+    WHERE NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate < DATE '1995-06-01')
+    GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+def q_sql_q22(sf_dir: str):
+    """TPC-H Q22 shape (substr of c_name for the missing c_phone;
+    early-window anti-join keeps the NOT EXISTS non-trivial at the
+    fixture's order coverage) — string-IN list + uncorrelated scalar
+    AVG inside a derived table + NOT EXISTS with a residual conjunct."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q22_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -3025,6 +3076,8 @@ QUERIES = {
     "sql_q17": q_sql_q17,    # oracle-backed (TPC-H Q17 — corr scalar expr)
     "sql_q18": q_sql_q18,    # oracle-backed (TPC-H Q18 verbatim)
     "sql_q19": q_sql_q19,    # oracle-backed (TPC-H Q19 shape)
+    "sql_q15": q_sql_q15,    # oracle-backed (TPC-H Q15 — CTE used twice)
+    "sql_q22": q_sql_q22,    # oracle-backed (TPC-H Q22 shape)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3227,6 +3280,8 @@ ORACLE_SQL = {
     "sql_q17": _SQL_Q17_TEXT,
     "sql_q18": _SQL_Q18_TEXT,
     "sql_q19": _SQL_Q19_TEXT,
+    "sql_q15": _SQL_Q15_TEXT,
+    "sql_q22": _SQL_Q22_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

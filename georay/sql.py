@@ -731,11 +731,19 @@ def _collect(res) -> pa.Table:
     batches = list(res.iter_batches(batch_format="pyarrow"))
     if not batches:
         schema = res.schema()
+        if schema is None:
+            # a fully-empty pipeline can lose its schema (Ray infers
+            # from the first non-empty block); zero columns is the
+            # best honest answer here
+            return pa.table({})
         return pa.table({n: pa.array([], t) for n, t in
                          zip(schema.names, schema.types)})
-    return pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in batches])
+    tbls = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in batches]
+    # drop schema-less empty blocks (Ray's Aggregate op can emit them
+    # alongside real blocks; concat would fail on the schema mismatch)
+    keep = [t for t in tbls if t.num_columns]
+    return pa.concat_tables(keep) if keep else pa.table({})
 
 
 _SUBQ_LIMIT = 5_000_000

@@ -1131,3 +1131,22 @@ def test_sql_tpch_q12_q13_q17_q18_q19(ray_session):
         assert len(got) > 0 or "q17" not in sql
         want.columns = got.columns
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_tpch_q15_q22(ray_session):
+    """TPC-H Q15 (CTE referenced twice: join side + scalar MAX) and Q22
+    (string-IN + scalar AVG in a derived table + NOT EXISTS with a
+    residual conjunct) vs DuckDB at sf0.001."""
+    from georay.queries import _SQL_Q15_TEXT, _SQL_Q22_TEXT
+    for sql, tables in [
+            (_SQL_Q15_TEXT, ["lineitem", "supplier"]),
+            (_SQL_Q22_TEXT, ["customer", "orders"])]:
+        got = _norm(_run(sql, tables))
+        want = _norm(_duck(sql))
+        assert len(got) > 0
+        want.columns = got.columns
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                got[c] = got[c].round(6)
+                want[c] = want[c].round(6)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
