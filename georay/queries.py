@@ -2906,6 +2906,37 @@ def q_sql_q22(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_Q21_TEXT = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT * FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT * FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q_sql_q21(sf_dir: str):
+    """TPC-H Q21 shape (l_returnflag='R' in place of the missing
+    receiptdate>commitdate) — correlated [NOT] EXISTS with an
+    inner↔outer INEQUALITY on a self-referenced table: decorrelated to
+    ONE grouped aggregate per subquery (count-distinct + min broadcast
+    as key→value maps; exists ⟺ the key group has >1 distinct supplier
+    or its single supplier differs), zero per-row re-execution
+    (sql.py _exists_to_in cross branch)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_Q21_TEXT,
+                       _sql_tables(sf_dir, "supplier", "lineitem",
+                                   "orders", "nation"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -3078,6 +3109,7 @@ QUERIES = {
     "sql_q19": q_sql_q19,    # oracle-backed (TPC-H Q19 shape)
     "sql_q15": q_sql_q15,    # oracle-backed (TPC-H Q15 — CTE used twice)
     "sql_q22": q_sql_q22,    # oracle-backed (TPC-H Q22 shape)
+    "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3282,6 +3314,7 @@ ORACLE_SQL = {
     "sql_q19": _SQL_Q19_TEXT,
     "sql_q15": _SQL_Q15_TEXT,
     "sql_q22": _SQL_Q22_TEXT,
+    "sql_q21": _SQL_Q21_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

@@ -759,7 +759,7 @@ def _is_exists_tok(tok) -> bool:
     return k in ("ident", "kw", "sqlkw") and str(v).upper() == "EXISTS"
 
 
-def _rewrite_exists(toks, tables, outer_names):
+def _rewrite_exists(toks, tables, outer_names, outer_quals=()):
     """[NOT] EXISTS (SELECT … FROM t WHERE t.col = outer_col [AND …]) →
     ``outer_col IN (vset)`` — the correlated-subquery shape OGR's SQLite
     dialect gets from sqlite; here the single equality correlation is
@@ -791,7 +791,7 @@ def _rewrite_exists(toks, tables, outer_names):
             if depth:
                 raise SqlError("unbalanced parens around EXISTS subquery")
             out.extend(_exists_to_in(toks[j + 2:e], tables,
-                                     outer_names, neg))
+                                     outer_names, neg, outer_quals))
             i = e + 1
             continue
         out.append(toks[i])
@@ -836,30 +836,118 @@ def _find_equality_correlation(conj, inner_names, outer_names,
     return None
 
 
-def _exists_to_in(inner, tables, outer_names, neg):
+def _exists_to_in(inner, tables, outer_names, neg, outer_quals=()):
     q = _SqlParser(list(inner)).parse()
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r} in EXISTS")
-    inner_names = _schema_names(tables[q["table"]])
+    inner_names = set(_schema_names(tables[q["table"]]))
     if not q["where"]:
         raise SqlError("EXISTS subquery needs a correlation predicate "
                        "(… WHERE inner_col = outer_col)")
+    inner_quals = {q["table"]} | set(q.get("aliases") or ())
+    outer_names = set(outer_names)
+    outer_quals = set(outer_quals)
+
+    def classify(name):
+        """One identifier → ('inner'|'outer'|None, resolved name).
+        Qualified names resolve by their alias scope (the Q21 shape:
+        l2.x is the inner instance, l1.x the outer one of the SAME
+        table); bare names prefer the inner scope (SQL shadowing)."""
+        if "." in name:
+            pre, suf = name.split(".", 1)
+            if pre in inner_quals and suf in inner_names:
+                return ("inner", suf)
+            if pre in outer_quals and suf in outer_names:
+                return ("outer", suf)
+            if name in outer_names:   # renamed outer physical spelling
+                return ("outer", name)
+            return (None, name)
+        if name in inner_names:
+            return ("inner", name)
+        if name in outer_names:
+            return ("outer", name)
+        return (None, name)
+
     conj = _split_conjuncts(q["where"])
-    corr = _find_equality_correlation(
-        conj, set(inner_names), set(outer_names),
-        {q["table"]} | set(q.get("aliases") or ()))
+    corr = None
+    cross = None                 # (index, inner_col, op, outer_col)
+    for ci, c in enumerate(conj):
+        if (len(c) == 3 and c[0][0] == "ident" and c[1][0] == "op"
+                and c[2][0] == "ident" and c[1][1] in ("=", "<>", "!=")):
+            (sa, na), (sb, nb) = classify(c[0][1]), classify(c[2][1])
+            if {sa, sb} != {"inner", "outer"}:
+                continue
+            ic, oc = (na, nb) if sa == "inner" else (nb, na)
+            if c[1][1] == "=" and corr is None:
+                corr = (ci, ic, oc)
+            elif c[1][1] in ("<>", "!=") and cross is None:
+                cross = (ci, ic, oc)
     if corr is None:
         raise SqlError(
             "EXISTS supports exactly one top-level equality correlation "
             "(inner_col = outer_col); rewrite other shapes as a JOIN")
     ci, inner_col, outer_col = corr
-    rest = [c for k, c in enumerate(conj) if k != ci]
+    drop = {ci} | ({cross[0]} if cross else set())
+    rest = [c for k, c in enumerate(conj) if k not in drop]
+    for c in rest:               # residual conjuncts must be inner-only
+        for j, (k, v) in enumerate(c):
+            if k == "ident" and not (j + 1 < len(c)
+                                     and c[j + 1] == ("op", "(")):
+                s, _ = classify(v)
+                if s == "outer" and "." in v:
+                    raise SqlError(
+                        f"EXISTS: outer reference {v!r} is only "
+                        "supported in the correlation equality or one "
+                        "<> predicate; rewrite other shapes as a JOIN")
     new_where = []
     for k, c in enumerate(rest):
         if k:
             new_where.append(("kw", "AND"))
         new_where.extend(c)
     q2 = dict(q)
+    if cross is not None:
+        # EXISTS(… key = oc AND jc <> pc AND rest) ⟺ the key group
+        # (under rest) has >1 distinct jc, or its single jc ≠ pc —
+        # decorrelated to ONE grouped aggregate (count distinct + min)
+        # broadcast as two key→value maps; zero per-row re-execution
+        # (the reference leans on sqlite's planner for this, Q21 shape)
+        _, jc, pc = cross
+        q2["items"] = [
+            _SelectItem("expr", expr_toks=[("ident", inner_col)],
+                        name=inner_col),
+            _SelectItem("agg", func="COUNT", distinct=True,
+                        expr_toks=[("ident", jc)], name="__nd"),
+            _SelectItem("agg", func="MIN",
+                        expr_toks=[("ident", jc)], name="__v1"),
+        ]
+        q2["distinct"] = False
+        q2["group"] = [inner_col]
+        q2["where"] = new_where or None
+        q2["having"] = None
+        q2["order"] = []
+        q2["limit"] = q2["offset"] = None
+        res = _collect(_execute(q2, tables))
+        if res.num_rows > _SUBQ_LIMIT:
+            raise SqlError(f"EXISTS key set has {res.num_rows} rows "
+                           f"(> {_SUBQ_LIMIT}); rewrite as a JOIN")
+        keys = res.column(0).combine_chunks()
+        nd = res.column(1).combine_chunks()
+        v1 = res.column(2).combine_chunks()
+        vm_nd = ("vmap", (outer_col, keys, nd, 0))
+        vm_v1 = ("vmap", (outer_col, keys, v1, None))
+        body = [("op", "("), vm_nd, ("op", ">"), ("num", 1),
+                ("kw", "OR"),
+                ("op", "("), ("op", "("), vm_nd, ("op", "="),
+                ("num", 1), ("op", ")"), ("kw", "AND"),
+                ("op", "("), vm_v1, ("op", "<>"), ("ident", pc),
+                ("op", ")"), ("op", ")"), ("op", ")")]
+        if neg:
+            return ([("op", "("), ("ident", outer_col), ("kw", "IS"),
+                     ("kw", "NULL"), ("kw", "OR"), ("ident", pc),
+                     ("kw", "IS"), ("kw", "NULL"), ("kw", "OR"),
+                     ("kw", "NOT"), ("op", "(")] + body
+                    + [("op", ")"), ("op", ")")])
+        return body
     q2["items"] = [_SelectItem("expr", expr_toks=[("ident", inner_col)],
                                name=inner_col)]
     q2["distinct"] = True
@@ -884,7 +972,7 @@ def _exists_to_in(inner, tables, outer_names, neg):
     return body
 
 
-def _try_correlated_scalar(inner, tables, outer_names):
+def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
     """``(SELECT agg(expr) FROM t [alias] WHERE t_col = outer_col
     [AND …])`` — one top-level equality correlation → decorrelated to a
     grouped aggregate run ONCE, returned as a ``("vmap", (outer_col,
@@ -939,10 +1027,25 @@ def _try_correlated_scalar(inner, tables, outer_names):
     if agg_it.distinct:
         return None
     inner_names = set(_schema_names(tables[q["table"]]))
-    conj = _split_conjuncts(q["where"])
-    corr = _find_equality_correlation(
-        conj, inner_names, outer,
-        {q["table"]} | set(q.get("aliases") or ()))
+    inner_quals = {q["table"]} | set(q.get("aliases") or ())
+
+    def strip_outer(tl):
+        # outer-alias qualifiers reach here unrewritten (_dequalify
+        # leaves nested scopes alone) — strip the ones that resolve
+        out = []
+        for k, v in tl:
+            if k == "ident" and "." in v:
+                pre, suf = v.split(".", 1)
+                if pre in set(outer_quals) and pre not in inner_quals \
+                        and suf in outer:
+                    out.append(("ident", suf))
+                    continue
+            out.append((k, v))
+        return out
+
+    conj = [strip_outer(c) for c in _split_conjuncts(q["where"])]
+    corr = _find_equality_correlation(conj, inner_names, outer,
+                                      inner_quals)
     if corr is None:
         return None
     ci, inner_col, outer_col = corr
@@ -980,8 +1083,9 @@ def _try_correlated_scalar(inner, tables, outer_names):
     return ("vmap", (outer_col, keys, vals, default))
 
 
-def _resolve_subqueries(toks, tables, outer_names=()):
-    toks = _rewrite_exists(toks, tables, set(outer_names))
+def _resolve_subqueries(toks, tables, outer_names=(), outer_quals=()):
+    toks = _rewrite_exists(toks, tables, set(outer_names),
+                           set(outer_quals))
     """Execute uncorrelated ``( SELECT ... )`` groups in a WHERE token
     stream and splice their results back as literals: an IN-subquery
     becomes a broadcast value set (``vset`` token — vectorized
@@ -1009,7 +1113,8 @@ def _resolve_subqueries(toks, tables, outer_names=()):
                 raise SqlError("unbalanced parens around subquery")
             inner = toks[i + 1:j]
             if not (out and out[-1] == ("kw", "IN")):
-                vm = _try_correlated_scalar(inner, tables, outer_names)
+                vm = _try_correlated_scalar(inner, tables, outer_names,
+                                            outer_quals)
                 if vm is not None:
                     out.extend([("op", "("), vm, ("op", ")")])
                     i = j + 1
@@ -1532,12 +1637,34 @@ def _dequalify(q: dict, tables: dict | None = None) -> dict:
         if not tl:
             return tl
         out = []
-        for j, (k, v) in enumerate(tl):
-            if k == "ident" and not (j + 1 < len(tl)
+        j = 0
+        n = len(tl)
+        while j < n:
+            k, v = tl[j]
+            if (k, v) == ("op", "(") and j + 1 < n \
+                    and tl[j + 1] == ("sqlkw", "SELECT"):
+                # subquery region: a NESTED scope — leave its tokens
+                # (including outer-qualified correlation refs like
+                # l1.l_suppkey) for the subquery rewriters to resolve
+                depth = 0
+                e = j
+                while e < n:
+                    if tl[e] == ("op", "("):
+                        depth += 1
+                    elif tl[e] == ("op", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    e += 1
+                out.extend(tl[j:e + 1])
+                j = e + 1
+                continue
+            if k == "ident" and not (j + 1 < n
                                      and tl[j + 1] == ("op", "(")):
                 out.append(("ident", one(v)))
             else:
                 out.append((k, v))
+            j += 1
         return out
 
     q["where"] = toks(q["where"])
@@ -1648,8 +1775,13 @@ def _execute(q: dict, tables: dict):
                     ds = ds.map_batches(realias, batch_format="pyarrow")
             left_names |= rnames
     if q["where"]:
+        # outer scope for correlated subqueries: table names + aliases
+        # whose qualified references strip to bare outer columns
+        # (renamed self-join aliases resolve by physical spelling)
+        oq = ({q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
+              | set(q.get("aliases") or ())) - set(renamed)
         wtoks = _resolve_subqueries(q["where"], tables,
-                                    ds.schema().names)
+                                    ds.schema().names, oq)
         wnode, used = _parse_expr_tokens(wtoks)
         if used != len(wtoks):
             raise SqlError("trailing tokens in WHERE")

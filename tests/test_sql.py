@@ -1150,3 +1150,41 @@ def test_sql_tpch_q15_q22(ray_session):
                 got[c] = got[c].round(6)
                 want[c] = want[c].round(6)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_tpch_q21_inequality_exists(ray_session):
+    """TPC-H Q21 shape: correlated [NOT] EXISTS with an inner↔outer
+    inequality on a self-referenced lineitem — decorrelated to grouped
+    count-distinct/min maps.  Verified against DuckDB at sf0.001, plus
+    a hand-built miniature where the expected keep-set is enumerable."""
+    from georay.queries import _SQL_Q21_TEXT
+    got = _norm(_run(_SQL_Q21_TEXT,
+                     ["supplier", "lineitem", "orders", "nation"]))
+    want = _norm(_duck(_SQL_Q21_TEXT))
+    assert len(got) > 0
+    want.columns = got.columns
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    import ray
+    from georay.sql import execute_sql
+    # miniature: orders 1 (sup 10 only), 2 (sup 10+11), 3 (sup 12+12)
+    li = pa.table({"l_orderkey": [1, 2, 2, 3, 3],
+                   "l_suppkey": [10, 10, 11, 12, 12]})
+    tabs = {"lineitem": ray.data.from_arrow(li)}
+    out = execute_sql(
+        "SELECT l_orderkey, l_suppkey FROM lineitem l1 "
+        "WHERE EXISTS (SELECT * FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "ORDER BY l_orderkey, l_suppkey", tabs)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert list(map(tuple, out.values.tolist())) == [(2, 10), (2, 11)]
+    out2 = execute_sql(
+        "SELECT l_orderkey, l_suppkey FROM lineitem l1 "
+        "WHERE NOT EXISTS (SELECT * FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "ORDER BY l_orderkey, l_suppkey", tabs)
+    out2 = out2.to_pandas() if hasattr(out2, "to_pandas") else out2
+    assert list(map(tuple, out2.values.tolist())) == \
+        [(1, 10), (3, 12), (3, 12)]
