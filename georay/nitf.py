@@ -5,8 +5,11 @@ public MIL-STD-2500C field tables (reproduced below as explicit
 
 Scope (honest subset): NITF02.10 / BF01 files with image segments
 only; uncompressed pixels (IC=NC), IMODE P (band-interleaved by
-pixel) or B, single block, 8- or 16-bit integer samples (big-endian
-per the spec), optional ICORDS='D' decimal-degree IGEOLO corner
+pixel) or B, single- OR multi-block (NBPR×NBPC row-major block grid,
+right/bottom blocks zero-padded to NPPBH×NPPBV per the spec; the
+multiband-IMODE-B multi-block ordering variant is not emitted and is
+rejected on read), 8- or 16-bit integer samples (big-endian per the
+spec), optional ICORDS='D' decimal-degree IGEOLO corner
 georeference.  Graphic/text/DES/RES segments are carried as opaque
 lengths (skipped on read, absent on write).  As with the lance and
 icosa modules: no independent NITF producer exists in this offline
@@ -70,24 +73,42 @@ def _igeolo_d(gt, h, w) -> str:
 
 def nitf_encode(arr: np.ndarray, *, geotransform=None,
                 title: str = "", idatim: str = "20260101000000",
-                ostaid: str = "GEORAY") -> bytes:
+                ostaid: str = "GEORAY", blocksize: int | None = None)\
+        -> bytes:
     """(h, w[, bands]) uint8/uint16 → NITF 2.1 bytes (one image
-    segment, IC=NC, single block, IMODE P for multiband / B for one
-    band, 16-bit samples big-endian per the spec)."""
+    segment, IC=NC, IMODE P for multiband / B for one band, 16-bit
+    samples big-endian per the spec).  ``blocksize`` tiles the image
+    into an NBPR×NBPC row-major block grid with zero-padded partial
+    blocks (MIL-STD-2500C blocking; the reference reads these via
+    nitfimage.c NITFReadImageBlock)."""
     a = arr if arr.ndim == 3 else arr[:, :, None]
     h, w, nb = a.shape
     if a.dtype == np.uint8:
         nbpp, abpp = 8, 8
-        payload = (np.ascontiguousarray(a) if nb > 1
-                   else np.ascontiguousarray(a[:, :, 0])).tobytes()
+        sample = np.ascontiguousarray(a)
     elif a.dtype == np.uint16:
         nbpp, abpp = 16, 16
-        be = a.astype(">u2")
-        payload = (np.ascontiguousarray(be) if nb > 1
-                   else np.ascontiguousarray(be[:, :, 0])).tobytes()
+        sample = np.ascontiguousarray(a.astype(">u2"))
     else:
         raise ValueError(f"NITF minimal profile: uint8/uint16 only, "
                          f"got {a.dtype}")
+    if blocksize is None:
+        nbpr = nbpc = 1
+        nppbh, nppbv = w, h
+        payload = (sample if nb > 1 else sample[:, :, 0]).tobytes()
+    else:
+        bs = int(blocksize)
+        if bs <= 0 or bs > 9999:
+            raise ValueError("blocksize must be in 1..9999")
+        nbpr = -(-w // bs)                 # blocks per row (ceil)
+        nbpc = -(-h // bs)
+        nppbh = nppbv = bs
+        padded = np.zeros((nbpc * bs, nbpr * bs, nb), sample.dtype)
+        padded[:h, :w, :] = sample
+        blocks = padded.reshape(nbpc, bs, nbpr, bs, nb).swapaxes(1, 2)
+        if nb == 1:
+            blocks = blocks[..., 0]
+        payload = np.ascontiguousarray(blocks).tobytes()
     imode = "P" if nb > 1 else "B"
     icords = "D" if geotransform is not None else " "
 
@@ -119,8 +140,8 @@ def nitf_encode(arr: np.ndarray, *, geotransform=None,
         sub += b"0"                               # NLUTS
     sub += b"0"                                   # ISYNC
     sub += _pad(imode, 1)                         # IMODE
-    sub += _num(1, 4) + _num(1, 4)                # NBPR, NBPC
-    sub += _num(w, 4) + _num(h, 4)                # NPPBH, NPPBV
+    sub += _num(nbpr, 4) + _num(nbpc, 4)          # NBPR, NBPC
+    sub += _num(nppbh, 4) + _num(nppbv, 4)        # NPPBH, NPPBV
     sub += _num(nbpp, 2)                          # NBPP
     sub += _num(1, 3)                             # IDLVL
     sub += _num(0, 3)                             # IALVL
@@ -236,21 +257,31 @@ def nitf_decode(data: bytes):
     pos += udidl
     ixshdl = int(data[pos:pos + 5]); pos += 5
     pos += ixshdl
-    if (nbpr, nbpc) != (1, 1):
-        raise ValueError("multi-block NITF unsupported "
-                         "(minimal profile)")
     h, w = int(s["NROWS"]), int(s["NCOLS"])
     dt = {8: np.dtype(np.uint8), 16: np.dtype(">u2")}[nbpp]
-    n = h * w * nbands
-    raw = np.frombuffer(data, dt, count=n, offset=pos)
-    if nbands == 1:
-        arr = raw.reshape(h, w)
-    elif imode == "P":
-        arr = raw.reshape(h, w, nbands)
-    elif imode == "B":
-        arr = np.moveaxis(raw.reshape(nbands, h, w), 0, 2)
+    if (nbpr, nbpc) != (1, 1):
+        # row-major block grid, partial blocks zero-padded to
+        # NPPBH×NPPBV (nitfimage.c NITFReadImageBlock layout)
+        if nbands > 1 and imode != "P":
+            raise ValueError("multi-block NITF: only IMODE P "
+                             "multiband is supported")
+        n = nbpr * nbpc * nppbh * nppbv * nbands
+        raw = np.frombuffer(data, dt, count=n, offset=pos)
+        blocks = raw.reshape(nbpc, nbpr, nppbv, nppbh, nbands)
+        full = blocks.swapaxes(1, 2).reshape(
+            nbpc * nppbv, nbpr * nppbh, nbands)
+        arr = full[:h, :w, 0] if nbands == 1 else full[:h, :w, :]
     else:
-        raise ValueError(f"IMODE {imode!r} unsupported")
+        n = h * w * nbands
+        raw = np.frombuffer(data, dt, count=n, offset=pos)
+        if nbands == 1:
+            arr = raw.reshape(h, w)
+        elif imode == "P":
+            arr = raw.reshape(h, w, nbands)
+        elif imode == "B":
+            arr = np.moveaxis(raw.reshape(nbands, h, w), 0, 2)
+        else:
+            raise ValueError(f"IMODE {imode!r} unsupported")
     if nbpp == 16:
         arr = arr.astype(np.uint16)
     meta = {"title": s["IID2"].strip(), "idatim": s["IDATIM"],

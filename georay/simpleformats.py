@@ -251,6 +251,9 @@ def open_raster(path: str):
         return zarr_read(path), None, meta.get("fill_value")
     if low.endswith(".hgt"):
         return srtmhgt_read(path)
+    if low.endswith((".dt0", ".dt1", ".dt2")):
+        from .dted import dted_read
+        return dted_read(path)
     if low.endswith(".asc"):
         return aaigrid_read(path)
     if low.endswith(".xyz"):

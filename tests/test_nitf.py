@@ -68,3 +68,31 @@ def test_nitf_roundtrip_property(h, w, nb, wide):
     back, meta = nitf_decode(nitf_encode(arr))
     assert np.array_equal(back, arr)
     assert meta["nbands"] == nb
+
+
+def test_nitf_multi_block_roundtrip():
+    """NBPR×NBPC blocking: non-multiple dims exercise the zero-padded
+    partial blocks; single-band and multiband-IMODE-P grids both
+    roundtrip pixel-exact, and blocked == unblocked decode."""
+    import numpy as np
+
+    from georay.nitf import nitf_decode, nitf_encode
+    rng = np.random.default_rng(11)
+    mono = rng.integers(0, 255, size=(37, 53)).astype(np.uint8)
+    b = nitf_encode(mono, blocksize=16)
+    back, meta = nitf_decode(b)
+    assert np.array_equal(back, mono)
+    # header carries the block grid (NBPR=ceil(53/16)=4, NBPC=3)
+    assert b.find(b"0004" + b"0003" + b"0016" + b"0016") > 0
+
+    rgb16 = rng.integers(0, 65535, size=(30, 31, 3)).astype(np.uint16)
+    blocked = nitf_encode(rgb16, blocksize=13)
+    unblocked = nitf_encode(rgb16)
+    a1, _ = nitf_decode(blocked)
+    a2, _ = nitf_decode(unblocked)
+    assert np.array_equal(a1, rgb16) and np.array_equal(a2, rgb16)
+
+    # exact multiple: no padding path
+    sq = rng.integers(0, 255, size=(32, 32)).astype(np.uint8)
+    assert np.array_equal(nitf_decode(nitf_encode(sq, blocksize=16))[0],
+                          sq)

@@ -142,3 +142,54 @@ def test_open_raster_dispatch(tmp_path):
         with open(bad, "wb") as f:
             f.write(b"nonsense")
         open_raster(bad)
+
+
+class TestDTED:
+    """DTED MIL-PRF-89020B driver (georay/dted.py): signed-magnitude
+    columns, per-record checksums, UHL georeference."""
+
+    def test_roundtrip_and_georef(self, tmp_path):
+        import numpy as np
+
+        from georay.dted import DTED_NODATA, dted_read, dted_write
+        rng = np.random.default_rng(7)
+        arr = rng.integers(-5000, 9000, size=(121, 121)).astype(np.int16)
+        arr[3, 5] = DTED_NODATA
+        arr[0, 0] = -1            # sign bit exercised at the north edge
+        p = str(tmp_path / "n37w123.dt0")
+        dted_write(p, arr, ll_lat=37.0, ll_lon=-123.0)
+        got, gt, nodata = dted_read(p)
+        assert np.array_equal(got, arr)
+        assert nodata == DTED_NODATA
+        step = 1.0 / 120
+        assert abs(gt[0] - (-123.0 - step / 2)) < 1e-12
+        assert abs(gt[3] - (37.0 + 1 + step / 2)) < 1e-12
+        assert abs(gt[1] - step) < 1e-12 and abs(gt[5] + step) < 1e-12
+
+    def test_checksum_detects_corruption(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from georay.dted import dted_read, dted_write
+        arr = np.arange(49, dtype=np.int16).reshape(7, 7) - 10
+        p = str(tmp_path / "n00e000.dt2")
+        dted_write(p, arr, ll_lat=0.0, ll_lon=0.0)
+        raw = bytearray(open(p, "rb").read())
+        raw[80 + 648 + 2700 + 9] ^= 0x01   # flip one elevation byte
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="checksum"):
+            dted_read(p)
+        got, _, _ = dted_read(p, verify_checksums=False)
+        assert got.shape == (7, 7)
+
+    def test_open_raster_dispatch(self, tmp_path):
+        import numpy as np
+
+        from georay.dted import dted_write
+        from georay.simpleformats import open_raster
+        arr = (np.ones((5, 5)) * 42).astype(np.int16)
+        p = str(tmp_path / "s10e020.dt1")
+        dted_write(p, arr, ll_lat=-10.0, ll_lon=20.0)
+        got, gt, nodata = open_raster(p)
+        assert np.array_equal(got, arr) and nodata == -32767
+        assert gt[0] < 20.0 < gt[0] + gt[1]   # west edge near 20°E
