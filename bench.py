@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "gpx_waypoint_census", "webp_images", "lance_zone_join",
     "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
+    "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

@@ -1716,6 +1716,9 @@ def _execute(q: dict, tables: dict):
     fal = q.get("from_alias")
     if fal in renamed:
         ds = _rename_instance(ds, fal, renamed[fal])
+    scope_names = None   # tracked through the join fold: avoids a
+    # schema() probe on the joined pipeline (Ray executes a limit-1
+    # prefix of the whole join chain just to infer names — seconds)
     if q["joins"]:
         # FROM a JOIN b ON x = y — fold left through the engine's
         # hash-shuffle equi_join (byte-sized partitions); column names
@@ -1774,14 +1777,17 @@ def _execute(q: dict, tables: dict):
 
                     ds = ds.map_batches(realias, batch_format="pyarrow")
             left_names |= rnames
+        scope_names = left_names
     if q["where"]:
         # outer scope for correlated subqueries: table names + aliases
         # whose qualified references strip to bare outer columns
         # (renamed self-join aliases resolve by physical spelling)
         oq = ({q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
               | set(q.get("aliases") or ())) - set(renamed)
-        wtoks = _resolve_subqueries(q["where"], tables,
-                                    ds.schema().names, oq)
+        wtoks = _resolve_subqueries(
+            q["where"], tables,
+            scope_names if scope_names is not None
+            else ds.schema().names, oq)
         wnode, used = _parse_expr_tokens(wtoks)
         if used != len(wtoks):
             raise SqlError("trailing tokens in WHERE")
