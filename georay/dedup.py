@@ -708,24 +708,30 @@ def simhash_batch(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pa.array(out.view(np.int64)))
 
 
-def simhash_pairs(ds, id_col: str = "doc_id", col: str = "text",
+def hamming_pairs(ds, id_col: str, hash_col: str,
                   max_hamming: int = 3, n_blocks: int = 4,
-                  shingle_n: int = 4, max_bucket: int = 512):
-    """Near-dup pairs by SimHash block-permutation LSH: the 64-bit hash
-    splits into ``n_blocks`` equal blocks; pairs within hamming ≤
-    ``n_blocks − 1`` share at least one block (pigeonhole) → groupby block
-    value → vectorized SWAR-popcount hamming verify.
+                  max_bucket: int = 512,
+                  prepare=None):
+    """Near-dup pairs over an EXISTING 64-bit hash column by
+    block-permutation LSH: the hash splits into ``n_blocks`` equal
+    blocks; pairs within hamming ≤ ``n_blocks − 1`` share at least one
+    block (pigeonhole) → groupby block value → vectorized SWAR-popcount
+    hamming verify.  The generic core behind SimHash text near-dup and
+    pHash image near-dup — only (blk, key, id, hash) rows shuffle.
 
-    ``n_blocks`` must exceed ``max_hamming`` for guaranteed recall."""
+    ``n_blocks`` must exceed ``max_hamming`` for guaranteed recall.
+    ``prepare``: optional per-batch callable run first (e.g. compute
+    the hash column)."""
     if n_blocks <= max_hamming:
         raise ValueError("n_blocks must be > max_hamming (pigeonhole)")
     bits_per = 64 // n_blocks
 
     def explode(batch: pa.Table) -> pa.Table:
-        batch = simhash_batch(batch, col, shingle_n=shingle_n)
-        h = batch["simhash"].to_numpy().view(np.uint64)
+        if prepare is not None:
+            batch = prepare(batch)
+        h = batch[hash_col].to_numpy().view(np.uint64)
         n = len(h)
-        ids = batch[id_col].to_numpy()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         blocks = np.repeat(np.arange(n_blocks, dtype=np.int64), n)
         shifts = (np.arange(n_blocks, dtype=np.uint64) * np.uint64(bits_per))
         mask = np.uint64((1 << bits_per) - 1)
@@ -734,16 +740,16 @@ def simhash_pairs(ds, id_col: str = "doc_id", col: str = "text",
             "blk": pa.array(blocks),
             "key": pa.array(keys.reshape(-1)),
             id_col: pa.array(np.tile(ids, n_blocks)),
-            "simhash": pa.array(np.tile(h.view(np.int64), n_blocks)),
+            hash_col: pa.array(np.tile(h.view(np.int64), n_blocks)),
         })
 
     keys = ds.map_batches(explode, batch_format="pyarrow")
     cand = _bucket_candidate_pairs(keys, id_col, ["blk", "key"],
-                                   max_bucket, extra_cols=("simhash",))
+                                   max_bucket, extra_cols=(hash_col,))
 
     def verify(batch: pa.Table) -> pa.Table:
-        ha = batch["simhash_a"].to_numpy().view(np.uint64)
-        hb = batch["simhash_b"].to_numpy().view(np.uint64)
+        ha = batch[f"{hash_col}_a"].to_numpy().view(np.uint64)
+        hb = batch[f"{hash_col}_b"].to_numpy().view(np.uint64)
         ham = popcount64(ha ^ hb)
         keep = ham <= max_hamming
         idx = pa.array(np.nonzero(keep)[0])
@@ -758,6 +764,18 @@ def simhash_pairs(ds, id_col: str = "doc_id", col: str = "text",
     return _distinct_pairs(verified)
 
 
+def simhash_pairs(ds, id_col: str = "doc_id", col: str = "text",
+                  max_hamming: int = 3, n_blocks: int = 4,
+                  shingle_n: int = 4, max_bucket: int = 512):
+    """Near-dup pairs by SimHash block-permutation LSH (see
+    :func:`hamming_pairs` for the LSH core; this wrapper computes the
+    64-bit SimHash from text shingles per batch first)."""
+    return hamming_pairs(
+        ds, id_col, "simhash", max_hamming=max_hamming,
+        n_blocks=n_blocks, max_bucket=max_bucket,
+        prepare=lambda b: simhash_batch(b, col, shingle_n=shingle_n))
+
+
 def _distinct_pairs(pairs_ds, num_partitions: int | None = None):
     """One row per ``(id_a, id_b)`` (first occurrence, all columns kept) —
     hash-PARTITIONED (P ≈ 4×CPUs) with one vectorized lexsort-unique pass
@@ -765,18 +783,25 @@ def _distinct_pairs(pairs_ds, num_partitions: int | None = None):
     (VERDICT r2 wrong-2 / NOTES.md per-group-overhead rule)."""
     P = num_partitions or _num_partitions()
 
+    def _id_hash(col):
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iu":
+            return _mix64(arr)
+        from .util import hash_strings
+        return hash_strings(col)           # string/binary ids
+
     def add_part(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("part__", pa.array([], pa.int64()))
-        h = (_mix64(batch["id_a"].to_numpy()) * _H2
-             + _mix64(batch["id_b"].to_numpy())) & _MASK
+        h = (_id_hash(batch["id_a"]) * _H2
+             + _id_hash(batch["id_b"])) & _MASK
         return batch.append_column(
             "part__", pa.array((h % np.uint64(P)).astype(np.int64)))
 
     def uniq(g: pa.Table) -> pa.Table:
         g = g.combine_chunks().drop_columns(["part__"])
-        a = g["id_a"].to_numpy()
-        b = g["id_b"].to_numpy()
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
         a_s, b_s = a[order], b[order]
         first = np.ones(len(a_s), dtype=bool)

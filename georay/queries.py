@@ -794,6 +794,47 @@ def q_image_dedup(sf_dir: str):
                        Count(alias_name="n_copies")))
 
 
+def q_image_neardup(sf_dir: str):
+    """pHash near-dup pairs by hamming-LSH (dedup.hamming_pairs — the
+    generic 64-bit block-permutation core shared with SimHash):
+    16-bit blocks keep buckets tiny at fixture cardinalities, pairs
+    within hamming ≤ 3 guaranteed by pigeonhole, SWAR-popcount verify.
+    SELF-GATED (no SQL analog over the image table): the fixture
+    plants exact duplicate images, and every exact-dup pair (same
+    phash, counted via groupby) MUST surface with hamming 0 — the
+    emitted ``zero_recall_ok`` flag folds that recall check into the
+    driver's rows-only hash."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from .dedup import hamming_pairs
+    path = _bench_images(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+    pairs = hamming_pairs(ds, "image_id", "phash",
+                          max_hamming=3, n_blocks=4)
+    tbl = pa.concat_tables(
+        [b for b in pairs.iter_batches(batch_format="pyarrow")
+         if b.num_rows] or [pa.table({"hamming": pa.array([], pa.int64())})])
+    n_pairs = tbl.num_rows
+    n_zero = int(_pc.sum(_pc.equal(tbl["hamming"], 0)).as_py() or 0) \
+        if n_pairs else 0
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].to_numpy()
+        return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())])})
+
+    expected = sum(r["p"] for r in
+                   ds.groupby("phash").count()
+                   .map_batches(pair_partial, batch_format="pyarrow")
+                   .take_all())
+    return pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_zero_pairs": pa.array([n_zero], pa.int64()),
+        "expected_zero_pairs": pa.array([int(expected)], pa.int64()),
+        "zero_recall_ok": pa.array([n_zero == int(expected)]),
+    })
+
+
 def q_augment_images(sf_dir: str):
     """Deterministic augmentation over the image table (rows-only: no SQL
     analog for pixel transforms): decode → crop/flip/jitter → per-image
@@ -3126,6 +3167,8 @@ QUERIES = {
     "raster_stats": q_raster_stats,
     "footprint_images": q_footprint_images,
     "image_dedup": q_image_dedup,
+    "image_neardup": q_image_neardup,  # rows-only, self-gated
+    # (zero-recall flag folded into the hash)
     "tile_checksums": q_tile_checksums,
     "icosa_multires": q_icosa_multires,
     "clip_zones": q_clip_zones,

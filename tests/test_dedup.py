@@ -48,3 +48,33 @@ def test_connected_components_hash_to_min(ray_session):
     got = connected_components(ray.data.from_arrow(pa.table({
         "id_a": pa.array(a), "id_b": pa.array(b)}))).to_pandas()
     assert got.set_index("node")["comp"].to_dict() == want
+
+
+def test_hamming_pairs_generic_hash_column(ray_session):
+    """hamming_pairs (the LSH core shared by SimHash and pHash
+    near-dup): planted pairs at hamming 0/1/3 recalled exactly with
+    n_blocks=4 (pigeonhole bound ≤3); hamming-4 pair excluded; string
+    ids exercise the hash_strings partition route."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.dedup import hamming_pairs
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=40, dtype=np.int64)
+    h = list(base)
+    # pair at hamming 0, 1, 3 and one at 4 (must NOT match)
+    h.append(h[0])                      # ham 0 vs idx 0
+    h.append(h[1] ^ (1 << 7))           # ham 1 vs idx 1
+    h.append(h[2] ^ 0b10101)            # ham 3 vs idx 2
+    h.append(h[3] ^ 0b1111)             # ham 4 vs idx 3 — excluded
+    ids = [f"im{i:03d}" for i in range(len(h))]
+    t = pa.table({"image_id": ids, "phash": pa.array(h, pa.int64())})
+    pairs = hamming_pairs(ray.data.from_arrow(t), "image_id", "phash",
+                          max_hamming=3, n_blocks=4)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in pairs.take_all()}
+    want_members = {frozenset(("im000", "im040")): 0,
+                    frozenset(("im001", "im041")): 1,
+                    frozenset(("im002", "im042")): 3}
+    assert {frozenset((a, b)): d for a, b, d in got} == want_members
