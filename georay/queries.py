@@ -2155,7 +2155,8 @@ _SQL_CTE_TEXT = """
                  WHERE o_totalprice > 150000),
     per_cust AS (SELECT ck, COUNT(*) n_big, SUM(tp) sum_tp
                  FROM big GROUP BY ck)
-    SELECT c_mktsegment seg, COUNT(*) n_cust, SUM(n_big) n_orders
+    SELECT c_mktsegment seg, COUNT(*) n_cust,
+           SUM(CAST(n_big AS DOUBLE)) n_orders
     FROM customer JOIN (SELECT * FROM per_cust) pc ON c_custkey = pc.ck
     GROUP BY seg ORDER BY seg
 """
