@@ -1552,6 +1552,29 @@ def q_kml_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_dxf_zone_join(sf_dir: str):
+    """Zone polygons routed through a DXF roundtrip (georay.dxf —
+    reference scope ogr/ogrsf_frmts/dxf): each zone ring becomes a
+    closed LWPOLYLINE whose layer (code 8, the one attribute DXF
+    carries natively) holds n_name; write → group-code parse →
+    broadcast PIP join, under the same BETWEEN-join zone oracle as the
+    direct path."""
+    import tempfile
+
+    from .dxf import read_dxf, write_dxf
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    path = tempfile.mktemp(suffix=".dxf", prefix="georay_q_", dir="/tmp")
+    write_dxf(zones.select(["wkb", "n_name"]), path, layer_col="n_name")
+    back = read_dxf(path).select(["wkb", "layer"]) \
+        .rename_columns(["wkb", "n_name"])
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, back, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_gpx_waypoint_census(sf_dir: str):
     """Customer points through a GPX roundtrip (Topografix GPX 1.1):
     repr-exact coordinates come BACK out of the XML and their rounded
@@ -3152,6 +3175,7 @@ QUERIES = {
     "sql_q15": q_sql_q15,    # oracle-backed (TPC-H Q15 — CTE used twice)
     "sql_q22": q_sql_q22,    # oracle-backed (TPC-H Q22 shape)
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
+    "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3395,6 +3419,9 @@ ORACLE_SQL = {
         FROM customer GROUP BY c_mktsegment
     """,
     "kml_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "dxf_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "sql_dates": _SQL_DATES_TEXT,
