@@ -66,6 +66,21 @@ def hash_strings(col) -> np.ndarray:
     starts = offs[:-1]
     lengths = (offs[1:] - starts).astype(np.int64)
     total = int(offs[-1] - offs[0])
+    if np.any(lengths < 0) or total != int(lengths.sum()):
+        # NON-CANONICAL layout (out-of-order / gapped offsets — e.g.
+        # arrow group_by key outputs reference the input buffer in
+        # group order): the positional exponent math below requires
+        # dense in-order values, so rebuild via take (one C-level
+        # copy).  Hashing such an array unrebuilt silently corrupted
+        # the content hash (found via a duplicated ROLLUP group).
+        col = col.take(pa.array(np.arange(n, dtype=np.int64)))
+        buffers = col.buffers()
+        offs = np.frombuffer(buffers[1], dtype=np.int64, count=n + 1,
+                             offset=col.offset * 8)
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        starts = offs[:-1]
+        lengths = (offs[1:] - starts).astype(np.int64)
+        total = int(offs[-1] - offs[0])
     if total == 0:
         return np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
     seg = data[offs[0]:offs[-1]].astype(np.uint64)
@@ -80,9 +95,15 @@ def hash_strings(col) -> np.ndarray:
                            out=powers[:])
     powers = np.concatenate([[np.uint64(1)], powers[:-1]])
     terms = seg * powers[exp]
-    idx = np.minimum(rel_starts, total - 1)
-    sums = np.add.reduceat(terms, idx)
-    sums[lengths == 0] = np.uint64(0xCBF29CE484222325)
+    # reduceat ONLY over non-empty strings: an empty string's start
+    # equals its neighbor's, and clamping it to total-1 (the old code)
+    # moved the previous string's segment boundary, silently dropping
+    # that string's last byte(s) — found via a duplicated ROLLUP group
+    # whose "" fillers truncated the final real key in the buffer.
+    nz = lengths > 0
+    sums = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    if nz.any():
+        sums[nz] = np.add.reduceat(terms, rel_starts[nz])
     return sums
 
 
