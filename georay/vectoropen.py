@@ -62,6 +62,9 @@ def open_vector(path: str, **kw):
     if low.endswith(".dxf"):
         from .dxf import read_dxf
         return ray.data.from_arrow(read_dxf(path, **kw))
+    if low.endswith(".mif"):
+        from .mif import read_mif
+        return ray.data.from_arrow(read_mif(path, **kw))
     if low.endswith(".parquet"):
         return ray.data.read_parquet(path, **kw)
     if low.endswith((".arrow", ".feather", ".ipc")):
