@@ -3002,6 +3002,26 @@ def q_sql_q21(sf_dir: str):
                                    "orders", "nation"))
 
 
+_SQL_OUTER_JOIN_TEXT = """
+    SELECT c_custkey, c_name, o_orderkey
+    FROM (SELECT c_custkey, c_name FROM customer
+          WHERE c_custkey % 2 = 0) cs
+    FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                     WHERE o_custkey % 3 = 0) od
+    ON c_custkey = o_custkey
+"""
+
+
+def q_sql_outer_join(sf_dir: str):
+    """FULL OUTER JOIN of two derived tables with disjoint-but-
+    overlapping key filters (even customers × mod-3 order customers):
+    unmatched rows null-fill on BOTH sides through Ray's hash-shuffle
+    full_outer join.  Identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_OUTER_JOIN_TEXT,
+                       _sql_tables(sf_dir, "customer", "orders"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -3176,6 +3196,7 @@ QUERIES = {
     "sql_q22": q_sql_q22,    # oracle-backed (TPC-H Q22 shape)
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
+    "sql_outer_join": q_sql_outer_join,  # oracle-backed (FULL OUTER)
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3383,6 +3404,7 @@ ORACLE_SQL = {
     "sql_q15": _SQL_Q15_TEXT,
     "sql_q22": _SQL_Q22_TEXT,
     "sql_q21": _SQL_Q21_TEXT,
+    "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term

@@ -67,7 +67,8 @@ _WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
                       "PERCENT_RANK", "CUME_DIST"}
 _CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
                "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
-               "JOIN", "INNER", "LEFT", "ON", "OVER", "PARTITION"}
+               "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "ON",
+               "OVER", "PARTITION"}
 
 
 def _split_clauses(sql: str):
@@ -213,11 +214,14 @@ class _SqlParser:
             self.next()
         joins = []
         while self.peek()[0] == "sqlkw" and self.peek()[1] in (
-                "JOIN", "INNER", "LEFT"):
+                "JOIN", "INNER", "LEFT", "RIGHT", "FULL"):
             k, v = self.next()
             jtype = "inner"
-            if v == "LEFT":
-                jtype = "left_outer"
+            if v in ("LEFT", "RIGHT", "FULL"):
+                jtype = {"LEFT": "left_outer", "RIGHT": "right_outer",
+                         "FULL": "full_outer"}[v]
+                if self.peek() == ("sqlkw", "OUTER"):
+                    self.next()
                 self.expect_kw("JOIN")
             elif v == "INNER":
                 self.expect_kw("JOIN")
@@ -1895,12 +1899,59 @@ def _execute(q: dict, tables: dict):
                 else:
                     raise SqlError(f"JOIN ON {ca} = {cb}: columns not "
                                    "found one per side")
+            if jtype in ("right_outer", "full_outer"):
+                # Ray's outer joins COALESCE the key columns into the
+                # left name; SQL keeps each side's key separately
+                # NULLABLE.  Presence sentinels let the post-join stage
+                # reconstruct both: a side's key is NULL exactly where
+                # its sentinel is (its rows were absent).
+                def addp(name):
+                    def f(b: pa.Table, _n=name) -> pa.Table:
+                        return b.append_column(
+                            _n, pa.array([1] * b.num_rows, pa.int8()))
+                    return f
+
+                ds = ds.map_batches(addp("__lp__"),
+                                    batch_format="pyarrow")
+                rds = rds.map_batches(addp("__rp__"),
+                                      batch_format="pyarrow")
+                rnames = set(rnames) | {"__rp__"}
             if len(lks) == 1:
                 ds = equi_join(ds, rds, left_on=lks[0], right_on=rks[0],
                                join_type=jtype)
             else:
                 ds = equi_join(ds, rds, left_on=lks, right_on=rks,
                                join_type=jtype)
+            if jtype in ("right_outer", "full_outer"):
+                # Ray names the coalesced key after the RIGHT side for
+                # right_outer and the LEFT side for full_outer
+                merged_right = jtype == "right_outer"
+
+                def unmerge(batch: pa.Table, _lks=tuple(lks),
+                            _rks=tuple(rks),
+                            _mr=merged_right) -> pa.Table:
+                    lp = pc.is_valid(batch["__lp__"])
+                    rp = pc.is_valid(batch["__rp__"])
+                    for lk, rk in zip(_lks, _rks):
+                        src = rk if _mr else lk
+                        merged = batch[src]
+                        t = merged.type
+                        batch = batch.set_column(
+                            batch.column_names.index(src), src,
+                            pc.if_else(rp if _mr else lp, merged,
+                                       pa.scalar(None, t)))
+                        other = lk if _mr else rk
+                        if other != src \
+                                and other not in batch.column_names:
+                            batch = batch.append_column(
+                                other,
+                                pc.if_else(lp if _mr else rp, merged,
+                                           pa.scalar(None, t)))
+                    return batch.drop_columns(["__lp__", "__rp__"])
+
+                ds = ds.map_batches(unmerge, batch_format="pyarrow")
+                rnames = (rnames - {"__rp__"}) | set(rks)
+                left_names |= set(lks)
             if jtype == "inner":
                 # Ray's join merges the right KEY columns into the left
                 # ones; SQL keeps both names in scope (a later JOIN ON

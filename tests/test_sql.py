@@ -1188,3 +1188,31 @@ def test_sql_tpch_q21_inequality_exists(ray_session):
     out2 = out2.to_pandas() if hasattr(out2, "to_pandas") else out2
     assert list(map(tuple, out2.values.tolist())) == \
         [(1, 10), (3, 12), (3, 12)]
+
+
+def test_sql_right_and_full_outer_joins(ray_session):
+    """RIGHT JOIN / FULL [OUTER] JOIN through Ray's hash-shuffle join;
+    unmatched sides null-fill, verified against DuckDB."""
+    import pyarrow as _pa
+    import ray
+    from georay.sql import execute_sql
+    a = _pa.table({"ak": [1, 2, 3], "av": ["x", "y", "z"]})
+    b = _pa.table({"bk": [2, 3, 4], "bv": [20.0, 30.0, 40.0]})
+    import duckdb
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+    tabs = {"ta": ray.data.from_arrow(a), "tb": ray.data.from_arrow(b)}
+    for sql in [
+            "SELECT av, bk, bv FROM ta RIGHT JOIN tb ON ak = bk",
+            "SELECT av, bv FROM ta FULL OUTER JOIN tb ON ak = bk",
+            "SELECT ak, av, bv FROM ta LEFT OUTER JOIN tb ON ak = bk"]:
+        got = execute_sql(sql, dict(tabs))
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols, na_position="first") \
+            .reset_index(drop=True)
+        w = want[cols].sort_values(cols, na_position="first") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
