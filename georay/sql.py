@@ -386,6 +386,7 @@ class _SqlParser:
     def _order_item(self, extra_stop=None):
         stop = [lambda k, v: k == "sqlkw" and v in ("ASC", "DESC",
                                                     "LIMIT", "OFFSET"),
+                lambda k, v: k == "ident" and str(v).upper() == "NULLS",
                 lambda k, v: (k, v) == ("op", ",")]
         if extra_stop is not None:
             stop.append(extra_stop)
@@ -398,12 +399,21 @@ class _SqlParser:
             desc = True
         elif self.peek() == ("sqlkw", "ASC"):
             self.next()
+        nf = None                            # NULLS FIRST|LAST
+        if self.peek()[0] == "ident" \
+                and str(self.peek()[1]).upper() == "NULLS":
+            self.next()
+            k, v = self.next()
+            v = str(v).upper()
+            if v not in ("FIRST", "LAST"):
+                raise SqlError("expected FIRST or LAST after NULLS")
+            nf = v == "FIRST"
         if len(toks) == 1 and toks[0][0] == "ident":
-            return toks[0][1], desc          # plain column (fast path)
+            return toks[0][1], desc, nf      # plain column (fast path)
         if len(toks) == 1 and toks[0][0] == "num" \
                 and float(toks[0][1]) == int(float(toks[0][1])):
-            return int(float(toks[0][1])), desc   # 1-based ordinal
-        return toks, desc                    # expression -> hidden key
+            return int(float(toks[0][1])), desc, nf  # 1-based ordinal
+        return toks, desc, nf                # expression -> hidden key
 
     def _agg_call_is_subexpr(self) -> bool:
         """True when the aggregate call at the cursor is part of a
@@ -1678,8 +1688,8 @@ def _dequalify(q: dict, tables: dict | None = None) -> dict:
                       else (one(g) if isinstance(g, str) else g)
                       for g in q["group"]]
     q["order"] = [((toks(c) if isinstance(c, list)
-                    else (one(c) if isinstance(c, str) else c)), d)
-                  for c, d in q["order"]]
+                    else (one(c) if isinstance(c, str) else c)), d, nf)
+                  for c, d, nf in q["order"]]
     q["joins"] = [(jt, t2, [(one(ca), one(cb)) for ca, cb in pairs], al)
                   for jt, t2, pairs, al in q["joins"]]
     for it in (q["items"] if q["items"] != "*" else ()):
@@ -1690,7 +1700,7 @@ def _dequalify(q: dict, tables: dict | None = None) -> dict:
         if it.over:
             part, order, frame = it.over
             it.over = ([one(p) for p in part],
-                       [(one(c), d) for c, d in order],
+                       [(one(e[0]), *e[1:]) for e in order],
                        frame)
     return q
 
@@ -2773,7 +2783,11 @@ def _execute_window(ds, q, items, names, win_items):
         # expression ORDER BY keys hoist to hidden computed columns,
         # exactly like expression arguments
         norm_order = []
-        for j, (c, d) in enumerate(order or []):
+        for j, entry in enumerate(order or []):
+            c, d = entry[0], entry[1]
+            if len(entry) == 3 and entry[2] is not None:
+                raise SqlError("NULLS FIRST/LAST is not supported in "
+                               "window ORDER BY")
             if isinstance(c, str):
                 norm_order.append((c, d))
             else:
@@ -2895,7 +2909,8 @@ def _parse_having(toks, items, names, extend=False):
 def _finish(out, q, names):
     if q["order"]:
         sort_cols, desc, hidden = [], [], []
-        for j, (c, d) in enumerate(q["order"]):
+        for j, entry in enumerate(q["order"]):
+            c, d, nf = entry if len(entry) == 3 else (*entry, None)
             if isinstance(c, int):
                 if not 1 <= c <= len(names):
                     raise SqlError(f"ORDER BY ordinal {c} out of range")
@@ -2910,12 +2925,32 @@ def _finish(out, q, names):
                 if c not in names:
                     raise SqlError(
                         f"ORDER BY column {c!r} not in SELECT list")
+                if nf is not None:
+                    # NULLS FIRST|LAST: a hidden is-null bool key
+                    # sorted ahead of the value column places the null
+                    # block (ascending bool → nulls last; descending →
+                    # nulls first)
+                    nn = f"__nn{j}"
+
+                    def add_nn(batch: pa.Table, _c=c,
+                               _h=nn) -> pa.Table:
+                        return batch.append_column(
+                            _h, pc.is_null(batch[_c]))
+
+                    out = out.map_batches(add_nn,
+                                          batch_format="pyarrow")
+                    sort_cols.append(nn)
+                    desc.append(bool(nf))    # FIRST → descending bool
+                    hidden.append(nn)
                 sort_cols.append(c)
             else:
                 # ORDER BY <expression over SELECT-list columns>:
                 # computed once into a hidden key column, dropped after
                 # the sort (ogr_gensql evaluates order expressions the
                 # same way)
+                if nf is not None:
+                    raise SqlError("NULLS FIRST/LAST needs a plain "
+                                   "column or alias ORDER BY key")
                 node, used = _parse_expr_tokens(c)
                 if used != len(c):
                     raise SqlError("trailing tokens in ORDER BY")

@@ -1216,3 +1216,29 @@ def test_sql_right_and_full_outer_joins(ray_session):
         w = want[cols].sort_values(cols, na_position="first") \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_sql_order_by_nulls_first_last(ray_session):
+    """ORDER BY ... NULLS FIRST|LAST via a hidden is-null sort key;
+    ties broken by the following key, verified against DuckDB."""
+    import pyarrow as _pa
+    import ray
+    from georay.sql import execute_sql
+    a = _pa.table({"k": [1, None, 3, None, 2],
+                   "v": ["a", "b", "c", "d", "e"]})
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", a)
+    tabs = {"t": ray.data.from_arrow(a)}
+    for sql in [
+            "SELECT k, v FROM t ORDER BY k NULLS FIRST, v LIMIT 5",
+            "SELECT k, v FROM t ORDER BY k DESC NULLS LAST, v LIMIT 5",
+            "SELECT k, v FROM t ORDER BY k ASC NULLS LAST, v DESC "
+            "LIMIT 4"]:
+        got = execute_sql(sql, dict(tabs))
+        got = (got.to_pandas() if hasattr(got, "to_pandas")
+               else got.to_pandas())
+        want = con.execute(sql).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
