@@ -24,9 +24,15 @@ __all__ = ["nc_meta", "nc_read_var", "nc_write", "netcdf_to_zarr",
            "read_netcdf_dataset"]
 
 _NC_TYPES = {1: ("|i1", 1), 2: ("S1", 1), 3: (">i2", 2),
-             4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8)}
+             4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8),
+             # CDF-5 additions (64-bit data format)
+             7: ("|u1", 1), 8: (">u2", 2), 9: (">u4", 4),
+             10: (">i8", 8), 11: (">u8", 8)}
 _DTYPE_TO_NC = {"int8": 1, "S1": 2, "int16": 3, "int32": 4,
-                "float32": 5, "float64": 6}
+                "float32": 5, "float64": 6,
+                # CDF-5-only types
+                "uint8": 7, "uint16": 8, "uint32": 9,
+                "int64": 10, "uint64": 11}
 
 _ABSENT = (0, 0)
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
@@ -37,9 +43,11 @@ def _pad4(n: int) -> int:
 
 
 class _Reader:
-    def __init__(self, buf):
+    def __init__(self, buf, version: int = 1):
         self.buf = memoryview(buf)
         self.pos = 0
+        # CDF-5: every NON_NEG widens to INT64 (tags/nc_type stay i4)
+        self.nn = self.i8 if version == 5 else self.i4
 
     def i4(self) -> int:
         v = struct.unpack_from(">i", self.buf, self.pos)[0]
@@ -52,7 +60,7 @@ class _Reader:
         return v
 
     def name(self) -> str:
-        n = self.i4()
+        n = self.nn()
         s = bytes(self.buf[self.pos:self.pos + n]).decode()
         self.pos += _pad4(n)
         return s
@@ -66,7 +74,7 @@ class _Reader:
         return np.frombuffer(raw, dtype=dt).copy()
 
     def att_list(self) -> dict:
-        tag, cnt = self.i4(), self.i4()
+        tag, cnt = self.i4(), self.nn()
         if (tag, cnt) == _ABSENT:
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -75,7 +83,7 @@ class _Reader:
         for _ in range(cnt):
             nm = self.name()
             t = self.i4()
-            n = self.i4()
+            n = self.nn()
             out[nm] = self.values(t, n)
         return out
 
@@ -89,32 +97,33 @@ def nc_meta(data: bytes) -> dict:
                 "only")
         raise ValueError("not a NetCDF classic file")
     version = data[3]
-    if version not in (1, 2):
-        raise NotImplementedError(f"CDF version {version} unsupported")
-    r = _Reader(data)
+    if version not in (1, 2, 5):
+        raise NotImplementedError(f"CDF version {version} unsupported "
+                                  "(classic CDF-1/2 and CDF-5 covered)")
+    r = _Reader(data, version)
     r.pos = 4
-    numrecs = r.i4()
+    numrecs = r.nn()
     dims = []
-    tag, cnt = r.i4(), r.i4()
+    tag, cnt = r.i4(), r.nn()
     if (tag, cnt) != _ABSENT:
         if tag != _NC_DIMENSION:
             raise ValueError("bad dim list tag")
         for _ in range(cnt):
             nm = r.name()
-            dims.append((nm, r.i4()))
+            dims.append((nm, r.nn()))
     gatts = r.att_list()
     variables = {}
-    tag, cnt = r.i4(), r.i4()
+    tag, cnt = r.i4(), r.nn()
     if (tag, cnt) != _ABSENT:
         if tag != _NC_VARIABLE:
             raise ValueError("bad var list tag")
         for _ in range(cnt):
             nm = r.name()
-            nd = r.i4()
-            dimids = [r.i4() for _ in range(nd)]
+            nd = r.nn()
+            dimids = [r.nn() for _ in range(nd)]
             atts = r.att_list()
             nc_type = r.i4()
-            vsize = r.i4()
+            vsize = r.nn()
             begin = r.i4() if version == 1 else r.i8()
             is_record = bool(dimids) and dims[dimids[0]][1] == 0
             shape = tuple(dims[d][1] for d in dimids)
@@ -167,81 +176,104 @@ def nc_read_var(data: bytes, name: str, *, meta: dict | None = None,
 # round-trip engine outputs; one record dim supported like the format.
 # ---------------------------------------------------------------------------
 
-def _wname(parts: list, s: str):
+def _nn_fmt(version: int) -> str:
+    return ">q" if version == 5 else ">i"
+
+
+def _wname(parts: list, s: str, version: int = 1):
     b = s.encode()
-    parts.append(struct.pack(">i", len(b)))
+    parts.append(struct.pack(_nn_fmt(version), len(b)))
     parts.append(b + b"\x00" * (_pad4(len(b)) - len(b)))
 
 
-def _watts(parts: list, atts: dict):
+def _watts(parts: list, atts: dict, version: int = 1):
+    nn = _nn_fmt(version)
     if not atts:
-        parts.append(struct.pack(">ii", 0, 0))
+        parts.append(struct.pack(">i", 0))
+        parts.append(struct.pack(nn, 0))
         return
-    parts.append(struct.pack(">ii", _NC_ATTRIBUTE, len(atts)))
+    parts.append(struct.pack(">i", _NC_ATTRIBUTE))
+    parts.append(struct.pack(nn, len(atts)))
     for k, v in atts.items():
-        _wname(parts, k)
+        _wname(parts, k, version)
         if isinstance(v, str):
             b = v.encode()
-            parts.append(struct.pack(">ii", 2, len(b)))
+            parts.append(struct.pack(">i", 2))
+            parts.append(struct.pack(nn, len(b)))
             parts.append(b + b"\x00" * (_pad4(len(b)) - len(b)))
         else:
             arr = np.asarray(v)
             nc_type = _DTYPE_TO_NC[arr.dtype.name]
             dt, size = _NC_TYPES[nc_type]
             raw = arr.astype(dt).tobytes()
-            parts.append(struct.pack(">ii", nc_type, arr.size))
+            parts.append(struct.pack(">i", nc_type))
+            parts.append(struct.pack(nn, arr.size))
             parts.append(raw + b"\x00" * (_pad4(len(raw)) - len(raw)))
 
 
-def nc_write(dims: list, variables: dict, gatts: dict | None = None
-             ) -> bytes:
+def nc_write(dims: list, variables: dict, gatts: dict | None = None,
+             version: int = 1) -> bytes:
     """``dims``: [(name, length)] with length 0 = the record dimension;
     ``variables``: {name: (dim_names, np.ndarray)} — record vars carry
     the record dim first and their array's axis-0 length sets numrecs.
-    Returns classic CDF-1 bytes."""
+    ``version`` 1 → classic CDF-1; 5 → CDF-5 (every NON_NEG widens to
+    INT64 and the 64-bit integer/unsigned types become writable; no
+    independent producer offline, so CDF-5 byte parity is pinned by the
+    spec tables + roundtrips — the lance/icosa honesty framing)."""
     dim_index = {n: i for i, (n, _) in enumerate(dims)}
     numrecs = 0
     for name, (dnames, arr) in variables.items():
         if dnames and dims[dim_index[dnames[0]]][1] == 0:
             numrecs = max(numrecs, arr.shape[0])
 
+    if version not in (1, 5):
+        raise NotImplementedError("nc_write emits CDF-1 or CDF-5")
+    nn = _nn_fmt(version)
+
     # header
-    parts = [b"CDF\x01", struct.pack(">i", numrecs)]
+    parts = [b"CDF" + bytes([version]), struct.pack(nn, numrecs)]
     if dims:
-        parts.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+        parts.append(struct.pack(">i", _NC_DIMENSION))
+        parts.append(struct.pack(nn, len(dims)))
         for n, ln in dims:
-            _wname(parts, n)
-            parts.append(struct.pack(">i", ln))
+            _wname(parts, n, version)
+            parts.append(struct.pack(nn, ln))
     else:
-        parts.append(struct.pack(">ii", 0, 0))
-    _watts(parts, gatts or {})
+        parts.append(struct.pack(">i", 0))
+        parts.append(struct.pack(nn, 0))
+    _watts(parts, gatts or {}, version)
 
     # variable metadata (begin backpatched after sizing)
     order = list(variables.items())
     metas = []
     if order:
-        parts.append(struct.pack(">ii", _NC_VARIABLE, len(order)))
+        parts.append(struct.pack(">i", _NC_VARIABLE))
+        parts.append(struct.pack(nn, len(order)))
     else:
-        parts.append(struct.pack(">ii", 0, 0))
+        parts.append(struct.pack(">i", 0))
+        parts.append(struct.pack(nn, 0))
     for name, (dnames, arr) in order:
-        _wname(parts, name)
+        _wname(parts, name, version)
         dimids = [dim_index[d] for d in dnames]
-        parts.append(struct.pack(">i", len(dimids)))
+        parts.append(struct.pack(nn, len(dimids)))
         for d in dimids:
-            parts.append(struct.pack(">i", d))
-        _watts(parts, {})
+            parts.append(struct.pack(nn, d))
+        _watts(parts, {}, version)
         nc_type = _DTYPE_TO_NC[arr.dtype.name if arr.dtype.kind != "S"
                                else "S1"]
+        if nc_type >= 7 and version != 5:
+            raise ValueError(f"{arr.dtype} needs CDF-5 (version=5)")
         dt, size = _NC_TYPES[nc_type]
         record = bool(dimids) and dims[dimids[0]][1] == 0
         per = int(np.prod(arr.shape[1:] if record else arr.shape,
                           dtype=np.int64) or 1)
         vsize = _pad4(per * size)
-        parts.append(struct.pack(">ii", nc_type, vsize))
+        parts.append(struct.pack(">i", nc_type))
+        parts.append(struct.pack(nn, vsize))
         metas.append(dict(name=name, arr=arr, nc_type=nc_type,
                           record=record, per=per, size=size,
                           vsize=vsize, begin_at=len(parts)))
-        parts.append(struct.pack(">i", 0))  # begin placeholder
+        parts.append(struct.pack(nn, 0))  # begin placeholder
 
     header_len = sum(len(p) for p in parts)
     # data layout: fixed vars first, then the record block
@@ -259,7 +291,7 @@ def nc_write(dims: list, variables: dict, gatts: dict | None = None
         m["begin"] = begin
         begin += m["vsize"] if len(rec_metas) > 1 else recsize
     for m in metas:
-        parts[m["begin_at"]] = struct.pack(">i", m["begin"])
+        parts[m["begin_at"]] = struct.pack(nn, m["begin"])
 
     # data
     body = bytearray()

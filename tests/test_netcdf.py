@@ -139,3 +139,34 @@ def test_read_netcdf_dataset(ray_session, tmp_path):
         np.frombuffer(r["data"], np.int32).reshape(r["shape"])
         for _, r in rows.iterrows()])
     np.testing.assert_array_equal(got, grid)
+
+
+def test_cdf5_roundtrip_64bit():
+    """CDF-5 (64-bit data format): every NON_NEG widens to INT64 and
+    the int64/unsigned types become storable; CDF-1 output unchanged."""
+    import numpy as np
+    import pytest
+
+    from georay.netcdf import nc_meta, nc_read_var, nc_write
+    dims = [("t", 0), ("y", 4), ("x", 5)]
+    rng = np.random.default_rng(5)
+    v64 = rng.integers(-2**40, 2**40, size=(3, 4, 5)).astype(np.int64)
+    u16 = rng.integers(0, 65535, size=(3, 4, 5)).astype(np.uint16)
+    vf = rng.random((4, 5)).astype(np.float64)
+    data = nc_write(dims, {"big": (["t", "y", "x"], v64),
+                           "fixed": (["y", "x"], vf),
+                           "u": (["t", "y", "x"], u16)},
+                    gatts={"title": "cdf5"}, version=5)
+    assert data[:4] == b"CDF\x05"
+    m = nc_meta(data)
+    assert m["version"] == 5 and m["numrecs"] == 3
+    assert m["gatts"]["title"] == "cdf5"
+    assert np.array_equal(nc_read_var(data, "big"), v64)
+    assert np.array_equal(nc_read_var(data, "fixed"), vf)
+    assert np.array_equal(nc_read_var(data, "u"), u16)
+    # record-range read still slices records
+    assert np.array_equal(nc_read_var(data, "big", rec0=1, rec1=3),
+                          v64[1:3])
+    # int64 payloads refuse CDF-1
+    with pytest.raises(ValueError, match="CDF-5"):
+        nc_write([("y", 2)], {"a": (["y"], v64[0, 0, :2])}, version=1)
