@@ -2143,13 +2143,18 @@ def _execute(q: dict, tables: dict):
                 f"non-aggregated select item {names[i]!r} must be a "
                 f"GROUP BY column")
 
-    # COUNT(DISTINCT x): grouped or mixed with other aggregates —
-    # dedicated single-shuffle plan (never per-distinct-value Python)
+    # DISTINCT aggregates: MIN/MAX(DISTINCT) ≡ MIN/MAX (dedup can't
+    # change an extremum); COUNT/SUM/AVG(DISTINCT) route to the
+    # dedicated single-shuffle distinct plan
     for _, it in agg_items:
-        if it.distinct and it.func != "COUNT":
+        if it.distinct and it.func in ("MIN", "MAX"):
+            it.distinct = False
+        elif it.distinct and it.func not in ("COUNT", "SUM", "AVG"):
             raise SqlError(f"{it.func}(DISTINCT) is not supported")
-    cd = [(i, it) for i, it in agg_items
-          if it.func == "COUNT" and it.distinct]
+    cd = [(i, it) for i, it in agg_items if it.distinct]
+    if cd and (q.get("rollup") or q.get("grouping_sets")):
+        raise SqlError("DISTINCT aggregates cannot mix with "
+                       "ROLLUP/CUBE/GROUPING SETS")
     if (cd or any(it.func in _QUANT_FUNCS for _, it in agg_items)) \
             and any(it.filt_toks for _, it in agg_items):
         raise SqlError("FILTER is not supported with COUNT(DISTINCT) "
@@ -2596,8 +2601,7 @@ def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
     import numpy as np
     import pandas as pd
 
-    dist = [(i, it) for i, it in agg_items
-            if it.func == "COUNT" and it.distinct]
+    dist = [(i, it) for i, it in agg_items if it.distinct]
     regular = [(i, it) for i, it in agg_items if not it.distinct]
     nodes = {}
     for i, it in agg_items:
@@ -2672,7 +2676,14 @@ def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
             return t[names[i]] if names[i] in t.schema.names \
                 else t[it.expr_toks[0][1]]
         if it.distinct:
-            return pc.cast(t[cd_name(i)], pa.int64())
+            if it.func == "COUNT":
+                return pc.cast(t[cd_name(i)], pa.int64())
+            if it.func == "SUM":
+                return t[f"{dcols[i]}_dsum"]
+            # AVG(DISTINCT) = sum of distinct / count of distinct
+            return pc.divide(
+                pc.cast(t[f"{dcols[i]}_dsum"], pa.float64()),
+                pc.cast(t[f"{dcols[i]}_dcnt"], pa.float64()))
         p = item_partials[i]
         if it.func == "COUNT":
             v = p.get("count", p.get("sum"))
@@ -2696,6 +2707,23 @@ def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
             t = t.rename_columns(
                 [ {v: k for k, v in comb.items()}.get(n, n)
                   for n in t.schema.names])
+            # SUM/AVG(DISTINCT): dedupe (group, value) pairs, aggregate
+            # the distinct values per group, join back on the group keys
+            for i, it in dist:
+                if it.func == "COUNT":
+                    continue
+                d2 = g.group_by(list(group_cols) + [dcols[i]],
+                                use_threads=False).aggregate([])
+                a2 = [(dcols[i], "sum")]
+                if it.func == "AVG":
+                    a2.append((dcols[i], "count"))
+                s2 = d2.group_by(list(group_cols),
+                                 use_threads=False).aggregate(a2)
+                ren = {f"{dcols[i]}_sum": f"{dcols[i]}_dsum",
+                       f"{dcols[i]}_count": f"{dcols[i]}_dcnt"}
+                s2 = s2.rename_columns(
+                    [ren.get(n, n) for n in s2.schema.names])
+                t = t.join(s2, keys=list(group_cols))
             cols = {names[i]: _item_col(
                         i, it, t,
                         lambda j: f"{dcols[j]}_count_distinct")
@@ -2725,9 +2753,16 @@ def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
     def bucket_scalars(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         cols = {}
-        for i, _ in dist:
+        for i, it in dist:
+            # buckets partition the distinct-VALUE space (single
+            # distinct expr) or everything is in one bucket — either
+            # way per-bucket distinct partials combine by addition
+            uniq = pc.unique(g[dcols[i]])
             cols[dcols[i]] = pa.array(
                 [pc.count_distinct(g[dcols[i]]).as_py()], pa.int64())
+            if it.func in ("SUM", "AVG"):
+                cols[f"{dcols[i]}_dsum"] = pa.array(
+                    [pc.sum(uniq).as_py()])
         for (c, fn), out in partials.items():
             v = {"sum": pc.sum, "count": pc.sum, "min": pc.min,
                  "max": pc.max}[fn](g[out])
@@ -2737,11 +2772,17 @@ def _execute_count_distinct(ds, q, items, names, group_cols, agg_items,
     rows = _collect(prepped.groupby("part__").map_groups(
         bucket_scalars, batch_format="pyarrow"))
     final = {}
-    for i, _ in dist:
+    for i, it in dist:
         col = rows[dcols[i]] if rows.num_rows else None
         final[dcols[i] + "_count_distinct"] = pa.array(
             [int(pc.sum(col).as_py() or 0) if col is not None else 0],
             pa.int64())
+        if it.func in ("SUM", "AVG"):
+            sc = rows[f"{dcols[i]}_dsum"] if rows.num_rows else None
+            final[f"{dcols[i]}_dsum"] = pa.array(
+                [pc.sum(sc).as_py() if sc is not None else None])
+            final[f"{dcols[i]}_dcnt"] = final[
+                dcols[i] + "_count_distinct"]
     for (c, fn), out in partials.items():
         if rows.num_rows:
             v = {"sum": pc.sum, "count": pc.sum, "min": pc.min,

@@ -746,8 +746,8 @@ def test_sql_count_distinct_rejects_unsupported(ray_session):
     from georay.sql import SqlError, execute_sql
     tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
     with pytest.raises(SqlError, match="DISTINCT"):
-        execute_sql("SELECT SUM(DISTINCT o_custkey) AS s FROM orders",
-                    tabs)
+        execute_sql("SELECT STDDEV_POP(DISTINCT o_custkey) AS s "
+                    "FROM orders", tabs)
     with pytest.raises(SqlError, match="mixed"):
         execute_sql(
             "SELECT COUNT(DISTINCT o_custkey) AS n, "
@@ -1242,3 +1242,36 @@ def test_sql_order_by_nulls_first_last(ray_session):
         pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                       want.reset_index(drop=True),
                                       check_dtype=False)
+
+
+def test_sql_sum_avg_distinct(ray_session):
+    """SUM/AVG(DISTINCT) via the single-shuffle distinct plan (dedupe
+    (group, value) pairs per bucket, aggregate the distinct values,
+    join back on the group keys); MIN/MAX(DISTINCT) normalize to plain
+    MIN/MAX.  Verified against DuckDB."""
+    for sql, tables in [
+        ("SELECT o_orderstatus, "
+         "SUM(DISTINCT CAST(o_custkey % 50 AS DOUBLE)) AS sd, "
+         "COUNT(DISTINCT o_custkey) AS cd, COUNT(*) AS n "
+         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+         ["orders"]),
+        ("SELECT o_orderpriority, AVG(DISTINCT o_totalprice) AS ad, "
+         "MAX(DISTINCT o_totalprice) AS mx FROM orders "
+         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+         ["orders"]),
+        ("SELECT SUM(DISTINCT CAST(o_custkey % 97 AS DOUBLE)) AS sd "
+         "FROM orders", ["orders"]),
+        ("SELECT AVG(DISTINCT o_totalprice) AS ad, "
+         "COUNT(DISTINCT o_orderstatus) AS cs FROM orders",
+         ["orders"]),
+    ]:
+        got = _run(sql, tables)
+        want = _duck(sql)
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
+                g[c] = pd.to_numeric(g[c]).round(6)
+                w[c] = pd.to_numeric(w[c]).round(6)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
