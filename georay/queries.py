@@ -3002,6 +3002,25 @@ def q_sql_q21(sf_dir: str):
                                    "orders", "nation"))
 
 
+_SQL_SUM_DISTINCT_TEXT = """
+    SELECT o_orderstatus,
+           SUM(DISTINCT CAST(o_custkey % 211 AS DOUBLE)) AS sd,
+           AVG(DISTINCT o_totalprice) AS ad,
+           COUNT(DISTINCT o_orderpriority) AS cp
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_sum_distinct(sf_dir: str):
+    """SUM/AVG/COUNT(DISTINCT) mixed in one grouped SELECT — the
+    single-shuffle distinct plan dedupes (group, value) pairs per
+    bucket and aggregates the distinct values (sql.py
+    _execute_count_distinct).  Identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_SUM_DISTINCT_TEXT,
+                       _sql_tables(sf_dir, "orders"))
+
+
 _SQL_OUTER_JOIN_TEXT = """
     SELECT c_custkey, c_name, o_orderkey
     FROM (SELECT c_custkey, c_name FROM customer
@@ -3197,6 +3216,7 @@ QUERIES = {
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
     "sql_outer_join": q_sql_outer_join,  # oracle-backed (FULL OUTER)
+    "sql_sum_distinct": q_sql_sum_distinct,  # oracle-backed
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
@@ -3405,6 +3425,7 @@ ORACLE_SQL = {
     "sql_q22": _SQL_Q22_TEXT,
     "sql_q21": _SQL_Q21_TEXT,
     "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
+    "sql_sum_distinct": _SQL_SUM_DISTINCT_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
         FROM (SELECT unnest(string_split(text, ' ')) AS term
