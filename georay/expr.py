@@ -769,6 +769,10 @@ def _eval(node, batch: pa.Table):
         return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
     if kind == "inset":
         v = _eval(node[1], batch)
+        if len(node[2]) == 0:
+            # empty IN-subquery: x IN () is FALSE for every x (even
+            # NULL — no comparison is ever made), NOT IN () is TRUE
+            return pa.array(np.zeros(len(batch), dtype=bool))
         hit = pc.is_in(v, value_set=node[2])
         return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
     if kind == "between":
@@ -797,7 +801,40 @@ def _eval(node, batch: pa.Table):
         # yields null indices for misses; take propagates them → SQL's
         # NULL for an empty correlated subquery (except COUNT → default 0)
         _, outer_col, keys, vals, default = node
-        idxs = pc.index_in(batch[outer_col], value_set=keys)
+        if len(vals) == 0:
+            # empty subquery result (possibly schema-less): every
+            # lookup misses — default for COUNT, NULL otherwise
+            if default is not None:
+                return pa.array([default] * len(batch))
+            return pa.nulls(len(batch))
+        if isinstance(outer_col, tuple):
+            # multi-key correlation (TPC-H Q20): arrow's index_in has
+            # no struct kernel, so compose per-column DICTIONARY CODES
+            # into one exact int64 key — code_j = index_in(col, uniques_j),
+            # composite = Σ code_j·stride_j.  A null/missing component
+            # propagates null → composite miss → default (SQL: a NULL
+            # correlation never matches)
+            comp_k = comp_p = None
+            stride = 1
+            for name, karr in zip(outer_col, keys):
+                d = karr.unique()
+                kc = pc.index_in(karr, value_set=d).cast(pa.int64())
+                pcd = pc.index_in(batch[name],
+                                  value_set=d).cast(pa.int64())
+                card = len(d) + 1
+                if stride * card > (1 << 62):
+                    raise FilterSyntaxError(
+                        "composite correlation key space too large")
+                stride *= card
+                if comp_k is None:
+                    comp_k, comp_p = kc, pcd
+                else:
+                    s = pa.scalar(card, pa.int64())
+                    comp_k = pc.add(pc.multiply(comp_k, s), kc)
+                    comp_p = pc.add(pc.multiply(comp_p, s), pcd)
+            idxs = pc.index_in(comp_p, value_set=comp_k)
+        else:
+            idxs = pc.index_in(batch[outer_col], value_set=keys)
         got = pc.take(vals, idxs)
         if default is not None:
             got = pc.fill_null(got, default)

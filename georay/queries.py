@@ -3021,6 +3021,202 @@ def q_sql_sum_distinct(sf_dir: str):
                        _sql_tables(sf_dir, "orders"))
 
 
+# --- synthetic partsupp ----------------------------------------------------
+# The driver-owned fixtures carry 9 of the 10 TPC-H tables; partsupp is
+# absent, which kept Q2/Q9/Q11/Q16/Q20 off the board.  Both engines
+# synthesize it DETERMINISTICALLY from part × {0,1,2,3} with integer
+# arithmetic (suppkeys 0-based like the fixture; ps_supplycost is integer
+# CENTS so every downstream sum stays exact < 2^53 through DOUBLE): the
+# Ray side as one vectorized map_batches over part (test_sql_tpch pins it
+# row-identical to the CTE), the oracle as this CTE prefix.
+
+_PARTSUPP_CTE = """
+    WITH partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey,
+             (p_partkey * 31 + i.i * 17) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 29 + i.i * 37) % 99901 + 100 AS ps_supplycost
+      FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+    )
+"""
+
+
+def synth_partsupp(sf_dir: str):
+    """Deterministic partsupp: 4 suppliers per part, formulas above.
+    Streams 4× the part table — one vectorized expansion kernel, no
+    shuffle, scale-free.  The supplier count (modulus) is read from
+    parquet metadata driver-side (the table is a broadcast dimension)."""
+    import pyarrow.parquet as pq
+
+    S = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+
+    def expand(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy().astype(np.int64)
+        pk4 = np.repeat(pk, 4)
+        i = np.tile(np.arange(4, dtype=np.int64), len(pk))
+        return pa.table({
+            "ps_partkey": pk4,
+            "ps_suppkey": (pk4 * 7 + i) % S,
+            "ps_availqty": (pk4 * 31 + i * 17) % 9999 + 1,
+            "ps_supplycost": (pk4 * 29 + i * 37) % 99901 + 100,
+        })
+
+    return _rp(sf_dir, "part", ["p_partkey"]).map_batches(
+        expand, batch_format="pyarrow")
+
+
+_SQL_Q9_BODY = """
+    SELECT nation, o_year, SUM(amount) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS DOUBLE)
+               - CAST(ps_supplycost * l_quantity AS DOUBLE) AS amount
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q_sql_q9(sf_dir: str):
+    """TPC-H Q9 verbatim shape (product-type profit): six-way implicit
+    comma-join whose partsupp hop needs a COMPOSITE key
+    (ps_suppkey = l_suppkey AND ps_partkey = l_partkey) — the rewriter
+    gathers both equalities into one JOIN ON and the hash-shuffle
+    equi_join partitions on the key TUPLE.  Profit sums integer cents
+    minus cents·quantity through DOUBLE (exact < 2^53).  Oracle = the
+    partsupp CTE + the identical body."""
+    from .sql import execute_sql
+    tables = _sql_tables(sf_dir, "part", "supplier", "lineitem",
+                         "orders", "nation")
+    tables["partsupp"] = synth_partsupp(sf_dir)
+    return execute_sql(_SQL_Q9_BODY, tables)
+
+
+_SQL_Q16_BODY = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_sql_q16(sf_dir: str):
+    """TPC-H Q16 verbatim shape (supplier-part-type relationship):
+    NOT IN over an uncorrelated subquery (broadcast value set, the
+    'complaints' analog = negative account balance) + grouped
+    COUNT(DISTINCT) through the single-shuffle distinct plan.  Oracle =
+    the partsupp CTE + the identical body."""
+    from .sql import execute_sql
+    tables = _sql_tables(sf_dir, "part", "supplier")
+    tables["partsupp"] = synth_partsupp(sf_dir)
+    return execute_sql(_SQL_Q16_BODY, tables)
+
+
+_SQL_Q11_BODY = """
+    SELECT ps_partkey,
+           SUM(CAST(ps_supplycost * ps_availqty AS DOUBLE)) AS value
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name LIKE 'NATION_1%'
+    GROUP BY ps_partkey
+    HAVING SUM(CAST(ps_supplycost * ps_availqty AS DOUBLE)) > (
+      SELECT SUM(CAST(ps_supplycost * ps_availqty AS DOUBLE)) * 0.0001
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name LIKE 'NATION_1%'
+    )
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_sql_q11(sf_dir: str):
+    """TPC-H Q11 verbatim shape (important stock identification): the
+    HAVING threshold is an UNCORRELATED SCALAR SUBQUERY — resolved to a
+    literal before aggregate hoisting (sql.py resolves HAVING
+    subqueries first, else the inner SUM would be hoisted as a HAVING
+    aggregate).  Value sums cents×qty integers exactly through DOUBLE.
+    Oracle = the partsupp CTE + the identical body."""
+    from .sql import execute_sql
+    tables = _sql_tables(sf_dir, "supplier", "nation")
+    tables["partsupp"] = synth_partsupp(sf_dir)
+    return execute_sql(_SQL_Q11_BODY, tables)
+
+
+_SQL_Q2_BODY = """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part, partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps_supplycost)
+        FROM partsupp, supplier, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q_sql_q2(sf_dir: str):
+    """TPC-H Q2 verbatim shape (minimum-cost supplier): the correlated
+    scalar subquery contains its OWN four-table join — decorrelated to
+    one grouped MIN over the joined subquery, broadcast as a key→value
+    map; ps_supplycost is integer cents so the equality is exact.
+    Oracle = the partsupp CTE + the identical body."""
+    from .sql import execute_sql
+    tables = _sql_tables(sf_dir, "part", "supplier", "nation", "region")
+    tables["partsupp"] = synth_partsupp(sf_dir)
+    return execute_sql(_SQL_Q2_BODY, tables)
+
+
+_SQL_Q20_BODY = """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'red%')
+          AND ps_availqty > (
+            SELECT 0.5 * SUM(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'))
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+    ORDER BY s_name, s_acctbal
+"""
+
+
+def q_sql_q20(sf_dir: str):
+    """TPC-H Q20 verbatim shape (potential part promotion): the inner
+    availability threshold is a correlated scalar subquery with a
+    COMPOSITE correlation (l_partkey = ps_partkey AND l_suppkey =
+    ps_suppkey) — decorrelated to one SUM grouped by the key pair and
+    broadcast as a composite-key map (per-column dictionary codes
+    composed into one int64; expr.py vmap).  l_quantity values are
+    small integers in float64, so 0.5·SUM stays exact.  Oracle = the
+    partsupp CTE + the identical body."""
+    from .sql import execute_sql
+    tables = _sql_tables(sf_dir, "supplier", "nation", "part",
+                         "lineitem")
+    tables["partsupp"] = synth_partsupp(sf_dir)
+    return execute_sql(_SQL_Q20_BODY, tables)
+
+
 _SQL_OUTER_JOIN_TEXT = """
     SELECT c_custkey, c_name, o_orderkey
     FROM (SELECT c_custkey, c_name FROM customer
@@ -3169,20 +3365,31 @@ QUERIES = {
     "kml_zone_join": q_kml_zone_join,
     "sql_dates": q_sql_dates,
     "sql_count_distinct_group": q_sql_count_distinct_group,
-    "sql_window_range": q_sql_window_range,
-    "sql_intersect": q_sql_intersect,
     "sql_median": q_sql_median,
-    "quantile_prices": q_quantile_prices,
-    "raster_xyz": q_raster_xyz,
+    # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
+    "sql_q2": q_sql_q2,
+    "sql_q9": q_sql_q9,
+    "sql_q11": q_sql_q11,
+    "sql_q16": q_sql_q16,
+    "sql_q20": q_sql_q20,
     "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
     "embedding_kmeans": q_embedding_kmeans,
     "doc_top_terms": q_doc_top_terms,
-    "sql_rollup": q_sql_rollup,
     # -- (d) headline anchors: north-rule image pipeline + LLM ops --
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
+    # frames share the frame machinery with sql_window_frame (in-window)
+    "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
+    # shared with sql_union (in-window), pinned by test_sql
+    "quantile_prices": q_quantile_prices,  # rotated behind: same
+    # histogram-refinement plan as sql_median (in-window)
+    "raster_xyz": q_raster_xyz,  # rotated behind: strided explode
+    # pinned by test_raster; generate_series oracle unchanged
+    "sql_rollup": q_sql_rollup,  # rotated behind: bitmask grouping-id
+    # core shared with sql_cube, pinned by test_sql
     "gpx_waypoint_census": q_gpx_waypoint_census,  # rotated behind:
     # repr-exact float roundtrip pinned by test_xmldrivers
     "sql_json": q_sql_json,  # rotated behind: one extract_regex kernel,
@@ -3408,6 +3615,14 @@ ORACLE_SQL = {
     "sql_intersect": _SQL_INTERSECT_TEXT,
     "sql_median": _SQL_MEDIAN_TEXT,
     "sql_q5": _SQL_Q5_TEXT,
+    # partsupp is synthesized: the oracle prepends the deterministic
+    # CTE; the Ray side registers synth_partsupp(sf_dir) (pinned
+    # row-identical to the CTE by test_sql_tpch)
+    "sql_q2": _PARTSUPP_CTE + _SQL_Q2_BODY,
+    "sql_q9": _PARTSUPP_CTE + _SQL_Q9_BODY,
+    "sql_q11": _PARTSUPP_CTE + _SQL_Q11_BODY,
+    "sql_q16": _PARTSUPP_CTE + _SQL_Q16_BODY,
+    "sql_q20": _PARTSUPP_CTE + _SQL_Q20_BODY,
     "sql_rollup": _SQL_ROLLUP_TEXT,
     "sql_cube": _SQL_CUBE_TEXT,
     "sql_q6": _SQL_Q6_TEXT,

@@ -835,7 +835,19 @@ def _find_equality_correlation(conj, inner_names, outer_names,
     """Locate one top-level ``inner_col = outer_col`` conjunct; returns
     (index, inner_col, outer_col) or None.  ``inner_quals`` are the inner
     table name + aliases whose dotted prefixes resolve to inner scope."""
+    all_ = _find_equality_correlations(conj, inner_names, outer_names,
+                                       inner_quals)
+    return all_[0] if all_ else None
+
+
+def _find_equality_correlations(conj, inner_names, outer_names,
+                                inner_quals=()):
+    """ALL top-level ``inner_col = outer_col`` conjuncts, in order —
+    multi-key correlations (the TPC-H Q20 shape: l_partkey = ps_partkey
+    AND l_suppkey = ps_suppkey) decorrelate to ONE aggregate grouped by
+    the composite key."""
     quals = set(inner_quals)
+    out = []
     for ci, c in enumerate(conj):
         if (len(c) == 3 and c[0][0] == "ident" and c[1] == ("op", "=")
                 and c[2][0] == "ident"):
@@ -843,11 +855,11 @@ def _find_equality_correlation(conj, inner_names, outer_names,
             b = _strip_qual(c[2][1], quals)
             if a in inner_names and b in outer_names \
                     and b not in inner_names:
-                return (ci, a, b)
-            if b in inner_names and a in outer_names \
+                out.append((ci, a, b))
+            elif b in inner_names and a in outer_names \
                     and a not in inner_names:
-                return (ci, b, a)
-    return None
+                out.append((ci, b, a))
+    return out
 
 
 def _exists_to_in(inner, tables, outer_names, neg, outer_quals=()):
@@ -998,14 +1010,22 @@ def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
     through to the uncorrelated path)."""
     outer = set(outer_names)
     try:
-        q = _SqlParser(list(inner)).parse()
+        q = _SqlParser(_rewrite_comma_joins(list(inner),
+                                            tables)).parse()
     except SqlError:
         return None
     if q["table"] not in tables or not q["where"]:
         return None
     if (len(q["items"]) != 1 or q["group"] or q["order"]
-            or q["limit"] is not None or q["joins"] or q["distinct"]):
+            or q["limit"] is not None or q["distinct"]):
         return None
+    # INNER joins inside the subquery (the TPC-H Q2 min-cost shape:
+    # SELECT MIN(ps_supplycost) FROM partsupp JOIN supplier … WHERE
+    # p_partkey = ps_partkey AND r_name = …) are fine — the grouped
+    # decorrelation runs the same join chain once
+    for jtype, t2, _, _ in q["joins"]:
+        if jtype != "inner" or t2 not in tables:
+            return None
     it0 = q["items"][0]
     post_node = None             # expression applied to the agg result
     if it0.kind == "agg":
@@ -1041,7 +1061,10 @@ def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
     if agg_it.distinct:
         return None
     inner_names = set(_schema_names(tables[q["table"]]))
-    inner_quals = {q["table"]} | set(q.get("aliases") or ())
+    for _, t2, _, _ in q["joins"]:
+        inner_names |= set(_schema_names(tables[t2]))
+    inner_quals = ({q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
+                   | set(q.get("aliases") or ()))
 
     def strip_outer(tl):
         # outer-alias qualifiers reach here unrewritten (_dequalify
@@ -1058,21 +1081,23 @@ def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
         return out
 
     conj = [strip_outer(c) for c in _split_conjuncts(q["where"])]
-    corr = _find_equality_correlation(conj, inner_names, outer,
-                                      inner_quals)
-    if corr is None:
+    corrs = _find_equality_correlations(conj, inner_names, outer,
+                                        inner_quals)
+    if not corrs:
         return None
-    ci, inner_col, outer_col = corr
-    rest = [c for k, c in enumerate(conj) if k != ci]
+    cis = {ci for ci, _, _ in corrs}
+    inner_cols = [ic for _, ic, _ in corrs]
+    outer_cols = [oc for _, _, oc in corrs]
+    rest = [c for k, c in enumerate(conj) if k not in cis]
     new_where = []
     for k, c in enumerate(rest):
         if k:
             new_where.append(("kw", "AND"))
         new_where.extend(c)
     q2 = dict(q)
-    q2["items"] = [_SelectItem("expr", expr_toks=[("ident", inner_col)],
-                               name=inner_col), agg_it]
-    q2["group"] = [inner_col]
+    q2["items"] = [_SelectItem("expr", expr_toks=[("ident", ic)],
+                               name=ic) for ic in inner_cols] + [agg_it]
+    q2["group"] = list(inner_cols)
     q2["where"] = new_where or None
     q2["having"] = None
     q2["order"] = []
@@ -1082,8 +1107,9 @@ def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
         raise SqlError(
             f"correlated scalar subquery has {res.num_rows} distinct "
             f"keys (> {_SUBQ_LIMIT}); rewrite as a JOIN")
-    keys = res.column(0).combine_chunks()
-    vals = res.column(1).combine_chunks()
+    nk = len(inner_cols)
+    vals = res.column(nk).combine_chunks() if res.num_columns > nk \
+        else pa.array([], pa.float64())
     default = 0 if agg_it.func == "COUNT" else None
     if post_node is not None:
         vals = _eval(post_node, pa.table({"__corr_agg__": vals}))
@@ -1091,10 +1117,17 @@ def _try_correlated_scalar(inner, tables, outer_names, outer_quals=()):
             vals = vals.combine_chunks()
         if default is not None:
             d = _eval(post_node, pa.table(
-                {"__corr_agg__": pa.array([default],
-                                          res.column(1).type)}))
+                {"__corr_agg__": pa.array([default], vals.type)}))
             default = d[0].as_py()
-    return ("vmap", (outer_col, keys, vals, default))
+    if nk == 1:
+        keys = res.column(0).combine_chunks() if res.num_columns \
+            else pa.array([], pa.null())
+        return ("vmap", (outer_cols[0], keys, vals, default))
+    if res.num_columns == 0:     # empty pipeline lost its schema
+        keys = tuple(pa.array([], pa.null()) for _ in range(nk))
+    else:
+        keys = tuple(res.column(i).combine_chunks() for i in range(nk))
+    return ("vmap", (tuple(outer_cols), keys, vals, default))
 
 
 def _resolve_subqueries(toks, tables, outer_names=(), outer_quals=()):
@@ -1133,9 +1166,24 @@ def _resolve_subqueries(toks, tables, outer_names=(), outer_quals=()):
                     out.extend([("op", "("), vm, ("op", ")")])
                     i = j + 1
                     continue
-            res = _collect(_execute(_SqlParser(list(inner)).parse(),
-                                    tables))
+            res = _collect(_execute(
+                _SqlParser(_rewrite_comma_joins(list(inner),
+                                                tables)).parse(),
+                tables))
             if res.num_columns != 1:
+                if res.num_rows == 0 and res.num_columns == 0:
+                    # fully-empty pipelines lose their schema (Ray emits
+                    # schema-less blocks; documented wart) — an empty
+                    # subquery is an empty IN set / a NULL scalar
+                    if out and out[-1] == ("kw", "IN"):
+                        out.extend([("op", "("),
+                                    ("vset", pa.array([], pa.null())),
+                                    ("op", ")")])
+                    else:
+                        out.extend([("op", "("), ("kw", "NULL"),
+                                    ("op", ")")])
+                    i = j + 1
+                    continue
                 raise SqlError("subquery must return exactly one column")
             if out and out[-1] == ("kw", "IN"):
                 if res.num_rows > _SUBQ_LIMIT:
@@ -2110,9 +2158,20 @@ def _execute(q: dict, tables: dict):
     if q["having"] and group_cols:
         # HAVING may use aggregates that are NOT select items: hoist
         # them as hidden aggregate columns (computed alongside the
-        # visible ones, dropped after the filter)
+        # visible ones, dropped after the filter).  Scalar/IN
+        # subqueries in HAVING (the TPC-H Q11 shape) are resolved to
+        # literals FIRST — otherwise their inner aggregates would be
+        # mistaken for hoistable HAVING aggregates
+        htoks = q["having"]
+        if any(t == ("sqlkw", "SELECT") for t in htoks):
+            oq = ({q["table"]} | {t2 for _, t2, _, _ in q["joins"]}
+                  | set(q.get("aliases") or ())) - set(renamed)
+            htoks = _resolve_subqueries(
+                htoks, tables,
+                scope_names if scope_names is not None
+                else ds.schema().names, oq)
         having_node, having_hidden = _parse_having(
-            q["having"], items, names, extend=True)
+            htoks, items, names, extend=True)
     agg_items = [(i, it) for i, it in enumerate(items) if it.kind == "agg"]
     plain_items = [(i, it) for i, it in enumerate(items)
                    if it.kind == "expr"]

@@ -1275,3 +1275,69 @@ def test_sql_sum_avg_distinct(ray_session):
                 g[c] = pd.to_numeric(g[c]).round(6)
                 w[c] = pd.to_numeric(w[c]).round(6)
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_partsupp_synth_matches_cte(ray_session):
+    """synth_partsupp must be ROW-IDENTICAL to the oracle CTE — the two
+    engines compute the same deterministic table from part × {0..3}."""
+    from georay.queries import _PARTSUPP_CTE, synth_partsupp
+    mine = synth_partsupp(SF).to_pandas() \
+        .sort_values(["ps_partkey", "ps_suppkey"]).reset_index(drop=True)
+    want = _duck(_PARTSUPP_CTE + "SELECT * FROM partsupp") \
+        .sort_values(["ps_partkey", "ps_suppkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    # 4 suppliers per part, suppkeys within range, costs are cents
+    assert (mine.groupby("ps_partkey").size() == 4).all()
+    S = _duck("SELECT COUNT(*) AS n FROM supplier")["n"][0]
+    assert mine.ps_suppkey.between(0, S - 1).all()
+
+
+def test_sql_tpch_partsupp_five(ray_session):
+    """TPC-H Q2 / Q9 / Q11 / Q16 / Q20 over the synthetic partsupp:
+    Q2 = correlated scalar subquery containing its own 4-table join;
+    Q9 = composite-key comma-join hop; Q11 = HAVING threshold from an
+    uncorrelated scalar subquery (resolved before aggregate hoisting);
+    Q16 = NOT IN value set + grouped COUNT(DISTINCT); Q20 = correlated
+    scalar with a COMPOSITE (two-column) correlation key."""
+    from georay import queries as Q
+    for body, tables in [
+            (Q._SQL_Q2_BODY, ["part", "supplier", "nation", "region"]),
+            (Q._SQL_Q9_BODY, ["part", "supplier", "lineitem", "orders",
+                              "nation"]),
+            (Q._SQL_Q11_BODY, ["supplier", "nation"]),
+            (Q._SQL_Q16_BODY, ["part", "supplier"]),
+            (Q._SQL_Q20_BODY, ["supplier", "nation", "part",
+                               "lineitem"])]:
+        import ray
+        tabs = {t: ray.data.read_parquet(f"{SF}/{t}.parquet")
+                for t in tables}
+        tabs["partsupp"] = Q.synth_partsupp(SF)
+        from georay.sql import execute_sql
+        res = execute_sql(body, tabs)
+        got = res.to_pandas() if not isinstance(res, pd.DataFrame) \
+            else res
+        got = _norm(got)
+        want = _norm(_duck(Q._PARTSUPP_CTE + body))
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                got[c] = got[c].round(6)
+                want[c] = pd.to_numeric(want[c]).round(6)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_empty_in_subquery_semantics(ray_session):
+    """x IN (empty subquery) is FALSE, NOT IN is TRUE — even when the
+    empty pipeline loses its schema (the documented Ray wart)."""
+    got = _norm(_run(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < -99999)",
+        ["orders", "supplier"]))
+    want = _norm(_duck(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < -99999)"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got2 = _run(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < -99999)",
+        ["orders", "supplier"])
+    assert int(got2["n"][0]) == 0
