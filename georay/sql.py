@@ -600,14 +600,15 @@ class _SqlParser:
             self.expect_kw("BY")
             rows_stop = (lambda k, v:
                          k in ("ident", "kw", "sqlkw")
-                         and str(v).upper() in ("ROWS", "RANGE"))
+                         and str(v).upper() in ("ROWS", "RANGE",
+                                                "GROUPS"))
             order.append(self._order_item(rows_stop))
             while self.peek() == ("op", ","):
                 self.next()
                 order.append(self._order_item(rows_stop))
         k, v = self.peek()
         if k in ("ident", "kw", "sqlkw") \
-                and str(v).upper() in ("ROWS", "RANGE"):
+                and str(v).upper() in ("ROWS", "RANGE", "GROUPS"):
             ftype = str(v).upper().lower()
             self.next()
             frame = self._frame_extent(ftype)
@@ -623,7 +624,8 @@ class _SqlParser:
         RANGE the offsets are numeric value distances applied to the
         (single) ORDER BY key, CURRENT ROW ≡ offset 0 (which by
         searchsorted left/right semantics includes peers — exactly the
-        SQL RANGE CURRENT ROW rule); GROUPS frames are not supported."""
+        SQL RANGE CURRENT ROW rule).  GROUPS offsets count PEER GROUPS
+        (runs of equal ORDER BY keys), integer like ROWS."""
         k, v = self.peek()
         if k in ("kw", "ident", "sqlkw") and str(v).upper() == "BETWEEN":
             self.next()

@@ -231,6 +231,30 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                     A, v + lo + M * seg_id, side="left")
                 e_i = seg_end if hi is None else np.searchsorted(
                     A, v + hi + M * seg_id, side="right") - 1
+            elif s.get("frame_type") == "groups":
+                # GROUPS: offsets count PEER GROUPS (runs of equal
+                # ORDER BY keys; runs never cross segments because chg
+                # includes segment boundaries).  A frame start/end past
+                # the segment's run band lands in a neighbouring
+                # segment's runs → s_i > e_i → the empty-window mask
+                if not order_items:
+                    raise ValueError("a GROUPS frame needs ORDER BY "
+                                     "in OVER()")
+                nruns = len(run_starts)
+                first_r = run_id[seg_start]
+                last_r = run_id[seg_end]
+                s_i = seg_start if lo is None else run_starts[
+                    np.clip(np.maximum(first_r, run_id + lo),
+                            0, nruns - 1)]
+                e_i = seg_end if hi is None else run_ends[
+                    np.clip(np.minimum(last_r, run_id + hi),
+                            0, nruns - 1)]
+                if lo is not None:
+                    s_i = np.where(run_id + lo > last_r, seg_end + 1,
+                                   s_i)
+                if hi is not None:
+                    e_i = np.where(run_id + hi < first_r,
+                                   seg_start - 1, e_i)
             else:
                 lo, hi = s["frame"]
                 s_i = seg_start if lo is None \
@@ -341,7 +365,10 @@ def _window_pass(ds, part_cols, order_items, specs, num_partitions):
                 cnt = valid.astype(np.int64)
                 if frame is not None:
                     lo, hi = frame
-                    is_rows = s.get("frame_type") != "range"
+                    # GROUPS windows are variable-width like RANGE —
+                    # only fixed-offset ROWS frames may sum taps
+                    is_rows = s.get("frame_type") not in ("range",
+                                                          "groups")
                     s_i, e_i = frame_bounds(s)
                     emptyw = s_i > e_i
                     s_c = np.clip(s_i, 0, n)

@@ -1341,3 +1341,49 @@ def test_empty_in_subquery_semantics(ray_session):
         "(SELECT s_suppkey FROM supplier WHERE s_acctbal < -99999)",
         ["orders", "supplier"])
     assert int(got2["n"][0]) == 0
+
+
+def test_sql_groups_frame(ray_session):
+    """GROUPS window frames (offsets count PEER GROUPS of equal ORDER BY
+    keys).  This container's DuckDB does not implement GROUPS mode, so
+    the pin is a brute-force per-partition Python reference."""
+    sql = """SELECT o_orderkey, o_orderstatus,
+        SUM(CAST(o_orderkey % 11 AS DOUBLE)) OVER (
+          PARTITION BY o_orderstatus ORDER BY o_orderpriority
+          GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,
+        COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority
+          GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        MIN(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority
+          GROUPS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS m
+    FROM orders"""
+    got = _run(sql, ["orders"])
+
+    df = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = []
+    for st, grp in df.groupby("o_orderstatus"):
+        grp = grp.sort_values(["o_orderpriority", "o_orderkey"]) \
+            .reset_index(drop=True)
+        runs = (grp.o_orderpriority
+                != grp.o_orderpriority.shift()).cumsum() - 1
+        run_rows = {}
+        for i, r in enumerate(runs):
+            run_rows.setdefault(r, []).append(i)
+        nruns = runs.max() + 1
+        x = (grp.o_orderkey % 11).astype(float).to_numpy()
+        ck = grp.o_custkey.to_numpy()
+        for i in range(len(grp)):
+            r = runs[i]
+            idxs = [j for rr in range(max(0, r - 1), min(nruns, r + 2))
+                    for j in run_rows[rr]]
+            idxs_c = [j for rr in range(0, r + 1) for j in run_rows[rr]]
+            idxs_m = [j for rr in range(max(0, r - 2), r)
+                      for j in run_rows[rr]]
+            rows.append((grp.o_orderkey[i], st, x[idxs].sum(),
+                         len(idxs_c),
+                         min(ck[idxs_m]) if idxs_m else None))
+    ref = pd.DataFrame(rows, columns=["o_orderkey", "o_orderstatus",
+                                      "s", "c", "m"])
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
