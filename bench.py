@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
     "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS
+    "sql_q9", "sql_q20",   # composite-key join hop / composite vmap
+    "doc_bpe_tokens",      # BPE train + actor-pool encode
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

@@ -2635,6 +2635,21 @@ def q_embedding_kmeans(sf_dir: str):
                      "clusters_split": pa.array([split])})
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    """BPE tokenizer TRAIN + ENCODE end-to-end: learn 30 merges over
+    the corpus (distributed wordcount → vectorized merge loop,
+    georay/bpe.py — merge list pinned bit-identical to the Sennrich
+    reference by test_bpe), then count tokens per document through the
+    actor-pool encoder (broadcast rank map, unique-words-only encode
+    with an actor-local cache).  Rows-only: the merge iteration has no
+    SQL analog."""
+    from .bpe import bpe_train, encode_tokens
+    ds = _rp_split(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=30, min_freq=2)
+    return encode_tokens(ds, merges).select_columns(
+        ["doc_id", "n_bpe_tokens"])
+
+
 def q_doc_top_terms(sf_dir: str):
     """Exact heavy hitters: top-10 corpus terms via Misra-Gries-
     compressed candidate pass + exact verify pass (georay/sketch.py —
@@ -3426,6 +3441,8 @@ QUERIES = {
     "sql_sum_distinct": q_sql_sum_distinct,  # oracle-backed
     "audio_features": q_audio_features,  # rows-only (multimodal audio
     # plumbing; codec correctness pinned by test_morph_multimodal)
+    "doc_bpe_tokens": q_doc_bpe_tokens,  # rows-only (BPE train+encode;
+    # merge list pinned == Sennrich reference by test_bpe)
     "semantic_dedup": q_semantic_dedup,  # oracle-backed via injected
     # exact copies; rotate into the window next round
     # (rows-only queries may sit behind the window: the driver check for
