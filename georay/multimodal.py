@@ -18,7 +18,8 @@ import pyarrow as pa
 __all__ = ["AUDIO_SCHEMA", "VIDEO_SCHEMA", "audio_table", "video_table",
            "AudioFeatures", "VideoFrameSampler", "fake_pcm_encode",
            "fake_pcm_decode", "wav_encode", "wav_decode", "mulaw_encode",
-           "mulaw_decode", "decode_audio", "mel_filterbank",
+           "mulaw_decode", "flac_audio_encode", "flac_audio_decode",
+           "decode_audio", "mel_filterbank",
            "MelSpectrogram", "AugmentAudio", "AugmentVideo"]
 
 AUDIO_SCHEMA = pa.schema([
@@ -69,11 +70,12 @@ def audio_table(n: int) -> pa.Table:
         f0 = 110.0 * (1 + (i % 13))
         sig = 0.6 * np.sin(2 * np.pi * f0 * t) \
             + 0.3 * np.sin(2 * np.pi * 2.5 * f0 * t)
-        # cycle REAL codecs (wav RIFF, pcm16 container, G.711 μ-law) with
-        # the opus stub — decoded count = 3n/4
-        codec = ("wav", "pcm16", "mulaw", "opus")[i % 4]
+        # cycle REAL codecs (wav RIFF, pcm16 container, G.711 μ-law,
+        # from-scratch FLAC) with the opus stub — decoded count = 4n/5
+        codec = ("wav", "pcm16", "mulaw", "flac", "opus")[i % 5]
         enc = {"wav": wav_encode, "pcm16": fake_pcm_encode,
-               "mulaw": mulaw_encode}.get(codec, fake_pcm_encode)
+               "mulaw": mulaw_encode,
+               "flac": flac_audio_encode}.get(codec, fake_pcm_encode)
         rows.append((f"aud{i:06d}", enc(sig, rate), rate,
                      len(t), codec, f"transcript of aud{i:06d}"))
     cols = list(zip(*rows))
@@ -278,18 +280,36 @@ def mulaw_decode(data: bytes):
     return x, rate
 
 
+def flac_audio_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float[-1,1] mono → FLAC bytes (the from-scratch spec codec in
+    georay/flac.py), quantized to 16-bit like ``wav_encode`` so the two
+    lossless paths decode to identical floats."""
+    from .flac import flac_encode
+    s16 = np.clip(np.asarray(samples, dtype=np.float64) * 32767.0,
+                  -32768, 32767).astype(np.int64)
+    return flac_encode(s16, sample_rate, bps=16)
+
+
+def flac_audio_decode(data: bytes):
+    from .flac import flac_decode
+    arr, rate = flac_decode(bytes(data))
+    return arr.mean(axis=1) / 32767.0, rate
+
+
 def decode_audio(data: bytes, codec: str):
-    """Dispatch: wav/pcm16/mulaw decode for real; compressed codecs that
-    need native libs raise NotImplementedError (stub documented)."""
+    """Dispatch: wav/pcm16/mulaw/flac decode for real; compressed codecs
+    that need native libs raise NotImplementedError (stub documented)."""
     if codec == "wav":
         return wav_decode(data)
     if codec == "pcm16":
         return fake_pcm_decode(data)
     if codec == "mulaw":
         return mulaw_decode(data)
+    if codec == "flac":
+        return flac_audio_decode(data)
     raise NotImplementedError(
         f"codec {codec!r} needs an audio library (absent in this "
-        "container); wav/pcm16/mulaw decode for real")
+        "container); wav/pcm16/mulaw/flac decode for real")
 
 
 def mel_filterbank(n_mels: int, n_fft: int, rate: float) -> np.ndarray:

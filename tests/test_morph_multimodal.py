@@ -60,8 +60,9 @@ def test_audio_features_stage(ray_session):
     assert len(out) == 12
     dec = out[out["decoded"]]
     stub = out[~out["decoded"]]
-    # wav/pcm16/mulaw decode for REAL; only the opus stub stays undecoded
-    assert len(dec) == 9 and len(stub) == 3
+    # wav/pcm16/mulaw/flac decode for REAL; only the opus stub (i%5==4,
+    # i.e. rows 4 and 9 of 12) stays undecoded
+    assert len(dec) == 10 and len(stub) == 2
     assert (dec["rms"] > 0).all()
     # dominant frequency lands near the synthesized fundamental (110*(1+i%13))
     row0 = out[out["audio_id"] == "aud000000"].iloc[0]
