@@ -86,15 +86,70 @@ def audio_table(n: int) -> pa.Table:
         schema=AUDIO_SCHEMA)
 
 
+def mjpeg_encode(frames: np.ndarray, quality: int = 92) -> bytes:
+    """(nf, h, w, 3) uint8 → concatenated JFIF frames (the Motion-JPEG
+    essence: every frame is a complete baseline JPEG from the
+    from-scratch codec in georay/jpeg.py)."""
+    from .jpeg import jpeg_encode
+    return b"".join(jpeg_encode(f, quality=quality) for f in frames)
+
+
+def _jpeg_end(data: bytes, pos: int) -> int:
+    """Index just past the EOI of the JPEG starting at ``pos`` — a real
+    marker walk (length-prefixed segments skipped wholesale, entropy
+    data scanned with byte-stuffing/restart awareness), never a naive
+    EOI byte search (segment payloads may contain FF D9)."""
+    p = pos + 2                               # past SOI
+    while True:
+        if data[p] != 0xFF:
+            raise ValueError("mjpeg: marker desync")
+        m = data[p + 1]
+        if m == 0xD9:                         # EOI
+            return p + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:    # TEM / RSTn: bare markers
+            p += 2
+            continue
+        ln = int.from_bytes(data[p + 2:p + 4], "big")
+        p += 2 + ln
+        if m == 0xDA:                         # SOS: skip entropy bytes
+            while True:
+                q = data.index(b"\xff", p)
+                m2 = data[q + 1]
+                if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+                    p = q + 2                 # stuffed FF / restart
+                    continue
+                p = q
+                break
+
+
+def mjpeg_decode(data: bytes, n_frames: int) -> np.ndarray:
+    """Concatenated JFIF stream → (nf, h, w, 3) uint8."""
+    from .jpeg import jpeg_decode
+    data = bytes(data)
+    outs = []
+    pos = 0
+    for _ in range(n_frames):
+        if data[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError("mjpeg: lost SOI sync")
+        end = _jpeg_end(data, pos)
+        outs.append(jpeg_decode(data[pos:end]))
+        pos = end
+    return np.stack(outs)
+
+
 def video_table(n: int, w: int = 32, h: int = 24, frames: int = 8) -> pa.Table:
-    """Deterministic video fixtures: raw RGB frame stacks."""
+    """Deterministic video fixtures: raw RGB frame stacks, Motion-JPEG
+    through the from-scratch JPEG codec, and the h264 native-lib stub."""
     rows = []
     for i in range(n):
         arr = ((np.arange(frames * h * w * 3) * (i + 7)) % 251)\
             .astype(np.uint8)
-        rows.append((f"vid{i:06d}", arr.tobytes(), w, h, frames,
-                     np.float32(12.0),
-                     "rawrgb" if i % 2 == 0 else "h264",
+        codec = ("rawrgb", "mjpeg", "h264")[i % 3]
+        payload = mjpeg_encode(
+            arr.reshape(frames, h, w, 3)) if codec == "mjpeg" \
+            else arr.tobytes()
+        rows.append((f"vid{i:06d}", payload, w, h, frames,
+                     np.float32(12.0), codec,
                      f"caption of vid{i:06d}"))
     cols = list(zip(*rows))
     return pa.Table.from_arrays(
@@ -166,13 +221,16 @@ class VideoFrameSampler:
         vids, frames, sums = [], [], []
         for i in range(batch.num_rows):
             codec = batch["codec"][i].as_py()
-            if codec != "rawrgb":
-                continue  # stub: compressed video needs an av lib
             w = batch["w"][i].as_py()
             h = batch["h"][i].as_py()
             nf = batch["n_frames"][i].as_py()
-            arr = np.frombuffer(batch["bytes"][i].as_buffer(),
-                                dtype=np.uint8).reshape(nf, h, w, 3)
+            if codec == "rawrgb":
+                arr = np.frombuffer(batch["bytes"][i].as_buffer(),
+                                    dtype=np.uint8).reshape(nf, h, w, 3)
+            elif codec == "mjpeg":
+                arr = mjpeg_decode(batch["bytes"][i].as_py(), nf)
+            else:
+                continue  # stub: h264 needs an av lib
             for f in range(0, nf, self.k):
                 vids.append(batch["video_id"][i].as_py())
                 frames.append(f)
@@ -481,7 +539,8 @@ class AugmentVideo:
         nf_arr = batch["n_frames"].to_numpy()
         out_b, out_nf, out_t0, out_st, out_fl = [], [], [], [], []
         for i in range(batch.num_rows):
-            if codecs_l[i] != "rawrgb":
+            codec = codecs_l[i]
+            if codec not in ("rawrgb", "mjpeg"):
                 out_b.append(batch["bytes"][i].as_py())
                 out_nf.append(int(nf_arr[i]))
                 out_t0.append(None)
@@ -489,8 +548,11 @@ class AugmentVideo:
                 out_fl.append(None)
                 continue
             W, H, F = int(w_arr[i]), int(h_arr[i]), int(nf_arr[i])
-            vid = np.frombuffer(batch["bytes"][i].as_buffer(),
-                                dtype=np.uint8).reshape(F, H, W, 3)
+            if codec == "mjpeg":
+                vid = mjpeg_decode(batch["bytes"][i].as_py(), F)
+            else:
+                vid = np.frombuffer(batch["bytes"][i].as_buffer(),
+                                    dtype=np.uint8).reshape(F, H, W, 3)
             keep = max(1, int(round(F * self.keep_frac)))
             t0 = min(int(u(1)[i] * F), F - keep)
             stride = (1 + int(u(17)[i] * self.max_stride)
@@ -499,7 +561,9 @@ class AugmentVideo:
             sel = vid[t0:t0 + keep:stride]
             if flip:
                 sel = sel[:, :, ::-1]
-            out_b.append(np.ascontiguousarray(sel).tobytes())
+            sel = np.ascontiguousarray(sel)
+            out_b.append(mjpeg_encode(sel) if codec == "mjpeg"
+                         else sel.tobytes())
             out_nf.append(sel.shape[0])
             out_t0.append(t0)
             out_st.append(stride)

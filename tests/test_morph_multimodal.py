@@ -82,8 +82,8 @@ def test_video_frame_sampler(ray_session):
     out = ds.map_batches(MM.VideoFrameSampler, batch_format="pyarrow",
                          concurrency=2,
                          fn_constructor_kwargs=dict(every_k=4)).to_pandas()
-    # 3 rawrgb videos × frames {0, 4}
-    assert len(out) == 6
+    # codecs cycle rawrgb/mjpeg/h264: 4 decodable videos × frames {0, 4}
+    assert len(out) == 8
     assert sorted(out["frame"].unique().tolist()) == [0, 4]
     assert (out["frame_checksum"] >= 0).all()
 
@@ -376,7 +376,8 @@ def test_augment_video_deterministic(ray_session):
          .to_pandas().sort_values("video_id").reset_index(drop=True))
     assert (a["bytes"] == b["bytes"]).all()
     dec = a["aug_t0"].notna()
-    assert dec.sum() == 10                  # rawrgb half; h264 stubs pass
+    # rawrgb (7 of 20) + mjpeg (7) augment; h264 stubs (6) pass through
+    assert dec.sum() == 14
     # verify the math of one row against the audit params
     r = a[dec].iloc[0]
     orig = t.to_pandas().set_index("video_id").loc[r["video_id"]]
@@ -393,3 +394,25 @@ def test_augment_video_deterministic(ray_session):
     stub = a[~dec].iloc[0]
     so = t.to_pandas().set_index("video_id").loc[stub["video_id"]]
     assert stub["bytes"] == so["bytes"] and stub["n_frames"] == so["n_frames"]
+
+
+def test_mjpeg_roundtrip_quality():
+    """Motion-JPEG through the from-scratch JPEG codec: marker-walk
+    frame splitting is exact, and per-frame PSNR ≥ 30 dB on the
+    synthetic ramp (lossy, 4:4:4 baseline)."""
+    import numpy as np
+    from georay.multimodal import mjpeg_decode, mjpeg_encode
+    rng = np.random.RandomState(11)
+    frames = ((np.arange(6 * 24 * 32 * 3) * 13) % 251).astype(np.uint8)\
+        .reshape(6, 24, 32, 3)
+    data = mjpeg_encode(frames)
+    got = mjpeg_decode(data, 6)
+    assert got.shape == frames.shape
+    err = (got.astype(np.float64) - frames) ** 2
+    psnr = 10 * np.log10(255.0 ** 2 / max(err.mean(), 1e-12))
+    assert psnr >= 30.0, psnr
+    # frame boundaries are exact: decoding frame k alone matches
+    from georay.multimodal import _jpeg_end
+    pos = _jpeg_end(bytes(data), 0)
+    assert bytes(data)[:2] == b"\xff\xd8" and \
+        bytes(data)[pos:pos + 2] == b"\xff\xd8"
