@@ -41,28 +41,78 @@ __all__ = [
 ]
 
 
-def _broadcast_equi_join(left_ds, right_table: pa.Table, *, left_on: str,
-                         right_on: str, join_type: str):
+def _broadcast_equi_join(left_ds, right_table: pa.Table, *, left_on,
+                         right_on, join_type: str):
     """Small-side broadcast equi-join: the right table ships ONCE via
     ``ray.put`` (key-sorted) and every left batch resolves matches with
     two ``searchsorted`` calls + a ranges-trick gather — duplicates on
     the right expand correctly, ``left_outer`` nulls the right columns.
-    No shuffle; the left side streams."""
+    No shuffle; the left side streams.
+
+    COMPOSITE keys (list ``left_on``/``right_on``) pack into one exact
+    int64 via per-column DICTIONARY codes built from the right side
+    (code = index_in(col, right uniques); probe misses and NULL
+    components become a sentinel that never matches — SQL NULL-key
+    semantics) — works for any key type, no struct kernels needed."""
     import pyarrow.compute as pc
     import ray
 
-    rkeys = right_table[right_on].to_numpy(zero_copy_only=False)
+    multi = isinstance(right_on, (list, tuple))
+    rons = list(right_on) if multi else [right_on]
+    lons = list(left_on) if multi else [left_on]
+    if multi:
+        dicts, codes, stride, rmiss = [], None, 1, None
+        for c in rons:
+            col = right_table[c].combine_chunks() if right_table.num_rows \
+                else pa.array([], right_table.schema.field(c).type)
+            d = col.unique().drop_null()
+            dicts.append(d)
+            idx = pc.index_in(col, value_set=d).cast(pa.int64())
+            m = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            kc = pc.fill_null(idx, 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            card = len(d) + 1
+            if stride * card > (1 << 62):
+                raise ValueError("composite key space too large for "
+                                 "the broadcast plan")
+            stride *= card
+            rmiss = m if rmiss is None else rmiss | m
+            codes = kc if codes is None else codes * card + kc
+        # right rows with a NULL key component never match (SQL)
+        if right_table.num_rows:
+            valid = ~rmiss
+            rkeys = codes[valid]
+            if not valid.all():
+                right_table = right_table.filter(pa.array(valid))
+        else:
+            rkeys = np.empty(0, np.int64)
+    else:
+        dicts = None
+        rkeys = right_table[rons[0]].to_numpy(zero_copy_only=False)
     order = np.argsort(rkeys, kind="stable")
     # Ray's native join emits left columns + right NON-KEY columns (the
     # right key merges into the left one) — match that schema exactly
     right_sorted = right_table.take(pa.array(order)) \
-        .drop_columns([right_on]).combine_chunks()
-    ref = ray.put((rkeys[order], right_sorted))
+        .drop_columns(rons).combine_chunks()
+    ref = ray.put((rkeys[order], right_sorted, dicts))
     rnames = right_sorted.schema.names
 
     def joiner(batch: pa.Table) -> pa.Table:
-        rk, rt = ray.get(ref)
-        lk = batch[left_on].to_numpy(zero_copy_only=False)
+        rk, rt, dcs = ray.get(ref)
+        if multi:
+            lk, miss = None, None
+            for c, d in zip(lons, dcs):
+                pcd = pc.index_in(batch[c], value_set=d) \
+                    .cast(pa.int64())
+                m = pc.is_null(pcd).to_numpy(zero_copy_only=False)
+                arr = pc.fill_null(pcd, 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                card = len(d) + 1
+                miss = m if miss is None else miss | m
+                lk = arr if lk is None else lk * card + arr
+            lk = np.where(miss, np.int64(-1), lk)  # never matches (rk≥0)
+        else:
+            lk = batch[lons[0]].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(rk, lk, "left")
         hi = np.searchsorted(rk, lk, "right")
         cnt = hi - lo
@@ -122,9 +172,25 @@ def equi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     ``broadcast=False`` pins the hash-shuffle path."""
     import ray
     if isinstance(left_on, (list, tuple)):
-        # composite keys: Ray's native hash-shuffle join takes key
-        # tuples directly; the searchsorted broadcast plan is
-        # single-key, so pin the shuffle path
+        # composite keys: size-adaptive like the single-key path — a
+        # small right side broadcasts via per-column dictionary codes
+        # packed into one int64 (the TPC-H Q9 partsupp hop: a 2.5 MB
+        # table costed ~4 s as a hash shuffle, streams free broadcast)
+        if broadcast is None:
+            try:
+                rsz = right_ds.size_bytes() or 0
+            except Exception:
+                rsz = 0
+            broadcast = 0 < rsz <= broadcast_bytes_cap \
+                and join_type in ("inner", "left_outer")
+        if broadcast:
+            tbls = [t for t in ray.get(right_ds.to_arrow_refs())
+                    if t.num_columns]
+            right_tbl = pa.concat_tables(tbls).combine_chunks() if tbls \
+                else pa.table({})
+            return _broadcast_equi_join(
+                left_ds, right_tbl, left_on=list(left_on),
+                right_on=list(right_on), join_type=join_type)
         if num_partitions is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
             try:

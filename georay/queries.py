@@ -835,6 +835,37 @@ def q_image_neardup(sf_dir: str):
     })
 
 
+def q_image_quality(sf_dir: str):
+    """Image quality filtering (LAION-style curation features): decode →
+    per-image brightness/contrast/Laplacian-sharpness/entropy/clip
+    fractions (stack-vectorized per equal-shape run) → per-fmt census
+    with the low-quality count.  Rows-only: the metrics need decoded
+    pixels."""
+    import ray
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from .decode import DecodeImages
+    from .imgquality import ImageQuality
+    from .util import default_concurrency
+
+    path = _bench_images(sf_dir)
+    ds = (ray.data.read_parquet(path,
+                                columns=["image_id", "bytes", "fmt",
+                                         "w", "h"])
+          .map_batches(DecodeImages, batch_format="pyarrow",
+                       concurrency=default_concurrency())
+          .map_batches(ImageQuality(), batch_format="pyarrow")
+          .map_batches(lambda b: b.append_column(
+              "lq_", pc.cast(b["low_quality"], pa.int64())),
+              batch_format="pyarrow"))
+    return ds.groupby("fmt").aggregate(
+        Count(alias_name="n"),
+        Mean("brightness", alias_name="mean_brightness"),
+        Mean("sharpness", alias_name="mean_sharpness"),
+        Mean("entropy", alias_name="mean_entropy"),
+        Sum("lq_", alias_name="n_low_quality"))
+
+
 def q_augment_images(sf_dir: str):
     """Deterministic augmentation over the image table (rows-only: no SQL
     analog for pixel transforms): decode → crop/flip/jitter → per-image
@@ -3087,7 +3118,7 @@ _SQL_Q9_BODY = """
       SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
              CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS DOUBLE)
                - CAST(ps_supplycost * l_quantity AS DOUBLE) AS amount
-      FROM part, supplier, lineitem, partsupp, orders, nation
+      FROM lineitem, part, supplier, partsupp, orders, nation
       WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
         AND ps_partkey = l_partkey AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -3448,6 +3479,8 @@ QUERIES = {
     # (rows-only queries may sit behind the window: the driver check for
     # them is row-count only, which the in-repo tests pin harder; window
     # slots go to oracle-backed queries first.)
+    "image_quality": q_image_quality,  # rows-only; metric math pinned
+    # by test_imgquality closed-form fixtures
     "webp_images": q_webp_images,    # rows-only; bit-exact in-repo pins
     "augment_images": q_augment_images,  # rows-only; in-repo determinism pins
     "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it

@@ -212,3 +212,42 @@ def test_wrapdateline_set_precision_force_multi():
     multi = force_to_multipolygon(buf)
     assert multi[1:5] == (6).to_bytes(4, "little")
     assert len(parse_wkb_multi(multi)) == 1
+
+
+def test_composite_broadcast_equi_join(ray_session):
+    """Composite-key broadcast join (per-column dictionary codes packed
+    into one int64): equals pandas merge with duplicate keys and NULL
+    key components (SQL: NULL never matches), inner and left_outer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from georay.join import equi_join
+    rng = np.random.RandomState(0)
+    L = pa.table({"a": rng.randint(0, 20, 2000),
+                  "b": pa.array([None if i % 37 == 0 else int(v)
+                                 for i, v in enumerate(
+                                     rng.randint(0, 5, 2000))],
+                                pa.int64()),
+                  "x": np.arange(2000)})
+    R = pa.table({"a2": rng.randint(0, 20, 300),
+                  "b2": rng.randint(0, 5, 300), "y": np.arange(300)})
+    lds, rds = ray.data.from_arrow(L), ray.data.from_arrow(R)
+    k = ["a", "b", "x", "y"]
+    for how, jt in (("inner", "inner"), ("left", "left_outer")):
+        got = equi_join(lds, rds, left_on=["a", "b"],
+                        right_on=["a2", "b2"], join_type=jt,
+                        broadcast=True).to_pandas()
+        want = L.to_pandas().merge(
+            R.to_pandas(), left_on=["a", "b"],
+            right_on=["a2", "b2"], how=how).drop(columns=["a2", "b2"])
+        g = got[k].sort_values(k).reset_index(drop=True)
+        w = want[k].sort_values(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        # broadcast plan must equal the pinned shuffle plan
+        gs = equi_join(lds, rds, left_on=["a", "b"],
+                       right_on=["a2", "b2"], join_type=jt,
+                       broadcast=False).to_pandas()
+        gs = gs[k].sort_values(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, w, check_dtype=False)
