@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS
     "sql_q9", "sql_q20",   # composite-key join hop / composite vmap
     "doc_bpe_tokens",      # BPE train + actor-pool encode
+    "image_quality",       # decode + stacked quality metrics
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on
