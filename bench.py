@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "sql_q9", "sql_q20",   # composite-key join hop / composite vmap
     "doc_bpe_tokens",      # BPE train + actor-pool encode
     "image_quality",       # decode + stacked quality metrics
+    "jp2_images",          # lossless JPEG 2000 transcode (EBCOT/MQ)
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

@@ -284,6 +284,9 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "webp":
         from .webp import webp_encode
         return webp_encode(arr)
+    if fmt in ("jp2", "j2k"):
+        from .jp2 import j2k_encode, jp2_encode
+        return (jp2_encode if fmt == "jp2" else j2k_encode)(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -311,6 +314,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         # come back expanded to 3 identical channels (ARGB data model)
         from .webp import webp_decode
         return webp_decode(data)
+    if fmt in ("jp2", "j2k"):
+        # lossless Part-1 JPEG 2000 (georay.jp2, from scratch)
+        from .jp2 import jp2_decode
+        return jp2_decode(data)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

@@ -773,6 +773,68 @@ def q_webp_images(sf_dir: str):
             .select_columns(["image_id", "checksum", "webp_bytes"]))
 
 
+def q_jp2_images(sf_dir: str):
+    """Distributed JPEG 2000 transcode (rows-only: pixel codecs have no
+    SQL analog): decode the image table in an actor pool, re-encode as a
+    LOSSLESS Part-1 JP2 (georay.jp2 — reversible 5/3 + RCT + EBCOT/MQ,
+    all from scratch), decode back and require bit-exact pixels; emits
+    per-image (checksum, jp2_bytes)."""
+    import ray
+
+    from .decode import DecodeImages
+    from .stats import gdal_checksum
+    from .util import default_concurrency
+
+    path = _bench_images(sf_dir)
+
+    class Jp2Transcode:
+        def __init__(self):
+            from .jp2 import jp2_decode, jp2_encode
+            self._enc = jp2_encode
+            self._dec = jp2_decode
+            self._checksum = gdal_checksum
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, sums, sizes = [], [], []
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            pix = batch["pixels"].to_pylist()
+            for i, pid in enumerate(batch["image_id"].to_pylist()):
+                arr = np.frombuffer(pix[i], np.uint8).reshape(
+                    int(hs[i]), int(ws[i]), 3)
+                data = self._enc(arr)
+                back = self._dec(data)
+                if not np.array_equal(back, arr):
+                    raise ValueError(f"jp2 roundtrip mismatch: {pid}")
+                ids.append(pid)
+                sums.append(int(self._checksum(back[:, :, 1])))
+                sizes.append(len(data))
+            return pa.table({"image_id": pa.array(ids),
+                             "checksum": pa.array(sums, pa.int64()),
+                             "jp2_bytes": pa.array(sizes, pa.int64())})
+
+    # 1-in-16 sample of the <=64 px rows: EBCOT tier-1 is a per-sample
+    # Python state machine (documented floor, like the JPEG/WebP
+    # entropy coders) — the sample keeps it off the bench critical path
+    from .fixtures import parse_image_idx
+
+    def sample(batch: pa.Table) -> pa.Table:
+        idx = parse_image_idx(
+            batch["image_id"].to_numpy(zero_copy_only=False))
+        w = batch["w"].to_numpy()
+        return batch.filter(pa.array((idx % 16 == 0) & (w <= 64)))
+
+    return (ray.data.read_parquet(path, columns=["image_id", "bytes",
+                                                 "fmt", "w", "h"])
+            .map_batches(sample, batch_format="pyarrow")
+            .map_batches(DecodeImages, batch_format="pyarrow",
+                         concurrency=default_concurrency())
+            .map_batches(Jp2Transcode, batch_format="pyarrow",
+                         concurrency=default_concurrency(),
+                         batch_size=32)
+            .select_columns(["image_id", "checksum", "jp2_bytes"]))
+
+
 def q_flagship_join_images(sf_dir: str):
     """The BASELINE headline: georeference → H3/S2 cells → broadcast R-tree
     PIP join → center tile assignment, over the mandated image table."""
@@ -3482,6 +3544,7 @@ QUERIES = {
     "image_quality": q_image_quality,  # rows-only; metric math pinned
     # by test_imgquality closed-form fixtures
     "webp_images": q_webp_images,    # rows-only; bit-exact in-repo pins
+    "jp2_images": q_jp2_images,      # rows-only; bit-exact in-repo pins
     "augment_images": q_augment_images,  # rows-only; in-repo determinism pins
     "ann_topk": q_ann_topk,          # oracle-green r3; tests pin it
     # (never-driver-verified queries outrank re-checks: image_dedup /
