@@ -2728,6 +2728,40 @@ def q_embedding_kmeans(sf_dir: str):
                      "clusters_split": pa.array([split])})
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table (georay/dimred.py:
+    streaming (n, Σx, Σxxᵀ) partials → fanin fold → driver eigh) +
+    projection pass; reports per-quadrant counts of the 2-D projection
+    (integers — stable under float fold jitter).  SELF-GATED: the row
+    carries orthonormality of the components and the eigenvalue
+    ordering, so the driver's hash verifies the distributed moment
+    pass, not just a row count.  Rows-only: eigendecomposition has no
+    SQL analog; test_dimred pins the fit against exact numpy PCA."""
+    from .dimred import pca_fit, pca_transform
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = pca_fit(ds, k=2)
+    comps, eig = fit["components"], fit["eigenvalues"]
+    ortho = bool(np.allclose(comps @ comps.T, np.eye(2), atol=1e-9))
+    ordered = bool(eig[0] >= eig[1] >= -1e-12)
+
+    def quadrant(batch: pa.Table) -> pa.Table:
+        from .util import fsl_to_numpy
+        m = fsl_to_numpy(batch["pc"], dtype=np.float64)
+        q = (m[:, 0] >= 0).astype(np.int64) * 2 + (m[:, 1] >= 0)
+        return pa.table({"quadrant": pa.array(q, pa.int64())})
+
+    counts = (pca_transform(ds, fit)
+              .map_batches(quadrant, batch_format="pyarrow")
+              .groupby("quadrant").count())
+    out = counts.to_pandas().sort_values("quadrant")
+    return pa.table({
+        "quadrant": pa.array(out["quadrant"].to_numpy(), pa.int64()),
+        "n": pa.array(out["count()"].to_numpy(), pa.int64()),
+        "orthonormal": pa.array([ortho] * len(out)),
+        "eig_ordered": pa.array([ordered] * len(out))})
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     """BPE tokenizer TRAIN + ENCODE end-to-end: learn 30 merges over
     the corpus (distributed wordcount → vectorized merge loop,
@@ -3541,6 +3575,8 @@ QUERIES = {
     # (rows-only queries may sit behind the window: the driver check for
     # them is row-count only, which the in-repo tests pin harder; window
     # slots go to oracle-backed queries first.)
+    "embedding_pca": q_embedding_pca,  # rows-only; self-gated +
+    # exact-numpy parity pinned by test_dimred
     "image_quality": q_image_quality,  # rows-only; metric math pinned
     # by test_imgquality closed-form fixtures
     "webp_images": q_webp_images,    # rows-only; bit-exact in-repo pins
