@@ -1994,6 +1994,26 @@ def q_arrow_ipc_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_avro_zone_join(sf_dir: str):
+    """Customer points through an Avro OCF roundtrip — from-scratch
+    zigzag/varint record codec, deflate blocks, sync markers; block-
+    parallel source with driver-side header hop (georay/avrofmt.py) —
+    under the zone oracle."""
+    import tempfile
+
+    from .avrofmt import read_avro, write_avro
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir, extra_cols=["c_mktsegment"])
+    d = tempfile.mkdtemp(prefix="georay_q_avro_", dir="/tmp")
+    write_avro(pts.repartition(3), d, codec="deflate")
+    back = read_avro(d, columns=["c_custkey", "lon", "lat"])
+    return spatial_join_points(
+        back, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_doc_decontam(sf_dir: str):
     """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
     doc_id % 37 == 0 act as the held-out benchmark; every other doc
@@ -3548,6 +3568,7 @@ QUERIES = {
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
+    "avro_zone_join": q_avro_zone_join,  # oracle-backed; from-scratch OCF
     "sql_cube": q_sql_cube,  # oracle-backed; rotate into window next round
     "sql_q6": q_sql_q6,      # oracle-backed (TPC-H Q6 verbatim)
     "sql_q14": q_sql_q14,    # oracle-backed (TPC-H Q14 verbatim)
@@ -3931,6 +3952,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "arrow_ipc_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "avro_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "zone_join_agg": f"""
