@@ -249,6 +249,9 @@ def open_raster(path: str):
         from .zarrstore import zarr_meta, zarr_read
         meta = zarr_meta(path)
         return zarr_read(path), None, meta.get("fill_value")
+    if low.endswith(".vrt"):
+        from .vrtfile import vrt_read
+        return vrt_read(path)
     if low.endswith(".hgt"):
         return srtmhgt_read(path)
     if low.endswith((".dt0", ".dt1", ".dt2")):
