@@ -287,6 +287,15 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt in ("jp2", "j2k"):
         from .jp2 import j2k_encode, jp2_encode
         return (jp2_encode if fmt == "jp2" else j2k_encode)(arr)
+    if fmt == "gif":
+        from .gifbmp import gif_encode
+        return gif_encode(arr)
+    if fmt == "bmp":
+        from .gifbmp import bmp_encode
+        return bmp_encode(arr)
+    if fmt in ("pnm", "pgm", "ppm"):
+        from .gifbmp import pnm_encode
+        return pnm_encode(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -318,6 +327,15 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         # lossless Part-1 JPEG 2000 (georay.jp2, from scratch)
         from .jp2 import jp2_decode
         return jp2_decode(data)
+    if fmt == "gif":
+        from .gifbmp import gif_decode
+        return gif_decode(data)
+    if fmt == "bmp":
+        from .gifbmp import bmp_decode
+        return bmp_decode(data)
+    if fmt in ("pnm", "pgm", "ppm"):
+        from .gifbmp import pnm_decode
+        return pnm_decode(data)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

@@ -288,4 +288,13 @@ def open_raster(path: str):
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         from .codecs import decode_image
         return decode_image(data, "webp"), None, None
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifbmp import gif_decode
+        return gif_decode(data), None, None
+    if head[:2] == b"BM":
+        from .gifbmp import bmp_decode
+        return bmp_decode(data), None, None
+    if head[:2] in (b"P2", b"P3", b"P5", b"P6") and head[2:3].isspace():
+        from .gifbmp import pnm_decode
+        return pnm_decode(data), None, None
     raise ValueError(f"open_raster: no driver identifies {path!r}")
