@@ -1959,20 +1959,26 @@ def _execute(q: dict, tables: dict):
                 else:
                     raise SqlError(f"JOIN ON {ca} = {cb}: columns not "
                                    "found one per side")
-            if jtype in ("right_outer", "full_outer"):
-                # Ray's outer joins COALESCE the key columns into the
-                # left name; SQL keeps each side's key separately
-                # NULLABLE.  Presence sentinels let the post-join stage
+            left_rebuild = jtype == "left_outer" and any(
+                rk != lk for lk, rk in zip(lks, rks))
+            if jtype in ("right_outer", "full_outer") or left_rebuild:
+                # Ray's outer joins COALESCE the key columns into one
+                # name; SQL keeps each side's key separately NULLABLE.
+                # Presence sentinels let the post-join stage
                 # reconstruct both: a side's key is NULL exactly where
-                # its sentinel is (its rows were absent).
+                # its sentinel is (its rows were absent).  For
+                # left_outer only the RIGHT key needs rebuilding (the
+                # merged column keeps the left name and is never NULL
+                # for left rows).
                 def addp(name):
                     def f(b: pa.Table, _n=name) -> pa.Table:
                         return b.append_column(
                             _n, pa.array([1] * b.num_rows, pa.int8()))
                     return f
 
-                ds = ds.map_batches(addp("__lp__"),
-                                    batch_format="pyarrow")
+                if not left_rebuild:
+                    ds = ds.map_batches(addp("__lp__"),
+                                        batch_format="pyarrow")
                 rds = rds.map_batches(addp("__rp__"),
                                       batch_format="pyarrow")
                 rnames = set(rnames) | {"__rp__"}
@@ -1982,6 +1988,23 @@ def _execute(q: dict, tables: dict):
             else:
                 ds = equi_join(ds, rds, left_on=lks, right_on=rks,
                                join_type=jtype)
+            if left_rebuild:
+                # rebuild each right key: equals the (never-NULL) left
+                # key where the right row matched, NULL elsewhere
+                def remake_right(batch: pa.Table, _lks=tuple(lks),
+                                 _rks=tuple(rks)) -> pa.Table:
+                    rp = pc.is_valid(batch["__rp__"])
+                    for lk, rk in zip(_lks, _rks):
+                        if rk != lk and rk not in batch.column_names:
+                            merged = batch[lk]
+                            batch = batch.append_column(
+                                rk, pc.if_else(rp, merged,
+                                               pa.scalar(None,
+                                                         merged.type)))
+                    return batch.drop_columns(["__rp__"])
+
+                ds = ds.map_batches(remake_right, batch_format="pyarrow")
+                rnames = (rnames - {"__rp__"}) | set(rks)
             if jtype in ("right_outer", "full_outer"):
                 # Ray names the coalesced key after the RIGHT side for
                 # right_outer and the LEFT side for full_outer
@@ -2880,8 +2903,14 @@ def _execute_window(ds, q, items, names, win_items):
                 prep_nodes[arg] = node
         part, order, frame = it.over
         if not part:
-            raise SqlError("OVER() needs PARTITION BY (a global window "
-                           "would serialize the whole dataset)")
+            # global window (no PARTITION BY): route through ONE hidden
+            # constant partition — semantically exact, but the whole
+            # input lands in a single partition, so this is a small-
+            # result / driver-scale construct (same class as a global
+            # ORDER BY without LIMIT).  Partitioned windows stay fully
+            # distributed.
+            part = ["wglob__"]
+            prep_nodes.setdefault("wglob__", ("lit", 0))
         # expression ORDER BY keys hoist to hidden computed columns,
         # exactly like expression arguments
         norm_order = []

@@ -280,8 +280,6 @@ def test_sql_window_errors(ray_session):
     from georay.sql import SqlError, execute_sql
     tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet")}
     for bad in [
-        # no PARTITION BY → would serialize the dataset
-        "SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders",
         # window + GROUP BY mix
         "SELECT o_custkey, COUNT(*) AS n, ROW_NUMBER() OVER "
         "(PARTITION BY o_custkey ORDER BY o_custkey) AS rn "
@@ -293,6 +291,27 @@ def test_sql_window_errors(ray_session):
             r = execute_sql(bad, tabs)
             if not isinstance(r, pa.Table):
                 r.materialize()
+
+
+def test_sql_global_window_and_left_join_right_key(ray_session):
+    """r4: OVER () with no PARTITION BY routes through one hidden
+    constant partition; after LEFT JOIN the right key column is rebuilt
+    (NULL where unmatched) so WHERE/SELECT can still reference it."""
+    import ray
+    from georay.sql import execute_sql
+    tabs = {"orders": ray.data.read_parquet(f"{SF}/orders.parquet"),
+            "customer": ray.data.read_parquet(f"{SF}/customer.parquet")}
+    df = execute_sql(
+        "SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_orderkey) AS rk"
+        " FROM orders ORDER BY o_orderkey LIMIT 5", tabs).to_pandas()
+    assert list(df["rk"]) == [1, 2, 3, 4, 5]
+    df2 = execute_sql(
+        "SELECT COUNT(*) AS n FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey WHERE o_custkey > 0", tabs).to_pandas()
+    df3 = execute_sql(
+        "SELECT COUNT(*) AS n FROM customer JOIN orders "
+        "ON c_custkey = o_custkey WHERE o_custkey > 0", tabs).to_pandas()
+    assert int(df2["n"][0]) == int(df3["n"][0]) > 0
 
 
 def test_sql_correlated_exists(ray_session):
