@@ -1,0 +1,446 @@
+"""GDAL command-line app surface (apps/ — gdal_translate_lib.cpp,
+ogr2ogr_lib.cpp, gdalwarp_lib.cpp, gdaldem_lib.cpp, gdalbuildvrt_lib.cpp,
+gdal2tiles.py, gdalinfo_lib.cpp, ogrinfo_lib.cpp) re-expressed over this
+engine: ``python -m georay <app> [options] …`` with the reference's
+argument order and the most-used option subset of each tool.
+
+Single-FILE sources run driver-side on the opened array/table (these
+CLIs are one-dataset tools in the reference too); the equivalent
+Dataset-scale pipelines (RasterPipeline / VectorPipeline /
+tile_pipeline / write_*_partitioned) remain the 100-TB path — each app
+below names the library call it fronts.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+__all__ = ["main"]
+
+
+def _pop_opt(args: list, flag: str, n: int = 1, default=None):
+    """Remove ``flag v1..vn`` from args; returns the value (list if n>1)."""
+    if flag not in args:
+        return default
+    i = args.index(flag)
+    vals = args[i + 1:i + 1 + n]
+    if len(vals) < n:
+        raise SystemExit(f"{flag} expects {n} value(s)")
+    del args[i:i + 1 + n]
+    return vals if n > 1 else vals[0]
+
+
+def _pop_flag(args: list, flag: str) -> bool:
+    if flag in args:
+        args.remove(flag)
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# raster output dispatch (shared by translate / warp / dem)
+# ---------------------------------------------------------------------------
+
+def _write_raster(arr: np.ndarray, gt, dst: str, *, nodata=None):
+    low = dst.lower()
+    if low.endswith((".tif", ".tiff")):
+        from .gtiff import tiff_encode
+        blob = tiff_encode(np.ascontiguousarray(arr), geotransform=gt)
+        with open(dst, "wb") as f:
+            f.write(blob)
+    elif low.endswith(".asc"):
+        from .simpleformats import aaigrid_write
+        aaigrid_write(dst, arr, geotransform=gt,
+                      nodata=nodata if nodata is not None else -9999)
+    else:
+        ext = low.rsplit(".", 1)[-1]
+        fmt = {"jpg": "jpeg", "pgm": "pnm", "ppm": "pnm"}.get(ext, ext)
+        from .codecs import encode_image
+        with open(dst, "wb") as f:
+            f.write(encode_image(arr, fmt))
+    return dst
+
+
+# ---------------------------------------------------------------------------
+# gdal_translate (apps/gdal_translate_lib.cpp; library: RasterPipeline)
+# ---------------------------------------------------------------------------
+
+def gdal_translate(args: list) -> str:
+    """gdal_translate [-srcwin x y w h] [-outsize w h] [-r kernel]
+    [-scale [smin smax dmin dmax]] [-ot Type] [-b N]... [-a_nodata v]
+    src dst"""
+    from .simpleformats import open_raster
+    srcwin = _pop_opt(args, "-srcwin", 4)
+    outsize = _pop_opt(args, "-outsize", 2)
+    kernel = _pop_opt(args, "-r", default="near")
+    ot = _pop_opt(args, "-ot")
+    a_nodata = _pop_opt(args, "-a_nodata")
+    bands = []
+    while "-b" in args:
+        bands.append(int(_pop_opt(args, "-b")))
+    do_scale = False
+    scale_v = None
+    if "-scale" in args:
+        i = args.index("-scale")
+        rest = args[i + 1:i + 5]
+        if len(rest) == 4 and all(_is_num(v) for v in rest):
+            scale_v = [float(v) for v in rest]
+            del args[i:i + 5]
+        else:
+            del args[i]
+        do_scale = True
+    _pop_opt(args, "-of")                        # ext decides the driver
+    src, dst = args
+    arr, gt, nodata = open_raster(src)
+    arr = np.asarray(arr)
+    if bands:
+        if arr.ndim == 2:
+            if bands != [1]:
+                raise SystemExit("-b: single-band source")
+        else:
+            sel = [b - 1 for b in bands]
+            arr = arr[:, :, sel[0]] if len(sel) == 1 else arr[:, :, sel]
+    if srcwin:
+        x, y, w, h = (int(v) for v in srcwin)
+        from .raster import translate_window
+        arr = translate_window(arr, x, y, w, h)
+        if gt:
+            gt = (gt[0] + x * gt[1], gt[1], gt[2],
+                  gt[3] + y * gt[5], gt[4], gt[5])
+    if outsize:
+        ow, oh = int(outsize[0]), int(outsize[1])
+        from .tiles import _scale_to
+        ih, iw = arr.shape[:2]
+        if arr.ndim == 2:
+            arr = _scale_to(arr.astype(np.float64), oh, ow, kernel)
+        else:
+            arr = np.stack([_scale_to(arr[:, :, c].astype(np.float64),
+                                      oh, ow, kernel)
+                            for c in range(arr.shape[2])], axis=-1)
+        arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8) \
+            if ot is None else arr
+        if gt:
+            gt = (gt[0], gt[1] * iw / ow, gt[2],
+                  gt[3], gt[4], gt[5] * ih / oh)
+    if do_scale:
+        from .raster import translate_scale
+        arr = translate_scale(arr, *(scale_v or (None, None, 0.0, 255.0)))
+    if ot:
+        arr = arr.astype({"Byte": np.uint8, "UInt16": np.uint16,
+                          "Int16": np.int16, "Int32": np.int32,
+                          "UInt32": np.uint32, "Float32": np.float32,
+                          "Float64": np.float64}[ot])
+    if a_nodata is not None:
+        nodata = float(a_nodata)
+    return _write_raster(arr, gt, dst, nodata=nodata)
+
+
+def _is_num(v: str) -> bool:
+    try:
+        float(v)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr (apps/ogr2ogr_lib.cpp; library: VectorPipeline + write_vector)
+# ---------------------------------------------------------------------------
+
+def ogr2ogr(args: list) -> str:
+    """ogr2ogr [-f fmt] [-where expr] [-select c1,c2] [-s_srs A]
+    [-t_srs B] [-clipsrc xmin ymin xmax ymax] [-limit N] [-nln name]
+    [-nlt PROMOTE_TO_MULTI] dst src      (GDAL's dst-first order)"""
+    import pyarrow as pa
+
+    from .ogr import VectorPipeline
+    from .vectoropen import open_vector, write_vector
+
+    where = _pop_opt(args, "-where")
+    select = _pop_opt(args, "-select")
+    s_srs = _pop_opt(args, "-s_srs", default="EPSG:4326")
+    t_srs = _pop_opt(args, "-t_srs")
+    clipsrc = _pop_opt(args, "-clipsrc", 4)
+    limit = _pop_opt(args, "-limit")
+    nln = _pop_opt(args, "-nln", default="layer")
+    nlt = _pop_opt(args, "-nlt")
+    _pop_opt(args, "-f")                         # ext decides the driver
+    dst, src = args
+
+    pipe = VectorPipeline.from_dataset(open_vector(src))
+    if where:
+        pipe = pipe.where(where)
+    if clipsrc:
+        pipe = pipe.clip_bbox(*(float(v) for v in clipsrc))
+    if t_srs and t_srs != s_srs:
+        from .raster import _crs_to_latlon, _latlon_to_crs
+
+        def reproject(batch: pa.Table) -> pa.Table:
+            from .geom import transform_wkb
+            if "wkb" not in batch.column_names:
+                return batch
+
+            def fn(xs, ys):
+                lat, lon = _crs_to_latlon(s_srs, xs, ys)
+                return _latlon_to_crs(t_srs, lat, lon)
+
+            wkbs = [w.as_py() for w in batch["wkb"]]
+            return batch.set_column(
+                batch.column_names.index("wkb"), "wkb",
+                pa.array(transform_wkb(wkbs, fn), pa.binary()))
+
+        pipe = VectorPipeline(pipe.ds.map_batches(
+            reproject, batch_format="pyarrow"))
+    if nlt == "PROMOTE_TO_MULTI":
+        from .geom import force_to_multipolygon
+
+        def promote(batch: pa.Table) -> pa.Table:
+            if "wkb" not in batch.column_names:
+                return batch
+            vals = [force_to_multipolygon(w.as_py()) for w in batch["wkb"]]
+            return batch.set_column(batch.column_names.index("wkb"),
+                                    "wkb", pa.array(vals, pa.binary()))
+
+        pipe = VectorPipeline(pipe.ds.map_batches(
+            promote, batch_format="pyarrow"))
+    if limit:
+        pipe = pipe.limit(int(limit))
+    t = pipe.to_table()
+    if select:
+        keep = [c.strip() for c in select.split(",")]
+        if "wkb" in t.schema.names and "wkb" not in keep:
+            keep.append("wkb")
+        t = t.select([c for c in keep if c in t.schema.names])
+    return write_vector(t, dst, layer=nln)
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp (apps/gdalwarp_lib.cpp; library: raster.warp_affine_mercator)
+# ---------------------------------------------------------------------------
+
+def gdalwarp(args: list) -> str:
+    """gdalwarp [-s_srs A] [-t_srs B] [-r kernel] [-ts w h]
+    [-te xmin ymin xmax ymax] [-dstnodata v] src dst"""
+    from .raster import _crs_to_latlon, _latlon_to_crs, \
+        warp_affine_mercator
+    from .simpleformats import open_raster
+    s_srs = _pop_opt(args, "-s_srs", default="EPSG:4326")
+    t_srs = _pop_opt(args, "-t_srs", default="EPSG:3857")
+    kernel = _pop_opt(args, "-r", default="bilinear")
+    ts = _pop_opt(args, "-ts", 2)
+    te = _pop_opt(args, "-te", 4)
+    dstnodata = float(_pop_opt(args, "-dstnodata", default="0"))
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    arr = np.asarray(arr)
+    h, w = arr.shape[:2]
+    if gt is None:
+        raise SystemExit("gdalwarp: source has no geotransform")
+    if te:
+        xmin, ymin, xmax, ymax = (float(v) for v in te)
+    else:
+        # SuggestedWarpOutput analog: transform a border sample of the
+        # source grid into the target CRS and take its bbox
+        xs = np.linspace(gt[0], gt[0] + gt[1] * w, 21)
+        ys = np.linspace(gt[3], gt[3] + gt[5] * h, 21)
+        bx = np.concatenate([xs, xs, np.full(21, xs[0]),
+                             np.full(21, xs[-1])])
+        by = np.concatenate([np.full(21, ys[0]), np.full(21, ys[-1]),
+                             ys, ys])
+        lat, lon = _crs_to_latlon(s_srs, bx, by)
+        X, Y = _latlon_to_crs(t_srs, lat, lon)
+        xmin, xmax = float(X.min()), float(X.max())
+        ymin, ymax = float(Y.min()), float(Y.max())
+    ow, oh = (int(ts[0]), int(ts[1])) if ts else (w, h)
+    dst_gt = (xmin, (xmax - xmin) / ow, 0.0, ymax, 0.0,
+              -(ymax - ymin) / oh)
+    out = warp_affine_mercator(arr, gt, dst_gt, (oh, ow), src_crs=s_srs,
+                               dst_crs=t_srs, kernel=kernel,
+                               nodata=dstnodata)
+    if arr.dtype == np.uint8:
+        out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return _write_raster(out, dst_gt, dst, nodata=dstnodata)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem (apps/gdaldem_lib.cpp; library: raster.* + DemDerivatives)
+# ---------------------------------------------------------------------------
+
+def gdaldem(args: list) -> str:
+    """gdaldem <hillshade|slope|aspect|TRI|TPI|roughness|color-relief>
+    src [ramp.txt] dst [-z f] [-az a] [-alt b] [-p]"""
+    from . import raster as R
+    from .simpleformats import open_raster
+    mode = args.pop(0)
+    z = float(_pop_opt(args, "-z", default="1"))
+    az = float(_pop_opt(args, "-az", default="315"))
+    alt = float(_pop_opt(args, "-alt", default="45"))
+    percent = _pop_flag(args, "-p")
+    if mode == "color-relief":
+        src, ramp_path, dst = args
+    else:
+        src, dst = args
+        ramp_path = None
+    arr, gt, nodata = open_raster(src)
+    dem = np.asarray(arr, np.float64)
+    xres = abs(gt[1]) if gt else 1.0
+    yres = abs(gt[5]) if gt else 1.0
+    if mode == "hillshade":
+        out = R.hillshade(dem, xres, yres, azimuth=az, altitude=alt,
+                          z_factor=z)
+    elif mode == "slope":
+        out = R.slope(dem, xres, yres, percent=percent)
+    elif mode == "aspect":
+        out = R.aspect(dem, xres, yres)
+    elif mode == "TRI":
+        out = R.tri(dem)
+    elif mode == "TPI":
+        out = R.tpi(dem)
+    elif mode == "roughness":
+        out = R.roughness(dem)
+    elif mode == "color-relief":
+        ramp = []
+        with open(ramp_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 4:
+                    ramp.append((float(parts[0]), int(parts[1]),
+                                 int(parts[2]), int(parts[3])))
+        out = R.color_relief(dem, ramp)
+    else:
+        raise SystemExit(f"gdaldem: unknown mode {mode!r}")
+    if out.dtype.kind == "f" and dst.lower().endswith(
+            (".png", ".jpg", ".jpeg", ".gif", ".bmp")):
+        out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return _write_raster(out, gt, dst, nodata=nodata)
+
+
+# ---------------------------------------------------------------------------
+# gdalbuildvrt (apps/gdalbuildvrt_lib.cpp; library: vrtfile.vrt_build)
+# ---------------------------------------------------------------------------
+
+def gdalbuildvrt(args: list) -> str:
+    """gdalbuildvrt [-resolution highest|lowest|first] [-vrtnodata v]
+    out.vrt src1 src2 …"""
+    from .vrtfile import vrt_build
+    resolution = _pop_opt(args, "-resolution", default="highest")
+    nodata = _pop_opt(args, "-vrtnodata")
+    out, *paths = args
+    vrt_build(paths, out, resolution=resolution,
+              nodata=float(nodata) if nodata is not None else None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# gdal2tiles (gdal2tiles.py; library: pipelines.tile_pipeline)
+# ---------------------------------------------------------------------------
+
+def gdal2tiles(args: list) -> str:
+    """gdal2tiles [-z minz-maxz] [-r kernel] src outdir — source must be
+    georeferenced in EPSG:3857 (web-mercator meters) or EPSG:4326
+    (warped to 3857 first), 3-band uint8."""
+    import pyarrow as pa
+    import ray.data
+
+    from .tiles import build_pyramid, composite_tiles, CutTiles, \
+        write_tiles_png
+    zspec = _pop_opt(args, "-z", default="0-3")
+    kernel = _pop_opt(args, "-r", default="average")
+    src, outdir = args
+    from .simpleformats import open_raster
+    arr, gt, _ = open_raster(src)
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if gt is None:
+        raise SystemExit("gdal2tiles: source has no geotransform")
+    if abs(gt[0]) <= 360 and abs(gt[3]) <= 90:   # degrees → mercator
+        from .mercator import latlon_to_meters
+        h, w = arr.shape[:2]
+        x0, y0 = latlon_to_meters(np.array([gt[3]]), np.array([gt[0]]))
+        x1, y1 = latlon_to_meters(np.array([gt[3] + gt[5] * h]),
+                                  np.array([gt[0] + gt[1] * w]))
+        from .raster import warp_affine_mercator
+        dst_gt = (float(x0[0]), (float(x1[0]) - float(x0[0])) / w, 0.0,
+                  float(y0[0]), 0.0, (float(y1[0]) - float(y0[0])) / h)
+        arr = warp_affine_mercator(arr, gt, dst_gt, (h, w),
+                                   src_crs="EPSG:4326",
+                                   dst_crs="EPSG:3857", kernel="bilinear")
+        arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        gt = dst_gt
+    if abs(abs(gt[1]) - abs(gt[5])) > 1e-6 * abs(gt[1]):
+        raise SystemExit("gdal2tiles: needs square pixels")
+    minz, maxz = (int(v) for v in zspec.split("-")) \
+        if "-" in zspec else (int(zspec), int(zspec))
+    row = pa.table({
+        "image_id": pa.array(["cli"]),
+        "pixels": pa.array([np.ascontiguousarray(arr).tobytes()],
+                           pa.binary()),
+        "w": pa.array([arr.shape[1]], pa.int32()),
+        "h": pa.array([arr.shape[0]], pa.int32()),
+        "ulx": pa.array([gt[0]], pa.float64()),
+        "uly": pa.array([gt[3]], pa.float64()),
+        "psize": pa.array([abs(gt[1])], pa.float64())})
+    ds = ray.data.from_arrow(row)
+    frags = ds.map_batches(CutTiles(zoom=maxz, resampling=kernel),
+                           batch_format="pyarrow")
+    levels = build_pyramid(composite_tiles(frags), minz, maxz,
+                           kernel=kernel) if minz < maxz else \
+        {maxz: composite_tiles(frags)}
+    n = 0
+    for _z, tiles in sorted(levels.items()):
+        n += write_tiles_png(tiles, outdir).count()
+    print(f"gdal2tiles: wrote {n} tiles to {outdir}")
+    return outdir
+
+
+# ---------------------------------------------------------------------------
+# info tools
+# ---------------------------------------------------------------------------
+
+def gdalinfo(args: list) -> str:
+    from .info import raster_info
+    from .simpleformats import open_raster
+    _pop_flag(args, "-stats")
+    (src,) = args
+    arr, gt, nodata = open_raster(src)
+    out = raster_info(np.asarray(arr), gt, nodata=nodata)
+    s = json.dumps(out, indent=2, default=str)
+    print(s)
+    return s
+
+
+def ogrinfo(args: list) -> str:
+    from .info import layer_info
+    from .vectoropen import open_vector
+    _pop_flag(args, "-so")
+    _pop_flag(args, "-al")
+    (src,) = args
+    out = layer_info(open_vector(src))
+    s = json.dumps(out, indent=2, default=str)
+    print(s)
+    return s
+
+
+_APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
+         "gdalwarp": gdalwarp, "gdaldem": gdaldem,
+         "gdalbuildvrt": gdalbuildvrt, "gdal2tiles": gdal2tiles,
+         "gdalinfo": gdalinfo, "ogrinfo": ogrinfo}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m georay <app> [options] ...\napps: "
+              + " ".join(sorted(_APPS)))
+        return 0
+    app = argv.pop(0)
+    fn = _APPS.get(app)
+    if fn is None:
+        raise SystemExit(f"unknown app {app!r} (have: "
+                         f"{', '.join(sorted(_APPS))})")
+    fn(argv)
+    return 0

@@ -450,3 +450,67 @@ def force_to_multipolygon(buf: bytes) -> bytes:
     Polygon WKB → MultiPolygon WKB; MultiPolygon passes through."""
     polys = parse_wkb_multi(bytes(buf))
     return wkb_multipolygon(polys)
+
+
+def _coord_spans(buf: memoryview, off: int, spans: list) -> int:
+    """Walk ONE WKB geometry collecting ``(byte_off, n_points, dims)``
+    coordinate runs; returns the offset past the geometry.  Handles
+    Point/LineString/Polygon/Multi*/GeometryCollection, Z/M/ZM."""
+    t, dims, off = _wkb_header(buf, off)
+    step = 8 * dims
+    if t == 1:                                   # Point
+        spans.append((off, 1, dims))
+        return off + step
+    if t == 2:                                   # LineString
+        (n,) = struct.unpack_from("<I", buf, off)
+        spans.append((off + 4, n, dims))
+        return off + 4 + step * n
+    if t == 3:                                   # Polygon
+        (nr,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        for _ in range(nr):
+            (n,) = struct.unpack_from("<I", buf, off)
+            spans.append((off + 4, n, dims))
+            off += 4 + step * n
+        return off
+    if t in (4, 5, 6, 7):                        # Multi* / Collection
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        for _ in range(n):
+            off = _coord_spans(buf, off, spans)
+        return off
+    raise ValueError(f"unsupported WKB geometry type {t}")
+
+
+def transform_wkb(wkbs, fn):
+    """Coordinate surgery over a BATCH of WKB geometries: every (x, y)
+    across the batch is gathered into two flat arrays, ``fn(xs, ys) →
+    (Xs, Ys)`` runs ONCE (vectorized CRS transform), and results scatter
+    back in place — geometry structure (type, rings, Z/M ordinates) is
+    preserved byte-for-byte.  The ogr2ogr -t_srs reprojection shape
+    (apps/ogr2ogr_lib.cpp:6795 per-feature chain, here batched)."""
+    bufs, views = [], []
+    xs_parts, ys_parts = [], []
+    for b in wkbs:
+        ba = bytearray(b)
+        spans: list = []
+        _coord_spans(memoryview(ba), 0, spans)
+        bufs.append(ba)
+        for off, n, dims in spans:
+            if n == 0:
+                continue
+            a = np.frombuffer(ba, np.float64, n * dims, off).reshape(n,
+                                                                     dims)
+            views.append(a)
+            xs_parts.append(a[:, 0].copy())
+            ys_parts.append(a[:, 1].copy())
+    if not views:
+        return [bytes(b) for b in bufs]
+    X, Y = fn(np.concatenate(xs_parts), np.concatenate(ys_parts))
+    pos = 0
+    for a in views:
+        n = a.shape[0]
+        a[:, 0] = X[pos:pos + n]
+        a[:, 1] = Y[pos:pos + n]
+        pos += n
+    return [bytes(b) for b in bufs]

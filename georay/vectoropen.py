@@ -89,3 +89,60 @@ def open_vector(path: str, **kw):
         with open(path, "rb") as f:
             return ray.data.from_arrow(read_fgb(f.read(), **kw))
     raise ValueError(f"open_vector: no driver identifies {path!r}")
+
+
+def write_vector(ds_or_table, path: str, *, layer: str = "layer",
+                 wkb_col: str = "wkb"):
+    """OGR-style sink dispatch by destination extension — the ogr2ogr
+    ``-f``/output half of GDALOpen/OGROpen: Parquet, GeoJSON(+Seq),
+    Shapefile, GeoPackage, FlatGeobuf, CSV, DXF, MIF, KML, Arrow IPC.
+    Accepts a pyarrow Table or a Dataset (collected — single-FILE
+    formats are one-writer units; the partitioned sinks
+    write_*_partitioned remain the scale path)."""
+    import pyarrow as pa
+
+    t = ds_or_table
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(list(
+            t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    low = path.lower()
+    if low.endswith(".parquet"):
+        import pyarrow.parquet as pq
+        pq.write_table(t, path)
+    elif low.endswith((".geojsonl", ".ndjson", ".jsonl")):
+        from .geojson import write_geojsonseq
+        write_geojsonseq(t, path, wkb_col)
+    elif low.endswith((".geojson", ".json")):
+        from .geojson import write_geojson
+        write_geojson(t, path, wkb_col)
+    elif low.endswith(".shp"):
+        from .shapefile import write_shapefile
+        write_shapefile(t, path[:-4], wkb_col)
+    elif low.endswith(".gpkg"):
+        from .gpkg import write_gpkg
+        write_gpkg(t, path, layer=layer, geom_col=wkb_col)
+    elif low.endswith(".fgb"):
+        from .flatgeobuf import write_fgb
+        blob = write_fgb(t, wkb_col, name=layer)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    elif low.endswith(".csv"):
+        from .csvdriver import write_csv_vector
+        write_csv_vector(t, path, geom_col=wkb_col)
+    elif low.endswith(".dxf"):
+        from .dxf import write_dxf
+        write_dxf(t, path, wkb_col)
+    elif low.endswith(".mif"):
+        from .mif import write_mif
+        write_mif(t, path, wkb_col)
+    elif low.endswith(".kml"):
+        from .xmldrivers import write_kml
+        write_kml(t, path, wkb_col)
+    elif low.endswith((".arrow", ".feather", ".ipc")):
+        import pyarrow.feather as feather
+        feather.write_feather(t, path)
+    else:
+        raise ValueError(f"write_vector: no driver for {path!r}")
+    return path

@@ -1,0 +1,179 @@
+"""GDAL app-surface CLI (georay.cli): python -m georay <app> … parity
+with the library calls each app fronts."""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from georay.cli import main
+from georay.gtiff import tiff_decode, tiff_encode
+
+
+@pytest.fixture()
+def tif(tmp_path):
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    p = str(tmp_path / "src.tif")
+    with open(p, "wb") as f:
+        f.write(tiff_encode(arr, geotransform=(10.0, 0.5, 0, 50.0, 0,
+                                               -0.5)))
+    return p, arr
+
+
+@pytest.fixture()
+def vec(tmp_path):
+    from georay.geom import wkb_point
+    t = pa.table({
+        "name": ["a", "b", "c", "d"],
+        "pop": [10, 20, 30, 40],
+        "wkb": pa.array([wkb_point(0.0, 0.0), wkb_point(1.0, 1.0),
+                         wkb_point(120.0, 45.0), wkb_point(-60.0, -30.0)],
+                        pa.binary())})
+    p = str(tmp_path / "pts.parquet")
+    pq.write_table(t, p)
+    return p, t
+
+
+def test_gdal_translate_srcwin_outsize(tif, tmp_path):
+    src, arr = tif
+    dst = str(tmp_path / "out.tif")
+    main(["gdal_translate", "-srcwin", "10", "5", "20", "20",
+          "-outsize", "10", "10", "-r", "near", src, dst])
+    out, meta = tiff_decode(open(dst, "rb").read())
+    out = np.asarray(out)
+    assert out.shape == (10, 10, 3)
+    # nearest 2x downsample of the window (pixel-center rule: (i+0.5)*2)
+    np.testing.assert_array_equal(out, arr[6:25:2, 11:30:2])
+    # geotransform shifted by the window and scaled by outsize
+    gt = meta["geotransform"]
+    assert gt[0] == 10.0 + 10 * 0.5 and gt[3] == 50.0 - 5 * 0.5
+    assert gt[1] == 1.0 and gt[5] == -1.0
+
+
+def test_gdal_translate_format_dispatch(tif, tmp_path):
+    src, arr = tif
+    for name in ("o.png", "o.bmp", "o.ppm"):
+        dst = str(tmp_path / name)
+        main(["gdal_translate", src, dst])
+        from georay.simpleformats import open_raster
+        got, _, _ = open_raster(dst)
+        np.testing.assert_array_equal(np.asarray(got), arr)
+
+
+def test_ogr2ogr_where_select_formats(vec, tmp_path):
+    src, t = vec
+    dst = str(tmp_path / "out.geojson")
+    main(["ogr2ogr", "-where", "pop >= 20", "-select", "name", dst, src])
+    gj = json.load(open(dst))
+    assert len(gj["features"]) == 3
+    assert {f["properties"]["name"] for f in gj["features"]} == \
+        {"b", "c", "d"}
+    assert "pop" not in gj["features"][0]["properties"]
+    # roundtrip through gpkg + fgb + csv
+    for name in ("o.gpkg", "o.fgb", "o.csv", "o.geojsonl"):
+        main(["ogr2ogr", str(tmp_path / name), src])
+        assert (tmp_path / name).exists()
+    from georay.vectoropen import open_vector
+    back = open_vector(str(tmp_path / "o.fgb")).to_pandas()
+    assert sorted(back["name"]) == ["a", "b", "c", "d"]
+
+
+def test_ogr2ogr_t_srs_reprojects_geometries(vec, tmp_path):
+    src, t = vec
+    dst = str(tmp_path / "merc.parquet")
+    main(["ogr2ogr", "-t_srs", "EPSG:3857", dst, src])
+    from georay.geom import parse_wkb
+    from georay.mercator import latlon_to_meters
+    out = pq.read_table(dst)
+    got = dict(zip(out["name"].to_pylist(),
+                   [parse_wkb(w.as_py())[1] for w in out["wkb"]]))
+    mx, my = latlon_to_meters(np.array([45.0]), np.array([120.0]))
+    assert abs(got["c"][0] - mx[0]) < 1e-6
+    assert abs(got["c"][1] - my[0]) < 1e-6
+
+
+def test_gdalwarp_cli(tif, tmp_path):
+    src, arr = tif
+    dst = str(tmp_path / "warped.tif")
+    main(["gdalwarp", "-s_srs", "EPSG:4326", "-t_srs", "EPSG:3857",
+          "-r", "near", "-ts", "64", "48", src, dst])
+    out, meta = tiff_decode(open(dst, "rb").read())
+    assert np.asarray(out).shape == (48, 64, 3)
+    gt = meta["geotransform"]
+    from georay.mercator import latlon_to_meters
+    x0, _ = latlon_to_meters(np.array([50.0]), np.array([10.0]))
+    assert abs(gt[0] - x0[0]) < 1.0
+
+
+def test_gdaldem_hillshade_cli(tmp_path):
+    y, x = np.mgrid[0:30, 0:30]
+    dem = (x * 3 + y * 2).astype(np.float64)
+    src = str(tmp_path / "dem.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(dem, geotransform=(0, 1, 0, 30, 0, -1)))
+    dst = str(tmp_path / "hs.png")
+    main(["gdaldem", "hillshade", src, dst, "-z", "2"])
+    from georay.codecs import decode_image
+    hs = decode_image(open(dst, "rb").read(), "png")
+    from georay.raster import hillshade
+    np.testing.assert_array_equal(hs, hillshade(dem, 1, 1, z_factor=2))
+
+
+def test_gdalbuildvrt_cli(tmp_path):
+    for i, name in enumerate(("a.tif", "b.tif")):
+        arr = np.full((8, 8), i + 1, np.uint8)
+        with open(tmp_path / name, "wb") as f:
+            f.write(tiff_encode(arr, geotransform=(i * 8.0, 1, 0, 8.0,
+                                                   0, -1)))
+    out = str(tmp_path / "m.vrt")
+    main(["gdalbuildvrt", out, str(tmp_path / "a.tif"),
+          str(tmp_path / "b.tif")])
+    from georay.simpleformats import open_raster
+    arr, gt, _ = open_raster(out)
+    assert arr.shape == (8, 16)
+    assert arr[0, 0] == 1 and arr[0, 15] == 2
+
+
+def test_gdal2tiles_cli(tmp_path, ray_session):
+    from georay.mercator import latlon_to_meters
+    x0, y0 = latlon_to_meters(np.array([40.0]), np.array([-100.0]))
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    src = str(tmp_path / "src.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(arr, geotransform=(float(x0[0]), 1000.0, 0,
+                                               float(y0[0]), 0, -1000.0)))
+    out = str(tmp_path / "tiles")
+    main(["gdal2tiles", "-z", "6-7", src, out])
+    pngs = [os.path.join(dp, f) for dp, _, fs in os.walk(out)
+            for f in fs if f.endswith(".png")]
+    assert pngs, "no tiles written"
+    zs = {p.split(os.sep)[-3] for p in pngs}
+    assert zs == {"6", "7"}
+
+
+def test_info_tools(tif, vec, capsys):
+    src, arr = tif
+    main(["gdalinfo", src])
+    info = json.loads(capsys.readouterr().out)
+    assert info["size"] == [60, 40] and info["bands"] == 3
+    vsrc, _ = vec
+    main(["ogrinfo", vsrc])
+    vinfo = json.loads(capsys.readouterr().out)
+    assert vinfo["feature_count"] == 4
+
+
+def test_module_entrypoint_subprocess(tif):
+    src, _ = tif
+    r = subprocess.run([sys.executable, "-m", "georay", "gdalinfo", src],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=120)
+    assert r.returncode == 0
+    assert json.loads(r.stdout)["bands"] == 3
