@@ -425,10 +425,226 @@ def ogrinfo(args: list) -> str:
     return s
 
 
+# ---------------------------------------------------------------------------
+# gdal_contour (apps/gdal_contour_bin.cpp; library: polygonize.contour_*)
+# ---------------------------------------------------------------------------
+
+def gdal_contour(args: list) -> str:
+    """gdal_contour -i interval [-off offset] [-p] src dst — iso-lines
+    (or -p iso-polygons) as a vector file; attribute ``level``."""
+    import pyarrow as pa
+
+    from .polygonize import contour_lines, contour_polygons
+    from .simpleformats import open_raster
+    from .vectoropen import write_vector
+    interval = float(_pop_opt(args, "-i", default="10"))
+    offset = float(_pop_opt(args, "-off", default="0"))
+    as_poly = _pop_flag(args, "-p")
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    band = np.asarray(arr, np.float64)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    lo = np.floor((band.min() - offset) / interval) * interval + offset
+    levels = [lo + i * interval for i in
+              range(1, int((band.max() - lo) / interval) + 1)]
+    gt = gt or (0.0, 1.0, 0.0, band.shape[0], 0.0, -1.0)
+    lvl_col, wkbs = [], []
+    if as_poly:
+        for _b, lo_lv, _hi, wkb, _n in contour_polygons(band, levels, gt):
+            lvl_col.append(float(lo_lv) if np.isfinite(lo_lv) else
+                           float(band.min()))
+            wkbs.append(wkb)
+    else:
+        from .curves import wkb_linestring
+        for level, lines in contour_lines(band, levels, gt).items():
+            for ln in lines:
+                lvl_col.append(float(level))
+                wkbs.append(wkb_linestring(ln))
+    t = pa.table({"level": pa.array(lvl_col, pa.float64()),
+                  "wkb": pa.array(wkbs, pa.binary())})
+    return write_vector(t, dst)
+
+
+# ---------------------------------------------------------------------------
+# gdal_rasterize (apps/gdal_rasterize_lib.cpp; library: rasterize_polygons)
+# ---------------------------------------------------------------------------
+
+def gdal_rasterize(args: list) -> str:
+    """gdal_rasterize [-burn v | -a attr] [-ts w h]
+    [-te xmin ymin xmax ymax] [-at] [-add] src dst"""
+    from .geom import PackedPolygons, wkb_envelope
+    from .rasterize import rasterize_polygons
+    from .vectoropen import open_vector
+    burn = _pop_opt(args, "-burn")
+    attr = _pop_opt(args, "-a")
+    ts = _pop_opt(args, "-ts", 2, default=["256", "256"])
+    te = _pop_opt(args, "-te", 4)
+    all_touched = _pop_flag(args, "-at")
+    merge = "add" if _pop_flag(args, "-add") else "replace"
+    src, dst = args
+    import pyarrow as pa
+    t = open_vector(src)
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(list(
+            t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    wkbs = [w.as_py() for w in t["wkb"]]
+    if te:
+        xmin, ymin, xmax, ymax = (float(v) for v in te)
+    else:
+        envs = np.array([wkb_envelope(w) for w in wkbs])
+        xmin, ymin = envs[:, 0].min(), envs[:, 1].min()
+        xmax, ymax = envs[:, 2].max(), envs[:, 3].max()
+    w_px, h_px = int(ts[0]), int(ts[1])
+    gt = (xmin, (xmax - xmin) / w_px, 0.0, ymax, 0.0,
+          -(ymax - ymin) / h_px)
+    polys = PackedPolygons.from_wkb(wkbs)
+    if attr:
+        burn_values = np.asarray(t[attr].to_pylist(), np.float64)
+    else:
+        burn_values = np.full(len(wkbs), float(burn or 1.0))
+    out = rasterize_polygons(polys, gt, (h_px, w_px),
+                             burn_values=burn_values,
+                             all_touched=all_touched, merge_alg=merge)
+    return _write_raster(out.astype(np.float32), gt, dst)
+
+
+# ---------------------------------------------------------------------------
+# gdal_polygonize (apps/gdal_polygonize_bin + alg/polygonize.cpp)
+# ---------------------------------------------------------------------------
+
+def gdal_polygonize(args: list) -> str:
+    """gdal_polygonize [-8] [-nomask] src dst — connected equal-value
+    regions → polygons with a ``DN`` attribute (GDAL's field name)."""
+    import pyarrow as pa
+
+    from .polygonize import polygonize
+    from .simpleformats import open_raster
+    from .vectoropen import write_vector
+    connect8 = _pop_flag(args, "-8")
+    _pop_flag(args, "-nomask")
+    src, dst = args
+    arr, gt, nodata = open_raster(src)
+    band = np.asarray(arr)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    rows = polygonize(band, gt, connect8=connect8, exclude_value=nodata)
+    t = pa.table({"DN": pa.array([float(v) for v, _, _ in rows],
+                                 pa.float64()),
+                  "pixel_count": pa.array([int(n) for _, _, n in rows],
+                                          pa.int64()),
+                  "wkb": pa.array([w for _, w, _ in rows], pa.binary())})
+    return write_vector(t, dst)
+
+
+# ---------------------------------------------------------------------------
+# gdallocationinfo / gdaltransform / gdal_calc / gdal_merge / ogrmerge
+# ---------------------------------------------------------------------------
+
+def gdallocationinfo(args: list) -> str:
+    """gdallocationinfo [-geoloc] [-r near|bilinear] src x y [x y …]"""
+    from .rasterize import sample_at_points
+    from .simpleformats import open_raster
+    _pop_flag(args, "-geoloc")
+    method = _pop_opt(args, "-r", default="near")
+    src, *coords = args
+    arr, gt, _ = open_raster(src)
+    gt = gt or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    px = np.array([float(v) for v in coords[0::2]])
+    py = np.array([float(v) for v in coords[1::2]])
+    vals = sample_at_points(np.asarray(arr), gt, px, py, method=method)
+    s = "\n".join(f"{x} {y} -> {v}" for x, y, v in zip(px, py, vals))
+    print(s)
+    return s
+
+
+def gdaltransform(args: list) -> str:
+    """gdaltransform -s_srs A -t_srs B  (coordinate pairs on stdin,
+    ``x y`` per line — the reference's filter-style tool)."""
+    from .raster import _crs_to_latlon, _latlon_to_crs
+    s_srs = _pop_opt(args, "-s_srs", default="EPSG:4326")
+    t_srs = _pop_opt(args, "-t_srs", default="EPSG:3857")
+    pts = [line.split() for line in sys.stdin if line.strip()]
+    xs = np.array([float(p[0]) for p in pts])
+    ys = np.array([float(p[1]) for p in pts])
+    lat, lon = _crs_to_latlon(s_srs, xs, ys)
+    X, Y = _latlon_to_crs(t_srs, lat, lon)
+    out = "\n".join(f"{x!r} {y!r}" for x, y in zip(X, Y))
+    print(out)
+    return out
+
+
+def gdal_calc(args: list) -> str:
+    """gdal_calc -A a.tif [-B b.tif …] --calc "A*2+B" --outfile out.tif
+    [--NoDataValue v] — restricted-namespace numpy expression
+    (gdal-utils gdal_calc.py; library: raster.pixel_calc)."""
+    from .raster import pixel_calc
+    from .simpleformats import open_raster
+    expr = _pop_opt(args, "--calc")
+    outfile = _pop_opt(args, "--outfile")
+    nodata = _pop_opt(args, "--NoDataValue")
+    bands = {}
+    gt = None
+    for name in "ABCDEFGH":
+        p = _pop_opt(args, f"-{name}")
+        if p is None:
+            continue
+        arr, g, _ = open_raster(p)
+        a = np.asarray(arr, np.float64)
+        bands[name] = a[:, :, 0] if a.ndim == 3 else a
+        gt = gt or g
+    if not expr or not outfile or not bands:
+        raise SystemExit("gdal_calc needs -A …, --calc and --outfile")
+    out = pixel_calc(expr, **bands)
+    return _write_raster(out.astype(np.float32), gt, outfile,
+                         nodata=float(nodata) if nodata else None)
+
+
+def gdal_merge(args: list) -> str:
+    """gdal_merge -o out.tif src1 src2 … [-n nodata] — mosaic through
+    the VRT machinery (union extent, later files over earlier)."""
+    import os
+    import tempfile
+
+    from .vrtfile import vrt_build, vrt_read
+    out = _pop_opt(args, "-o")
+    nodata = _pop_opt(args, "-n")
+    paths = args
+    with tempfile.TemporaryDirectory() as td:
+        v = os.path.join(td, "m.vrt")
+        vrt_build(paths, v,
+                  nodata=float(nodata) if nodata is not None else None)
+        arr, gt, _ = vrt_read(v)
+    return _write_raster(arr, gt, out,
+                         nodata=float(nodata) if nodata else None)
+
+
+def ogrmerge(args: list) -> str:
+    """ogrmerge -o out src1 src2 … [-single] — append layers into one
+    output (gdal-utils ogrmerge.py; single-layer union semantics)."""
+    import pyarrow as pa
+
+    from .vectoropen import open_vector, write_vector
+    out = _pop_opt(args, "-o")
+    _pop_flag(args, "-single")
+    tables = []
+    for src in args:
+        t = open_vector(src)
+        if not isinstance(t, pa.Table):
+            t = pa.concat_tables(list(
+                t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        tables.append(t)
+    merged = pa.concat_tables(tables, promote_options="default")
+    return write_vector(merged, out)
+
+
 _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdalwarp": gdalwarp, "gdaldem": gdaldem,
          "gdalbuildvrt": gdalbuildvrt, "gdal2tiles": gdal2tiles,
-         "gdalinfo": gdalinfo, "ogrinfo": ogrinfo}
+         "gdalinfo": gdalinfo, "ogrinfo": ogrinfo,
+         "gdal_contour": gdal_contour, "gdal_rasterize": gdal_rasterize,
+         "gdal_polygonize": gdal_polygonize,
+         "gdallocationinfo": gdallocationinfo,
+         "gdaltransform": gdaltransform, "gdal_calc": gdal_calc,
+         "gdal_merge": gdal_merge, "ogrmerge": ogrmerge}
 
 
 def main(argv=None):

@@ -177,3 +177,92 @@ def test_module_entrypoint_subprocess(tif):
                        timeout=120)
     assert r.returncode == 0
     assert json.loads(r.stdout)["bands"] == 3
+
+
+def test_gdal_contour_and_polygonize_cli(tmp_path):
+    y, x = np.mgrid[0:20, 0:20]
+    dem = (x + y).astype(np.float64)
+    src = str(tmp_path / "dem.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(dem, geotransform=(0, 1, 0, 20, 0, -1)))
+    dst = str(tmp_path / "c.geojson")
+    main(["gdal_contour", "-i", "10", src, dst])
+    gj = json.load(open(dst))
+    levels = {f["properties"]["level"] for f in gj["features"]}
+    assert levels == {10.0, 20.0, 30.0}
+    # polygonize a 2-value byte raster
+    band = np.zeros((10, 10), np.uint8)
+    band[2:5, 2:5] = 7
+    src2 = str(tmp_path / "b.tif")
+    with open(src2, "wb") as f:
+        f.write(tiff_encode(band, geotransform=(0, 1, 0, 10, 0, -1)))
+    dst2 = str(tmp_path / "p.geojson")
+    main(["gdal_polygonize", src2, dst2])
+    gj2 = json.load(open(dst2))
+    dn = sorted(f["properties"]["DN"] for f in gj2["features"])
+    assert dn == [0.0, 7.0]
+    counts = {f["properties"]["DN"]: f["properties"]["pixel_count"]
+              for f in gj2["features"]}
+    assert counts[7.0] == 9 and counts[0.0] == 91
+
+
+def test_gdal_rasterize_cli(vec, tmp_path):
+    from georay.geom import wkb_polygon
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                    np.float64)
+    t = pa.table({"v": [5.0],
+                  "wkb": pa.array([wkb_polygon([ring])], pa.binary())})
+    src = str(tmp_path / "poly.parquet")
+    pq.write_table(t, src)
+    dst = str(tmp_path / "r.tif")
+    main(["gdal_rasterize", "-a", "v", "-ts", "10", "10",
+          "-te", "0", "0", "10", "10", src, dst])
+    out, _ = tiff_decode(open(dst, "rb").read())
+    np.testing.assert_array_equal(np.asarray(out), np.full((10, 10), 5,
+                                                           np.float32))
+
+
+def test_gdallocationinfo_and_calc_and_merge(tif, tmp_path, capsys):
+    src, arr = tif
+    main(["gdallocationinfo", src, "10.25", "49.75"])
+    out = capsys.readouterr().out
+    assert f"-> {float(arr[0, 0, 0])}" in out
+    # gdal_calc over two single-band inputs
+    a = np.arange(16, dtype=np.float64).reshape(4, 4)
+    pa_, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    for p, m in ((pa_, 1.0), (pb, 2.0)):
+        with open(p, "wb") as f:
+            f.write(tiff_encode(a * m, geotransform=(0, 1, 0, 4, 0, -1)))
+    dst = str(tmp_path / "calc.tif")
+    main(["gdal_calc", "-A", pa_, "-B", pb, "--calc", "A + B * 2",
+          "--outfile", dst])
+    got, _ = tiff_decode(open(dst, "rb").read())
+    np.testing.assert_allclose(np.asarray(got), a + a * 4)
+    # gdal_merge = union mosaic
+    dst2 = str(tmp_path / "merged.tif")
+    main(["gdal_merge", "-o", dst2, pa_, pb])
+    got2, meta2 = tiff_decode(open(dst2, "rb").read())
+    np.testing.assert_allclose(np.asarray(got2), a * 2)  # later wins
+
+
+def test_ogrmerge_cli(vec, tmp_path):
+    src, t = vec
+    other = str(tmp_path / "pts2.parquet")
+    pq.write_table(t, other)
+    dst = str(tmp_path / "merged.fgb")
+    main(["ogrmerge", "-o", dst, src, other])
+    from georay.vectoropen import open_vector
+    back = open_vector(dst).to_pandas()
+    assert len(back) == 8
+
+
+def test_gdaltransform_cli(monkeypatch, capsys):
+    import io
+    monkeypatch.setattr("sys.stdin", io.StringIO("120 45\n0 0\n"))
+    main(["gdaltransform", "-s_srs", "EPSG:4326", "-t_srs", "EPSG:3857"])
+    lines = capsys.readouterr().out.strip().split("\n")
+    from georay.mercator import latlon_to_meters
+    mx, my = latlon_to_meters(np.array([45.0]), np.array([120.0]))
+    gx, gy = (float(v) for v in lines[0].split())
+    assert abs(gx - mx[0]) < 1e-6 and abs(gy - my[0]) < 1e-6
+    assert [round(float(v)) for v in lines[1].split()] == [0, 0]
