@@ -636,6 +636,252 @@ def ogrmerge(args: list) -> str:
     return write_vector(merged, out)
 
 
+# ---------------------------------------------------------------------------
+# analysis apps (apps/gdal_grid.cpp, gdal_viewshed.cpp,
+# gdal_footprint_lib.cpp, nearblack_lib.cpp; gdal-utils gdal_proximity.py,
+# gdal_sieve.py, gdal_fillnodata.py, gdal_pansharpen.py, gdal2xyz.py)
+# ---------------------------------------------------------------------------
+
+def _vector_points(src: str):
+    """(x, y, table) arrays from any vector source's point wkb column."""
+    import pyarrow as pa
+
+    from .geom import parse_wkb
+    from .vectoropen import open_vector
+    t = open_vector(src)
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(list(
+            t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    xy = np.array([parse_wkb(w.as_py())[1] for w in t["wkb"]], np.float64)
+    return xy[:, 0], xy[:, 1], t
+
+
+def gdal_grid(args: list) -> str:
+    """gdal_grid -a alg[:k=v:…] [-zfield f] -txe xmin xmax
+    -tye ymax ymin -outsize w h src dst  (alg/gdalgrid.cpp; library:
+    rasterize.grid_invdist/nearest/average/metrics)"""
+    from .rasterize import (grid_average, grid_invdist, grid_metrics,
+                            grid_nearest)
+    spec = _pop_opt(args, "-a", default="invdist")
+    zfield = _pop_opt(args, "-zfield", default="z")
+    txe = _pop_opt(args, "-txe", 2)
+    tye = _pop_opt(args, "-tye", 2)
+    outsize = _pop_opt(args, "-outsize", 2, default=["256", "256"])
+    src, dst = args
+    px, py, t = _vector_points(src)
+    pv = (np.asarray(t[zfield].to_numpy(zero_copy_only=False), np.float64)
+          if zfield in t.column_names else np.ones(len(px)))
+    alg, _, rest = spec.partition(":")
+    kw = dict(kv.split("=", 1) for kv in rest.split(":") if "=" in kv)
+    if txe:
+        xmin, xmax = float(txe[0]), float(txe[1])
+    else:
+        xmin, xmax = float(px.min()), float(px.max())
+    if tye:
+        ymax, ymin = float(tye[0]), float(tye[1])
+        if ymax < ymin:
+            ymax, ymin = ymin, ymax
+    else:
+        ymin, ymax = float(py.min()), float(py.max())
+    w_px, h_px = int(outsize[0]), int(outsize[1])
+    gt = (xmin, (xmax - xmin) / w_px, 0.0, ymax, 0.0,
+          -(ymax - ymin) / h_px)
+    shape = (h_px, w_px)
+    radius = float(kw.get("radius", kw.get("radius1", 0.0)))
+    nodata = float(kw.get("nodata", 0.0))
+    if alg == "invdist":
+        out = grid_invdist(px, py, pv, gt, shape,
+                           power=float(kw.get("power", 2.0)),
+                           smoothing=float(kw.get("smoothing", 0.0)),
+                           radius=radius, nodata=nodata)
+    elif alg == "nearest":
+        out = grid_nearest(px, py, pv, gt, shape)
+    elif alg == "average":
+        out = grid_average(px, py, pv, gt, shape,
+                           radius=radius or 1.0, nodata=nodata)
+    else:                                        # minimum/maximum/range/…
+        out = grid_metrics(px, py, pv, gt, shape, radius=radius or 1.0,
+                           metric=alg, nodata=nodata)
+    return _write_raster(out.astype(np.float32), gt, dst)
+
+
+def gdal_viewshed(args: list) -> str:
+    """gdal_viewshed -ox X -oy Y [-oz h] [-tz h] src dst — observer at
+    GEOREFERENCED (X, Y) like the reference (apps/gdal_viewshed.cpp;
+    library: raster.viewshed)."""
+    from .raster import viewshed
+    from .simpleformats import open_raster
+    ox = float(_pop_opt(args, "-ox"))
+    oy = float(_pop_opt(args, "-oy"))
+    oz = float(_pop_opt(args, "-oz", default="2"))
+    tz = float(_pop_opt(args, "-tz", default="0"))
+    _pop_opt(args, "-b")
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    band = np.asarray(arr, np.float64)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    gt = gt or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    col = int((ox - gt[0]) / gt[1])
+    row = int((oy - gt[3]) / gt[5])
+    vis = viewshed(band, col, row, observer_height=oz, target_height=tz,
+                   cellsize=abs(gt[1]))
+    return _write_raster((vis * 255).astype(np.uint8), gt, dst)
+
+
+def gdal_footprint(args: list) -> str:
+    """gdal_footprint [-srcnodata v] src dst — valid-data mask polygon
+    (apps/gdal_footprint_lib.cpp; library: polygonize.footprint)."""
+    import pyarrow as pa
+
+    from .polygonize import footprint
+    from .simpleformats import open_raster
+    from .vectoropen import write_vector
+    srcnodata = _pop_opt(args, "-srcnodata")
+    src, dst = args
+    arr, gt, nodata = open_raster(src)
+    band = np.asarray(arr)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    nd = float(srcnodata) if srcnodata is not None else (
+        nodata if nodata is not None else 0)
+    wkb, n_valid = footprint(band, gt=gt, nodata=nd)
+    rows = ([] if wkb is None
+            else [(wkb, n_valid)])
+    t = pa.table({"wkb": pa.array([r[0] for r in rows], pa.binary()),
+                  "n_valid": pa.array([r[1] for r in rows], pa.int64())})
+    return write_vector(t, dst)
+
+
+def gdal_proximity(args: list) -> str:
+    """gdal_proximity src dst [-values v[,v…]] [-maxdist d]
+    [-distunits PIXEL|GEO]  (gdal-utils gdal_proximity.py; library:
+    morph.proximity — exact EDT)."""
+    from .morph import proximity
+    from .simpleformats import open_raster
+    values = _pop_opt(args, "-values")
+    maxdist = _pop_opt(args, "-maxdist")
+    units = _pop_opt(args, "-distunits", default="PIXEL").upper()
+    _pop_opt(args, "-ot")
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    band = np.asarray(arr)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    if values:
+        targets = np.isin(band, [float(v) for v in values.split(",")])
+    else:
+        targets = band != 0
+    cs = abs(gt[1]) if (gt and units == "GEO") else 1.0
+    out = proximity(targets, cellsize=cs,
+                    max_dist=float(maxdist) if maxdist else None)
+    return _write_raster(out.astype(np.float32),
+                         gt or (0, 1, 0, band.shape[0], 0, -1), dst)
+
+
+def gdal_sieve(args: list) -> str:
+    """gdal_sieve -st threshold [-8] src dst (gdal-utils gdal_sieve.py;
+    library: morph.sieve_filter)."""
+    from .morph import sieve_filter
+    from .simpleformats import open_raster
+    st = int(_pop_opt(args, "-st", default="2"))
+    connect8 = _pop_flag(args, "-8")
+    _pop_flag(args, "-4")
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    band = np.asarray(arr)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    out = sieve_filter(band, st, connect8=connect8)
+    return _write_raster(out.astype(band.dtype),
+                         gt or (0, 1, 0, band.shape[0], 0, -1), dst)
+
+
+def gdal_fillnodata(args: list) -> str:
+    """gdal_fillnodata -md max_search [-nodata v] [-si n] src dst
+    (gdal-utils gdal_fillnodata.py; library: morph.fill_nodata)."""
+    from .morph import fill_nodata
+    from .simpleformats import open_raster
+    md = int(_pop_opt(args, "-md", default="16"))
+    si = int(_pop_opt(args, "-si", default="0"))
+    nd_opt = _pop_opt(args, "-nodata")
+    src, dst = args
+    arr, gt, nodata = open_raster(src)
+    band = np.asarray(arr, np.float64)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    nd = float(nd_opt) if nd_opt is not None else (
+        nodata if nodata is not None else 0.0)
+    out = fill_nodata(band, band == nd, max_search=md,
+                      smoothing_iterations=si)
+    return _write_raster(out.astype(np.float32),
+                         gt or (0, 1, 0, band.shape[0], 0, -1), dst)
+
+
+def gdal_pansharpen(args: list) -> str:
+    """gdal_pansharpen pan ms dst [-w w1 -w w2 …] — weighted Brovey
+    (gdal-utils gdal_pansharpen.py; library: raster.pansharpen_brovey).
+    The multispectral input is bilinearly upsampled to pan resolution."""
+    from .raster import pansharpen_brovey
+    from .simpleformats import open_raster
+    from .tiles import _scale_to
+    weights = []
+    while "-w" in args:
+        weights.append(float(_pop_opt(args, "-w")))
+    pan_p, ms_p, dst = args
+    pan, gt, _ = open_raster(pan_p)
+    pan = np.asarray(pan)
+    pan = pan[:, :, 0] if pan.ndim == 3 else pan
+    ms, _, _ = open_raster(ms_p)
+    ms = np.asarray(ms)
+    if ms.ndim == 2:
+        ms = ms[:, :, None]
+    ph, pw = pan.shape
+    if ms.shape[:2] != (ph, pw):
+        ms = np.stack([_scale_to(ms[:, :, b].astype(np.float64), ph, pw,
+                                 "bilinear")
+                       for b in range(ms.shape[2])], axis=2)
+    out = pansharpen_brovey(pan, ms, weights=weights or None)
+    return _write_raster(out, gt, dst)
+
+
+def nearblack_app(args: list) -> str:
+    """nearblack [-near n] [-white] [-o dst] src
+    (apps/nearblack_lib.cpp; library: raster.nearblack)."""
+    from .raster import nearblack
+    from .simpleformats import open_raster
+    near = int(_pop_opt(args, "-near", default="15"))
+    white = _pop_flag(args, "-white")
+    dst = _pop_opt(args, "-o")
+    (src,) = args
+    dst = dst or src
+    arr, gt, _ = open_raster(src)
+    out = nearblack(np.asarray(arr), near=near, white=white)
+    return _write_raster(out, gt, dst)
+
+
+def gdal2xyz(args: list) -> str:
+    """gdal2xyz [-skip n] [-skipnodata] [-band b] src dst — one
+    ``x y value`` line per pixel center (gdal-utils gdal2xyz.py;
+    library: raster.raster_to_xyz is the Dataset-scale path)."""
+    from .simpleformats import open_raster
+    skip = int(_pop_opt(args, "-skip", default="1"))
+    skipnodata = _pop_flag(args, "-skipnodata")
+    band_n = int(_pop_opt(args, "-band", default="1"))
+    src, dst = args
+    arr, gt, nodata = open_raster(src)
+    band = np.asarray(arr, np.float64)
+    band = band[:, :, band_n - 1] if band.ndim == 3 else band
+    gt = gt or (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    h, w = band.shape
+    ys, xs = np.mgrid[0:h:skip, 0:w:skip]
+    gx = gt[0] + (xs + 0.5) * gt[1] + (ys + 0.5) * gt[2]
+    gy = gt[3] + (xs + 0.5) * gt[4] + (ys + 0.5) * gt[5]
+    v = band[ys, xs]
+    if skipnodata and nodata is not None:
+        keep = v != nodata
+        gx, gy, v = gx[keep], gy[keep], v[keep]
+    with open(dst, "w") as f:
+        for x, y, z in zip(gx.ravel(), gy.ravel(), v.ravel()):
+            f.write(f"{x} {y} {z}\n")
+    return dst
+
+
 _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdalwarp": gdalwarp, "gdaldem": gdaldem,
          "gdalbuildvrt": gdalbuildvrt, "gdal2tiles": gdal2tiles,
@@ -644,7 +890,13 @@ _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdal_polygonize": gdal_polygonize,
          "gdallocationinfo": gdallocationinfo,
          "gdaltransform": gdaltransform, "gdal_calc": gdal_calc,
-         "gdal_merge": gdal_merge, "ogrmerge": ogrmerge}
+         "gdal_merge": gdal_merge, "ogrmerge": ogrmerge,
+         "gdal_grid": gdal_grid, "gdal_viewshed": gdal_viewshed,
+         "gdal_footprint": gdal_footprint,
+         "gdal_proximity": gdal_proximity, "gdal_sieve": gdal_sieve,
+         "gdal_fillnodata": gdal_fillnodata,
+         "gdal_pansharpen": gdal_pansharpen, "nearblack": nearblack_app,
+         "gdal2xyz": gdal2xyz}
 
 
 def main(argv=None):

@@ -266,3 +266,126 @@ def test_gdaltransform_cli(monkeypatch, capsys):
     gx, gy = (float(v) for v in lines[0].split())
     assert abs(gx - mx[0]) < 1e-6 and abs(gy - my[0]) < 1e-6
     assert [round(float(v)) for v in lines[1].split()] == [0, 0]
+
+
+def test_gdal_grid_cli(tmp_path):
+    from georay.geom import wkb_point
+    xs = [1.0, 3.0, 7.0, 9.0]
+    t = pa.table({"z": [10.0, 20.0, 30.0, 40.0],
+                  "wkb": pa.array([wkb_point(x, 5.0) for x in xs],
+                                  pa.binary())})
+    src = str(tmp_path / "pts.parquet")
+    pq.write_table(t, src)
+    dst = str(tmp_path / "g.tif")
+    main(["gdal_grid", "-a", "nearest", "-zfield", "z",
+          "-txe", "0", "10", "-tye", "10", "0",
+          "-outsize", "10", "10", src, dst])
+    out, _ = tiff_decode(open(dst, "rb").read())
+    out = np.asarray(out)
+    assert out.shape == (10, 10)
+    # nearest value at pixel centers: x=0.5 -> 10, x=9.5 -> 40
+    assert out[5, 0] == 10.0 and out[5, 9] == 40.0
+    # invdist with radius produces nodata away from points
+    dst2 = str(tmp_path / "g2.tif")
+    main(["gdal_grid", "-a", "invdist:power=2:radius=1.5:nodata=-1",
+          "-zfield", "z", "-txe", "0", "10", "-tye", "10", "0",
+          "-outsize", "10", "10", src, dst2])
+    out2 = np.asarray(tiff_decode(open(dst2, "rb").read())[0])
+    assert out2[0, 0] == -1.0 and out2[5, 1] != -1.0
+
+
+def test_gdal_viewshed_footprint_cli(tmp_path):
+    dem = np.zeros((21, 21), np.float64)
+    dem[10, 15] = 100.0  # wall east of observer
+    src = str(tmp_path / "dem.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(dem, geotransform=(0, 1, 0, 21, 0, -1)))
+    dst = str(tmp_path / "vs.tif")
+    # observer at georef (10.5, 10.5) = pixel (10, 10)
+    main(["gdal_viewshed", "-ox", "10.5", "-oy", "10.5", "-oz", "2",
+          src, dst])
+    vis = np.asarray(tiff_decode(open(dst, "rb").read())[0])
+    assert vis[10, 10] == 255 and vis[10, 14] == 255
+    assert vis[10, 17] == 0  # shadowed behind the wall
+    # footprint of a raster with a nodata collar
+    band = np.zeros((10, 10), np.uint8)
+    band[2:8, 3:9] = 5
+    src2 = str(tmp_path / "f.tif")
+    with open(src2, "wb") as f:
+        f.write(tiff_encode(band, geotransform=(0, 1, 0, 10, 0, -1)))
+    dst2 = str(tmp_path / "fp.geojson")
+    main(["gdal_footprint", "-srcnodata", "0", src2, dst2])
+    gj = json.load(open(dst2))
+    assert gj["features"][0]["properties"]["n_valid"] == 36
+
+
+def test_gdal_proximity_sieve_fillnodata_cli(tmp_path):
+    band = np.zeros((9, 9), np.uint8)
+    band[4, 4] = 1
+    src = str(tmp_path / "t.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(band, geotransform=(0, 1, 0, 9, 0, -1)))
+    dst = str(tmp_path / "prox.tif")
+    main(["gdal_proximity", src, dst])
+    d = np.asarray(tiff_decode(open(dst, "rb").read())[0])
+    assert d[4, 4] == 0 and d[4, 6] == 2.0
+    np.testing.assert_allclose(d[0, 0], np.hypot(4, 4), rtol=1e-6)
+    # sieve: single-pixel island merges into background
+    band2 = np.zeros((8, 8), np.uint8)
+    band2[3, 3] = 9
+    src2 = str(tmp_path / "s.tif")
+    with open(src2, "wb") as f:
+        f.write(tiff_encode(band2, geotransform=(0, 1, 0, 8, 0, -1)))
+    dst2 = str(tmp_path / "sieved.tif")
+    main(["gdal_sieve", "-st", "2", src2, dst2])
+    out2 = np.asarray(tiff_decode(open(dst2, "rb").read())[0])
+    assert (out2 == 0).all()
+    # fillnodata: hole in a constant raster fills to the constant
+    band3 = np.full((8, 8), 7.0)
+    band3[3:5, 3:5] = -1.0
+    src3 = str(tmp_path / "h.tif")
+    with open(src3, "wb") as f:
+        f.write(tiff_encode(band3, geotransform=(0, 1, 0, 8, 0, -1)))
+    dst3 = str(tmp_path / "filled.tif")
+    main(["gdal_fillnodata", "-md", "4", "-nodata", "-1", src3, dst3])
+    out3 = np.asarray(tiff_decode(open(dst3, "rb").read())[0])
+    np.testing.assert_allclose(out3, 7.0)
+
+
+def test_gdal_pansharpen_nearblack_xyz_cli(tmp_path):
+    pan = np.full((8, 8), 100, np.uint8)
+    ms = np.zeros((4, 4, 3), np.uint8)
+    ms[:, :, 0] = 60
+    ms[:, :, 1] = 120
+    ms[:, :, 2] = 120
+    pp, mp = str(tmp_path / "pan.tif"), str(tmp_path / "ms.tif")
+    with open(pp, "wb") as f:
+        f.write(tiff_encode(pan, geotransform=(0, 1, 0, 8, 0, -1)))
+    with open(mp, "wb") as f:
+        f.write(tiff_encode(ms, geotransform=(0, 2, 0, 8, 0, -2)))
+    dst = str(tmp_path / "sharp.tif")
+    main(["gdal_pansharpen", pp, mp, dst])
+    out = np.asarray(tiff_decode(open(dst, "rb").read())[0])
+    # pseudo_pan = 100; ratio = 1 -> bands unchanged
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_array_equal(out[0, 0], [60, 120, 120])
+    # nearblack trims the border-connected near-black collar
+    img = np.full((10, 10, 3), 200, np.uint8)
+    img[:2] = 3          # near-black top collar
+    src = str(tmp_path / "nb.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(img, geotransform=(0, 1, 0, 10, 0, -1)))
+    dst2 = str(tmp_path / "nb_out.tif")
+    main(["nearblack", "-near", "5", "-o", dst2, src])
+    out2 = np.asarray(tiff_decode(open(dst2, "rb").read())[0])
+    assert (out2[:2] == 0).all() and (out2[2:] == 200).all()
+    # gdal2xyz text dump
+    band = np.arange(4, dtype=np.float64).reshape(2, 2)
+    src3 = str(tmp_path / "x.tif")
+    with open(src3, "wb") as f:
+        f.write(tiff_encode(band, geotransform=(0, 1, 0, 2, 0, -1)))
+    dst3 = str(tmp_path / "out.xyz")
+    main(["gdal2xyz", src3, dst3])
+    lines = open(dst3).read().strip().split("\n")
+    assert len(lines) == 4
+    assert lines[0].split() == ["0.5", "1.5", "0.0"]
