@@ -882,6 +882,440 @@ def gdal2xyz(args: list) -> str:
     return dst
 
 
+# ---------------------------------------------------------------------------
+# management / pyramid / index apps (apps/gdaladdo.cpp, gdalmanage.cpp,
+# gdaltindex_lib.cpp, ogrtindex.cpp, gdal_create.cpp; gdal-utils
+# gdal_edit.py, gdalmove.py, gdal_retile.py)
+# ---------------------------------------------------------------------------
+
+def gdaladdo(args: list) -> str:
+    """gdaladdo [-r average] src 2 4 8 — rebuild ``src`` as a tiled COG
+    whose overview pyramid has exactly len(levels) reduced-resolution
+    IFDs (apps/gdaladdo.cpp; library: gtiff.cog_encode)."""
+    from .gtiff import cog_encode, tiff_decode
+    _pop_opt(args, "-r")                       # pyramid kernel: average
+    src, *levels = args
+    n = max(1, len(levels))
+    arr, meta = tiff_decode(open(src, "rb").read())
+    m = max(np.asarray(arr).shape[:2])
+    blob = cog_encode(np.asarray(arr), geotransform=meta.get("geotransform"),
+                      min_overview=max(2, m >> (n - 1)))
+    with open(src, "wb") as f:
+        f.write(blob)
+    return src
+
+
+def gdal_create(args: list) -> str:
+    """gdal_create -outsize w h [-bands n] [-burn v] [-a_ullr ulx uly
+    lrx lry] dst (apps/gdal_create.cpp)."""
+    outsize = _pop_opt(args, "-outsize", 2)
+    bands = int(_pop_opt(args, "-bands", default="1"))
+    burn = float(_pop_opt(args, "-burn", default="0"))
+    ullr = _pop_opt(args, "-a_ullr", 4)
+    _pop_opt(args, "-ot")
+    (dst,) = args
+    w, h = int(outsize[0]), int(outsize[1])
+    arr = np.full((h, w) if bands == 1 else (h, w, bands), burn,
+                  np.float32 if burn != int(burn) else np.uint8)
+    gt = None
+    if ullr:
+        ulx, uly, lrx, lry = (float(v) for v in ullr)
+        gt = (ulx, (lrx - ulx) / w, 0.0, uly, 0.0, (lry - uly) / h)
+    return _write_raster(arr, gt, dst)
+
+
+def gdal_edit(args: list) -> str:
+    """gdal_edit [-a_ullr ulx uly lrx lry] [-a_nodata v] [-a_srs crs]
+    src — in-place georeferencing edit; pixels are rewritten untouched
+    (gdal-utils gdal_edit.py)."""
+    from .gtiff import tiff_decode, tiff_encode
+    ullr = _pop_opt(args, "-a_ullr", 4)
+    _pop_opt(args, "-a_nodata")
+    srs = _pop_opt(args, "-a_srs")
+    (src,) = args
+    arr, meta = tiff_decode(open(src, "rb").read())
+    gt = meta.get("geotransform")
+    if ullr:
+        h, w = np.asarray(arr).shape[:2]
+        ulx, uly, lrx, lry = (float(v) for v in ullr)
+        gt = (ulx, (lrx - ulx) / w, 0.0, uly, 0.0, (lry - uly) / h)
+    with open(src, "wb") as f:
+        f.write(tiff_encode(np.asarray(arr), geotransform=gt,
+                            crs=srs or meta.get("crs")))
+    return src
+
+
+def gdalmove(args: list) -> str:
+    """gdalmove -shift dx dy src — translate the geotransform origin
+    (gdal-utils gdalmove.py's affine update, pixel data untouched)."""
+    from .gtiff import tiff_decode, tiff_encode
+    shift = _pop_opt(args, "-shift", 2, default=["0", "0"])
+    (src,) = args
+    arr, meta = tiff_decode(open(src, "rb").read())
+    gt = meta.get("geotransform") or (0, 1, 0, 0, 0, 1)
+    gt = (gt[0] + float(shift[0]), gt[1], gt[2],
+          gt[3] + float(shift[1]), gt[4], gt[5])
+    with open(src, "wb") as f:
+        f.write(tiff_encode(np.asarray(arr), geotransform=gt,
+                            crs=meta.get("crs")))
+    return src
+
+
+def gdal_retile(args: list) -> str:
+    """gdal_retile -ps w h -targetDir dir src — cut into
+    ``<stem>_<row>_<col>.tif`` tiles with shifted geotransforms
+    (gdal-utils gdal_retile.py; library: tiles.* is the Dataset path)."""
+    import os
+
+    from .simpleformats import open_raster
+    ps = _pop_opt(args, "-ps", 2, default=["256", "256"])
+    tdir = _pop_opt(args, "-targetDir", default=".")
+    (src,) = args
+    arr, gt, _ = open_raster(src)
+    arr = np.asarray(arr)
+    tw, th = int(ps[0]), int(ps[1])
+    gt = gt or (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    stem = os.path.splitext(os.path.basename(src))[0]
+    os.makedirs(tdir, exist_ok=True)
+    outs = []
+    h, w = arr.shape[:2]
+    for r, y in enumerate(range(0, h, th)):
+        for c, x in enumerate(range(0, w, tw)):
+            sub = arr[y:y + th, x:x + tw]
+            sub_gt = (gt[0] + x * gt[1], gt[1], gt[2],
+                      gt[3] + y * gt[5], gt[4], gt[5])
+            p = os.path.join(tdir, f"{stem}_{r + 1}_{c + 1}.tif")
+            _write_raster(sub, sub_gt, p)
+            outs.append(p)
+    return "\n".join(outs)
+
+
+def gdaltindex(args: list) -> str:
+    """gdaltindex out.x src1 src2 … — one polygon per raster extent with
+    a ``location`` attribute (apps/gdaltindex_lib.cpp)."""
+    import pyarrow as pa
+
+    from .geom import box_ring, wkb_polygon
+    from .simpleformats import open_raster
+    from .vectoropen import write_vector
+    _pop_opt(args, "-f")
+    out, *srcs = args
+    locs, wkbs = [], []
+    for p in srcs:
+        arr, gt, _ = open_raster(p)
+        h, w = np.asarray(arr).shape[:2]
+        gt = gt or (0.0, 1.0, 0.0, float(h), 0.0, -1.0)
+        xs = (gt[0], gt[0] + w * gt[1])
+        ys = (gt[3], gt[3] + h * gt[5])
+        locs.append(p)
+        wkbs.append(wkb_polygon([box_ring(min(xs), min(ys),
+                                          max(xs), max(ys))]))
+    t = pa.table({"location": pa.array(locs, pa.string()),
+                  "wkb": pa.array(wkbs, pa.binary())})
+    return write_vector(t, out)
+
+
+def ogrtindex(args: list) -> str:
+    """ogrtindex out.x src1 src2 … — one polygon per vector layer extent
+    (apps/ogrtindex.cpp)."""
+    import pyarrow as pa
+
+    from .geom import box_ring, wkb_envelope, wkb_polygon
+    from .vectoropen import open_vector, write_vector
+    out, *srcs = args
+    locs, wkbs = [], []
+    for p in srcs:
+        t = open_vector(p)
+        if not isinstance(t, pa.Table):
+            t = pa.concat_tables(list(
+                t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        envs = np.array([wkb_envelope(w.as_py()) for w in t["wkb"]])
+        locs.append(p)
+        wkbs.append(wkb_polygon([box_ring(envs[:, 0].min(),
+                                          envs[:, 1].min(),
+                                          envs[:, 2].max(),
+                                          envs[:, 3].max())]))
+    tt = pa.table({"location": pa.array(locs, pa.string()),
+                   "wkb": pa.array(wkbs, pa.binary())})
+    return write_vector(tt, out)
+
+
+def gdalmanage(args: list) -> str:
+    """gdalmanage identify|copy|rename|delete path [dst]
+    (apps/gdalmanage.cpp; identify = the open_raster driver sniff)."""
+    import os
+    import shutil
+    mode, *rest = args
+    if mode == "identify":
+        magic_map = [(b"II*\x00", "GTiff"), (b"MM\x00*", "GTiff"),
+                     (b"II+\x00", "GTiff/BigTIFF"),
+                     (b"\x89PNG", "PNG"), (b"\xff\xd8\xff", "JPEG"),
+                     (b"RIFF", "WEBP"), (b"GIF8", "GIF"),
+                     (b"BM", "BMP"), (b"NITF", "NITF"),
+                     (b"UHL", "DTED")]
+        for p in rest:
+            if os.path.isdir(p):
+                name = "Zarr" if os.path.exists(
+                    os.path.join(p, ".zarray")) else "unknown"
+            else:
+                head = open(p, "rb").read(8)
+                name = next((n for m, n in magic_map
+                             if head.startswith(m)), None)
+                if name is None:
+                    name = {"asc": "AAIGrid", "xyz": "XYZ",
+                            "hgt": "SRTMHGT", "vrt": "VRT",
+                            "pgm": "PNM", "ppm": "PNM",
+                            "dt0": "DTED", "dt1": "DTED"}.get(
+                        p.lower().rsplit(".", 1)[-1], "unknown")
+            print(f"{p}: {name}")
+        return "identified"
+    if mode == "copy":
+        shutil.copyfile(rest[0], rest[1])
+    elif mode == "rename":
+        os.replace(rest[0], rest[1])
+    elif mode == "delete":
+        for p in rest:
+            os.remove(p)
+    else:
+        raise SystemExit(f"gdalmanage: unknown mode {mode!r}")
+    return mode
+
+
+# ---------------------------------------------------------------------------
+# color-table / enhancement / compare / srs apps (gdal-utils rgb2pct.py,
+# pct2rgb.py, gdalattachpct.py, gdalcompare.py; apps/gdalenhance.cpp,
+# gdalsrsinfo.cpp)
+# ---------------------------------------------------------------------------
+
+def rgb2pct(args: list) -> str:
+    """rgb2pct [-n colors] src dst — median-cut palette + Floyd–Steinberg
+    dither (gdal-utils rgb2pct.py; library: raster.median_cut_palette).
+    A ``.gif`` destination stores the palette natively."""
+    from .raster import dither_floyd_steinberg, median_cut_palette
+    from .simpleformats import open_raster
+    n = int(_pop_opt(args, "-n", default="256"))
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    rgb = np.asarray(arr)
+    pal = median_cut_palette(rgb, n)
+    out = dither_floyd_steinberg(rgb, pal)
+    return _write_raster(out, gt, dst)
+
+
+def pct2rgb(args: list) -> str:
+    """pct2rgb src dst — palette formats already decode to RGB here;
+    this re-encodes as a plain RGB raster (gdal-utils pct2rgb.py)."""
+    from .simpleformats import open_raster
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    return _write_raster(np.asarray(arr), gt, dst)
+
+
+def gdalattachpct(args: list) -> str:
+    """gdalattachpct palette_src src dst — apply the palette file's color
+    table to a single-band raster of palette indices
+    (gdal-utils gdalattachpct.py)."""
+    from .simpleformats import open_raster
+    pal_p, src, dst = args
+    pal_arr, _, _ = open_raster(pal_p)
+    pal_arr = np.asarray(pal_arr).reshape(-1, 3)
+    pal, idx = np.unique(pal_arr, axis=0, return_index=True)
+    pal = pal[np.argsort(idx)][:256]              # first-appearance order
+    arr, gt, _ = open_raster(src)
+    band = np.asarray(arr)
+    band = band[:, :, 0] if band.ndim == 3 else band
+    out = pal[np.clip(band.astype(np.int64), 0, len(pal) - 1)]
+    return _write_raster(out.astype(np.uint8), gt, dst)
+
+
+def gdalenhance(args: list) -> str:
+    """gdalenhance -equalize src dst — per-band histogram equalization
+    LUT (apps/gdalenhance.cpp)."""
+    from .simpleformats import open_raster
+    _pop_flag(args, "-equalize")
+    src, dst = args
+    arr, gt, _ = open_raster(src)
+    img = np.asarray(arr)
+    flat = img.reshape(img.shape[0], img.shape[1], -1)
+    out = np.empty_like(flat)
+    for b in range(flat.shape[2]):
+        band = flat[:, :, b]
+        hist = np.bincount(band.ravel().astype(np.int64), minlength=256)
+        cdf = hist.cumsum()
+        nz = cdf[cdf > 0]
+        if len(nz) == 0:
+            out[:, :, b] = band
+            continue
+        lut = np.rint((cdf - nz[0]) / max(cdf[-1] - nz[0], 1)
+                      * 255).astype(np.uint8)
+        out[:, :, b] = lut[band.astype(np.int64)]
+    return _write_raster(out.reshape(img.shape), gt, dst)
+
+
+def gdalcompare(args: list) -> str:
+    """gdalcompare golden new — difference count to stdout, like
+    gdal-utils gdalcompare.py's findfile/compare_image (library:
+    compare.compare_images is the Dataset-scale path)."""
+    from .simpleformats import open_raster
+    golden_p, new_p = args
+    g, ggt, _ = open_raster(golden_p)
+    n, ngt, _ = open_raster(new_p)
+    g, n = np.asarray(g), np.asarray(n)
+    diffs = 0
+    if g.shape != n.shape:
+        print(f"Difference: dimensions {g.shape} vs {n.shape}")
+        diffs += 1
+    elif not np.array_equal(g, n):
+        print(f"Difference: pixels differ "
+              f"(maxdiff={np.abs(g.astype(np.float64) - n).max()})")
+        diffs += 1
+    if (ggt or None) != (ngt or None):
+        print(f"Difference: geotransform {ggt} vs {ngt}")
+        diffs += 1
+    print(f"Differences Found: {diffs}")
+    return str(diffs)
+
+
+def gdalsrsinfo(args: list) -> str:
+    """gdalsrsinfo EPSG:code — the engine's resolved projection family +
+    parameters (apps/gdalsrsinfo.cpp; library: mercator.resolve_crs)."""
+    from .mercator import resolve_crs
+    (crs,) = args
+    kind, params = resolve_crs(crs)
+    s = json.dumps({"crs": crs, "projection": kind,
+                    "parameters": {k: v for k, v in params.items()
+                                   if isinstance(v, (int, float, str,
+                                                     bool))}})
+    print(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# mdim / lineref / layer algebra apps (apps/gdalmdiminfo_lib.cpp,
+# gdalmdimtranslate_lib.cpp, ogrlineref.cpp; gdal-utils ogr_layer_algebra.py)
+# ---------------------------------------------------------------------------
+
+def gdalmdiminfo(args: list) -> str:
+    """gdalmdiminfo store — JSON description of a Zarr array
+    (apps/gdalmdiminfo_lib.cpp; library: mdim.MDArray)."""
+    from .zarrstore import zarr_meta
+    (path,) = args
+    meta = zarr_meta(path)
+    s = json.dumps({"shape": list(meta["shape"]),
+                    "chunks": list(meta["chunks"]),
+                    "dtype": str(np.dtype(meta["dtype"])),
+                    "fill_value": meta.get("fill_value")})
+    print(s)
+    return s
+
+
+def gdalmdimtranslate(args: list) -> str:
+    """gdalmdimtranslate [-window o0 n0 o1 n1 …] [-chunks c0 c1 …]
+    src dst — window + re-chunk between Zarr stores
+    (apps/gdalmdimtranslate_lib.cpp; library: mdim.mdim_translate)."""
+    from .mdim import mdim_translate
+    window = _pop_opt(args, "-window", 4)
+    chunks = _pop_opt(args, "-chunks", 2)
+    src, dst = args
+    win = None
+    if window:
+        v = [int(x) for x in window]
+        win = (slice(v[0], v[0] + v[1]), slice(v[2], v[2] + v[3]))
+    mdim_translate(src, dst, window=win,
+                   chunks=tuple(int(c) for c in chunks) if chunks
+                   else None)
+    return dst
+
+
+def ogrlineref(args: list) -> str:
+    """ogrlineref -create -l line -s step -o out | -get_coord -l line -m M
+    | -get_pos -l line -x X -y Y | -get_subline -l line -mb m1 -me m2 -o out
+    (apps/ogrlineref.cpp; library: georay.lineref)."""
+    import pyarrow as pa
+
+    from .curves import linearize_wkb, wkb_linestring
+    from .lineref import (create_mileposts, locate_points,
+                          point_at_measure, subline)
+    from .geom import wkb_point
+    from .vectoropen import open_vector, write_vector
+    line_p = _pop_opt(args, "-l")
+    t = open_vector(line_p)
+    if not isinstance(t, pa.Table):
+        t = pa.concat_tables(list(
+            t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+    kind, curves = linearize_wkb(t["wkb"][0].as_py())
+    xy = np.asarray(curves[0], np.float64)
+    if _pop_flag(args, "-create"):
+        step = float(_pop_opt(args, "-s", default="1"))
+        out = _pop_opt(args, "-o")
+        mp = create_mileposts(xy, step)
+        tt = pa.table({
+            "measure": pa.array(mp[:, 2], pa.float64()),
+            "wkb": pa.array([wkb_point(float(x), float(y))
+                             for x, y in mp[:, :2]], pa.binary())})
+        return write_vector(tt, out)
+    if _pop_flag(args, "-get_coord"):
+        m = float(_pop_opt(args, "-m", default="0"))
+        x, y = point_at_measure(xy, m)[0]
+        s = f"{float(x)} {float(y)}"
+        print(s)
+        return s
+    if _pop_flag(args, "-get_pos"):
+        x = float(_pop_opt(args, "-x"))
+        y = float(_pop_opt(args, "-y"))
+        m = locate_points(xy, np.array([x]), np.array([y]))[0][0]
+        s = f"{float(m)}"
+        print(s)
+        return s
+    if _pop_flag(args, "-get_subline"):
+        m1 = float(_pop_opt(args, "-mb", default="0"))
+        m2 = float(_pop_opt(args, "-me", default="0"))
+        out = _pop_opt(args, "-o")
+        sub = subline(xy, m1, m2)
+        tt = pa.table({"wkb": pa.array([wkb_linestring(sub)],
+                                       pa.binary())})
+        return write_vector(tt, out)
+    raise SystemExit("ogrlineref: need -create | -get_coord | -get_pos "
+                     "| -get_subline")
+
+
+def ogr_layer_algebra(args: list) -> str:
+    """ogr_layer_algebra Union|Intersection|Difference|SymDifference|
+    Identity|Update|Clip|Erase -input_ds a -method_ds b -output_ds out
+    (gdal-utils ogr_layer_algebra.py; library: overlay.*_layers)."""
+    import pyarrow as pa
+
+    from . import overlay
+    from .vectoropen import open_vector, write_vector
+    op = args.pop(0).lower()
+    a_p = _pop_opt(args, "-input_ds")
+    b_p = _pop_opt(args, "-method_ds")
+    out = _pop_opt(args, "-output_ds")
+
+    def load(p):
+        t = open_vector(p)
+        if not isinstance(t, pa.Table):
+            t = pa.concat_tables(list(
+                t.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        return t
+
+    a, b = load(a_p), load(b_p)
+    if "polygon_id" not in b.column_names:
+        b = b.append_column(
+            "polygon_id", pa.array([str(i) for i in range(len(b))],
+                                   pa.string()))
+    import ray.data
+    ds = ray.data.from_arrow(a)
+    if op == "identity":
+        res = overlay.identity_layers(ds, b)
+    elif op == "update":
+        res = overlay.update_layers(ds, b)
+    else:
+        op = {"clip": "intersection", "erase": "difference"}.get(op, op)
+        res = overlay.overlay_layers(ds, b, op=op)
+    return write_vector(res, out)
+
+
 _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdalwarp": gdalwarp, "gdaldem": gdaldem,
          "gdalbuildvrt": gdalbuildvrt, "gdal2tiles": gdal2tiles,
@@ -896,7 +1330,18 @@ _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdal_proximity": gdal_proximity, "gdal_sieve": gdal_sieve,
          "gdal_fillnodata": gdal_fillnodata,
          "gdal_pansharpen": gdal_pansharpen, "nearblack": nearblack_app,
-         "gdal2xyz": gdal2xyz}
+         "gdal2xyz": gdal2xyz,
+         "gdaladdo": gdaladdo, "gdal_create": gdal_create,
+         "gdal_edit": gdal_edit, "gdalmove": gdalmove,
+         "gdal_retile": gdal_retile, "gdaltindex": gdaltindex,
+         "ogrtindex": ogrtindex, "gdalmanage": gdalmanage,
+         "rgb2pct": rgb2pct, "pct2rgb": pct2rgb,
+         "gdalattachpct": gdalattachpct, "gdalenhance": gdalenhance,
+         "gdalcompare": gdalcompare, "gdalsrsinfo": gdalsrsinfo,
+         "gdalmdiminfo": gdalmdiminfo,
+         "gdalmdimtranslate": gdalmdimtranslate,
+         "ogrlineref": ogrlineref,
+         "ogr_layer_algebra": ogr_layer_algebra}
 
 
 def main(argv=None):

@@ -389,3 +389,165 @@ def test_gdal_pansharpen_nearblack_xyz_cli(tmp_path):
     lines = open(dst3).read().strip().split("\n")
     assert len(lines) == 4
     assert lines[0].split() == ["0.5", "1.5", "0.0"]
+
+
+def test_gdaladdo_create_edit_move_retile(tmp_path):
+    arr = np.arange(40 * 40, dtype=np.uint8).reshape(40, 40)
+    src = str(tmp_path / "a.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(arr, geotransform=(0, 1, 0, 40, 0, -1)))
+    main(["gdaladdo", src, "2", "4"])
+    _, meta = tiff_decode(open(src, "rb").read())
+    assert len(meta["levels"]) == 3  # full + 2 overviews
+    assert meta["levels"][1] == (20, 20) and meta["levels"][2] == (10, 10)
+    # gdal_create
+    dst = str(tmp_path / "blank.tif")
+    main(["gdal_create", "-outsize", "8", "4", "-burn", "7",
+          "-a_ullr", "0", "4", "8", "0", dst])
+    out, meta2 = tiff_decode(open(dst, "rb").read())
+    assert np.asarray(out).shape == (4, 8) and (np.asarray(out) == 7).all()
+    assert meta2["geotransform"] == (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+    # gdal_edit rewrites georeferencing only
+    main(["gdal_edit", "-a_ullr", "100", "50", "108", "46", dst])
+    out3, meta3 = tiff_decode(open(dst, "rb").read())
+    assert (np.asarray(out3) == 7).all()
+    assert meta3["geotransform"] == (100.0, 1.0, 0.0, 50.0, 0.0, -1.0)
+    # gdalmove shifts the origin
+    main(["gdalmove", "-shift", "-100", "-50", dst])
+    _, meta4 = tiff_decode(open(dst, "rb").read())
+    assert meta4["geotransform"][0] == 0.0 and meta4["geotransform"][3] == 0.0
+    # gdal_retile cuts shifted tiles
+    tdir = str(tmp_path / "tiles")
+    main(["gdal_retile", "-ps", "25", "25", "-targetDir", tdir, src])
+    import os
+    names = sorted(os.listdir(tdir))
+    assert names == ["a_1_1.tif", "a_1_2.tif", "a_2_1.tif", "a_2_2.tif"]
+    t22, m22 = tiff_decode(open(os.path.join(tdir, "a_2_2.tif"),
+                                "rb").read())
+    assert np.asarray(t22).shape == (15, 15)
+    assert m22["geotransform"] == (25.0, 1.0, 0.0, 15.0, 0.0, -1.0)
+
+
+def test_gdaltindex_ogrtindex_manage(tif, vec, tmp_path, capsys):
+    src, _ = tif
+    out = str(tmp_path / "tindex.geojson")
+    main(["gdaltindex", out, src])
+    gj = json.load(open(out))
+    assert gj["features"][0]["properties"]["location"] == src
+    ring = gj["features"][0]["geometry"]["coordinates"][0]
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    assert min(xs) == 10.0 and max(xs) == 40.0  # 60 px * 0.5
+    assert min(ys) == 30.0 and max(ys) == 50.0  # 40 px * 0.5
+    vsrc, _ = vec
+    out2 = str(tmp_path / "vindex.geojson")
+    main(["ogrtindex", out2, vsrc])
+    gj2 = json.load(open(out2))
+    ring2 = gj2["features"][0]["geometry"]["coordinates"][0]
+    assert min(p[0] for p in ring2) == -60.0
+    assert max(p[1] for p in ring2) == 45.0
+    # gdalmanage identify + copy + delete
+    main(["gdalmanage", "identify", src])
+    assert "GTiff" in capsys.readouterr().out
+    cp = str(tmp_path / "copy.tif")
+    main(["gdalmanage", "copy", src, cp])
+    main(["gdalmanage", "delete", cp])
+    import os
+    assert not os.path.exists(cp)
+
+
+def test_color_enhance_compare_srs(tmp_path, capsys):
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    src = str(tmp_path / "rgb.tif")
+    with open(src, "wb") as f:
+        f.write(tiff_encode(rgb, geotransform=(0, 1, 0, 16, 0, -1)))
+    dst = str(tmp_path / "pct.gif")
+    main(["rgb2pct", "-n", "16", src, dst])
+    from georay.gifbmp import gif_decode
+    pal_img = gif_decode(open(dst, "rb").read())
+    arr = np.asarray(pal_img[0] if isinstance(pal_img, tuple) else pal_img)
+    assert arr.shape[:2] == (16, 16)
+    # at most 16 distinct colors survived
+    flat = arr.reshape(-1, arr.shape[-1])
+    assert len(np.unique(flat, axis=0)) <= 16
+    # pct2rgb back to tif
+    dst2 = str(tmp_path / "back.tif")
+    main(["pct2rgb", dst, dst2])
+    assert np.asarray(tiff_decode(open(dst2, "rb").read())[0]).shape \
+        == (16, 16, 3)
+    # gdalattachpct: palette from the quantized file onto an index band
+    idx = np.zeros((4, 4), np.uint8)
+    srci = str(tmp_path / "idx.tif")
+    with open(srci, "wb") as f:
+        f.write(tiff_encode(idx, geotransform=(0, 1, 0, 4, 0, -1)))
+    dst3 = str(tmp_path / "attached.tif")
+    main(["gdalattachpct", dst2, srci, dst3])
+    out3 = np.asarray(tiff_decode(open(dst3, "rb").read())[0])
+    assert out3.shape == (4, 4, 3)
+    # gdalenhance -equalize maps min->0, max->255
+    grad = np.linspace(100, 150, 64, dtype=np.uint8).reshape(8, 8)
+    srcg = str(tmp_path / "g.tif")
+    with open(srcg, "wb") as f:
+        f.write(tiff_encode(grad, geotransform=(0, 1, 0, 8, 0, -1)))
+    dst4 = str(tmp_path / "eq.tif")
+    main(["gdalenhance", "-equalize", srcg, dst4])
+    eq = np.asarray(tiff_decode(open(dst4, "rb").read())[0])
+    assert eq.min() == 0 and eq.max() == 255
+    # gdalcompare: identical -> 0 differences, modified -> >0
+    main(["gdalcompare", srcg, srcg])
+    assert "Differences Found: 0" in capsys.readouterr().out
+    main(["gdalcompare", srcg, src])
+    assert "Differences Found: 0" not in capsys.readouterr().out
+    # gdalsrsinfo
+    main(["gdalsrsinfo", "EPSG:32631"])
+    info = json.loads(capsys.readouterr().out)
+    assert info["projection"] == "utm" and info["parameters"]["zone"] == 31
+
+
+def test_mdim_lineref_layeralgebra_cli(tmp_path, capsys):
+    from georay.zarrstore import zarr_create, zarr_read, zarr_write_chunk
+    a = np.arange(64, dtype=np.float64).reshape(8, 8)
+    zsrc = str(tmp_path / "z.zarr")
+    zarr_create(zsrc, shape=(8, 8), chunks=(4, 4), dtype="<f8")
+    for i in range(2):
+        for j in range(2):
+            zarr_write_chunk(zsrc, (i, j), a[i*4:(i+1)*4, j*4:(j+1)*4])
+    main(["gdalmdiminfo", zsrc])
+    info = json.loads(capsys.readouterr().out)
+    assert info["shape"] == [8, 8] and info["chunks"] == [4, 4]
+    zdst = str(tmp_path / "z2.zarr")
+    main(["gdalmdimtranslate", "-window", "2", "4", "2", "4",
+          "-chunks", "2", "2", zsrc, zdst])
+    np.testing.assert_array_equal(zarr_read(zdst), a[2:6, 2:6])
+    # ogrlineref over a diagonal-free 10-unit line
+    from georay.curves import wkb_linestring
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    lsrc = str(tmp_path / "line.parquet")
+    pq.write_table(pa.table({"wkb": pa.array([wkb_linestring(line)],
+                                             pa.binary())}), lsrc)
+    mp_out = str(tmp_path / "mp.geojson")
+    main(["ogrlineref", "-create", "-l", lsrc, "-s", "2.5", "-o", mp_out])
+    gj = json.load(open(mp_out))
+    assert [f["properties"]["measure"] for f in gj["features"]] \
+        == [0.0, 2.5, 5.0, 7.5, 10.0]
+    main(["ogrlineref", "-get_coord", "-l", lsrc, "-m", "4"])
+    assert capsys.readouterr().out.strip() == "4.0 0.0"
+    main(["ogrlineref", "-get_pos", "-l", lsrc, "-x", "3", "-y", "2"])
+    assert float(capsys.readouterr().out.strip()) == 3.0
+    # layer algebra through the CLI: unit squares intersection
+    from georay.geom import wkb_polygon
+    sq = lambda x0, y0, s: np.array([[x0, y0], [x0+s, y0], [x0+s, y0+s],
+                                     [x0, y0+s], [x0, y0]], np.float64)
+    ap = str(tmp_path / "a.parquet")
+    bp = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": [1], "wkb": pa.array(
+        [wkb_polygon([sq(0, 0, 2)])], pa.binary())}), ap)
+    pq.write_table(pa.table({"wkb": pa.array(
+        [wkb_polygon([sq(1, 1, 2)])], pa.binary())}), bp)
+    outp = str(tmp_path / "int.parquet")
+    main(["ogr_layer_algebra", "Intersection", "-input_ds", ap,
+          "-method_ds", bp, "-output_ds", outp])
+    res = pq.read_table(outp)
+    assert len(res) == 1
+    assert abs(res["result_area"][0].as_py() - 1.0) < 1e-9
