@@ -606,11 +606,16 @@ def _geom_fn(which):
             return pa.array(m.buffer_areas(_wkb_packed(args[0], batch),
                                            float(d[1])))
         _n_args(f"ST_{which.upper()}", args, 1)
-        if which == "length_any":
+        if which in ("length_any", "geodesic_length", "geodesic_area"):
             col = _eval(args[0], batch)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return pa.array(m.lengths_any_wkb(col.to_pylist()))
+            if which == "length_any":
+                return pa.array(m.lengths_any_wkb(col.to_pylist()))
+            from . import geodesic as gd
+            fn = (gd.geodesic_lengths_wkb if which == "geodesic_length"
+                  else gd.geodesic_areas_wkb)
+            return pa.array(fn(col.to_pylist()))
         p = _wkb_packed(args[0], batch)
         if which == "area":
             return pa.array(m.feature_areas(p))
@@ -705,6 +710,9 @@ _FUNCS = {
     "ST_CONVEXHULL_AREA": _geom_fn("convexhull_area"),
     "ST_HULL_NPOINTS": _geom_fn("npoints"),
     "ST_BUFFER_AREA": _geom_fn("buffer_area"),
+    # ellipsoidal measures (OGR_G_GeodesicLength/Area, ogr/ogr_api.cpp:1666)
+    "ST_GEODESIC_LENGTH": _geom_fn("geodesic_length"),
+    "ST_GEODESIC_AREA": _geom_fn("geodesic_area"),
 }
 
 

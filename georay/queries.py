@@ -1574,6 +1574,59 @@ def q_geom_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_geodesic_measures(sf_dir: str):
+    """Ellipsoidal measures — OGR_G_GeodesicArea / OGR_G_GeodesicLength
+    (ogr/ogr_api.cpp:1666,:1750, PROJ geod_* in the reference; here the
+    from-scratch Karney solver, georay/geodesic.py) as one streaming
+    ``map_batches`` over shapes derived from ``n_nationkey``:
+
+    * a lune triangle (equator-pole-equator, geodesic edges are an
+      equator arc + two meridians) whose geodesic area has the EXACT
+      closed form c2·Δλ with c2 the authalic radius squared;
+    * a meridian segment whose geodesic length is the rectifying-series
+      meridian distance m(lat_b) − m(lat_a);
+    * an equator segment, length a·Δλ exactly.
+
+    The ENGINE solves all three through the general geodesic machinery
+    (vectorized inverse + authalic-excess area); the ORACLE evaluates
+    the independent closed forms in SQL.  Both sides are accurate to
+    ≤1e-7 m (engine: order-6 Karney series; oracle: order-n⁴ rectifying
+    series), so round(3)-metre / round(3)-km² parity has ~1e-4 bin-edge
+    exposure — the standard float-parity discipline of NOTES.md."""
+    from .curves import wkb_linestring
+    from .geodesic import geodesic_areas_wkb, geodesic_lengths_wkb
+
+    def build(batch: pa.Table) -> pa.Table:
+        k = batch["n_nationkey"].to_numpy().astype(np.int64)
+        dl = 0.2 + 0.37 * k
+        lon0 = -170.0 + 10.0 * k
+        lat_a = -(5.0 + 2.0 * k)
+        lat_b = 10.0 + 2.5 * k
+        lonm = -100.0 + 7.0 * k
+        de = 1.0 + 0.9 * k
+        lunes, merids, equats = [], [], []
+        for j in range(len(k)):
+            lunes.append(wkb_polygon([[(lon0[j], 0.0),
+                                       (lon0[j] + dl[j], 0.0),
+                                       (lon0[j], 90.0)]]))
+            merids.append(wkb_linestring(
+                np.array([[lonm[j], lat_a[j]], [lonm[j], lat_b[j]]])))
+            equats.append(wkb_linestring(
+                np.array([[lon0[j], 0.0], [lon0[j] + de[j], 0.0]])))
+        return pa.table({
+            "n_nationkey": batch["n_nationkey"],
+            "lune_km2": pa.array(np.round(
+                geodesic_areas_wkb(lunes) / 1e6, 3)),
+            "meridian_m": pa.array(np.round(
+                geodesic_lengths_wkb(merids), 3)),
+            "equator_m": pa.array(np.round(
+                geodesic_lengths_wkb(equats), 3)),
+        })
+
+    return _rp(sf_dir, "nation", ["n_nationkey"]).map_batches(
+        build, batch_format="pyarrow")
+
+
 def q_osm_nodes_census(sf_dir: str):
     """Customer points routed through an OSM PBF roundtrip: the engine's
     from-scratch PBF writer (georay.osmpbf, hand-rolled protobuf wire +
@@ -3503,6 +3556,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "doc_split": q_doc_split,
     "geom_measures": q_geom_measures,
+    "geodesic_measures": q_geodesic_measures,
     "curve_measures": q_curve_measures,
     "fgb_zone_join": q_fgb_zone_join,
     "sample_per_key": q_sample_per_key,
@@ -3539,9 +3593,12 @@ QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "embedding_kmeans": q_embedding_kmeans,
     "doc_top_terms": q_doc_top_terms,
-    # -- (d) headline anchors: north-rule image pipeline + LLM ops --
-    "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    # flagship_join_images rotated behind by geodesic_measures (in-window,
+    # oracle-backed): the flagship has rows-only driver rows from r1-r3
+    # and byte-level in-repo pins; window slots go to oracle-backed
+    # queries first (see window policy above).
+    "flagship_join_images": q_flagship_join_images,
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -4452,6 +4509,54 @@ ORACLE_SQL = {
                                + 16.0 * 0.01 * sin(pi() / 16.0) END,
                      6) AS buf_area
         FROM p
+    """,
+    "geodesic_measures": """
+        WITH c AS (
+            SELECT 6378137.0 AS a, 1.0 / 298.257223563 AS f
+        ),
+        d AS (
+            SELECT a, f, a * (1.0 - f) AS b, f * (2.0 - f) AS e2,
+                   f / (2.0 - f) AS n, sqrt(f * (2.0 - f)) AS e
+            FROM c
+        ),
+        e AS (
+            SELECT a, b, n, e2, e,
+                   -- authalic radius squared (exact closed form)
+                   (a * a + b * b * 0.5 * ln((1.0 + e) / (1.0 - e)) / e)
+                       / 2.0 AS c2,
+                   -- rectifying radius + series coefficients (order n^4)
+                   a / (1.0 + n) * (1.0 + n * n / 4.0
+                                    + n * n * n * n / 64.0) AS bigA,
+                   -1.5 * n + 9.0 * n * n * n / 16.0 AS k2,
+                   15.0 * n * n / 16.0
+                       - 15.0 * n * n * n * n / 32.0 AS k4,
+                   -35.0 * n * n * n / 48.0 AS k6,
+                   315.0 * n * n * n * n / 512.0 AS k8
+            FROM d
+        ),
+        p AS (
+            SELECT n_nationkey,
+                   0.2 + 0.37 * n_nationkey AS dl,
+                   -(5.0 + 2.0 * n_nationkey) AS lat_a,
+                   10.0 + 2.5 * n_nationkey AS lat_b,
+                   1.0 + 0.9 * n_nationkey AS de
+            FROM nation
+        )
+        SELECT n_nationkey,
+               round(c2 * radians(dl) / 1e6, 3) AS lune_km2,
+               round(bigA * ((radians(lat_b)
+                              + k2 * sin(2.0 * radians(lat_b))
+                              + k4 * sin(4.0 * radians(lat_b))
+                              + k6 * sin(6.0 * radians(lat_b))
+                              + k8 * sin(8.0 * radians(lat_b)))
+                             - (radians(lat_a)
+                                + k2 * sin(2.0 * radians(lat_a))
+                                + k4 * sin(4.0 * radians(lat_a))
+                                + k6 * sin(6.0 * radians(lat_a))
+                                + k8 * sin(8.0 * radians(lat_a)))),
+                     3) AS meridian_m,
+               round(a * radians(de), 3) AS equator_m
+        FROM p, e
     """,
     "overlay_intersection": """
         WITH n AS (SELECT n_nationkey AS k,
