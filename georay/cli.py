@@ -235,10 +235,21 @@ def gdalwarp(args: list) -> str:
     dstnodata = float(_pop_opt(args, "-dstnodata", default="0"))
     src, dst = args
     arr, gt, _ = open_raster(src)
-    arr = np.asarray(arr)
+    out, dst_gt = _warp_core(np.asarray(arr), gt, s_srs=s_srs, t_srs=t_srs,
+                             kernel=kernel, ts=ts, te=te,
+                             dstnodata=dstnodata)
+    return _write_raster(out, dst_gt, dst, nodata=dstnodata)
+
+
+def _warp_core(arr, gt, *, s_srs, t_srs, kernel="bilinear", ts=None,
+               te=None, dstnodata=0.0):
+    """Shared warp body for gdalwarp and ``gdal raster reproject`` /
+    pipeline steps: SuggestedWarpOutput-analog dst grid + kernel warp."""
+    from .raster import _crs_to_latlon, _latlon_to_crs, \
+        warp_affine_mercator
     h, w = arr.shape[:2]
     if gt is None:
-        raise SystemExit("gdalwarp: source has no geotransform")
+        raise SystemExit("warp: source has no geotransform")
     if te:
         xmin, ymin, xmax, ymax = (float(v) for v in te)
     else:
@@ -262,7 +273,7 @@ def gdalwarp(args: list) -> str:
                                nodata=dstnodata)
     if arr.dtype == np.uint8:
         out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
-    return _write_raster(out, dst_gt, dst, nodata=dstnodata)
+    return out, dst_gt
 
 
 # ---------------------------------------------------------------------------
@@ -1342,6 +1353,15 @@ _APPS = {"gdal_translate": gdal_translate, "ogr2ogr": ogr2ogr,
          "gdalmdimtranslate": gdalmdimtranslate,
          "ogrlineref": ogrlineref,
          "ogr_layer_algebra": ogr_layer_algebra}
+
+
+def _gdal_unified(args):
+    from .gdalcli import gdal
+    return gdal(args)
+
+
+# unified `gdal` command (GDAL 3.11 apps/gdalalg_main.cpp)
+_APPS["gdal"] = _gdal_unified
 
 
 def main(argv=None):

