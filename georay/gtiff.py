@@ -5,8 +5,11 @@ scratch against the public TIFF 6.0 specification and the OGC GeoTIFF
 
 * ``tiff_decode``: bytes → (array, meta).  Both byte orders; striped
   and tiled layouts; compression none / Deflate / PackBits / LZW (the
-  TIFF variant with early code-size change); horizontal-differencing
-  predictor; uint8/uint16/uint32/float32/float64 chunky samples.
+  TIFF variant with early code-size change) / new-style JPEG (code 7,
+  abbreviated streams + shared tag-347 JPEGTables, decoded by the
+  from-scratch codec in georay/jpeg.py — frmts/gtiff COMPRESS=JPEG);
+  horizontal-differencing predictor; uint8/uint16/uint32/float32/
+  float64 chunky samples.
   ``meta`` carries ``geotransform`` (GDAL 6-tuple) and ``crs``
   ("EPSG:xxxx") recovered from ModelPixelScale/ModelTiepoint and the
   GeoKey directory, plus decoded overview levels.
@@ -238,6 +241,40 @@ def _decompress(chunk: bytes, comp: int, expected: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {comp}")
 
 
+# -- JPEG-in-TIFF (compression 7, "new-style"; frmts/gtiff COMPRESS=JPEG) --
+
+def _jpeg_split_tables(jfif: bytes):
+    """Full JFIF → (tables_stream, abbreviated_stream): DQT/DHT segments
+    move to a JPEGTables (tag 347) stream ``SOI tables EOI``; the
+    abbreviated per-block stream keeps everything else (TIFF 6.0 TechNote
+    2 / TIFF-EP layout libtiff's JPEG codec writes)."""
+    tables, rest = [], []
+    n = len(jfif)
+    off = 2                                  # past SOI
+    while off + 4 <= n:
+        if jfif[off] != 0xFF:
+            break
+        marker = jfif[off + 1]
+        if marker == 0xDA:                   # SOS: entropy data to EOI
+            rest.append(jfif[off:])
+            break
+        (seglen,) = struct.unpack_from(">H", jfif, off + 2)
+        seg = jfif[off:off + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).append(seg)
+        off += 2 + seglen
+    return (b"\xFF\xD8" + b"".join(tables) + b"\xFF\xD9",
+            b"\xFF\xD8" + b"".join(rest))
+
+
+def _jpeg_block_decode(chunk: bytes, tables: bytes | None) -> np.ndarray:
+    """One strip/tile stream (+ optional shared JPEGTables) → pixels."""
+    from .jpeg import jpeg_decode
+    if tables is not None and len(tables) > 4:
+        chunk = chunk[:2] + tables[2:-2] + chunk[2:]
+    a = np.asarray(jpeg_decode(bytes(chunk)))
+    return a if a.ndim == 3 else a[:, :, None]
+
+
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr, axis=1, dtype=arr.dtype)
 
@@ -249,6 +286,7 @@ def _decode_one(data: memoryview, tags, e: str):
     comp = int(tags.get(259, (1,))[0])
     pred = int(tags.get(317, (1,))[0])
     dt = _dtype_of(tags, e)
+    jtables = bytes(tags[347][0]) if comp == 7 and 347 in tags else None
     if 322 in tags:                      # tiled
         tw, th = int(tags[322][0]), int(tags[323][0])
         offs, cnts = tags[324], tags[325]
@@ -256,11 +294,15 @@ def _decode_one(data: memoryview, tags, e: str):
         out = np.zeros((h, w, spp), dtype=dt)
         nbytes = tw * th * spp * dt.itemsize
         for k, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
-            tile = np.frombuffer(raw, dtype=dt,
-                                 count=tw * th * spp).reshape(th, tw, spp)
-            if pred == 2:
-                tile = _undo_predictor(tile)
+            if comp == 7:
+                tile = _jpeg_block_decode(bytes(data[o:o + c]), jtables)
+            else:
+                raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
+                tile = np.frombuffer(
+                    raw, dtype=dt,
+                    count=tw * th * spp).reshape(th, tw, spp)
+                if pred == 2:
+                    tile = _undo_predictor(tile)
             ty, tx = divmod(k, across)
             y0, x0 = ty * th, tx * tw
             out[y0:y0 + th, x0:x0 + tw] = \
@@ -271,12 +313,16 @@ def _decode_one(data: memoryview, tags, e: str):
     rows = []
     for k, (o, c) in enumerate(zip(offs, cnts)):
         nrows = min(rps, h - k * rps)
-        nbytes = nrows * w * spp * dt.itemsize
-        raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
-        strip = np.frombuffer(raw, dtype=dt,
-                              count=nrows * w * spp).reshape(nrows, w, spp)
-        if pred == 2:
-            strip = _undo_predictor(strip)
+        if comp == 7:
+            strip = _jpeg_block_decode(bytes(data[o:o + c]), jtables)
+        else:
+            nbytes = nrows * w * spp * dt.itemsize
+            raw = _decompress(bytes(data[o:o + c]), comp, nbytes)
+            strip = np.frombuffer(
+                raw, dtype=dt,
+                count=nrows * w * spp).reshape(nrows, w, spp)
+            if pred == 2:
+                strip = _undo_predictor(strip)
         rows.append(strip)
     out = np.vstack(rows)
     return out[..., 0] if spp == 1 else out
@@ -331,7 +377,27 @@ def tiff_decode(data: bytes, overview: int | None = None):
 # Writer
 # ---------------------------------------------------------------------------
 
-_COMP_CODE = {"none": 1, "deflate": 8, "packbits": 32773, "lzw": 5}
+_COMP_CODE = {"none": 1, "deflate": 8, "packbits": 32773, "lzw": 5,
+              "jpeg": 7}
+
+
+def _jpeg_encode_blocks(parts, quality: int):
+    """Pixel blocks → (abbreviated streams, shared JPEGTables bytes).
+    All blocks share one quality → identical DQT/DHT, so the tables of
+    the first block ARE the shared tag-347 stream (libtiff writes the
+    same layout for COMPRESS=JPEG)."""
+    from .jpeg import jpeg_encode
+    streams, tables = [], None
+    for part in parts:
+        a = part[..., 0] if part.ndim == 3 and part.shape[2] == 1 else part
+        if a.dtype != np.uint8:
+            raise ValueError("JPEG-in-TIFF needs uint8 samples")
+        full = jpeg_encode(a, quality=quality)
+        t, abbrev = _jpeg_split_tables(full)
+        if tables is None:
+            tables = t
+        streams.append(abbrev)
+    return streams, tables or b"\xFF\xD8\xFF\xD9"
 
 
 def _compress(raw: bytes, comp: str) -> bytes:
@@ -396,6 +462,9 @@ def _pack_ifds(ifd_specs, data_blocks, big: bool = False):
     def vbytes(typ, vals):
         if typ == _T_ASCII:
             return len(vals[0]) + 1
+        if typ in (1, 7) and vals and isinstance(vals[0], (bytes,
+                                                           bytearray)):
+            return len(vals[0])              # raw BYTE/UNDEFINED payload
         return _TYPE_SIZE[typ] * len(vals)
     val_area = 0
     for tags, _ in ifd_specs:
@@ -432,6 +501,10 @@ def _pack_ifds(ifd_specs, data_blocks, big: bool = False):
             if typ == _T_ASCII:
                 payload = vals[0].encode("ascii") + b"\0"
                 cnt = len(payload)
+            elif typ in (1, 7) and vals and isinstance(
+                    vals[0], (bytes, bytearray)):
+                payload = bytes(vals[0])     # raw BYTE/UNDEFINED payload
+                cnt = len(payload)
             else:
                 payload = struct.pack("<" + str(len(vals))
                                       + _TYPE_FMT[typ], *vals)
@@ -465,15 +538,26 @@ def _base_tags(arr: np.ndarray, comp: str, predictor: int):
         raise ValueError("predictor 2 (horizontal differencing) is "
                          "integer-only in TIFF 6.0; floats use "
                          "predictor 3")
+    if comp == "jpeg":
+        if predictor != 1:
+            raise ValueError("JPEG-in-TIFF takes no predictor")
+        if spp not in (1, 3):
+            raise ValueError("JPEG-in-TIFF needs 1 or 3 samples")
+    # COMPRESS=JPEG stores YCbCr for RGB (photometric 6) like the
+    # reference's GTiff driver; our streams are 4:4:4 (tag 530 = 1,1)
+    photometric = 6 if (comp == "jpeg" and spp >= 3) \
+        else (2 if spp >= 3 else 1)
     tags = [
         (256, _T_LONG, (w,)), (257, _T_LONG, (h,)),
         (258, _T_SHORT, (dt.itemsize * 8,) * spp),
         (259, _T_SHORT, (_COMP_CODE[comp],)),
-        (262, _T_SHORT, (2 if spp >= 3 else 1,)),
+        (262, _T_SHORT, (photometric,)),
         (277, _T_SHORT, (spp,)),
         (284, _T_SHORT, (1,)),
         (339, _T_SHORT, (_sample_format(dt),) * spp),
     ]
+    if comp == "jpeg" and spp >= 3:
+        tags.append((530, _T_SHORT, (1, 1)))
     if predictor == 2:
         tags.append((317, _T_SHORT, (2,)))
     return tags, spp
@@ -488,10 +572,12 @@ def _apply_predictor(a: np.ndarray) -> np.ndarray:
 def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
                 predictor: int = 1, geotransform=None, crs=None,
                 rows_per_strip: int | None = None,
-                bigtiff: bool = False) -> bytes:
+                bigtiff: bool = False, quality: int = 92) -> bytes:
     """Array → striped (Geo)TIFF bytes, little-endian, chunky.
     ``bigtiff`` writes the magic-43 IFD8 layout (u64 offsets — the
-    >4 GiB format, frmts/gtiff BIGTIFF=YES)."""
+    >4 GiB format, frmts/gtiff BIGTIFF=YES).  ``compression="jpeg"``
+    writes new-style JPEG (code 7) with shared tag-347 JPEGTables
+    (frmts/gtiff COMPRESS=JPEG, through the from-scratch codec)."""
     arr = np.ascontiguousarray(arr)
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
@@ -500,12 +586,18 @@ def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
     a3 = arr.reshape(h, w, spp)
     row_bytes = w * spp * arr.dtype.itemsize
     rps = rows_per_strip or max(1, 65536 // max(row_bytes, 1))
-    strips = []
-    for y in range(0, h, rps):
-        part = a3[y:y + rps]
-        if predictor == 2:
-            part = _apply_predictor(part)
-        strips.append(_compress(part.tobytes(), compression))
+    if compression == "jpeg":
+        rps = max(8, rps - rps % 8)        # MCU-aligned strip heights
+        parts = [a3[y:y + rps] for y in range(0, h, rps)]
+        strips, jtables = _jpeg_encode_blocks(parts, quality)
+        tags.append((347, 7, (jtables,)))  # type 7 = UNDEFINED bytes
+    else:
+        strips = []
+        for y in range(0, h, rps):
+            part = a3[y:y + rps]
+            if predictor == 2:
+                part = _apply_predictor(part)
+            strips.append(_compress(part.tobytes(), compression))
     tags += [(273, _T_LONG, (0,) * len(strips)),
              (278, _T_LONG, (rps,)),
              (279, _T_LONG, tuple(len(s) for s in strips))]
@@ -513,18 +605,24 @@ def tiff_encode(arr: np.ndarray, *, compression: str = "deflate",
     return _pack_ifds([(tags, 273)], [strips], big=bigtiff)
 
 
-def _tile_blocks(a3: np.ndarray, tile: int, comp: str, predictor: int):
+def _tile_blocks(a3: np.ndarray, tile: int, comp: str, predictor: int,
+                 quality: int = 92):
     h, w, spp = a3.shape
-    blocks = []
+    parts = []
     for y0 in range(0, h, tile):
         for x0 in range(0, w, tile):
             t = np.zeros((tile, tile, spp), dtype=a3.dtype)
             part = a3[y0:y0 + tile, x0:x0 + tile]
             t[:part.shape[0], :part.shape[1]] = part
-            if predictor == 2:
-                t = _apply_predictor(t)
-            blocks.append(_compress(t.tobytes(), comp))
-    return blocks
+            parts.append(t)
+    if comp == "jpeg":
+        return _jpeg_encode_blocks(parts, quality)
+    blocks = []
+    for t in parts:
+        if predictor == 2:
+            t = _apply_predictor(t)
+        blocks.append(_compress(t.tobytes(), comp))
+    return blocks, None
 
 
 def cog_encode(arr: np.ndarray, *, tile: int = 256, bigtiff: bool = False,
@@ -553,7 +651,9 @@ def cog_encode(arr: np.ndarray, *, tile: int = 256, bigtiff: bool = False,
     for li, lv in enumerate(levels):
         tags, _ = _base_tags(lv if spp > 1 else lv[..., 0],
                              compression, predictor)
-        blocks = _tile_blocks(lv, tile, compression, predictor)
+        blocks, jtables = _tile_blocks(lv, tile, compression, predictor)
+        if jtables is not None:
+            tags.append((347, 7, (jtables,)))
         tags += [(322, _T_LONG, (tile,)), (323, _T_LONG, (tile,)),
                  (324, _T_LONG, (0,) * len(blocks)),
                  (325, _T_LONG, tuple(len(b) for b in blocks))]

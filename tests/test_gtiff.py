@@ -160,3 +160,51 @@ def test_bigtiff_roundtrip_strips_and_cog():
     ov, _ = G.tiff_decode(cogb, overview=1)
     ovc, _ = G.tiff_decode(classic, overview=1)
     assert np.array_equal(np.asarray(ov), np.asarray(ovc))
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64))
+                  ** 2)
+    return 10 * np.log10(255.0**2 / mse) if mse else np.inf
+
+
+def test_jpeg_in_tiff_strips_and_cog():
+    """COMPRESS=JPEG (code 7) with shared tag-347 JPEGTables: strips,
+    grayscale, and tiled COG pyramid all decode at >=40 dB through the
+    from-scratch JPEG codec (frmts/gtiff JPEG path parity)."""
+    y, x = np.mgrid[0:100, 0:150]
+    arr = np.stack([(x * 1.7 + y * 0.4) % 256, (x * 0.3 + y * 2.1) % 256,
+                    ((x + y) * 1.1) % 256], axis=2).astype(np.uint8)
+    buf = tiff_encode(arr, compression="jpeg",
+                      geotransform=(0, 1, 0, 0, 0, -1))
+    out, meta = tiff_decode(buf)
+    assert np.asarray(out).shape == arr.shape
+    assert _psnr(arr, out) >= 40.0
+    assert meta["geotransform"][1] == 1.0
+    # shared-tables layout actually written (tag 347 + photometric 6)
+    import struct as _s
+    (off,) = _s.unpack_from("<I", buf, 4)
+    from georay.gtiff import _read_ifd
+    tags, _ = _read_ifd(memoryview(buf), off, "<")
+    assert 347 in tags and tags[259] == (7,) and tags[262] == (6,)
+    # every strip is ABBREVIATED: tables live only in tag 347
+    assert all(c < 1000 for c in tags[279][1:])
+    # grayscale
+    g = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    assert _psnr(g, tiff_decode(tiff_encode(g, compression="jpeg"))[0]) \
+        >= 40.0
+    # tiled COG pyramid with JPEG tiles
+    cog = cog_encode(arr, tile=64, compression="jpeg", min_overview=80)
+    assert _psnr(arr, tiff_decode(cog)[0]) >= 40.0
+    ov, _ = tiff_decode(cog, overview=1)
+    assert np.asarray(ov).shape == (50, 75, 3)
+
+
+def test_jpeg_in_tiff_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        tiff_encode(np.zeros((8, 8), np.uint16), compression="jpeg")
+    with pytest.raises(ValueError):
+        tiff_encode(np.zeros((8, 8, 4), np.uint8), compression="jpeg")
+    with pytest.raises(ValueError):
+        tiff_encode(np.zeros((8, 8), np.uint8), compression="jpeg",
+                    predictor=2)
