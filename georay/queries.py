@@ -359,7 +359,6 @@ def q1_pricing(sf_dir: str):
 def q_top_revenue_orders(sf_dir: str):
     """Top-10 orders by lineitem revenue: groupby-sum → round → sort+limit
     (ORDER BY … LIMIT streaming top-k, ogr_gensql.cpp:2196/2226)."""
-    from ray.data.aggregate import Sum
     ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_revenue(batch: pa.Table) -> pa.Table:
@@ -377,8 +376,13 @@ def q_top_revenue_orders(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(ks[starts]),
                          "rev_e4": pa.array(sums)})
 
-    agg = (ds.map_batches(partial_revenue, batch_format="pyarrow")
-             .groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4")))
+    # high-cardinality key (~1 group per 4 rows): the hash-partition
+    # combine (sql._hash_grouped_aggregate) beats Ray's sort-based
+    # groupby 4-5x at this shape (NOTES.md round-4 measurement)
+    from .sql import _hash_grouped_aggregate
+    agg = _hash_grouped_aggregate(
+        ds.map_batches(partial_revenue, batch_format="pyarrow"),
+        ["l_orderkey"], [("rev_e4", "SUM", "rev_e4")])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         # per-block top-k partial; the global sort then runs on ~10 rows
