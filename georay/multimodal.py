@@ -439,6 +439,68 @@ class MelSpectrogram:
         return batch.drop_columns(["bytes"])
 
 
+class AudioResample:
+    """Actor-pool stage: sample-rate conversion by windowed-sinc
+    interpolation with anti-alias cutoff scaling (the standard public
+    bandlimited-resampling construction, Smith's resample algorithm).
+
+    Stateful-stage discipline: taps/cutoff constants and the Hann
+    window are fixed per actor in ``__init__``; per row the kernel is
+    one vectorized gather + weighted sum (n_out × taps), no Python
+    sample loop.  Output replaces ``bytes`` with a wav at
+    ``target_rate`` and records ``orig_rate`` as an audit column; rows
+    whose codec is a stub pass through untouched (null audit)."""
+
+    def __init__(self, target_rate: int, taps: int = 32,
+                 cutoff: float = 0.95):
+        self.target_rate = int(target_rate)
+        self.taps = int(taps)
+        self.cutoff = float(cutoff)
+
+    def _resample(self, x: np.ndarray, rate_in: int) -> np.ndarray:
+        if rate_in == self.target_rate:
+            return x.astype(np.float64)
+        ratio = self.target_rate / rate_in
+        n_out = int(round(len(x) * ratio))
+        # anti-alias: cutoff at the narrower Nyquist
+        fc = 0.5 * self.cutoff * min(1.0, ratio)
+        pos = np.arange(n_out) / ratio          # output n -> input pos
+        base = np.floor(pos).astype(np.int64)
+        half = self.taps // 2
+        offs = np.arange(-half + 1, half + 1)
+        idx = base[:, None] + offs[None, :]
+        frac = pos[:, None] - idx               # signed distances
+        # Hann-windowed sinc, window spanning the tap range
+        w = (np.sinc(2.0 * fc * frac) * 2.0 * fc
+             * (0.5 + 0.5 * np.cos(np.pi * frac / half)))
+        w[np.abs(frac) >= half] = 0.0
+        w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        xp = np.pad(x.astype(np.float64), (half, half), mode="edge")
+        return (xp[idx + half] * w).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_b, out_c, orig = [], [], []
+        for i in range(batch.num_rows):
+            codec = batch["codec"][i].as_py()
+            if codec not in ("wav", "pcm16", "mulaw", "flac"):
+                out_b.append(batch["bytes"][i].as_py())
+                out_c.append(codec)
+                orig.append(None)
+                continue
+            samples, rate = decode_audio(batch["bytes"][i].as_py(), codec)
+            y = self._resample(np.asarray(samples, np.float64), rate)
+            # decode_audio and wav_encode both speak normalized [-1, 1]
+            out_b.append(wav_encode(y, self.target_rate))
+            out_c.append("wav")
+            orig.append(rate)
+        names = batch.column_names
+        batch = batch.set_column(names.index("bytes"), "bytes",
+                                 pa.array(out_b, pa.binary()))
+        batch = batch.set_column(names.index("codec"), "codec",
+                                 pa.array(out_c, pa.string()))
+        return batch.append_column("orig_rate", pa.array(orig, pa.int64()))
+
+
 class AugmentAudio:
     """Deterministic audio augmentation stage — the audio sibling of
     georay.augment.AugmentImages: per-row gain, circular time shift and
