@@ -1631,6 +1631,24 @@ def q_geodesic_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_doc_perplexity(sf_dir: str):
+    """Character-trigram LM perplexity scoring (the CCNet/KenLM-style
+    quality-filtering op): train add-one-smoothed trigram counts over
+    the corpus (per-block partials → hash-partition combine; model
+    bounded by |vocab|³ → broadcast), then score every document with a
+    vectorized lookup stage (georay/lm.py).  Oracle: the identical
+    model expressed in SQL with one lateral-generate_series trigram
+    table (numerator and context counts from the SAME stream)."""
+    from .lm import add_perplexity
+
+    ds = _rp_split(sf_dir, "documents", ["doc_id", "text"])
+    out = add_perplexity(ds, "text")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_trigrams", "avg_logprob",
+                            "ppl"]),
+        batch_format="pyarrow")
+
+
 def q_image_exif(sf_dir: str):
     """EXIF metadata extraction over REAL image bytes — the gdalexif.cpp
     tag walk (gcore/gdalexif.cpp:648 Exif/GPS sub-IFD chase) from the
@@ -3646,7 +3664,7 @@ QUERIES = {
     "sql_median": q_sql_median,
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
     "sql_q2": q_sql_q2,
-    "sql_q9": q_sql_q9,
+    "doc_perplexity": q_doc_perplexity,
     "sql_q11": q_sql_q11,
     "sql_q20": q_sql_q20,
     "image_exif": q_image_exif,
@@ -3706,6 +3724,8 @@ QUERIES = {
     # machinery stays in-window via sql_q2/q9/q11/q20
 
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
+    "sql_q9": q_sql_q9,      # rotated behind by doc_perplexity: the
+    # partsupp machinery stays in-window via sql_q2/q11/q20
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
     "sql_outer_join": q_sql_outer_join,  # oracle-backed (FULL OUTER)
     "sql_sum_distinct": q_sql_sum_distinct,  # oracle-backed
@@ -4574,6 +4594,39 @@ ORACLE_SQL = {
                                + 16.0 * 0.01 * sin(pi() / 16.0) END,
                      6) AS buf_area
         FROM p
+    """,
+    "doc_perplexity": """
+        WITH tri AS (
+            SELECT doc_id, substr(text, i, 3) AS t3,
+                   substr(text, i, 2) AS t2
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(
+                             1, greatest(length(text) - 2, 0))) AS i
+                  FROM documents)
+        ),
+        tc AS (SELECT t3, count(*) AS c3 FROM tri GROUP BY t3),
+        bc AS (SELECT t2, count(*) AS c2 FROM tri GROUP BY t2),
+        v AS (
+            SELECT cast(count(DISTINCT substr(text, j, 1)) AS double)
+                       AS vsize
+            FROM (SELECT text,
+                         unnest(generate_series(1, length(text)))
+                             AS j
+                  FROM documents)
+        ),
+        scored AS (
+            SELECT tri.doc_id,
+                   ln((tc.c3 + 1.0) / (bc.c2 + v.vsize)) AS lp
+            FROM tri
+            JOIN tc ON tri.t3 = tc.t3
+            JOIN bc ON tri.t2 = bc.t2, v
+        )
+        SELECT doc_id,
+               count(*) AS n_trigrams,
+               round(avg(lp), 6) AS avg_logprob,
+               round(exp(-avg(lp)), 4) AS ppl
+        FROM scored
+        GROUP BY doc_id
     """,
     "image_exif": """
         SELECT c_custkey,
