@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["open_vector"]
+__all__ = ["open_vector", "write_vector", "attach_geoparquet_metadata",
+           "geoparquet_metadata"]
 
 
 def open_vector(path: str, **kw):
@@ -108,6 +109,8 @@ def write_vector(ds_or_table, path: str, *, layer: str = "layer",
     low = path.lower()
     if low.endswith(".parquet"):
         import pyarrow.parquet as pq
+        if wkb_col in t.schema.names:
+            t = attach_geoparquet_metadata(t, wkb_col)
         pq.write_table(t, path)
     elif low.endswith((".geojsonl", ".ndjson", ".jsonl")):
         from .geojson import write_geojsonseq
@@ -146,3 +149,68 @@ def write_vector(ds_or_table, path: str, *, layer: str = "layer",
     else:
         raise ValueError(f"write_vector: no driver for {path!r}")
     return path
+
+
+# ------------------------------------------------------------ GeoParquet
+
+_WKB_TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon",
+                   4: "MultiPoint", 5: "MultiLineString",
+                   6: "MultiPolygon", 7: "GeometryCollection",
+                   8: "CircularString", 9: "CompoundCurve",
+                   10: "CurvePolygon", 11: "MultiCurve",
+                   12: "MultiSurface"}
+
+
+def attach_geoparquet_metadata(t, wkb_col: str = "wkb"):
+    """Stamp the GeoParquet 1.1 ``geo`` key onto a table's schema
+    metadata (version / primary_column / per-column encoding +
+    geometry_types + bbox) — what the reference's Parquet driver writes
+    and looks for on open (ogr/ogrsf_frmts/parquet/ogrparquetlayer.cpp:87
+    reads kv_metadata["geo"]).  CRS omitted = OGC:CRS84 per spec."""
+    import json
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from .geom import _wkb_type_dims, wkb_envelope
+
+    types = set()
+    bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
+    any_geom = False
+    for buf in t.column(wkb_col).to_pylist():
+        if buf is None or len(buf) < 5:
+            continue
+        bb = bytes(buf)
+        (raw,) = _struct.unpack_from("<I" if bb[0] == 1 else ">I", bb, 1)
+        base, dims = _wkb_type_dims(raw)
+        name = _WKB_TYPE_NAMES.get(base)
+        if name:
+            types.add(name + (" Z" if dims >= 3 else ""))
+        try:
+            x0, y0, x1, y1 = wkb_envelope(bb)
+        except Exception:
+            continue
+        any_geom = True
+        bbox = [min(bbox[0], x0), min(bbox[1], y0),
+                max(bbox[2], x1), max(bbox[3], y1)]
+    col_meta = {"encoding": "WKB",
+                "geometry_types": sorted(types)}
+    if any_geom:
+        col_meta["bbox"] = bbox
+    geo = {"version": "1.1.0", "primary_column": wkb_col,
+           "columns": {wkb_col: col_meta}}
+    md = dict(t.schema.metadata or {})
+    md[b"geo"] = json.dumps(geo).encode()
+    return t.replace_schema_metadata(md)
+
+
+def geoparquet_metadata(path: str):
+    """Read back the ``geo`` schema metadata of a (Geo)Parquet file →
+    dict, or None when absent (plain parquet)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_schema(path).metadata or {}
+    raw = md.get(b"geo")
+    return json.loads(raw.decode()) if raw else None

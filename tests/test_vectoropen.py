@@ -58,3 +58,32 @@ def test_open_vector_formats(tmp_path, ray_session):
         f.write(b"zzzz")
     with pytest.raises(ValueError):
         open_vector(bad)
+
+
+def test_geoparquet_metadata_roundtrip(tmp_path):
+    """write_vector(.parquet) stamps the GeoParquet 1.1 'geo' key
+    (ogrparquetlayer.cpp:87 reads kv_metadata['geo'] the same way)."""
+    import pyarrow.parquet as pq
+
+    from georay.geom import wkb_point, wkb_polygon
+    from georay.vectoropen import geoparquet_metadata, write_vector
+
+    t = pa.table({"name": ["a", "b", "c"],
+                  "wkb": pa.array(
+                      [wkb_point(2.0, 3.0),
+                       wkb_polygon([[(0, 0), (1, 0), (1, 1), (0, 1)]]),
+                       None], pa.binary())})
+    p = str(tmp_path / "geo.parquet")
+    write_vector(t, p)
+    m = geoparquet_metadata(p)
+    assert m["version"] == "1.1.0"
+    assert m["primary_column"] == "wkb"
+    col = m["columns"]["wkb"]
+    assert col["encoding"] == "WKB"
+    assert col["bbox"] == [0.0, 0.0, 2.0, 3.0]
+    assert col["geometry_types"] == ["Point", "Polygon"]
+    # data unchanged by the metadata stamp
+    assert pq.read_table(p)["name"].to_pylist() == ["a", "b", "c"]
+    # plain (non-geo) parquet reports None
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "plain.parquet"))
+    assert geoparquet_metadata(str(tmp_path / "plain.parquet")) is None
