@@ -458,3 +458,39 @@ def test_audio_resample_stage():
     out = AudioResample(8000)(b)
     assert out["codec"][0].as_py() == "opus"
     assert out["orig_rate"][0].as_py() is None
+
+
+def test_scene_detect_stage():
+    """SceneDetect: histogram-cut shot boundaries — planted abrupt
+    content changes are found exactly; a static clip is one scene;
+    mjpeg decodes through the real codec; stubs emit no rows."""
+    import pyarrow as pa
+    from georay.multimodal import SceneDetect, mjpeg_encode
+
+    h, w = 16, 16
+    dark = np.full((h, w, 3), 20, np.uint8)
+    light = np.full((h, w, 3), 220, np.uint8)
+    mid = np.full((h, w, 3), 120, np.uint8)
+    clip = np.stack([dark, dark, dark, light, light, mid, mid, mid])
+
+    def row(vid, codec, payload, nf):
+        return pa.table({"video_id": [vid],
+                         "bytes": pa.array([payload], pa.binary()),
+                         "w": pa.array([w], pa.int32()),
+                         "h": pa.array([h], pa.int32()),
+                         "n_frames": pa.array([nf], pa.int32()),
+                         "codec": [codec]})
+
+    st = SceneDetect(threshold=0.5)
+    out = st(row("v0", "rawrgb", clip.tobytes(), 8))
+    assert out["scene"].to_pylist() == [0, 1, 2]
+    assert out["start_frame"].to_pylist() == [0, 3, 5]
+    assert out["n_frames"].to_pylist() == [3, 2, 3]
+    # static clip: one scene covering everything
+    out = st(row("v1", "rawrgb", np.repeat(mid[None], 6, 0).tobytes(), 6))
+    assert out["n_frames"].to_pylist() == [6]
+    # the same planted cuts survive the mjpeg encode/decode roundtrip
+    out = st(row("v2", "mjpeg", mjpeg_encode(clip), 8))
+    assert out["start_frame"].to_pylist() == [0, 3, 5]
+    # stub codec: no rows
+    assert st(row("v3", "h264", b"x", 4)).num_rows == 0
