@@ -14,6 +14,7 @@ below names the library call it fronts.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -153,12 +154,15 @@ def _is_num(v: str) -> bool:
 def ogr2ogr(args: list) -> str:
     """ogr2ogr [-f fmt] [-where expr] [-select c1,c2] [-s_srs A]
     [-t_srs B] [-clipsrc xmin ymin xmax ymax] [-limit N] [-nln name]
-    [-nlt PROMOTE_TO_MULTI] dst src      (GDAL's dst-first order)"""
+    [-nlt PROMOTE_TO_MULTI] [-sql STATEMENT] dst src
+    (GDAL's dst-first order; -sql replaces the source rows with the
+    statement's result, apps/ogr2ogr_lib.cpp -sql path)"""
     import pyarrow as pa
 
     from .ogr import VectorPipeline
     from .vectoropen import open_vector, write_vector
 
+    sql = _pop_opt(args, "-sql")
     where = _pop_opt(args, "-where")
     select = _pop_opt(args, "-select")
     s_srs = _pop_opt(args, "-s_srs", default="EPSG:4326")
@@ -170,7 +174,12 @@ def ogr2ogr(args: list) -> str:
     _pop_opt(args, "-f")                         # ext decides the driver
     dst, src = args
 
-    pipe = VectorPipeline.from_dataset(open_vector(src))
+    ds = open_vector(src)
+    if sql:
+        from .sql import _as_dataset, execute_sql
+        name = os.path.splitext(os.path.basename(src))[0]
+        ds = _as_dataset(execute_sql(sql, {name: ds, "layer": ds}))
+    pipe = VectorPipeline.from_dataset(ds)
     if where:
         pipe = pipe.where(where)
     if clipsrc:
@@ -425,12 +434,24 @@ def gdalinfo(args: list) -> str:
 
 
 def ogrinfo(args: list) -> str:
+    """ogrinfo [-so|-al] [-sql STATEMENT] src — layer summary, or the
+    result rows of an -sql statement run by the engine's SQL dialect
+    over the opened layer (registered as both its basename and
+    ``layer`` — apps/ogrinfo_lib.cpp -sql path)."""
     from .info import layer_info
     from .vectoropen import open_vector
     _pop_flag(args, "-so")
     _pop_flag(args, "-al")
+    sql = _pop_opt(args, "-sql")
     (src,) = args
-    out = layer_info(open_vector(src))
+    ds = open_vector(src)
+    if sql:
+        from .sql import _collect, execute_sql
+        name = os.path.splitext(os.path.basename(src))[0]
+        t = _collect(execute_sql(sql, {name: ds, "layer": ds}))
+        out = t.to_pylist()
+    else:
+        out = layer_info(ds)
     s = json.dumps(out, indent=2, default=str)
     print(s)
     return s

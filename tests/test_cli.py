@@ -612,3 +612,20 @@ def test_gdal_unified_dispatchers(tif, vec, tmp_path, capsys):
     vd = str(tmp_path / "c.geojson")
     main(["gdal", "convert", vsrc, vd])
     assert json.load(open(vd))["type"] == "FeatureCollection"
+
+
+def test_ogrinfo_and_ogr2ogr_sql(vec, tmp_path, capsys):
+    """-sql runs the engine's SQL dialect over the opened layer
+    (apps/ogrinfo_lib.cpp / ogr2ogr_lib.cpp -sql paths)."""
+    src, t = vec
+    main(["ogrinfo", "-sql",
+          "SELECT name, pop * 2 AS pop2 FROM pts "
+          "WHERE pop >= 20 ORDER BY name", src])
+    rows = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rows] == ["b", "c", "d"]
+    assert rows[0]["pop2"] == 40
+    dst = str(tmp_path / "sql.parquet")
+    main(["ogr2ogr", "-sql",
+          "SELECT name, pop FROM layer WHERE pop <= 20", dst, src])
+    got = pq.read_table(dst)
+    assert sorted(got["name"].to_pylist()) == ["a", "b"]
