@@ -659,12 +659,59 @@ def geodesic_areas_wkb(wkb_list, geod: Geodesic = WGS84,
     if not poly_idx:
         return out
     coords, rs, rf, rh, _ = _packed([wkb_list[i] for i in poly_idx])
-    for r in range(len(rf)):
-        seg = coords[rs[r]:rs[r + 1]]
-        a, _ = geod.polygon_area_perimeter(seg[:, 1], seg[:, 0],
-                                           max_seg=max_seg)
-        out[poly_idx[rf[r]]] += -abs(a) if rh[r] else abs(a)
+    if len(coords) == 0:
+        return out
+    ring_areas = _ring_areas_vectorized(coords, rs, geod, max_seg)
+    signed = np.where(rh, -np.abs(ring_areas), np.abs(ring_areas))
+    np.add.at(out, np.asarray(poly_idx)[rf], signed)
     return out
+
+
+def _ring_areas_vectorized(coords, rs, geod: Geodesic, max_seg: float):
+    """Signed geodesic area per packed ring — ALL rings of a batch in
+    one pass: one ``inverse`` call over every edge, one ``direct`` call
+    for every densification point, one reduceat for the excess sums (no
+    per-feature Python loop — the map_batches vectorization rule)."""
+    n = len(coords)
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    nxt[rs[1:] - 1] = rs[:-1]
+    lon1, lat1 = coords[:, 0], coords[:, 1]
+    lon2, lat2 = coords[nxt, 0], coords[nxt, 1]
+    s12, azi1, _ = geod.inverse(lat1, lon1, lat2, lon2)
+    nseg = np.maximum(1, np.ceil(s12 / max_seg)).astype(np.int64)
+    reps = nseg                       # vertex + (nseg-1) interpolated
+    total = int(reps.sum())
+    vlat = np.empty(total)
+    vlon = np.empty(total)
+    starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    vlat[starts] = lat1
+    vlon[starts] = lon1
+    interp = reps > 1
+    if interp.any():
+        src = np.repeat(np.flatnonzero(interp), nseg[interp] - 1)
+        frac = (np.concatenate([np.arange(1, k) for k in nseg[interp]])
+                / np.repeat(nseg[interp], nseg[interp] - 1))
+        plat, plon, _ = geod.direct(lat1[src], lon1[src], azi1[src],
+                                    s12[src] * frac)
+        mask = np.ones(total, bool)
+        mask[starts] = False
+        vlat[mask] = plat
+        vlon[mask] = plon
+    # densified ring layout mirrors the packed layout: ring r spans
+    # positions dstarts[r]:dstarts[r+1]
+    dsizes = np.add.reduceat(reps, rs[:-1])
+    dstarts = np.concatenate([[0], np.cumsum(dsizes)])
+    t = geod._authalic_sxi(vlat)
+    t = np.tan(0.5 * np.arcsin(t))
+    lam = np.radians(vlon)
+    # next-within-ring on the densified layout
+    dn = np.arange(1, total + 1, dtype=np.int64)
+    dn[dstarts[1:] - 1] = dstarts[:-1]
+    dlam = lam[dn] - lam
+    dlam = np.remainder(dlam + np.pi, 2.0 * np.pi) - np.pi
+    excess = 2.0 * np.arctan2(np.tan(0.5 * dlam) * (t + t[dn]),
+                              1.0 + t * t[dn])
+    return geod.c2 * np.add.reduceat(excess, dstarts[:-1])
 
 
 def geodesic_lengths_wkb(wkb_list, geod: Geodesic = WGS84) -> np.ndarray:
