@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "doc_bpe_tokens",      # BPE train + actor-pool encode
     "image_quality",       # decode + stacked quality metrics
     "jp2_images",          # lossless JPEG 2000 transcode (EBCOT/MQ)
+    "geodesic_measures",   # Karney solver + authalic-excess areas
+    "image_exif",          # APP1/Exif IFD extraction from real bytes
+    "doc_perplexity",      # char-trigram LM train + broadcast score
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on
