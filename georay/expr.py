@@ -633,6 +633,60 @@ def _geom_fn(which):
     return call
 
 
+def _np_col(arg, batch):
+    v = _eval(arg, batch)
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    if isinstance(v, pa.Scalar):
+        return np.full(batch.num_rows, v.as_py(), np.float64)
+    if isinstance(v, pa.Array):
+        return v.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.full(batch.num_rows, float(v), np.float64)
+
+
+def _fn_st_contains_xy(args, batch):
+    """ST_CONTAINS_XY(wkb, x, y) → exact even-odd point-in-polygon per
+    row (the vectorized PackedPolygons pair kernel)."""
+    _n_args("ST_CONTAINS_XY", args, 3)
+    from .geom import PackedPolygons
+    col = _eval(args[0], batch)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    wkbs = col.to_pylist()
+    px = _np_col(args[1], batch)
+    py = _np_col(args[2], batch)
+    valid = [i for i, w in enumerate(wkbs) if w is not None]
+    mask = np.zeros(len(wkbs), bool)
+    if valid:
+        polys = PackedPolygons.from_wkb([wkbs[i] for i in valid])
+        vi = np.asarray(valid, np.int64)
+        sub = np.arange(len(valid), dtype=np.int64)
+        mask[vi] = polys.contains_pairs(px[vi], py[vi], sub, sub)
+    return pa.array(mask)
+
+
+def _fn_st_intersects_bbox(args, batch):
+    """ST_INTERSECTS_BBOX(wkb, xmin, ymin, xmax, ymax) → envelope
+    intersection test (OGR FilterGeometry's bbox fast path)."""
+    _n_args("ST_INTERSECTS_BBOX", args, 5)
+    from .geom import wkb_envelope
+    col = _eval(args[0], batch)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x0 = _np_col(args[1], batch)
+    y0 = _np_col(args[2], batch)
+    x1 = _np_col(args[3], batch)
+    y1 = _np_col(args[4], batch)
+    out = np.zeros(batch.num_rows, bool)
+    for i, w in enumerate(col.to_pylist()):
+        if w is None or len(w) < 5:
+            continue
+        ex0, ey0, ex1, ey1 = wkb_envelope(bytes(w))
+        out[i] = (ex0 <= x1[i] and ex1 >= x0[i]
+                  and ey0 <= y1[i] and ey1 >= y0[i])
+    return pa.array(out)
+
+
 _CAST_TYPES = {
     "BIGINT": pa.int64(), "INTEGER": pa.int32(), "INT": pa.int32(),
     "SMALLINT": pa.int16(),
@@ -713,6 +767,10 @@ _FUNCS = {
     # ellipsoidal measures (OGR_G_GeodesicLength/Area, ogr/ogr_api.cpp:1666)
     "ST_GEODESIC_LENGTH": _geom_fn("geodesic_length"),
     "ST_GEODESIC_AREA": _geom_fn("geodesic_area"),
+    # spatial predicates (the SQLite-dialect ST_Contains/Intersects
+    # surface, ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp)
+    "ST_CONTAINS_XY": _fn_st_contains_xy,
+    "ST_INTERSECTS_BBOX": _fn_st_intersects_bbox,
 }
 
 

@@ -133,3 +133,27 @@ def test_function_errors():
     for bad in ["nosuch(a)", "round(a, b)", "substr(s)", "atan2(a)"]:
         with pytest.raises(FilterSyntaxError):
             compile_filter(bad)(T)
+
+
+def test_st_spatial_predicates():
+    """ST_CONTAINS_XY (exact even-odd PIP) and ST_INTERSECTS_BBOX
+    (envelope fast path) — the SQLite-dialect spatial predicate
+    surface (ogrsqlitesqlfunctions.cpp)."""
+    from georay.geom import wkb_polygon
+
+    sq = wkb_polygon([[(0, 0), (2, 0), (2, 2), (0, 2)]])
+    tri = wkb_polygon([[(0, 0), (4, 0), (0, 4)]])
+    hole = wkb_polygon([[(0, 0), (4, 0), (4, 4), (0, 4)],
+                        [(1, 1), (3, 1), (3, 3), (1, 3)]])
+    t = pa.table({"wkb": pa.array([sq, tri, None, hole, hole],
+                                  pa.binary()),
+                  "x": [1.0, 3.5, 0.0, 2.0, 0.5],
+                  "y": [1.0, 0.2, 0.0, 2.0, 0.5]})
+    f = compile_filter("ST_CONTAINS_XY(wkb, x, y)")
+    # hole row 3: (2,2) falls in the hole -> even-odd says outside
+    assert f(t).to_pylist() == [True, True, False, False, True]
+    f2 = compile_filter("ST_INTERSECTS_BBOX(wkb, 3.0, 0.0, 5.0, 1.0)")
+    assert f2(t).to_pylist() == [False, True, False, True, True]
+    # literal coordinates work too
+    f3 = compile_filter("ST_CONTAINS_XY(wkb, 0.1, 0.1)")
+    assert f3(t).to_pylist() == [True, True, False, True, True]
