@@ -1631,6 +1631,27 @@ def q_geodesic_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_doc_mixture(sf_dir: str):
+    """Deterministic training-mixture resampling: sample each source at
+    the rate that hits a target composition (weight ∝ source index + 1,
+    target 250 rows total), via the coordination-free hash-cut rule
+    (sample.weighted_mixture).  Oracle: identical cut arithmetic in
+    SQL — floor both sides (no round-half ties across engines)."""
+    from .sample import weighted_mixture
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    srcs = sorted({r["source"] for r in
+                   ds.groupby("source").count().take_all()})
+    weights = {s: float(int(s[3:]) + 1) for s in srcs}
+    mixed, _ = weighted_mixture(ds, "doc_id", "source", weights,
+                                total=250)
+    return (mixed.groupby("source")
+            .aggregate(Count(alias_name="n_kept"),
+                       Min("doc_id", alias_name="min_id"),
+                       Max("doc_id", alias_name="max_id")))
+
+
 def q_doc_perplexity(sf_dir: str):
     """Character-trigram LM perplexity scoring (the CCNet/KenLM-style
     quality-filtering op): train add-one-smoothed trigram counts over
@@ -3665,7 +3686,7 @@ QUERIES = {
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
     "sql_q2": q_sql_q2,
     "doc_perplexity": q_doc_perplexity,
-    "sql_q11": q_sql_q11,
+    "doc_mixture": q_doc_mixture,
     "sql_q20": q_sql_q20,
     "image_exif": q_image_exif,
     "sql_q5": q_sql_q5,
@@ -3724,8 +3745,9 @@ QUERIES = {
     # machinery stays in-window via sql_q2/q9/q11/q20
 
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
-    "sql_q9": q_sql_q9,      # rotated behind by doc_perplexity: the
-    # partsupp machinery stays in-window via sql_q2/q11/q20
+    "sql_q9": q_sql_q9,      # rotated behind by doc_perplexity
+    "sql_q11": q_sql_q11,    # rotated behind by doc_mixture: the
+    # partsupp machinery stays in-window via sql_q2/q20
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
     "sql_outer_join": q_sql_outer_join,  # oracle-backed (FULL OUTER)
     "sql_sum_distinct": q_sql_sum_distinct,  # oracle-backed
@@ -4594,6 +4616,24 @@ ORACLE_SQL = {
                                + 16.0 * 0.01 * sin(pi() / 16.0) END,
                      6) AS buf_area
         FROM p
+    """,
+    "doc_mixture": """
+        WITH n AS (SELECT source, count(*) AS ns
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, ns,
+                     cast(substr(source, 4) AS double) + 1.0 AS wraw
+              FROM n),
+        tot AS (SELECT sum(wraw) AS sw FROM w),
+        cuts AS (SELECT source, ns,
+                        floor(least(1.0, (wraw / sw) * 250.0 / ns)
+                              * 4294967296.0) AS cut
+                 FROM w, tot),
+        kept AS (SELECT d.source, d.doc_id
+                 FROM documents d JOIN cuts c ON d.source = c.source
+                 WHERE (d.doc_id * 2654435761) % 4294967296 < c.cut)
+        SELECT source, count(*) AS n_kept,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM kept GROUP BY source
     """,
     "doc_perplexity": """
         WITH tri AS (

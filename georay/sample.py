@@ -187,3 +187,36 @@ def topk_per_key_sql(key: str, order: str, k: int) -> str:
     """ORDER BY clause fragment matching :func:`hash_topk_per_key`."""
     return (f"ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY "
             f"({order} * {_KNUTH}) % {_MOD}, {order}) <= {k}")
+
+
+def weighted_mixture(ds, key_col: str, source_col: str,
+                     weights: dict, total: int):
+    """One-pass deterministic dataset mixing — the training-mixture
+    resampler (sample each source at the rate that hits a target
+    composition, e.g. 30% books / 50% web / 20% code).
+
+    Per source s with N_s rows and normalized weight w_s the keep rate
+    is  p_s = min(1, w_s * total / N_s)  (downsampling only — no
+    replacement), realized as the same coordination-free
+    keep-if-hash-below-cut rule as :func:`hash_sample`, so the drawn
+    rows never churn as other sources grow.  N_s comes from ONE small
+    groupby (bounded by the number of sources); the cut table ships in
+    the filter closure.  Returns (filtered dataset, cuts dict)."""
+    counts = {r[source_col]: r["count()"]
+              for r in ds.groupby(source_col).count().take_all()}
+    sw = float(sum(weights.values()))
+    cuts = {}
+    for s, n in counts.items():
+        w = float(weights.get(s, 0.0))
+        p = min(1.0, (w / sw) * float(total) / float(n)) if n else 0.0
+        cuts[s] = int(np.floor(p * _MOD))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        hb = hash_bucket(k)
+        cut = np.array([cuts.get(s, 0)
+                        for s in batch[source_col].to_pylist()],
+                       dtype=np.int64)
+        return batch.filter(pa.array(hb < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow"), cuts

@@ -152,3 +152,35 @@ def test_weighted_sample_vs_duckdb_and_proportionality(ray_session):
     got2 = weighted_sample(ray.data.from_pandas(df2),
                            "doc_id", "n_chars", 50).to_pandas()
     assert set(got2["doc_id"]) <= set(range(3990, 4000))
+
+
+def test_weighted_mixture(ray_session):
+    """weighted_mixture: per-source keep rates hit the target
+    composition; rates clamp at 1; drawn rows are a deterministic
+    subset rule (re-running yields identical rows)."""
+    import ray
+
+    from georay.sample import hash_bucket, weighted_mixture
+
+    ids = np.arange(1, 1201)
+    src = np.where(ids <= 1000, "big", "small")
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    ds = ray.data.from_arrow(t)
+    # target 300 rows at 2:1 big:small -> p_big = 200/1000, p_small =
+    # 100/200 -> clamp applies nowhere; tiny source clamps when asked
+    mixed, cuts = weighted_mixture(ds, "doc_id", "source",
+                                   {"big": 2.0, "small": 1.0}, total=300)
+    got = mixed.take_all()
+    assert cuts["big"] == int(np.floor(0.2 * 2**32))
+    assert cuts["small"] == int(np.floor(0.5 * 2**32))
+    for r in got:
+        assert hash_bucket(np.array([r["doc_id"]]))[0] < cuts[r["source"]]
+    # exact expected membership (pure numpy replica)
+    hb = hash_bucket(ids)
+    exp = set(ids[(src == "big") & (hb < cuts["big"])]) \
+        | set(ids[(src == "small") & (hb < cuts["small"])])
+    assert {r["doc_id"] for r in got} == exp
+    # upsampling clamps at keep-everything
+    _, cuts2 = weighted_mixture(ds, "doc_id", "source",
+                                {"big": 0.0, "small": 1.0}, total=5000)
+    assert cuts2["small"] == 2**32 and cuts2["big"] == 0
