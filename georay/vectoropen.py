@@ -214,3 +214,78 @@ def geoparquet_metadata(path: str):
     md = pq.read_schema(path).metadata or {}
     raw = md.get(b"geo")
     return json.loads(raw.decode()) if raw else None
+
+
+def add_bbox_covering(batch, wkb_col: str = "wkb"):
+    """Append the GeoParquet 1.1 *covering* struct column ``bbox``
+    (xmin/ymin/xmax/ymax float64 per row).  Written next to WKB, the
+    parquet column statistics of its leaf fields give readers ROW-GROUP
+    pruning for spatial windows — the format's scale-read design
+    (GeoParquet spec §covering; the reference reads it in
+    ogr/ogrsf_frmts/parquet).  Pure function for ``map_batches``."""
+    import pyarrow as pa
+
+    from .geom import wkb_envelope
+
+    n = batch.num_rows
+    import numpy as np
+    x0 = np.full(n, np.nan)
+    y0 = np.full(n, np.nan)
+    x1 = np.full(n, np.nan)
+    y1 = np.full(n, np.nan)
+    for i, w in enumerate(batch.column(wkb_col).to_pylist()):
+        if w is None or len(w) < 5:
+            continue
+        try:
+            x0[i], y0[i], x1[i], y1[i] = wkb_envelope(bytes(w))
+        except Exception:
+            continue
+    bbox = pa.StructArray.from_arrays(
+        [pa.array(x0), pa.array(y0), pa.array(x1), pa.array(y1)],
+        names=["xmin", "ymin", "xmax", "ymax"])
+    return batch.append_column("bbox", bbox)
+
+
+def write_geoparquet(t, path: str, wkb_col: str = "wkb",
+                     row_group_size: int = 4096):
+    """Table → GeoParquet with the covering bbox column + full ``geo``
+    metadata (covering pointer included).  Sort spatially (e.g. the
+    engine's Hilbert order, queries.hilbert_sort) BEFORE writing so
+    row groups are spatially coherent and the bbox statistics actually
+    prune."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    if "bbox" not in t.schema.names:
+        t = add_bbox_covering(t, wkb_col)
+    t = attach_geoparquet_metadata(t, wkb_col)
+    md = dict(t.schema.metadata)
+    geo = json.loads(md[b"geo"])
+    geo["columns"][wkb_col]["covering"] = {
+        "bbox": {"xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+                 "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]}}
+    md[b"geo"] = json.dumps(geo).encode()
+    t = t.replace_schema_metadata(md)
+    pq.write_table(t, path, row_group_size=row_group_size)
+    return path
+
+
+def read_geoparquet(path, bbox=None, columns=None, **kw):
+    """Ray source for (Geo)Parquet with spatial-window pushdown: a
+    ``bbox=(xmin, ymin, xmax, ymax)`` becomes a pyarrow dataset filter
+    on the covering struct's leaf fields, so parquet ROW GROUPS whose
+    bbox statistics miss the window never leave storage (prune at the
+    read — the 100 TB rule).  Exact: the row-group filter is also the
+    per-row predicate (envelope-intersects)."""
+    import pyarrow.compute as pc
+    import ray
+
+    if bbox is None:
+        return ray.data.read_parquet(path, columns=columns, **kw)
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    expr = ((pc.field("bbox", "xmin") <= x1)
+            & (pc.field("bbox", "xmax") >= x0)
+            & (pc.field("bbox", "ymin") <= y1)
+            & (pc.field("bbox", "ymax") >= y0))
+    return ray.data.read_parquet(path, columns=columns, filter=expr, **kw)

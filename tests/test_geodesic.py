@@ -217,3 +217,22 @@ def test_wkb_kernels_linestring_and_batch():
     assert got[2] == 0.0
     assert out["geod_area_m2"].to_pylist()[0] == 0.0
     assert out["geod_area_m2"].to_pylist()[1] > 1e10  # ~111km square
+
+
+def test_inverse_properties_fuzz():
+    """Property fuzz: symmetry s(a,b) == s(b,a), the triangle
+    inequality, and bounds 0 <= s <= pi*a, over random pairs."""
+    rng = np.random.default_rng(99)
+    n = 400
+    lat = rng.uniform(-89.99, 89.99, (3, n))
+    lon = rng.uniform(-180, 180, (3, n))
+    sab, _, _ = G.inverse(lat[0], lon[0], lat[1], lon[1])
+    sba, _, _ = G.inverse(lat[1], lon[1], lat[0], lon[0])
+    assert np.abs(sab - sba).max() < 1e-6
+    sbc, _, _ = G.inverse(lat[1], lon[1], lat[2], lon[2])
+    sac, _, _ = G.inverse(lat[0], lon[0], lat[2], lon[2])
+    assert (sac <= sab + sbc + 1e-6).all()
+    assert (sab >= 0).all() and (sab <= np.pi * G.a * 1.0000001).all()
+    # coincident points
+    s0, _, _ = G.inverse(lat[0], lon[0], lat[0], lon[0])
+    assert np.abs(s0).max() < 1e-9

@@ -87,3 +87,39 @@ def test_geoparquet_metadata_roundtrip(tmp_path):
     # plain (non-geo) parquet reports None
     pq.write_table(pa.table({"x": [1]}), str(tmp_path / "plain.parquet"))
     assert geoparquet_metadata(str(tmp_path / "plain.parquet")) is None
+
+
+def test_geoparquet_covering_pushdown(tmp_path, ray_session):
+    """GeoParquet 1.1 covering bbox column: write stamps the covering
+    pointer; read_geoparquet(bbox=...) returns exactly the window rows
+    and the row-group statistics make most groups prunable."""
+    import pyarrow.parquet as pq
+
+    from georay.geom import wkb_point
+    from georay.vectoropen import (geoparquet_metadata, read_geoparquet,
+                                   write_geoparquet)
+
+    rng = np.random.default_rng(1)
+    xs = np.sort(rng.uniform(-180, 180, 8000))   # spatially coherent
+    ys = rng.uniform(-80, 80, 8000)
+    t = pa.table({"fid": pa.array(np.arange(8000)),
+                  "wkb": pa.array([wkb_point(float(x), float(y))
+                                   for x, y in zip(xs, ys)], pa.binary())})
+    p = str(tmp_path / "cov.parquet")
+    write_geoparquet(t, p, row_group_size=1024)
+    m = geoparquet_metadata(p)
+    assert m["columns"]["wkb"]["covering"]["bbox"]["xmin"] == \
+        ["bbox", "xmin"]
+    got = read_geoparquet(p, bbox=(0, -90, 10, 90)).to_pandas()
+    exp = ((xs >= 0) & (xs <= 10)).sum()
+    assert len(got) == exp
+    # pruning evidence: most row groups' bbox.xmin stats miss the window
+    pf = pq.ParquetFile(p)
+    overlapping = 0
+    for i in range(pf.num_row_groups):
+        st = pf.metadata.row_group(i).column(2).statistics
+        if st.min <= 10 and st.max >= 0:
+            overlapping += 1
+    assert overlapping <= max(2, pf.num_row_groups // 3)
+    # no-bbox read returns everything
+    assert read_geoparquet(p).count() == 8000
