@@ -1631,6 +1631,53 @@ def q_geodesic_measures(sf_dir: str):
         build, batch_format="pyarrow")
 
 
+def q_geoparquet_window(sf_dir: str):
+    """GeoParquet covering-bbox windowed read (GeoParquet 1.1
+    §covering; the reference's Parquet driver reads the same pointer):
+    derived customer points → Hilbert-ish (lon-sorted) GeoParquet with
+    the covering struct → `read_geoparquet(bbox=…)` where the window
+    becomes a pyarrow row-group filter — the prune-at-the-read rule.
+    Oracle: the same window as a plain SQL predicate over the same
+    derived coordinates."""
+    import tempfile
+
+    from .vectoropen import read_geoparquet, write_geoparquet
+
+    pts = _rp(sf_dir, "customer", ["c_custkey"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        from .geom import wkb_point
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        lon, lat = derived_lon(k), derived_lat(k)
+        wkbs = [wkb_point(float(x), float(y)) for x, y in zip(lon, lat)]
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    t = pa.concat_tables(list(
+        pts.map_batches(build, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")))
+    # spatially coherent row groups: sort by lon before writing
+    lon = np.array([np.frombuffer(b.as_py()[9:17], "<f8")[0]
+                    for b in t["wkb"]])
+    t = t.take(pa.array(np.argsort(lon, kind="stable")))
+    path = tempfile.mktemp(suffix=".parquet", prefix="georay_cov_",
+                           dir="/tmp")
+    write_geoparquet(t, path, row_group_size=256)
+    ds = read_geoparquet(path, bbox=(-30.0, -25.0, 40.0, 35.0))
+
+    def out(batch: pa.Table) -> pa.Table:
+        b = batch["bbox"].combine_chunks() if isinstance(
+            batch["bbox"], pa.ChunkedArray) else batch["bbox"]
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "lon": pa.array(np.round(b.field("xmin").to_numpy(
+                zero_copy_only=False), 6)),
+            "lat": pa.array(np.round(b.field("ymin").to_numpy(
+                zero_copy_only=False), 6))})
+
+    return ds.map_batches(out, batch_format="pyarrow")
+
+
 def q_doc_mixture(sf_dir: str):
     """Deterministic training-mixture resampling: sample each source at
     the rate that hits a target composition (weight ∝ source index + 1,
@@ -3684,7 +3731,7 @@ QUERIES = {
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_median": q_sql_median,
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
-    "sql_q2": q_sql_q2,
+    "geoparquet_window": q_geoparquet_window,
     "doc_perplexity": q_doc_perplexity,
     "doc_mixture": q_doc_mixture,
     "sql_q20": q_sql_q20,
@@ -3746,6 +3793,8 @@ QUERIES = {
 
     "sql_q21": q_sql_q21,    # oracle-backed (TPC-H Q21 — ineq EXISTS)
     "sql_q9": q_sql_q9,      # rotated behind by doc_perplexity
+    "sql_q2": q_sql_q2,      # rotated behind by geoparquet_window:
+    # partsupp machinery stays in-window via sql_q20
     "sql_q11": q_sql_q11,    # rotated behind by doc_mixture: the
     # partsupp machinery stays in-window via sql_q2/q20
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
@@ -4616,6 +4665,17 @@ ORACLE_SQL = {
                                + 16.0 * 0.01 * sin(pi() / 16.0) END,
                      6) AS buf_area
         FROM p
+    """,
+    "geoparquet_window": f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   {_SQL_LON.format(k='c_custkey')} AS lon,
+                   {_SQL_LAT.format(k='c_custkey')} AS lat
+            FROM customer)
+        SELECT c_custkey, round(lon, 6) AS lon, round(lat, 6) AS lat
+        FROM pts
+        WHERE lon >= -30.0 AND lon <= 40.0
+          AND lat >= -25.0 AND lat <= 35.0
     """,
     "doc_mixture": """
         WITH n AS (SELECT source, count(*) AS ns
