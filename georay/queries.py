@@ -3740,13 +3740,13 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
     "embedding_kmeans": q_embedding_kmeans,
-    "doc_top_terms": q_doc_top_terms,
-    # ---- end of driver window (50 entries above this line) ----
-    # flagship_join_images rotated behind by geodesic_measures (in-window,
-    # oracle-backed): the flagship has rows-only driver rows from r1-r3
-    # and byte-level in-repo pins; window slots go to oracle-backed
-    # queries first (see window policy above).
+    # flagship anchor: ALWAYS in-window (rows-only by design, exempt from
+    # the oracle-first rule) — the north-star pipeline needs a driver row
+    # every round.
     "flagship_join_images": q_flagship_join_images,
+    # ---- end of driver window (50 entries above this line) ----
+    "doc_top_terms": q_doc_top_terms,  # rotated behind: term-census
+    # shape shared with doc_bm25_topk (in-window), same df machinery
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
