@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "geodesic_measures",   # Karney solver + authalic-excess areas
     "image_exif",          # APP1/Exif IFD extraction from real bytes
     "doc_perplexity",      # char-trigram LM train + broadcast score
+    "doc_pack_sequences",  # distributed prefix-sum sequence packing
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on

@@ -2324,6 +2324,18 @@ def q_doc_chunks(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """Concat-and-split sequence packing (seq_len 256) — the LLM-
+    pretraining layout step as a distributed exclusive prefix sum (per-
+    bucket census → broadcast offsets → per-partition vectorized
+    fan-out; only ≤n_buckets census rows ever reach the driver).
+    Oracle: window running-sum + unnest(range()) with the identical
+    arithmetic."""
+    from .text import pack_sequences
+    return pack_sequences(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                          seq_len=256, n_buckets=64)
+
+
 def q_zarr_density(sf_dir: str):
     """End-to-end Zarr v2 chunk-store path under the SQL oracle: a
     distributed 2-D point-density grid (64×64 over the lon/lat domain,
@@ -3734,7 +3746,7 @@ QUERIES = {
     "geoparquet_window": q_geoparquet_window,
     "doc_perplexity": q_doc_perplexity,
     "doc_mixture": q_doc_mixture,
-    "sql_q20": q_sql_q20,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "image_exif": q_image_exif,
     "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
@@ -3747,6 +3759,8 @@ QUERIES = {
     # ---- end of driver window (50 entries above this line) ----
     "doc_top_terms": q_doc_top_terms,  # rotated behind: term-census
     # shape shared with doc_bm25_topk (in-window), same df machinery
+    "sql_q20": q_sql_q20,  # rotated behind: partsupp machinery pinned
+    # row-identical vs DuckDB by test_sql_tpch; sql_q5 stays in-window
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -4546,6 +4560,29 @@ ORACLE_SQL = {
                substr(text, cast(i * 400 + 1 as bigint), 500) AS chunk
         FROM documents, s
         WHERE i <= (greatest(length(text), 1) - 1) // 400
+    """,
+    "doc_pack_sequences": """
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS cnt
+          FROM documents),
+        p AS (
+          SELECT doc_id, cnt,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS tok_start
+          FROM c),
+        u AS (
+          SELECT doc_id, tok_start, cnt,
+                 unnest(range(tok_start // 256,
+                              (tok_start + cnt - 1) // 256 + 1)) AS seq_id
+          FROM p WHERE cnt > 0)
+        SELECT doc_id, seq_id,
+               CAST(GREATEST(tok_start, seq_id * 256) - seq_id * 256
+                    AS BIGINT) AS seq_off,
+               CAST(LEAST(tok_start + cnt, (seq_id + 1) * 256)
+                    - GREATEST(tok_start, seq_id * 256) AS BIGINT) AS n_tok
+        FROM u
     """,
     "zarr_density": f"""
         WITH pts AS (SELECT {_SQL_LON.format(k='o_orderkey')} AS lon,

@@ -297,3 +297,126 @@ def chunk_documents_batch(batch: pa.Table, *, window: int = 500,
                                    if isinstance(c, pa.ChunkedArray) else c
                                    for c in out_chunks]),
     })
+
+
+def pack_sequences(ds, *, seq_len: int = 2048, id_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 4096,
+                   num_partitions: int | None = None):
+    """Concat-and-split sequence packing — the LLM-pretraining layout
+    step (all documents concatenated in ``id_col`` order, the token
+    stream split into fixed ``seq_len`` windows; cf. Krell et al. 2021,
+    "Efficient Sequence Packing").  Emits one row per (document,
+    sequence) overlap: ``(doc_id, seq_id, seq_off, n_tok)`` where
+    ``seq_off`` is the document's first-token offset inside sequence
+    ``seq_id`` and ``n_tok`` the tokens it contributes.  Tokens =
+    the ``[A-Za-z0-9]+`` tokenizer (same as :func:`token_count_batch`,
+    so the DuckDB oracle is ``regexp_extract_all``).
+
+    Scale shape — a distributed exclusive prefix sum, NO global sort:
+
+    1. one bounded aggregate for the id range (column-pruned read);
+    2. per-batch token counts bucketed by ``(id - lo) // width`` into
+       ≤ ``n_buckets`` ORDERED ranges; one tiny groupby-sum whose
+       ≤ n_buckets rows are the ONLY driver-collected artifact, turned
+       into per-bucket exclusive offsets and broadcast via ``ray.put``;
+    3. buckets hash-partitioned to ~4×CPU groups (complete buckets per
+       partition), each partition resolving ALL its buckets in one
+       vectorized pass: lexsort by (bucket, id), per-bucket running
+       cumsum + broadcast bucket offset → global token interval, then
+       the (doc, seq) overlap fan-out via ``np.repeat`` arithmetic —
+       no per-key Python anywhere.
+
+    Docs contributing zero tokens emit no rows (matches the SQL
+    ``WHERE cnt > 0``)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    token_re = re.compile(_TOKEN_RE)
+    L = int(seq_len)
+    bounds = ds.select_columns([id_col]).aggregate(Min(id_col), Max(id_col))
+    lo = int(bounds[f"min({id_col})"])
+    hi = int(bounds[f"max({id_col})"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    if num_partitions is None:
+        num_partitions = 4 * max(
+            2, int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    P = int(num_partitions)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cnt = np.array([len(token_re.findall(t))
+                        for t in batch[text_col].to_pylist()],
+                       dtype=np.int64)
+        bucket = (ids - lo) // width
+        return pa.table({id_col: pa.array(ids), "cnt__": pa.array(cnt),
+                         "bucket__": pa.array(bucket)})
+
+    slim = ds.map_batches(counts, batch_format="pyarrow")
+
+    # pass 1: per-bucket totals (block partials → one tiny groupby-sum)
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket__"].to_numpy()
+        c = batch["cnt__"].to_numpy()
+        ub, inv = np.unique(b, return_inverse=True)
+        tot = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"bucket__": pa.array(ub), "tok__": pa.array(tot)})
+
+    per_bucket = (slim.map_batches(bucket_partial, batch_format="pyarrow")
+                  .groupby("bucket__").sum("tok__").take_all())
+    bk = np.array([r["bucket__"] for r in per_bucket], dtype=np.int64)
+    tk = np.array([r["sum(tok__)"] for r in per_bucket], dtype=np.int64)
+    order = np.argsort(bk)
+    bk, tk = bk[order], tk[order]
+    excl = np.concatenate([[0], np.cumsum(tk)[:-1]])
+    offsets_ref = ray.put((bk, excl))
+
+    # pass 2: per-partition vectorized pack
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = batch["bucket__"].to_numpy().astype(np.uint64)
+        h = (b ^ (b >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(31)
+        return batch.append_column(
+            "part__", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    def pack_part(g: pa.Table) -> pa.Table:
+        bks, excls = ray.get(offsets_ref)
+        b = g["bucket__"].to_numpy()
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        cnt = g["cnt__"].to_numpy()
+        order = np.lexsort((ids, b))
+        b, ids, cnt = b[order], ids[order], cnt[order]
+        cum = np.cumsum(cnt)
+        row_excl = cum - cnt
+        # per-bucket exclusive: subtract the running total at bucket start
+        first = np.ones(len(b), dtype=bool)
+        first[1:] = b[1:] != b[:-1]
+        fidx = np.flatnonzero(first)
+        runlen = np.diff(np.append(fidx, len(b)))
+        base = excls[np.searchsorted(bks, b[fidx])]
+        start = row_excl - np.repeat(row_excl[fidx], runlen) \
+            + np.repeat(base, runlen)
+        end = start + cnt
+        valid = cnt > 0
+        fseq = start // L
+        lseq = np.where(valid, (end - 1) // L, fseq - 1)
+        reps = np.where(valid, lseq - fseq + 1, 0)
+        tot = int(reps.sum())
+        rep_excl = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        seq = np.repeat(fseq, reps) \
+            + (np.arange(tot, dtype=np.int64) - np.repeat(rep_excl, reps))
+        s0 = np.maximum(np.repeat(start, reps), seq * L)
+        s1 = np.minimum(np.repeat(end, reps), (seq + 1) * L)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, reps)),
+            "seq_id": pa.array(seq),
+            "seq_off": pa.array(s0 - seq * L),
+            "n_tok": pa.array(s1 - s0),
+        })
+
+    return (slim.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__").map_groups(pack_part,
+                                          batch_format="pyarrow"))

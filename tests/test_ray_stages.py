@@ -518,3 +518,50 @@ def test_overview_kernel_semantics():
     got = resample_conv(src.astype(np.uint8), 4, 1, "lanczos")[:, 0]
     want = np.clip(np.rint(want), 0, 255)
     assert np.array_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_pack_sequences_matches_reference(ray_session):
+    """pack_sequences == the serial concat-and-split reference on a
+    corpus with non-dense ids, zero-token docs, and docs straddling
+    several sequences; tiny buckets force multi-bucket offsets."""
+    import ray
+
+    from georay.text import pack_sequences
+
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 10_000, 300))
+    texts = []
+    for i, d in enumerate(ids):
+        if i % 11 == 0:
+            texts.append("...!!!")           # zero tokens
+        elif i % 7 == 0:
+            texts.append("w " * int(rng.integers(300, 900)))  # straddler
+        else:
+            texts.append("a b " * int(rng.integers(1, 40)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = (pack_sequences(ds, seq_len=64, n_buckets=13, num_partitions=5)
+           .to_pandas().sort_values(["doc_id", "seq_id"])
+           .reset_index(drop=True))
+
+    # serial reference
+    import re as _re
+    tok = _re.compile(r"[A-Za-z0-9]+")
+    rows = []
+    pos = 0
+    for d, txt in zip(ids, texts):          # ids already sorted
+        c = len(tok.findall(txt))
+        if c:
+            for s in range(pos // 64, (pos + c - 1) // 64 + 1):
+                a = max(pos, s * 64)
+                b = min(pos + c, (s + 1) * 64)
+                rows.append((d, s, a - s * 64, b - a))
+        pos += c
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["doc_id", "seq_id", "seq_off",
+                                       "n_tok"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every fully-covered sequence holds exactly seq_len tokens
+    per_seq = want.groupby("seq_id")["n_tok"].sum()
+    assert (per_seq.iloc[:-1] == 64).all()
