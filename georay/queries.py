@@ -1185,6 +1185,50 @@ def q_dem_hillshade_plane(sf_dir: str):
     return shaded.map_batches(center, batch_format="pyarrow")
 
 
+def q_warp_near_affine(sf_dir: str):
+    """gdalwarp near-kernel with a CLOSED-FORM SQL oracle: 40 plane
+    tiles (v = (px + 3·py + i) % 256) warped through a pure-affine
+    dst→src mapping (same CRS, ¾-resolution grid with a half-pixel
+    offset — src px = (8X+1)/6 is never integral, so FLOOR is
+    rounding-stable), output = per-image GDAL band checksum.  The
+    oracle evaluates the IDENTICAL geotransform arithmetic (same IEEE
+    op order) and the gdalchecksum.cpp prime formula over a
+    generate_series pixel grid — warp sampling, affine chain and
+    checksum all hash-verified (the warp family's first value-level
+    oracle; warp_checksums stays rows-only for the non-affine 3857→4326
+    path)."""
+    from .raster import warp_affine_mercator
+    from .stats import gdal_checksum
+
+    def build(i):
+        px = np.arange(64)
+        v = ((px[None, :] + 3 * px[:, None] + i) % 256).astype(np.uint8)
+        return (np.repeat(v[:, :, None], 3, axis=2),
+                float((i % 10) * 64), float(-(i // 10) * 64))
+
+    tiles = _plane_tiles(sf_dir, 40, build)
+
+    def warp_batch(batch: pa.Table) -> pa.Table:
+        sums = np.empty(batch.num_rows, dtype=np.int64)
+        for r in range(batch.num_rows):
+            arr = np.frombuffer(batch["pixels"][r].as_buffer(),
+                                dtype=np.uint8).reshape(64, 64, 3)[:, :, 0]
+            ulx = float(batch["ulx"][r].as_py())
+            uly = float(batch["uly"][r].as_py())
+            src_gt = (ulx, 1.0, 0.0, uly, 0.0, -1.0)
+            dst_gt = (ulx - 0.5, 4.0 / 3.0, 0.0,
+                      uly + 0.5, 0.0, -(4.0 / 3.0))
+            out = warp_affine_mercator(arr, src_gt, dst_gt, (48, 48),
+                                       src_crs="EPSG:3857",
+                                       dst_crs="EPSG:3857",
+                                       kernel="near")
+            sums[r] = gdal_checksum(out)
+        return pa.table({"image_id": batch["image_id"],
+                         "warp_checksum": pa.array(sums)})
+
+    return tiles.map_batches(warp_batch, batch_format="pyarrow")
+
+
 def q_warp_checksums(sf_dir: str):
     """gdalwarp replacement: every image inverse-warped from its EPSG:3857
     grid to an EPSG:4326 grid (closed-form transform, bilinear), output =
@@ -3751,7 +3795,7 @@ QUERIES = {
     "sql_q5": q_sql_q5,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
-    "embedding_kmeans": q_embedding_kmeans,
+    "warp_near_affine": q_warp_near_affine,
     # flagship anchor: ALWAYS in-window (rows-only by design, exempt from
     # the oracle-first rule) — the north-star pipeline needs a driver row
     # every round.
@@ -3761,6 +3805,8 @@ QUERIES = {
     # shape shared with doc_bm25_topk (in-window), same df machinery
     "sql_q20": q_sql_q20,  # rotated behind: partsupp machinery pinned
     # row-identical vs DuckDB by test_sql_tpch; sql_q5 stays in-window
+    "embedding_kmeans": q_embedding_kmeans,  # rotated behind:
+    # self-gated oracle, kmeans core pinned by test_kmeans
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -3964,6 +4010,31 @@ ORACLE_SQL = {
                round((3 + 2 * n.s) - i.ia + (3 + 2 * n.s), 6)
                    AS total_area
         FROM n JOIN inter i ON n.k = i.k
+    """,
+    "warp_near_affine": """
+        WITH tiles AS (SELECT c_custkey AS i FROM customer
+                       WHERE c_custkey <= 40),
+        gx AS (SELECT unnest(generate_series(0, 47)) AS x),
+        gy AS (SELECT unnest(generate_series(0, 47)) AS y),
+        pix AS (
+            SELECT i, y * 48 + x AS k,
+                   CAST(FLOOR((((i % 10) * 64 - 0.5)
+                               + (x + 0.5) * (4.0 / 3.0)
+                               - (i % 10) * 64) / 1.0) AS BIGINT) AS xi,
+                   CAST(FLOOR(((-(i // 10) * 64 + 0.5)
+                               + (y + 0.5) * (-(4.0 / 3.0))
+                               - (-(i // 10) * 64)) / (-1.0))
+                        AS BIGINT) AS yi
+            FROM tiles, gx, gy),
+        v AS (SELECT i, k, (xi + 3 * yi + i) % 256 AS val FROM pix)
+        SELECT CAST(i AS VARCHAR) AS image_id,
+               CAST(SUM(val % (CASE k % 11
+                          WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13
+                          WHEN 3 THEN 17 WHEN 4 THEN 19 WHEN 5 THEN 23
+                          WHEN 6 THEN 29 WHEN 7 THEN 31 WHEN 8 THEN 37
+                          WHEN 9 THEN 41 ELSE 43 END)) % 65536 AS BIGINT)
+                   AS warp_checksum
+        FROM v GROUP BY i
     """,
     "zonal_stats_rect": """
         WITH tiles AS (SELECT c_custkey AS i FROM customer
