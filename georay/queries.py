@@ -2946,6 +2946,49 @@ def q_quantile_prices(sf_dir: str):
                             q_names=["q25", "q50", "q75", "q99"])
 
 
+def q_quantile_sketch(sf_dir: str):
+    """ONE-PASS approximate quantiles (KLL, Karnin-Lang-Liberty 2016)
+    over l_extendedprice, SELF-GATED like doc_distinct_approx: the
+    query emits the EXACT quantile (histogram-refinement plan, DuckDB-
+    interpolation-exact) plus a flag proving the sketch's estimate
+    lands within 1% RANK error (verified by one counting pass over the
+    data, not against the sketch's own claim) — the driver hash then
+    pins both the exact values and the accuracy guarantee.  At 100 TB
+    the sketch path is a single streaming pass with ≤64 combine rows
+    ever collected, vs O(log n) refinement passes for the exact plan."""
+    import ray
+
+    from .quantiles import global_quantiles
+    from .sketch import approx_quantiles
+
+    qs = [0.1, 0.5, 0.9]
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+    est = approx_quantiles(ds, "l_extendedprice", qs, k=512)
+    thresholds = ray.put(np.array([est[q] for q in qs]))
+
+    def count_le(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        t = ray.get(thresholds)
+        le = (v[:, None] <= t[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"n__": pa.array([len(v)], pa.int64()),
+                         **{f"c{i}__": pa.array([le[i]], pa.int64())
+                            for i in range(len(qs))}})
+
+    sums = ds.map_batches(count_le, batch_format="pyarrow") \
+        .sum(["n__"] + [f"c{i}__" for i in range(len(qs))])
+    n = sums["sum(n__)"]
+    ok = [abs(sums[f"sum(c{i}__)"] / n - q) <= 0.01
+          for i, q in enumerate(qs)]
+    exact = global_quantiles(ds, "l_extendedprice", qs,
+                             q_names=[f"q{i}" for i in range(len(qs))])
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "exact_q": pa.array([exact[f"q{i}"][0].as_py()
+                             for i in range(len(qs))], pa.float64()),
+        "sketch_ok": pa.array([bool(o) for o in ok]),
+    })
+
+
 _SQL_Q5_TEXT = (
     "SELECT n_name, "
     "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
@@ -3792,7 +3835,7 @@ QUERIES = {
     "doc_mixture": q_doc_mixture,
     "doc_pack_sequences": q_doc_pack_sequences,
     "image_exif": q_image_exif,
-    "sql_q5": q_sql_q5,
+    "quantile_sketch": q_quantile_sketch,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_weighted_sample": q_doc_weighted_sample,
     "warp_near_affine": q_warp_near_affine,
@@ -3807,6 +3850,8 @@ QUERIES = {
     # row-identical vs DuckDB by test_sql_tpch; sql_q5 stays in-window
     "embedding_kmeans": q_embedding_kmeans,  # rotated behind:
     # self-gated oracle, kmeans core pinned by test_kmeans
+    "sql_q5": q_sql_q5,  # rotated behind: sql_q3 stays as the TPC-H
+    # rep in-window; all 22 pinned row-identical by test_sql_tpch
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -4127,6 +4172,16 @@ ORACLE_SQL = {
                TRUE AS within_3pct
         FROM (SELECT unnest(string_split(text, ' ')) AS term
               FROM documents)
+    """,
+    "quantile_sketch": """
+        SELECT 0.1 AS q, quantile_cont(l_extendedprice, 0.1) AS exact_q,
+               TRUE AS sketch_ok FROM lineitem
+        UNION ALL
+        SELECT 0.5, quantile_cont(l_extendedprice, 0.5), TRUE
+        FROM lineitem
+        UNION ALL
+        SELECT 0.9, quantile_cont(l_extendedprice, 0.9), TRUE
+        FROM lineitem
     """,
     "quantile_prices": """
         SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
