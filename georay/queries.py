@@ -2946,6 +2946,16 @@ def q_quantile_prices(sf_dir: str):
                             q_names=["q25", "q50", "q75", "q99"])
 
 
+def q_doc_epoch_order(sf_dir: str):
+    """Deterministic per-epoch global shuffle order (seed 7) — every
+    document ranked under the seeded Knuth hash via the distributed
+    census→offsets→partition-rank machinery (no global sort, no
+    zipWithIndex).  Oracle: ROW_NUMBER over the identical hash."""
+    from .sample import epoch_shuffle
+    return epoch_shuffle(_rp(sf_dir, "documents", ["doc_id"]),
+                         "doc_id", seed=7, n_buckets=64)
+
+
 def q_quantile_sketch(sf_dir: str):
     """ONE-PASS approximate quantiles (KLL, Karnin-Lang-Liberty 2016)
     over l_extendedprice, SELF-GATED like doc_distinct_approx: the
@@ -3837,7 +3847,7 @@ QUERIES = {
     "image_exif": q_image_exif,
     "quantile_sketch": q_quantile_sketch,
     "doc_bm25_topk": q_doc_bm25_topk,
-    "doc_weighted_sample": q_doc_weighted_sample,
+    "doc_epoch_order": q_doc_epoch_order,
     "warp_near_affine": q_warp_near_affine,
     # flagship anchor: ALWAYS in-window (rows-only by design, exempt from
     # the oracle-first rule) — the north-star pipeline needs a driver row
@@ -3852,6 +3862,8 @@ QUERIES = {
     # self-gated oracle, kmeans core pinned by test_kmeans
     "sql_q5": q_sql_q5,  # rotated behind: sql_q3 stays as the TPC-H
     # rep in-window; all 22 pinned row-identical by test_sql_tpch
+    "doc_weighted_sample": q_doc_weighted_sample,  # rotated behind:
+    # Efraimidis-Spirakis core pinned by test_sample, POWER() oracle
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -4172,6 +4184,13 @@ ORACLE_SQL = {
                TRUE AS within_3pct
         FROM (SELECT unnest(string_split(text, ' ')) AS term
               FROM documents)
+    """,
+    "doc_epoch_order": """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                            doc_id) - 1 AS epoch_pos
+        FROM documents
     """,
     "quantile_sketch": """
         SELECT 0.1 AS q, quantile_cont(l_extendedprice, 0.1) AS exact_q,

@@ -220,3 +220,86 @@ def weighted_mixture(ds, key_col: str, source_col: str,
         return batch.filter(pa.array(hb < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow"), cuts
+
+
+def epoch_shuffle(ds, key_col: str, seed: int = 0, n_buckets: int = 4096,
+                  num_partitions: int | None = None):
+    """Deterministic GLOBAL shuffle order for a training epoch: every
+    row gets ``epoch_pos`` = its rank under the seeded Knuth hash
+    ``((key + seed) * 2654435761) mod 2^32`` (ties broken by key) — the
+    epoch-k data order of a training loader, reproducible on any
+    cluster size with no shared RNG (change ``seed`` per epoch for a
+    fresh permutation).  Unlike ``ds.random_shuffle`` the order is a
+    pure function of the key, so a resumed run re-derives the exact
+    same schedule.
+
+    Scale shape (same distributed rank as ``text.pack_sequences``): the
+    hash space splits into ``n_buckets`` ORDERED ranges; one tiny
+    groupby-count census (≤ n_buckets rows — the only driver collect)
+    becomes broadcast exclusive offsets, and each hash-partitioned
+    group ranks ALL its buckets in one vectorized lexsort.  No global
+    sort of the data, no ``zipWithIndex`` materialization."""
+    import ray
+
+    width = max(1, _MOD // int(n_buckets))
+    if num_partitions is None:
+        num_partitions = 4 * max(
+            2, int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    P = int(num_partitions)
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        h = ((k.astype(np.uint64) + np.uint64(seed))
+             * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        bucket = (h // np.uint64(width)).astype(np.int64)
+        return pa.table({key_col: pa.array(k),
+                         "h__": pa.array(h.astype(np.int64)),
+                         "bucket__": pa.array(bucket)})
+
+    slim = ds.map_batches(hashes, batch_format="pyarrow")
+
+    def census(batch: pa.Table) -> pa.Table:
+        ub, n = np.unique(batch["bucket__"].to_numpy(),
+                          return_counts=True)
+        return pa.table({"bucket__": pa.array(ub),
+                         "n__": pa.array(n.astype(np.int64))})
+
+    rows = (slim.map_batches(census, batch_format="pyarrow")
+            .groupby("bucket__").sum("n__").take_all())
+    bk = np.array([r["bucket__"] for r in rows], dtype=np.int64)
+    nn = np.array([r["sum(n__)"] for r in rows], dtype=np.int64)
+    order = np.argsort(bk)
+    bk, nn = bk[order], nn[order]
+    excl = np.concatenate([[0], np.cumsum(nn)[:-1]])
+    offsets_ref = ray.put((bk, excl))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        b = batch["bucket__"].to_numpy().astype(np.uint64)
+        g = (b ^ (b >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        g &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        g ^= g >> np.uint64(31)
+        return batch.append_column(
+            "part__", pa.array((g % np.uint64(P)).astype(np.int64)))
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        bks, excls = ray.get(offsets_ref)
+        b = g["bucket__"].to_numpy()
+        h = g["h__"].to_numpy()
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, h, b))
+        b, k = b[order], k[order]
+        first = np.ones(len(b), dtype=bool)
+        first[1:] = b[1:] != b[:-1]
+        fidx = np.flatnonzero(first)
+        runlen = np.diff(np.append(fidx, len(b)))
+        base = excls[np.searchsorted(bks, b[fidx])]
+        within = np.arange(len(b), dtype=np.int64) \
+            - np.repeat(fidx, runlen)
+        return pa.table({key_col: pa.array(k),
+                         "epoch_pos": pa.array(
+                             within + np.repeat(base, runlen))})
+
+    return (slim.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part__").map_groups(rank_part,
+                                          batch_format="pyarrow"))

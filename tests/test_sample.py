@@ -184,3 +184,31 @@ def test_weighted_mixture(ray_session):
     _, cuts2 = weighted_mixture(ds, "doc_id", "source",
                                 {"big": 0.0, "small": 1.0}, total=5000)
     assert cuts2["small"] == 2**32 and cuts2["big"] == 0
+
+
+def test_epoch_shuffle_partitioning_invariant(ray_session):
+    """epoch_shuffle yields the identical permutation regardless of
+    block layout (the reproducible-on-any-cluster-size claim), is a
+    bijection onto 0..n-1, and changes with the seed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.sample import epoch_shuffle
+
+    ids = np.unique(np.random.default_rng(11).integers(0, 50_000, 2_000))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def run(nparts, seed):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        df = epoch_shuffle(ds, "doc_id", seed=seed, n_buckets=32,
+                           num_partitions=5).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a = run(3, seed=7)
+    b = run(17, seed=7)
+    assert (a["epoch_pos"].to_numpy() == b["epoch_pos"].to_numpy()).all()
+    pos = np.sort(a["epoch_pos"].to_numpy())
+    assert (pos == np.arange(len(ids))).all()
+    c = run(3, seed=8)
+    assert (a["epoch_pos"].to_numpy() != c["epoch_pos"].to_numpy()).any()
