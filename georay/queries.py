@@ -2564,6 +2564,25 @@ _SQL_CASE_TEXT = """
     FROM orders GROUP BY band
 """
 
+_SQL_QUALIFY_TEXT = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC,
+                                       o_orderkey) AS rn
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    QUALIFY rn <= 2
+"""
+
+
+def q_sql_qualify(sf_dir: str):
+    """QUALIFY — the post-window filter clause (filters AFTER window
+    computation, BEFORE projection; references window values by SELECT
+    alias).  Identical SQL text runs in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_QUALIFY_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_UNION_TEXT = """
     SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
     FROM customer WHERE c_acctbal > 9000
@@ -3836,7 +3855,7 @@ QUERIES = {
     "sql_cte": q_sql_cte,
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
-    "sql_dates": q_sql_dates,
+    "sql_qualify": q_sql_qualify,
     "sql_count_distinct_group": q_sql_count_distinct_group,
     "sql_median": q_sql_median,
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
@@ -3864,6 +3883,8 @@ QUERIES = {
     # rep in-window; all 22 pinned row-identical by test_sql_tpch
     "doc_weighted_sample": q_doc_weighted_sample,  # rotated behind:
     # Efraimidis-Spirakis core pinned by test_sample, POWER() oracle
+    "sql_dates": q_sql_dates,  # rotated behind: date-part kernels also
+    # pinned by test_sql and the sf0.01 local gate
     "sql_window_range": q_sql_window_range,  # rotated behind: RANGE
     # frames share the frame machinery with sql_window_frame (in-window)
     "sql_intersect": q_sql_intersect,  # rotated behind: set-op core
@@ -4210,6 +4231,7 @@ ORACLE_SQL = {
         FROM lineitem
     """,
     "sql_case": _SQL_CASE_TEXT,
+    "sql_qualify": _SQL_QUALIFY_TEXT,
     "sql_union": _SQL_UNION_TEXT,
     "sql_union_distinct": _SQL_UNION_DISTINCT_TEXT,
     "sql_cte": _SQL_CTE_TEXT,

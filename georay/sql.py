@@ -65,10 +65,10 @@ _QUANT_FUNCS = ("MEDIAN", "QUANTILE_CONT")
 _WINDOW_ONLY_FUNCS = {"ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
                       "FIRST_VALUE", "LAST_VALUE", "NTILE",
                       "PERCENT_RANK", "CUME_DIST"}
-_CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-               "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT", "DISTINCT",
-               "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "ON",
-               "OVER", "PARTITION"}
+_CLAUSE_KWS = {"FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER",
+               "LIMIT", "OFFSET", "BY", "ASC", "DESC", "AS", "SELECT",
+               "DISTINCT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+               "OUTER", "ON", "OVER", "PARTITION"}
 
 
 def _split_clauses(sql: str):
@@ -257,7 +257,7 @@ class _SqlParser:
         order = []
         limit = offset = None
         stop = [lambda k, v: k == "sqlkw" and v in
-                ("GROUP", "HAVING", "ORDER", "LIMIT")]
+                ("GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT")]
         if self.peek() == ("sqlkw", "WHERE"):
             self.next()
             where = self._expr_until(stop)
@@ -321,6 +321,10 @@ class _SqlParser:
         if self.peek() == ("sqlkw", "HAVING"):
             self.next()
             having = self._expr_until(stop)
+        qualify = None
+        if self.peek() == ("sqlkw", "QUALIFY"):
+            self.next()
+            qualify = self._expr_until(stop)
         if self.peek() == ("sqlkw", "ORDER"):
             self.next()
             self.expect_kw("BY")
@@ -344,8 +348,9 @@ class _SqlParser:
             raise SqlError(f"trailing tokens: {self.peek()!r}")
         return dict(items=items, distinct=distinct, table=table,
                     joins=joins, where=where, group=group, having=having,
-                    order=order, limit=limit, offset=offset,
-                    aliases=aliases, from_alias=from_alias, rollup=rollup,
+                    qualify=qualify, order=order, limit=limit,
+                    offset=offset, aliases=aliases,
+                    from_alias=from_alias, rollup=rollup,
                     grouping_sets=grouping_sets)
 
     def _on_col(self):
@@ -369,7 +374,7 @@ class _SqlParser:
         ordinal (int), or an expression (token list — grouped via a
         hidden computed key column, or the matching select item)."""
         stop = [lambda k, v: k == "sqlkw" and v in
-                ("HAVING", "ORDER", "LIMIT"),
+                ("HAVING", "QUALIFY", "ORDER", "LIMIT"),
                 lambda k, v: (k, v) == ("op", ",")]
         toks = self._expr_until(stop)
         if not toks:
@@ -1733,6 +1738,8 @@ def _dequalify(q: dict, tables: dict | None = None) -> dict:
 
     q["where"] = toks(q["where"])
     q["having"] = toks(q["having"])
+    if q.get("qualify"):
+        q["qualify"] = toks(q["qualify"])
     if q["group"]:
         q["group"] = [toks(g) if isinstance(g, list)
                       else (one(g) if isinstance(g, str) else g)
@@ -2125,6 +2132,9 @@ def _execute(q: dict, tables: dict):
 
     win_items = [(i, it) for i, it in enumerate(items)
                  if it.kind == "window"]
+    if q.get("qualify") and not win_items:
+        raise SqlError("QUALIFY requires a window function in the "
+                       "SELECT list")
     if win_items:
         if q["group"] or has_agg:
             raise SqlError("window functions cannot mix with GROUP BY or "
@@ -2951,6 +2961,25 @@ def _execute_window(ds, q, items, names, win_items):
         ds = ds.map_batches(addcols, batch_format="pyarrow")
 
     ds = window_compute(ds, specs)
+
+    if q.get("qualify"):
+        # QUALIFY filters AFTER window computation, BEFORE projection
+        # (DuckDB semantics); window values are referenced by their
+        # SELECT aliases, which rewrite to the hidden wout columns —
+        # non-window columns are still present at this point, so the
+        # predicate may mix both.
+        alias_to_w = {names[i]: f"wout{i}__" for i, _ in win_items}
+        qtoks = [("ident", alias_to_w[v])
+                 if k == "ident" and v in alias_to_w else (k, v)
+                 for k, v in q["qualify"]]
+        qnode, used = _parse_expr_tokens(qtoks)
+        if used != len(qtoks):
+            raise SqlError("trailing tokens in QUALIFY")
+
+        def qfilt(batch: pa.Table, _n=qnode) -> pa.Table:
+            return batch.filter(pc.fill_null(_eval(_n, batch), False))
+
+        ds = ds.map_batches(qfilt, batch_format="pyarrow")
 
     nodes = []
     for i, it in enumerate(items):

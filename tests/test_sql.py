@@ -234,6 +234,15 @@ WINDOW_CASES = [
     ("SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_custkey "
      "ORDER BY o_orderkey DESC RANGE BETWEEN 100 PRECEDING AND "
      "CURRENT ROW) AS s FROM orders", ["orders"]),
+    # QUALIFY: post-window filter by select alias
+    ("SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+     "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+     "AS rn FROM orders QUALIFY rn <= 3", ["orders"]),
+    # QUALIFY mixing a window alias with a plain column predicate
+    ("SELECT o_custkey, o_orderkey, RANK() OVER "
+     "(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS r "
+     "FROM orders WHERE o_custkey < 500 "
+     "QUALIFY r <= 5 AND o_orderkey % 2 = 0", ["orders"]),
 ]
 
 
@@ -286,6 +295,8 @@ def test_sql_window_errors(ray_session):
         "FROM orders GROUP BY o_custkey",
         # OVER after a plain column
         "SELECT o_custkey OVER (PARTITION BY o_custkey) FROM orders",
+        # QUALIFY without any window function
+        "SELECT o_custkey FROM orders QUALIFY o_custkey > 5",
     ]:
         with pytest.raises(SqlError):
             r = execute_sql(bad, tabs)
