@@ -30,7 +30,28 @@ from .dedup import _batch_shingles
 __all__ = ["benchmark_ngram_set", "flag_contaminated", "decontaminate"]
 
 
-def benchmark_ngram_set(bench_ds, *, n: int = 20, text_col: str = "text"):
+def _member_mask(ref, sh: np.ndarray) -> np.ndarray:
+    """Membership mask of shingle hashes against a broadcast ref —
+    either the exact sorted uint64 array or a ``sketch.BloomFilter``
+    (1.5 bytes/key vs 8: the 10^10-gram broadcast path; false positives
+    only drop extra docs, never leak a benchmark gram)."""
+    from .sketch import BloomFilter
+    if isinstance(ref, BloomFilter):
+        return ref.contains(sh)
+    if ref.size == 0:
+        return np.zeros(len(sh), bool)
+    pos = np.searchsorted(ref, sh)
+    pos[pos == ref.size] = 0
+    return ref[pos] == sh
+
+
+def _ref_empty(ref) -> bool:
+    from .sketch import BloomFilter
+    return ref.m <= 1 if isinstance(ref, BloomFilter) else ref.size == 0
+
+
+def benchmark_ngram_set(bench_ds, *, n: int = 20, text_col: str = "text",
+                        bloom_bits_per_key: int | None = None):
     """Distinct n-gram hash set of the benchmark table → broadcast ref.
 
     One partial row (a packed uint64 blob of the block's unique hashes)
@@ -55,6 +76,9 @@ def benchmark_ngram_set(bench_ds, *, n: int = 20, text_col: str = "text"):
         ref = np.unique(cat)
     else:
         ref = np.empty(0, np.uint64)
+    if bloom_bits_per_key is not None:
+        from .sketch import BloomFilter
+        return ray.put(BloomFilter.from_hashes(ref, bloom_bits_per_key))
     return ray.put(ref)
 
 
@@ -75,12 +99,10 @@ def flag_contaminated(corpus_ds, bench_ref, *, n: int = 20,
             texts = batch[text_col].to_pylist()
             empty = pa.table({id_col: pa.array([], ids.type),
                               "n_hits": pa.array([], pa.int64())})
-            if not texts or self.ref.size == 0:
+            if not texts or _ref_empty(self.ref):
                 return empty
             sh, offsets = _batch_shingles(texts, n)
-            pos = np.searchsorted(self.ref, sh)
-            pos[pos == self.ref.size] = 0
-            hit = self.ref[pos] == sh
+            hit = _member_mask(self.ref, sh)
             if not hit.any():
                 return empty
             # count DISTINCT matched hashes per doc: the matched set is
@@ -108,12 +130,21 @@ def flag_contaminated(corpus_ds, bench_ref, *, n: int = 20,
 
 
 def decontaminate(corpus_ds, bench_ds, *, n: int = 20,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bloom_bits_per_key: int | None = None):
     """Remove contaminated docs from the corpus (streaming filter: the
-    membership test runs inline; rows with any benchmark n-gram drop)."""
+    membership test runs inline; rows with any benchmark n-gram drop).
+    ``bloom_bits_per_key``: broadcast a Bloom filter instead of the
+    exact sorted set (one-sided error drops extra docs, never leaks).
+    SIZE THE RATE FOR PER-DOC COMPOUNDING: a doc of G grams is falsely
+    flagged with probability ~G·p, so with G ~ 10^3 the per-key rate
+    must sit at ~1e-6 — bits_per_key=32 (p≈2e-7, 4 bytes/key, half the
+    exact set's 8) is the decontamination default; 12 bits/key is a
+    PER-KEY rate (0.3 %) suited to counting-style uses only."""
     import ray
 
-    bench_ref = benchmark_ngram_set(bench_ds, n=n, text_col=text_col)
+    bench_ref = benchmark_ngram_set(bench_ds, n=n, text_col=text_col,
+                                    bloom_bits_per_key=bloom_bits_per_key)
 
     class Drop:
         def __init__(self):
@@ -121,12 +152,10 @@ def decontaminate(corpus_ds, bench_ds, *, n: int = 20,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch[text_col].to_pylist()
-            if not texts or self.ref.size == 0:
+            if not texts or _ref_empty(self.ref):
                 return batch
             sh, offsets = _batch_shingles(texts, n)
-            pos = np.searchsorted(self.ref, sh)
-            pos[pos == self.ref.size] = 0
-            hit = self.ref[pos] == sh
+            hit = _member_mask(self.ref, sh)
             doc_hit = np.add.reduceat(
                 hit.astype(np.int64), offsets[:-1]) > 0
             doc_hit &= np.diff(offsets) > 0

@@ -99,3 +99,38 @@ def test_semantic_dedup_matches_bruteforce(ray_session):
     out2 = semantic_dedup(ds.repartition(2), k=4,
                           threshold=0.999).to_pandas()
     assert kept == set(out2["vec_id"])
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from georay.sketch import BloomFilter
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    bf = BloomFilter.from_hashes(keys, bits_per_key=12)
+    assert bf.contains(keys).all()                     # zero FN, ever
+    probe = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    novel = probe[~np.isin(probe, keys)]
+    assert bf.contains(novel).mean() < 0.01            # ~0.3% theory
+    bf2 = BloomFilter.deserialize(bf.serialize())
+    assert (bf2.contains(probe) == bf.contains(probe)).all()
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session, sf_dir):
+    """Bloom-path decontamination keeps a SUBSET of the exact path's
+    survivors (one-sided error: extra drops possible, leaks never)."""
+    import ray
+
+    from georay.decontam import decontaminate
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    bench = ray.data.read_parquet(f"{sf_dir}/documents.parquet") \
+        .limit(50)
+    exact = set(decontaminate(corpus, bench, n=20)
+                .to_pandas()["doc_id"])
+    bloom = set(decontaminate(corpus, bench, n=20, bloom_bits_per_key=32)
+                .to_pandas()["doc_id"])
+    assert bloom <= exact
+    # at 32 bits/key (p~2e-7) false doc flags are ~G*p ~ 1e-4: none here
+    assert bloom == exact
