@@ -170,6 +170,29 @@ def test_fuzz_window_functions(ray_session, win, where):
            "ORDER BY o_orderkey LIMIT 60")
 
 
+_rank_window = st.sampled_from([
+    "ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)",
+    "RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+    "DESC, o_orderkey)",
+    "DENSE_RANK() OVER (ORDER BY o_orderkey)",
+])
+
+_qualify_pred = st.sampled_from([
+    "wv <= 3", "wv = 1", "wv > 2 AND wv <= 7",
+    "wv <= 4 AND o_orderkey % 2 = 0",
+])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(win=_rank_window, qual=_qualify_pred, where=_where)
+def test_fuzz_qualify(ray_session, win, qual, where):
+    # QUALIFY after a deterministic rank window (o_orderkey tiebreaks)
+    _check(f"SELECT o_orderkey, {win} AS wv FROM orders WHERE {where} "
+           f"QUALIFY {qual} ORDER BY o_orderkey LIMIT 60")
+
+
 def _run_join(sql: str) -> pd.DataFrame:
     import ray
     from georay.sql import execute_sql
