@@ -267,7 +267,28 @@ class _SqlParser:
             self.next()
             self.expect_kw("BY")
             pk, pv = self.peek()
-            if pk == "ident" and str(pv).upper() in ("ROLLUP", "CUBE"):
+            if pk == "ident" and str(pv).upper() == "ALL":
+                # GROUP BY ALL (DuckDB sugar): group by every
+                # non-aggregate select item — by its alias when named,
+                # else by its expression tokens
+                self.next()
+                group = []
+                for it in items:
+                    if it.kind == "agg" or _find_agg_calls(
+                            it.expr_toks or []):
+                        continue
+                    if it.name:
+                        group.append(it.name)
+                    elif (len(it.expr_toks or []) == 1
+                          and it.expr_toks[0][0] == "ident"):
+                        group.append(it.expr_toks[0][1])
+                    else:
+                        group.append(list(it.expr_toks))
+                if not group:
+                    raise SqlError("GROUP BY ALL: no non-aggregate "
+                                   "select items")
+                pk, pv = self.peek()
+            elif pk == "ident" and str(pv).upper() in ("ROLLUP", "CUBE"):
                 rollup = str(pv).upper().lower()   # "rollup" | "cube"
                 self.next()
                 kk, vv = self.next()
@@ -309,7 +330,7 @@ class _SqlParser:
                     break
                 if self.next() != ("op", ")"):
                     raise SqlError("GROUPING SETS: expected final )")
-            if grouping_sets is None:
+            if grouping_sets is None and group is None:
                 group = [self._group_item(bool(rollup))]
                 while self.peek() == ("op", ","):
                     self.next()

@@ -56,6 +56,11 @@ CASES = [
      "COUNT(*) AS n FROM orders", ["orders"]),
     ("SELECT o_orderkey, o_totalprice / 2 AS half FROM orders "
      "WHERE o_orderkey < 20 AND o_orderpriority LIKE '1-%'", ["orders"]),
+    # GROUP BY ALL: every non-aggregate select item becomes a key
+    ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+     "AVG(o_totalprice) AS m FROM orders GROUP BY ALL", ["orders"]),
+    ("SELECT UPPER(o_orderstatus) AS u, COUNT(*) AS n FROM orders "
+     "GROUP BY ALL ORDER BY u", ["orders"]),
 ]
 
 
