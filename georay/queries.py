@@ -1870,6 +1870,52 @@ def q_osm_nodes_census(sf_dir: str):
     return out
 
 
+def q_pmtiles_census(sf_dir: str):
+    """Tile census routed through a PMTiles v3 roundtrip (georay.pmtiles,
+    from-scratch off the public spec; reference driver
+    ogr/ogrsf_frmts/pmtiles/ogrpmtilesdataset.cpp).  The distributed
+    census (per-block partial counts → one groupby-sum) becomes one tile
+    payload per z=6 tile (count packed LE int64); ``write_pmtiles``
+    content-dedups and run-coalesces into the Hilbert-ordered varint
+    directory (gzip tiles), the range-request-shaped Ray source reads it
+    back, and the decoded payloads must reproduce the census — verifying
+    tile-ID math, directory encoding, compression and run expansion
+    end-to-end.  Oracle: the same census straight off orders.parquet.
+    Driver-side collect is the bounded census (≤4^6 rows), never the
+    orders table."""
+    import struct
+    import tempfile
+
+    from .pmtiles import read_pmtiles_dataset, write_pmtiles
+
+    rows = q_tile_census(sf_dir).take_all()
+    # gdal2tiles' ceil−1 tile math yields tile_x = −1 at lon = −180
+    # (kept for oracle parity); PMTiles constrains coords to [0, 2^z),
+    # so the archive stores the census one zoom deeper shifted by +1
+    # and the decode stage undoes the shift.
+    tiles = pa.table({
+        "z": pa.array(np.full(len(rows), 7, np.int64)),
+        "tile_x": pa.array(np.array([r["tile_x"] for r in rows],
+                                    np.int64) + 1),
+        "tile_y": pa.array(np.array([r["tile_y"] for r in rows],
+                                    np.int64) + 1),
+        "data": pa.array([struct.pack("<q", int(r["n"])) for r in rows],
+                         pa.binary()),
+    })
+    path = tempfile.mktemp(suffix=".pmtiles", prefix="georay_q_",
+                           dir="/tmp")
+    write_pmtiles(tiles, path, metadata={"census": "z6+1"})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n = np.frombuffer(b"".join(batch["data"].to_pylist()), "<i8")
+        return pa.table({"tile_x": pc.subtract(batch["tile_x"], 1),
+                         "tile_y": pc.subtract(batch["tile_y"], 1),
+                         "n": pa.array(n.copy())})
+
+    return read_pmtiles_dataset(path, unit_entries=64).map_batches(
+        decode, batch_format="pyarrow")
+
+
 def q_kml_zone_join(sf_dir: str):
     """Zone polygons routed through a KML roundtrip (georay.xmldrivers,
     OGC KML 2.2 Placemarks on stdlib ElementTree — reference scope
@@ -3856,7 +3902,7 @@ QUERIES = {
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
     "sql_qualify": q_sql_qualify,
-    "sql_count_distinct_group": q_sql_count_distinct_group,
+    "pmtiles_census": q_pmtiles_census,
     "sql_median": q_sql_median,
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
     "geoparquet_window": q_geoparquet_window,
@@ -3908,6 +3954,9 @@ QUERIES = {
     # its oracle is a self-gated within-3% band (weakest of the round-4
     # set) and the HLL estimator is pinned by in-repo tests.
     "doc_distinct_approx": q_doc_distinct_approx,
+    "sql_count_distinct_group": q_sql_count_distinct_group,  # rotated
+    # behind by pmtiles_census: grouped count-distinct machinery is
+    # shared with count_distinct_custkeys (green r3) + pinned by test_sql
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
@@ -4239,6 +4288,12 @@ ORACLE_SQL = {
         SELECT c_mktsegment AS seg, COUNT(*) AS n,
                SUM(CAST(c_custkey AS DOUBLE)) AS s
         FROM customer GROUP BY c_mktsegment
+    """,
+    "pmtiles_census": f"""
+        SELECT {_SQL_TILE.format(lon=_SQL_LON.format(k='o_orderkey'), z=6)} AS tile_x,
+               {_SQL_TILE_Y.format(lat=_SQL_LAT.format(k='o_orderkey'), z=6)} AS tile_y,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
     """,
     "kml_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
