@@ -1959,6 +1959,35 @@ def q_dxf_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_topojson_zone_join(sf_dir: str):
+    """Zone polygons routed through a QUANTIZED TopoJSON roundtrip
+    (georay.topojson — reference scope ogr/ogrsf_frmts/geojson/
+    ogrtopojsonreader.cpp): zones are written onto an explicit 0.5°
+    transform grid (delta-encoded integer arcs — the zone lattice sits
+    on the grid, so the quantization is exact), parsed back through the
+    arc-stitch path, then broadcast PIP join under the same BETWEEN-join
+    zone oracle as the direct path."""
+    import json as _json
+    import tempfile
+
+    from .join import spatial_join_points
+    from .topojson import topology_to_tables, write_topojson
+
+    zones = _nation_zones(sf_dir)
+    path = tempfile.mktemp(suffix=".topojson", prefix="georay_q_",
+                           dir="/tmp")
+    write_topojson(zones.select(["wkb", "n_name"]), path, layer="zones",
+                   transform={"scale": [0.5, 0.5],
+                              "translate": [-180.0, -80.0]})
+    with open(path) as f:
+        back = topology_to_tables(_json.load(f))["zones"] \
+            .select(["wkb", "n_name"])
+    pts = _customers_with_coords(sf_dir)
+    return spatial_join_points(
+        pts, back, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_gpx_waypoint_census(sf_dir: str):
     """Customer points through a GPX roundtrip (Topografix GPX 1.1):
     repr-exact coordinates come BACK out of the XML and their rounded
@@ -3985,6 +4014,7 @@ QUERIES = {
     "sql_q11": q_sql_q11,    # rotated behind by doc_mixture: the
     # partsupp machinery stays in-window via sql_q2/q20
     "dxf_zone_join": q_dxf_zone_join,  # oracle-backed (DXF roundtrip)
+    "topojson_zone_join": q_topojson_zone_join,  # oracle-backed (arcs)
     "sql_outer_join": q_sql_outer_join,  # oracle-backed (FULL OUTER)
     "sql_sum_distinct": q_sql_sum_distinct,  # oracle-backed
     "audio_features": q_audio_features,  # rows-only (multimodal audio
@@ -4299,6 +4329,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "dxf_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "topojson_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "sql_dates": _SQL_DATES_TEXT,
