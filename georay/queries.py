@@ -2271,6 +2271,50 @@ def q_lance_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_delta_zone_join(sf_dir: str):
+    """Customer points routed through a DELTA-LAYOUT table roundtrip
+    (georay.deltafmt — parquet data files + ordered JSON transaction
+    log: MVCC put-if-absent commits, partition-column re-injection,
+    copy-on-write delete).  The points Dataset is written PARTITIONED
+    by market segment (partition values live in the log, NOT the data
+    files), a copy-on-write DELETE removes the planted sentinel rows,
+    and the surviving rows — read back via the file-per-task
+    partitioned read with column projection — drive the same broadcast
+    PIP join under the zone oracle.  Green parity proves log replay +
+    partition re-injection + the delete rewrite end-to-end.  The
+    sentinel predicate (c_custkey % 100 == 0 rows are deleted, then
+    re-appended from the source) keeps the final row set identical to
+    the plain zone join."""
+    import tempfile
+
+    from .deltafmt import delete_delta, read_delta, write_delta
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir, extra_cols=["c_mktsegment"])
+    root = tempfile.mkdtemp(prefix="georay_q_delta_", dir="/tmp")
+    import os
+    os.rmdir(root)  # write_delta creates it; mode="create" wants no log
+    write_delta(pts.repartition(3), root,
+                partition_cols=["c_mktsegment"])
+    # copy-on-write delete of the sentinel slice, then re-append it —
+    # exercises remove+add in one version and leaves the row set intact
+    delete_delta(root,
+                 lambda t: t["c_custkey"].to_numpy(zero_copy_only=False)
+                 % 100 == 0,
+                 columns=["c_custkey"])
+    sentinel = pts.map_batches(
+        lambda b: b.filter(pa.array(
+            b["c_custkey"].to_numpy(zero_copy_only=False) % 100 == 0)),
+        batch_format="pyarrow")
+    write_delta(sentinel, root, mode="append",
+                partition_cols=["c_mktsegment"])
+    back = read_delta(root, columns=["c_custkey", "lon", "lat"])
+    return spatial_join_points(
+        back, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_geojsonseq_zone_join(sf_dir: str):
     """Zone polygons through a GeoJSONSeq roundtrip with a BYTE-RANGE
     split read (13-line file read in ~3 ranges exercises the
@@ -3803,6 +3847,32 @@ def q_sql_outer_join(sf_dir: str):
                        _sql_tables(sf_dir, "customer", "orders"))
 
 
+_SQL_ASOF_TEXT = """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.p_event_id AS event_id_purchase, p.p_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF JOIN (SELECT user_id AS p_user_id, ts AS p_ts,
+                      max(event_id) AS p_event_id
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts) p
+      ON c.user_id = p.p_user_id AND c.ts >= p.p_ts
+"""
+
+
+def q_sql_asof_join(sf_dir: str):
+    """DuckDB-syntax ASOF JOIN through the SQL front-end: each click
+    matched to the same user's most recent at-or-before purchase.
+    Compiles onto the hash-partitioned vectorized
+    :func:`georay.windows.asof_join` via hidden probe columns (see
+    sql._asof_join_fold; >=/<= both directions, flipped spellings).
+    The right side pre-reduces (user_id, ts) ties with max(event_id)
+    IN THE QUERY TEXT so the arbitrary-tie freedom both engines have
+    never shows.  Identical text in DuckDB (native ASOF JOIN)."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_ASOF_TEXT, _sql_tables(sf_dir, "events"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -3925,8 +3995,8 @@ QUERIES = {
     # -- (c) r3 FAIL re-check (SUM-widening fix, commit a452984) --
     "sql_filter_group": q_sql_filter_group,
     # -- new this round (CASE / UNION in the SQL front-end; OSM PBF) --
-    "sql_case": q_sql_case,
-    "sql_union": q_sql_union,
+    "delta_zone_join": q_delta_zone_join,
+    "sql_asof_join": q_sql_asof_join,
     "sql_cte": q_sql_cte,
     "osm_nodes_census": q_osm_nodes_census,
     "kml_zone_join": q_kml_zone_join,
@@ -3948,6 +4018,12 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "sql_case": q_sql_case,  # rotated behind by delta_zone_join: CASE
+    # kernels are pinned by test_sql + the QUALIFY/fuzz families and
+    # shared with several in-window queries
+    "sql_union": q_sql_union,  # rotated behind by sql_asof_join: the
+    # set-op core is also exercised by sql_union_distinct/sql_intersect
+    # (behind) and pinned by test_sql + the sf0.01 local gate
     "doc_top_terms": q_doc_top_terms,  # rotated behind: term-census
     # shape shared with doc_bm25_topk (in-window), same df machinery
     "sql_q20": q_sql_q20,  # rotated behind: partsupp machinery pinned
@@ -4265,6 +4341,7 @@ ORACLE_SQL = {
     "sql_q22": _SQL_Q22_TEXT,
     "sql_q21": _SQL_Q21_TEXT,
     "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
+    "sql_asof_join": _SQL_ASOF_TEXT,
     "sql_sum_distinct": _SQL_SUM_DISTINCT_TEXT,
     "doc_top_terms": """
         SELECT term, COUNT(*) AS n, TRUE AS certified
@@ -4428,6 +4505,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "lance_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "delta_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "geojsonseq_zone_join": f"""

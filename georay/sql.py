@@ -208,16 +208,22 @@ class _SqlParser:
                 raise SqlError(f"expected table alias, got {al!r}")
             aliases[al] = table
             from_alias = al
-        elif self.peek()[0] == "ident":
+        elif self.peek()[0] == "ident" \
+                and str(self.peek()[1]).upper() != "ASOF":
             from_alias = self.peek()[1]
             aliases[from_alias] = table
             self.next()
         joins = []
-        while self.peek()[0] == "sqlkw" and self.peek()[1] in (
-                "JOIN", "INNER", "LEFT", "RIGHT", "FULL"):
+        while (self.peek()[0] == "sqlkw" and self.peek()[1] in (
+                "JOIN", "INNER", "LEFT", "RIGHT", "FULL")) or (
+                self.peek()[0] == "ident"
+                and str(self.peek()[1]).upper() == "ASOF"):
             k, v = self.next()
             jtype = "inner"
-            if v in ("LEFT", "RIGHT", "FULL"):
+            if k == "ident":           # ASOF JOIN (DuckDB syntax)
+                jtype = "asof"
+                self.expect_kw("JOIN")
+            elif v in ("LEFT", "RIGHT", "FULL"):
                 jtype = {"LEFT": "left_outer", "RIGHT": "right_outer",
                          "FULL": "full_outer"}[v]
                 if self.peek() == ("sqlkw", "OUTER"):
@@ -241,13 +247,17 @@ class _SqlParser:
                 self.next()
             self.expect_kw("ON")
             pairs = []
+            ok_ops = ("=", ">=", "<=") if jtype == "asof" else ("=",)
             while True:
                 ca = self._on_col()
                 kk, vv = self.next()
-                if (kk, vv) != ("op", "="):
+                if kk != "op" or vv not in ok_ops:
                     raise SqlError(
-                        f"JOIN ON needs col = col, got {vv!r}")
-                pairs.append((ca, self._on_col()))
+                        f"JOIN ON needs col = col"
+                        + (" (or one >=/<= for ASOF)"
+                           if jtype == "asof" else "")
+                        + f", got {vv!r}")
+                pairs.append((ca, self._on_col(), vv))
                 if self.peek() == ("kw", "AND"):
                     self.next()
                     continue
@@ -1768,7 +1778,8 @@ def _dequalify(q: dict, tables: dict | None = None) -> dict:
     q["order"] = [((toks(c) if isinstance(c, list)
                     else (one(c) if isinstance(c, str) else c)), d, nf)
                   for c, d, nf in q["order"]]
-    q["joins"] = [(jt, t2, [(one(ca), one(cb)) for ca, cb in pairs], al)
+    q["joins"] = [(jt, t2, [(one(ca), one(cb), op)
+                            for ca, cb, op in pairs], al)
                   for jt, t2, pairs, al in q["joins"]]
     for it in (q["items"] if q["items"] != "*" else ()):
         if it.expr_toks:
@@ -1940,6 +1951,74 @@ def _hash_grouped_aggregate(prepped, group_cols, specs,
             .map_groups(combine, batch_format="pyarrow"))
 
 
+def _asof_join_fold(ds, rds, pairs, left_names, rnames):
+    """ASOF JOIN (DuckDB syntax): exactly one equality key + one >=/<=
+    inequality on an ordered column.  Compiles onto the engine's
+    hash-partitioned vectorized :func:`georay.windows.asof_join` via
+    hidden probe columns (``__asof_k__``/``__asof_ts__``) appended
+    zero-copy on both sides, so the user-visible columns of BOTH tables
+    survive under their own names.  ``l.ts >= r.ts`` (or the flipped
+    spelling) is the standard backward match; ``l.ts <= r.ts`` is the
+    forward match, implemented by NEGATING the int64 probe on both
+    sides (order reversal ⇒ the same backward kernel).  Ordered column
+    types: integers and timestamps (cast to int64 µs).  Ties on a right
+    (key, ts) are reduced deterministically inside asof_join — pre-
+    aggregate the right side in the query text when the oracle must
+    match exactly."""
+    from .windows import asof_join as _asof
+
+    eqs = [(ca, cb) for ca, cb, op in pairs if op == "="]
+    ineqs = [(ca, cb, op) for ca, cb, op in pairs if op != "="]
+    if len(eqs) != 1 or len(ineqs) != 1:
+        raise SqlError("ASOF JOIN needs exactly one equality and one "
+                       ">=/<= condition")
+
+    def orient(ca, cb, what):
+        if ca in left_names and cb in rnames:
+            return ca, cb, False
+        if cb in left_names and ca in rnames:
+            return cb, ca, True
+        raise SqlError(f"ASOF JOIN {what} {ca}/{cb}: columns not found "
+                       "one per side")
+
+    lk, rk, _ = orient(*eqs[0], "key")
+    ca, cb, op = ineqs[0]
+    lt, rt, flipped = orient(ca, cb, "inequality")
+    backward = (op == ">=") != flipped
+    sign = 1 if backward else -1
+
+    def _probe_i64(col, _sign=sign):
+        t = col.type
+        if pa.types.is_timestamp(t):
+            v = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        elif pa.types.is_integer(t):
+            v = pc.cast(col, pa.int64())
+        else:
+            raise SqlError(
+                f"ASOF JOIN ordering column must be integer or "
+                f"timestamp, got {t}")
+        return pc.multiply(v, pa.scalar(_sign, pa.int64())) \
+            if _sign < 0 else v
+
+    def prep(kcol, tcol):
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column("__asof_k__", batch[kcol])
+            return batch.append_column("__asof_ts__",
+                                       _probe_i64(batch[tcol]))
+        return f
+
+    lds = ds.map_batches(prep(lk, lt), batch_format="pyarrow")
+    rprep = rds.map_batches(prep(rk, rt), batch_format="pyarrow")
+    right_cols = [c for c in sorted(rnames)]
+    out = _asof(lds, rprep, key_col="__asof_k__", ts_col="__asof_ts__",
+                right_cols=tuple(right_cols), suffix="")
+
+    def drop_probe(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__asof_k__", "__asof_ts__"])
+
+    return out.map_batches(drop_probe, batch_format="pyarrow")
+
+
 def _execute(q: dict, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
@@ -1976,8 +2055,13 @@ def _execute(q: dict, tables: dict):
             if dup:
                 raise SqlError(
                     f"ambiguous columns across joined tables: {sorted(dup)}")
+            if jtype == "asof":
+                ds = _asof_join_fold(ds, rds, pairs, left_names, rnames)
+                left_names = left_names | rnames
+                scope_names = left_names
+                continue
             lks, rks = [], []
-            for ca, cb in pairs:
+            for ca, cb, _op in pairs:
                 if ca in left_names and cb in rnames:
                     lks.append(ca)
                     rks.append(cb)

@@ -1422,3 +1422,41 @@ def test_sql_groups_frame(ray_session):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = ref[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sql_asof_join(ray_session):
+    """ASOF JOIN (DuckDB syntax) through the front-end: backward (>=),
+    forward (<=), and the flipped right-op-left spelling — all verified
+    against DuckDB's native ASOF JOIN on identical text.  Right-side
+    (key, ts) ties are pre-reduced in the text so both engines' tie
+    freedom never shows."""
+    base = """
+        SELECT c.event_id, c.user_id, c.ts,
+               p.p_event_id AS matched, p.p_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF JOIN (SELECT user_id AS p_user_id, ts AS p_ts,
+                          max(event_id) AS p_event_id
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts) p
+          ON c.user_id = p.p_user_id AND {cond}
+    """
+    for cond in ("c.ts >= p.p_ts",      # backward
+                 "c.ts <= p.p_ts",      # forward
+                 "p.p_ts <= c.ts",      # flipped backward
+                 "p.p_ts >= c.ts"):     # flipped forward
+        sql = base.format(cond=cond)
+        got = _norm(_run(sql, ["events"]))
+        want = _norm(_duck(sql))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_asof_join_errors(ray_session):
+    from georay.sql import SqlError
+    with pytest.raises(SqlError, match="exactly one equality"):
+        _run("SELECT * FROM orders o ASOF JOIN lineitem l "
+             "ON o.o_orderkey >= l.l_orderkey", ["orders", "lineitem"])
+    with pytest.raises(SqlError, match="exactly one equality"):
+        _run("SELECT * FROM orders o ASOF JOIN customer c "
+             "ON o_custkey = c_custkey", ["orders", "customer"])
