@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "sql_case", "sql_union", "osm_nodes_census", "kml_zone_join",
     "gpx_waypoint_census", "webp_images", "lance_zone_join",
     "delta_zone_join",     # delta-layout roundtrip + COW delete
+    "grib_density",        # GRIB2 band-message roundtrip census
     "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
     "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS

@@ -2573,6 +2573,79 @@ def q_zarr_density(sf_dir: str):
     })
 
 
+def q_grib_density(sf_dir: str):
+    """End-to-end GRIB2 path under the SQL oracle: the same 64×64
+    point-density census as ``zarr_density`` is assembled from the
+    bounded census rows (≤4096 — the documented bounded-collect
+    pattern), written as FOUR 16-row band messages through the
+    from-scratch GRIB2 writer (simple packing, D=0 → integer-exact),
+    read back message-parallel through the Ray source, and the window
+    rows (crossing band borders) emitted as (gy, gx, n).  Green parity
+    pins Section 0/3/5/7 encode+decode, the bit packer and the grid
+    georeferencing end-to-end.  Oracle: identical census in SQL."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from .grib import read_grib_dataset, write_grib
+
+    W = H = 64
+    win = (slice(8, 40), slice(16, 48))  # crosses 16-row band borders
+
+    def cells(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy()
+        lon = derived_lon(key)
+        lat = derived_lat(key)
+        gx = np.minimum((np.floor((lon + 180.0) / 360.0 * W))
+                        .astype(np.int64), W - 1)
+        gy = np.minimum((np.floor((lat + 90.0) / 180.0 * H))
+                        .astype(np.int64), H - 1)
+        flat = gy * W + gx
+        uniq, n = np.unique(flat, return_counts=True)
+        return pa.table({"gy": pa.array(uniq // W),
+                         "gx": pa.array(uniq % W),
+                         "n": pa.array(n.astype(np.int64))})
+
+    dens = (_rp(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(cells, batch_format="pyarrow")
+            .groupby(["gy", "gx"]).aggregate(Sum("n", alias_name="n")))
+    grid = np.zeros((H, W), np.float64)
+    for r in dens.take_all():          # ≤ H·W census rows
+        grid[r["gy"], r["gx"]] = r["n"]
+    path = tempfile.mktemp(suffix=".grib2", prefix="georay_q_grib_",
+                           dir="/tmp")
+    write_grib(path, [grid[k * 16:(k + 1) * 16] for k in range(4)],
+               lat0=90.0, lon0=-180.0, dlat=180.0 / H, dlon=360.0 / W)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        gys, gxs, ns = [], [], []
+        for k, flat, ni in zip(batch["message"].to_pylist(),
+                               batch["data"].to_pylist(),
+                               batch["ni"].to_pylist()):
+            a = np.asarray(flat).reshape(-1, ni)
+            row0 = int(k) * 16
+            lo = max(win[0].start - row0, 0)
+            hi = min(win[0].stop - row0, a.shape[0])
+            if lo >= hi:
+                continue
+            sub = a[lo:hi, win[1]]
+            yy, xx = np.nonzero(sub)
+            gys.append(yy + row0 + lo)
+            gxs.append(xx + win[1].start)
+            ns.append(sub[yy, xx])
+        if not gys:
+            return pa.table({"gy": pa.array([], pa.int64()),
+                             "gx": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "gy": pa.array(np.concatenate(gys).astype(np.int64)),
+            "gx": pa.array(np.concatenate(gxs).astype(np.int64)),
+            "n": pa.array(np.concatenate(ns).astype(np.int64))})
+
+    return read_grib_dataset(path).map_batches(
+        extract, batch_format="pyarrow")
+
+
 def q_sample_per_key(sf_dir: str):
     """Deterministic k-per-key sampling (3 orders per customer, ranked by
     the Knuth hash of the order key) — the per-domain cap / eval-draw
@@ -4009,7 +4082,7 @@ QUERIES = {
     "doc_mixture": q_doc_mixture,
     "doc_pack_sequences": q_doc_pack_sequences,
     "image_exif": q_image_exif,
-    "quantile_sketch": q_quantile_sketch,
+    "grib_density": q_grib_density,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_epoch_order": q_doc_epoch_order,
     "warp_near_affine": q_warp_near_affine,
@@ -4018,6 +4091,10 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "quantile_sketch": q_quantile_sketch,  # rotated behind by
+    # grib_density: its oracle is a self-gated within-1%-rank flag (the
+    # weakest oracle class, same rationale as doc_distinct_approx) and
+    # the KLL core is pinned by test_bm25_sketch
     "sql_case": q_sql_case,  # rotated behind by delta_zone_join: CASE
     # kernels are pinned by test_sql + the QUALIFY/fuzz families and
     # shared with several in-window queries
@@ -4920,6 +4997,19 @@ ORACLE_SQL = {
         FROM u
     """,
     "zarr_density": f"""
+        WITH pts AS (SELECT {_SQL_LON.format(k='o_orderkey')} AS lon,
+                            {_SQL_LAT.format(k='o_orderkey')} AS lat
+                     FROM orders),
+        g AS (SELECT least(cast(floor((lat + 90.0) / 180.0 * 64) as bigint),
+                           63) AS gy,
+                     least(cast(floor((lon + 180.0) / 360.0 * 64) as bigint),
+                           63) AS gx
+              FROM pts)
+        SELECT gy, gx, count(*) AS n FROM g
+        WHERE gy >= 8 AND gy < 40 AND gx >= 16 AND gx < 48
+        GROUP BY gy, gx
+    """,
+    "grib_density": f"""
         WITH pts AS (SELECT {_SQL_LON.format(k='o_orderkey')} AS lon,
                             {_SQL_LAT.format(k='o_orderkey')} AS lat
                      FROM orders),
