@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "gpx_waypoint_census", "webp_images", "lance_zone_join",
     "delta_zone_join",     # delta-layout roundtrip + COW delete
     "grib_density",        # GRIB2 band-message roundtrip census
+    "iceberg_zone_join",   # iceberg metadata-tree roundtrip + append
     "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
     "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS
@@ -168,6 +169,10 @@ def main_plain():
              log_to_driver=False)  # keep stdout = exactly one JSON line
     _quiet()
     _bench_images_path()          # build fixture outside the timed window
+    from georay.queries import _bench_images
+    _bench_images(SF_DIR)         # query-side image fixture too: its
+    # one-time synthesis (JPEG encodes + first-touch faults) inflated
+    # image_dedup 5-15× in fresh containers (NOTES bench caution)
     run_headline()                # warm-up: page cache + actor pools
     head = run_headline()
     lance_head = run_headline_lance()

@@ -2315,6 +2315,44 @@ def q_delta_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_iceberg_zone_join(sf_dir: str):
+    """Customer points routed through an ICEBERG-LAYOUT table roundtrip
+    (georay.icebergfmt — JSON metadata tree + Avro manifest-list/
+    manifest chain, Hadoop-catalog put-if-absent commits).  Even-key
+    customers are CREATEd as snapshot 1, odd-key customers APPENDed as
+    snapshot 2 (the manifest-list of snapshot 2 carries snapshot 1's
+    manifest), and the current snapshot — read back through the native
+    read_parquet path with column projection — drives the same
+    broadcast PIP join under the zone oracle.  Green parity proves the
+    object-Avro codec, manifest replay and snapshot chaining
+    end-to-end."""
+    import tempfile
+
+    from .icebergfmt import read_iceberg, write_iceberg
+    from .join import spatial_join_points
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir)
+
+    def parity(keep_even):
+        def f(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((k % 2 == 0) == keep_even))
+        return f
+
+    root = tempfile.mkdtemp(prefix="georay_q_ice_", dir="/tmp")
+    import os
+    os.rmdir(root)
+    write_iceberg(pts.map_batches(parity(True), batch_format="pyarrow")
+                  .repartition(2), root)
+    write_iceberg(pts.map_batches(parity(False), batch_format="pyarrow"),
+                  root, mode="append")
+    back = read_iceberg(root, columns=["c_custkey", "lon", "lat"])
+    return spatial_join_points(
+        back, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_geojsonseq_zone_join(sf_dir: str):
     """Zone polygons through a GeoJSONSeq roundtrip with a BYTE-RANGE
     split read (13-line file read in ~3 ranges exercises the
@@ -4084,13 +4122,16 @@ QUERIES = {
     "image_exif": q_image_exif,
     "grib_density": q_grib_density,
     "doc_bm25_topk": q_doc_bm25_topk,
-    "doc_epoch_order": q_doc_epoch_order,
+    "iceberg_zone_join": q_iceberg_zone_join,
     "warp_near_affine": q_warp_near_affine,
     # flagship anchor: ALWAYS in-window (rows-only by design, exempt from
     # the oracle-first rule) — the north-star pipeline needs a driver row
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "doc_epoch_order": q_doc_epoch_order,  # rotated behind by
+    # iceberg_zone_join: shares the census->offsets->partition-rank
+    # machinery with doc_pack_sequences (in-window)
     "quantile_sketch": q_quantile_sketch,  # rotated behind by
     # grib_density: its oracle is a self-gated within-1%-rank flag (the
     # weakest oracle class, same rationale as doc_distinct_approx) and
@@ -4585,6 +4626,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "delta_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "iceberg_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "geojsonseq_zone_join": f"""
