@@ -3984,6 +3984,34 @@ def q_sql_asof_join(sf_dir: str):
     return execute_sql(_SQL_ASOF_TEXT, _sql_tables(sf_dir, "events"))
 
 
+_SQL_RECURSIVE_TEXT = """
+    WITH RECURSIVE buckets(lo) AS (
+        SELECT 0
+        UNION ALL
+        SELECT lo + 100000 FROM buckets WHERE lo + 100000 <= 600000)
+    SELECT lo, COUNT(*) AS n,
+           ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS total
+    FROM buckets
+    JOIN (SELECT o_totalprice,
+                 CAST(FLOOR(o_totalprice / 100000) AS BIGINT) * 100000
+                     AS lo2 FROM orders) o
+      ON lo = lo2
+    GROUP BY lo ORDER BY lo
+"""
+
+
+def q_sql_recursive(sf_dir: str):
+    """WITH RECURSIVE (standard SQL iteration): a recursive series CTE
+    generates the price-bucket lattice (seed UNION ALL step, working-
+    table semantics, driver-side fixpoint loop — sql.
+    _execute_recursive_cte), joined back to orders through a derived
+    bucket projection for a histogram.  Plain-UNION recursion (cyclic-
+    graph termination) and the FROM-less SELECT seed are pinned by
+    test_sql; identical text in DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_RECURSIVE_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -4117,7 +4145,7 @@ QUERIES = {
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
     "geoparquet_window": q_geoparquet_window,
     "doc_perplexity": q_doc_perplexity,
-    "doc_mixture": q_doc_mixture,
+    "sql_recursive": q_sql_recursive,
     "doc_pack_sequences": q_doc_pack_sequences,
     "image_exif": q_image_exif,
     "grib_density": q_grib_density,
@@ -4129,6 +4157,9 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "doc_mixture": q_doc_mixture,  # rotated behind by sql_recursive:
+    # the weighted-mixture resample core is pinned by test_sample and
+    # doc_weighted_sample shares the POWER()-oracle machinery
     "doc_epoch_order": q_doc_epoch_order,  # rotated behind by
     # iceberg_zone_join: shares the census->offsets->partition-rank
     # machinery with doc_pack_sequences (in-window)
@@ -4459,6 +4490,7 @@ ORACLE_SQL = {
     "sql_q22": _SQL_Q22_TEXT,
     "sql_q21": _SQL_Q21_TEXT,
     "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
+    "sql_recursive": _SQL_RECURSIVE_TEXT,
     "sql_asof_join": _SQL_ASOF_TEXT,
     "sql_sum_distinct": _SQL_SUM_DISTINCT_TEXT,
     "doc_top_terms": """

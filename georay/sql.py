@@ -195,8 +195,14 @@ class _SqlParser:
             while self.peek() == ("op", ","):
                 self.next()
                 items.append(self._select_item())
-        self.expect_kw("FROM")
-        k, table = self.next()
+        if self.peek() != ("sqlkw", "FROM"):
+            # FROM-less SELECT (constants / scalar expressions): runs
+            # over the synthetic one-row __dual__ table
+            table = "__dual__"
+            k = "ident"
+        else:
+            self.expect_kw("FROM")
+            k, table = self.next()
         if k not in ("ident", "sqlkw"):
             raise SqlError(f"expected table name, got {table!r}")
         aliases = {}
@@ -1265,6 +1271,118 @@ def _as_dataset(res):
     return ray.data.from_arrow(res) if isinstance(res, pa.Table) else res
 
 
+def _rename_positional(ds, names: list[str]):
+    """Positionally rename a Dataset/table's columns (CTE column alias
+    list), zero-copy."""
+    if isinstance(ds, pa.Table):
+        return ds.rename_columns(names)
+    schema = ds.schema()
+    old = list(getattr(schema, "base_schema", schema).names)
+    if len(old) != len(names):
+        raise SqlError(f"CTE column alias list has {len(names)} names "
+                       f"for {len(old)} columns")
+    if old == names:
+        return ds
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(names)
+
+    return ds.map_batches(ren, batch_format="pyarrow")
+
+
+_RECURSION_LIMIT = 10_000
+
+
+def _execute_recursive_cte(name, body, tables, col_alias):
+    """``WITH RECURSIVE name AS (seed UNION [ALL] recursive)``: split
+    the body on the top-level UNION, run the seed once, then iterate
+    the recursive branches with ``name`` bound to the WORKING TABLE
+    (the PREVIOUS iteration's new rows only — standard SQL semantics)
+    until it comes back empty.  Plain UNION additionally drops rows
+    already seen (and dedups the seed), so cyclic graphs terminate.
+
+    Scale shape: each iteration is a full Ray pipeline over the working
+    table; per-level results are collected driver-side because they
+    seed the next level (hierarchy/series workloads are bounded per
+    level — the distributed fixpoint loops for UNBOUNDED layers are the
+    dedicated operators, e.g. dedup.cluster_components' hash-to-min).
+    Depth is capped at 10,000 iterations."""
+    branches, alls = _split_union(body)
+    if len(branches) < 2:
+        raise SqlError(f"recursive CTE {name!r} needs seed UNION "
+                       "[ALL] recursive-term")
+    if any(isinstance(a, str) for a in alls):
+        raise SqlError("INTERSECT/EXCEPT in a recursive CTE is not "
+                       "supported")
+    distinct = not all(alls)
+    seeds, recs = [], []
+    for b in branches:
+        (recs if any(k == "ident" and v == name for k, v in b)
+         else seeds).append(b)
+    if not seeds or not recs:
+        raise SqlError(f"recursive CTE {name!r}: need at least one "
+                       "seed branch and one self-referencing branch")
+
+    def run(branch_toks, tabs):
+        res = execute_sql(list(branch_toks), tabs)
+        if isinstance(res, pa.Table):
+            return res
+        batches = list(res.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+        return pa.concat_tables(batches) if batches else None
+
+    import ray
+
+    parts = [run(b, tables) for b in seeds]
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        raise SqlError(f"recursive CTE {name!r}: empty seed")
+    work = pa.concat_tables(
+        [p.rename_columns(parts[0].column_names) for p in parts])
+    if col_alias is not None:
+        work = work.rename_columns(col_alias)
+    seen_keys = None
+    if distinct:
+        work = work.group_by(work.column_names).aggregate([])
+        seen_keys = work
+    acc = [work]
+    iters = 0
+    while work.num_rows:
+        iters += 1
+        if iters > _RECURSION_LIMIT:
+            raise SqlError(f"recursive CTE {name!r} exceeded "
+                           f"{_RECURSION_LIMIT} iterations")
+        tabs = dict(tables)
+        tabs[name] = ray.data.from_arrow(work)
+        outs = [run(b, tabs) for b in recs]
+        outs = [o for o in outs if o is not None and o.num_rows]
+        if not outs:
+            break
+        new = pa.concat_tables(
+            [o.rename_columns(acc[0].column_names) for o in outs])
+        if distinct:
+            new = new.group_by(new.column_names).aggregate([])
+            # drop rows already produced (UNION semantics): anti-join
+            # via a hash set over the row tuples
+            import pandas as pd
+            seen_df = seen_keys.to_pandas()
+            new_df = new.to_pandas()
+            merged = new_df.merge(seen_df, how="left", indicator=True,
+                                  on=list(new_df.columns))
+            new = pa.Table.from_pandas(
+                merged[merged["_merge"] == "left_only"].drop(
+                    columns="_merge"),
+                schema=new.schema, preserve_index=False)
+            if new.num_rows:
+                seen_keys = pa.concat_tables([seen_keys, new])
+        if not new.num_rows:
+            break
+        acc.append(new)
+        work = new
+    out = pa.concat_tables(acc)
+    return ray.data.from_arrow(out)
+
+
 def _expand_ctes_and_derived(toks, tables):
     """WITH ctes and derived tables (``FROM (SELECT …) alias``) compile
     COMPOSITIONALLY: each subquery executes through ``execute_sql``
@@ -1274,22 +1392,45 @@ def _expand_ctes_and_derived(toks, tables):
     documented cost; materialize driver-side first if that matters.
     Returns (rewritten_toks, extended_tables)."""
     tables = dict(tables)
-    # WITH name AS ( q ) [, name AS ( q )]* — later CTEs see earlier ones
+    # WITH [RECURSIVE] name [(cols)] AS ( q ) [, ...] — later CTEs see
+    # earlier ones
     if toks and toks[0][0] == "ident" and toks[0][1].upper() == "WITH":
         i = 1
+        recursive = False
+        if (i < len(toks) and toks[i][0] == "ident"
+                and toks[i][1].upper() == "RECURSIVE"):
+            recursive = True
+            i += 1
         while True:
             if i >= len(toks) or toks[i][0] != "ident":
                 raise SqlError("expected CTE name after WITH")
             name = toks[i][1]
             i += 1
+            col_alias = None
+            if i < len(toks) and toks[i] == ("op", "("):
+                # t(col, ...) positional column alias list
+                j = _balanced_end(toks, i)
+                inner = toks[i + 1:j - 1]
+                col_alias = [v for k, v in inner if k == "ident"]
+                if len(col_alias) * 2 - 1 != len(inner):
+                    raise SqlError("bad CTE column alias list")
+                i = j
             if i >= len(toks) or toks[i] != ("sqlkw", "AS"):
                 raise SqlError(f"expected AS after CTE name {name!r}")
             i += 1
             if i >= len(toks) or toks[i] != ("op", "("):
                 raise SqlError("expected ( after AS in WITH")
             j = _balanced_end(toks, i)
-            tables[name] = _as_dataset(
-                execute_sql(toks[i + 1:j - 1], tables))
+            body = toks[i + 1:j - 1]
+            self_ref = any(k == "ident" and v == name for k, v in body)
+            if recursive and self_ref:
+                tables[name] = _execute_recursive_cte(
+                    name, body, tables, col_alias)
+            else:
+                res = _as_dataset(execute_sql(body, tables))
+                if col_alias is not None:
+                    res = _rename_positional(res, col_alias)
+                tables[name] = res
             i = j
             if i < len(toks) and toks[i] == ("op", ","):
                 i += 1
@@ -2023,6 +2164,11 @@ def _execute(q: dict, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
     q = _dequalify(q, tables)
+    if q["table"] == "__dual__" and "__dual__" not in tables:
+        import ray
+        tables = dict(tables)
+        tables["__dual__"] = ray.data.from_arrow(
+            pa.table({"__dummy__": pa.array([0], pa.int8())}))
     if q["table"] not in tables:
         raise SqlError(f"unknown table {q['table']!r}")
     ds = tables[q["table"]]

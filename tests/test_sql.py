@@ -1460,3 +1460,59 @@ def test_sql_asof_join_errors(ray_session):
     with pytest.raises(SqlError, match="exactly one equality"):
         _run("SELECT * FROM orders o ASOF JOIN customer c "
              "ON o_custkey = c_custkey", ["orders", "customer"])
+
+
+def test_sql_select_without_from(ray_session):
+    from georay.sql import execute_sql
+    res = execute_sql("SELECT 1 AS n, 2.5 AS x, 'hi' AS s", {})
+    df = res.to_pandas() if not hasattr(res, "to_pandas") else \
+        res.to_pandas()
+    assert df.to_dict("records") == [{"n": 1, "x": 2.5, "s": "hi"}]
+
+
+def test_sql_recursive_cte_series(ray_session):
+    """WITH RECURSIVE series generation — identical text in DuckDB."""
+    sql = """
+        WITH RECURSIVE t(n) AS (
+            SELECT 1
+            UNION ALL
+            SELECT n + 1 FROM t WHERE n < 50)
+        SELECT COUNT(*) AS cnt, SUM(n) AS total, MAX(n) AS mx FROM t
+    """
+    got = _norm(_run(sql, []))
+    want = _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sql_recursive_cte_union_cycle(ray_session):
+    """Plain UNION recursion terminates on a CYCLIC graph (reachability
+    from node 1 over 1->2->3->1): new rows already seen are dropped.
+    Identical text in DuckDB over an injected edges table."""
+    import ray
+    edges = pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 1, 5]})
+    sql = """
+        WITH RECURSIVE reach(node) AS (
+            SELECT 1
+            UNION
+            SELECT e.dst FROM edges e JOIN reach r ON e.src = r.node)
+        SELECT node FROM reach ORDER BY node
+    """
+    from georay.sql import execute_sql
+    got = execute_sql(sql, {"edges": ray.data.from_pandas(edges)})
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas())
+    import duckdb
+    want = duckdb.sql(sql).df()
+    assert sorted(got["node"].tolist()) == sorted(want["node"].tolist())
+    assert sorted(got["node"].tolist()) == [1, 2, 3]
+
+
+def test_sql_recursive_cte_guards(ray_session):
+    from georay.sql import SqlError
+    with pytest.raises(SqlError, match="seed UNION"):
+        _run("WITH RECURSIVE t(n) AS (SELECT n + 1 FROM t) "
+             "SELECT * FROM t", [])
+    # non-recursive WITH RECURSIVE (no self reference) still works
+    sql = ("WITH RECURSIVE t(n) AS (SELECT 7) "
+           "SELECT n FROM t")
+    got = _run(sql, [])
+    assert got["n"].tolist() == [7]
