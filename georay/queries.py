@@ -4012,6 +4012,25 @@ def q_sql_recursive(sf_dir: str):
     return execute_sql(_SQL_RECURSIVE_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+_SQL_PIVOT_TEXT = """
+    SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey
+                   FROM orders)
+    PIVOT (COUNT(o_orderkey) FOR o_orderstatus IN ('O', 'F', 'P'))
+"""
+
+
+def q_sql_pivot(sf_dir: str):
+    """FROM-clause PIVOT (standard/DuckDB syntax): compiles to ONE
+    grouped aggregate with a FILTERed aggregate per IN value (remaining
+    columns = implicit group keys), output columns renamed to the
+    literal values post-aggregate (sql._rewrite_pivot_unpivot) — one
+    shuffle regardless of list length.  UNPIVOT (single-pass vectorized
+    wide→long explode) is pinned by test_sql.  Identical text in
+    DuckDB."""
+    from .sql import execute_sql
+    return execute_sql(_SQL_PIVOT_TEXT, _sql_tables(sf_dir, "orders"))
+
+
 _SQL_CUBE_TEXT = """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s
@@ -4143,7 +4162,7 @@ QUERIES = {
     "pmtiles_census": q_pmtiles_census,
     "sql_median": q_sql_median,
     # -- TPC-H partsupp five (deterministic synth; CTE oracles) --
-    "geoparquet_window": q_geoparquet_window,
+    "sql_pivot": q_sql_pivot,
     "doc_perplexity": q_doc_perplexity,
     "sql_recursive": q_sql_recursive,
     "doc_pack_sequences": q_doc_pack_sequences,
@@ -4157,6 +4176,9 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "geoparquet_window": q_geoparquet_window,  # rotated behind by
+    # sql_pivot: the bbox row-group pushdown core is pinned by
+    # test_seq_ipc and shares the stats plan with hilbert_sort
     "doc_mixture": q_doc_mixture,  # rotated behind by sql_recursive:
     # the weighted-mixture resample core is pinned by test_sample and
     # doc_weighted_sample shares the POWER()-oracle machinery
@@ -4491,6 +4513,7 @@ ORACLE_SQL = {
     "sql_q21": _SQL_Q21_TEXT,
     "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
     "sql_recursive": _SQL_RECURSIVE_TEXT,
+    "sql_pivot": _SQL_PIVOT_TEXT,
     "sql_asof_join": _SQL_ASOF_TEXT,
     "sql_sum_distinct": _SQL_SUM_DISTINCT_TEXT,
     "doc_top_terms": """

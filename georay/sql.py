@@ -812,6 +812,13 @@ def _schema_names(t):
     return set(s.names)
 
 
+def _schema_types(t) -> dict:
+    """{column: arrow type} for a Dataset or pa.Table."""
+    s = t.schema() if callable(getattr(t, "schema", None)) else t.schema
+    s = getattr(s, "base_schema", s)
+    return {n: s.field(n).type for n in s.names}
+
+
 def _is_exists_tok(tok) -> bool:
     k, v = tok
     return k in ("ident", "kw", "sqlkw") and str(v).upper() == "EXISTS"
@@ -1383,6 +1390,130 @@ def _execute_recursive_cte(name, body, tables, col_alias):
     return ray.data.from_arrow(out)
 
 
+def _lit_tok(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _rewrite_pivot_unpivot(toks, tables):
+    """``FROM t PIVOT (AGG(col) FOR key IN (lit, ...))`` and
+    ``FROM t UNPIVOT (val FOR name IN (col, ...))`` (standard/DuckDB
+    FROM-clause syntax).  PIVOT compiles to one grouped aggregate with
+    FILTERed aggregates per IN value (all remaining columns are the
+    implicit group keys, DuckDB semantics) — ONE shuffle regardless of
+    the value-list length; output columns are then renamed to the
+    literal values (names like '1-URGENT' are legal arrow column names
+    even though they can't lex as SQL identifiers).  UNPIVOT compiles
+    to a UNION ALL of per-column projections with IS NOT NULL filters
+    (standard NULL exclusion).  The rewritten relation registers as a
+    synthetic table; the outer query proceeds unchanged."""
+    out = []
+    i = 0
+    gen = 0
+    tables = dict(tables)
+    while i < len(toks):
+        t = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else (None, None)
+        piv = toks[i + 2] if i + 2 < len(toks) else (None, None)
+        kind = str(piv[1]).upper() if piv[0] == "ident" else ""
+        if (t[0] == "sqlkw" and t[1] in ("FROM", "JOIN")
+                and nxt[0] == "ident" and kind in ("PIVOT", "UNPIVOT")
+                and i + 3 < len(toks) and toks[i + 3] == ("op", "(")):
+            src = nxt[1]
+            if src not in tables:
+                raise SqlError(f"unknown table {src!r} before {kind}")
+            j = _balanced_end(toks, i + 3)
+            inner = toks[i + 4:j - 1]
+            # split "<head> FOR <key> IN ( items )"
+            try:
+                fi = next(k for k, tk in enumerate(inner)
+                          if tk[0] == "ident"
+                          and str(tk[1]).upper() == "FOR")
+            except StopIteration:
+                raise SqlError(f"{kind} needs FOR") from None
+            head = inner[:fi]
+            rest = inner[fi + 1:]
+            if len(rest) < 4 or rest[0][0] != "ident" \
+                    or rest[1] != ("kw", "IN") \
+                    or rest[2] != ("op", "("):
+                raise SqlError(f"{kind}: expected <name> IN (...)")
+            key = rest[0][1]
+            e = _balanced_end(rest, 2)
+            items = [v for k2, v in rest[3:e - 1] if k2 != "op"]
+            if rest[e:]:
+                raise SqlError(f"trailing tokens in {kind}")
+            cols = list(_schema_names(tables[src]))
+            gen += 1
+            name = f"__{kind.lower()}{gen}"
+            if kind == "PIVOT":
+                # head = AGG ( col-expr ) — AGG lexes as sqlkw for the
+                # known aggregate names, ident otherwise
+                if len(head) < 3 or head[0][0] not in ("ident", "sqlkw") \
+                        or head[1] != ("op", "("):
+                    raise SqlError("PIVOT needs AGG(col)")
+                agg = " ".join(str(v) for _, v in head[:1])
+                arg = " ".join(
+                    _lit_tok(v) if k2 == "str" else str(v)
+                    for k2, v in head[2:-1])
+                others = [c for c in cols
+                          if c != key and c not in
+                          {v for k2, v in head if k2 == "ident"}]
+                sel = list(others)
+                for n, lit in enumerate(items):
+                    sel.append(f"{agg}({arg}) FILTER (WHERE {key} = "
+                               f"{_lit_tok(lit)}) AS __p{n}")
+                sql = f"SELECT {', '.join(sel)} FROM {src}"
+                if others:
+                    sql += f" GROUP BY {', '.join(others)}"
+                res = _as_dataset(execute_sql(sql, tables))
+                tables[name] = _rename_positional(
+                    res, others + [str(v) for v in items])
+            else:                                    # UNPIVOT
+                if len(head) != 1 or head[0][0] != "ident":
+                    raise SqlError("UNPIVOT needs <value-name> FOR")
+                vname = head[0][1]
+                for c in items:
+                    if c not in cols:
+                        raise SqlError(f"UNPIVOT: unknown column {c!r}")
+                others = [c for c in cols if c not in items]
+                # wide→long in ONE vectorized pass (not N scans of the
+                # source): per batch, stack the per-column slices with
+                # standard NULL exclusion; value columns promote to a
+                # common arrow type
+                vtype = pa.unify_schemas(
+                    [pa.schema([("v", _schema_types(tables[src])[c])])
+                     for c in items],
+                    promote_options="permissive").field("v").type
+
+                def explode(batch: pa.Table, _items=tuple(items),
+                            _others=tuple(others), _key=key,
+                            _vname=vname, _vt=vtype) -> pa.Table:
+                    parts = []
+                    for c in _items:
+                        sub = batch.filter(pc.is_valid(batch[c]))
+                        colmap = {o: sub[o] for o in _others}
+                        colmap[_key] = pa.array([c] * sub.num_rows,
+                                                pa.string())
+                        colmap[_vname] = sub[c].cast(_vt)
+                        parts.append(pa.table(colmap))
+                    return pa.concat_tables(parts)
+
+                ds_src = tables[src]
+                tables[name] = ds_src.map_batches(
+                    explode, batch_format="pyarrow") \
+                    if not isinstance(ds_src, pa.Table) \
+                    else explode(ds_src)
+            out.append(t)
+            out.append(("ident", name))
+            i = j
+            # optional [AS] alias after the closing paren passes through
+            continue
+        out.append(t)
+        i += 1
+    return out, tables
+
+
 def _expand_ctes_and_derived(toks, tables):
     """WITH ctes and derived tables (``FROM (SELECT …) alias``) compile
     COMPOSITIONALLY: each subquery executes through ``execute_sql``
@@ -1453,7 +1584,9 @@ def _expand_ctes_and_derived(toks, tables):
             k = j
             if k < len(toks) and toks[k] == ("sqlkw", "AS"):
                 k += 1
-            if k < len(toks) and toks[k][0] == "ident":
+            if k < len(toks) and toks[k][0] == "ident" \
+                    and str(toks[k][1]).upper() not in (
+                        "PIVOT", "UNPIVOT", "ASOF"):
                 alias = toks[k][1]
                 k += 1
             else:
@@ -1626,6 +1759,9 @@ def execute_sql(sql: str, tables: dict):
     toks = _split_clauses(sql) if isinstance(sql, str) else sql
     toks = _rewrite_extract(toks)
     toks, tables = _expand_ctes_and_derived(toks, tables)
+    if any(k == "ident" and str(v).upper() in ("PIVOT", "UNPIVOT")
+           for k, v in toks):
+        toks, tables = _rewrite_pivot_unpivot(toks, tables)
     branches, alls = _split_union(toks)
     branches = [_rewrite_comma_joins(b, tables) for b in branches]
     if len(branches) == 1:

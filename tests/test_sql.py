@@ -1516,3 +1516,48 @@ def test_sql_recursive_cte_guards(ray_session):
            "SELECT n FROM t")
     got = _run(sql, [])
     assert got["n"].tolist() == [7]
+
+
+def test_sql_pivot(ray_session):
+    """FROM-clause PIVOT: one grouped aggregate with FILTERed columns
+    per IN value, remaining columns implicit group keys, output columns
+    named by the literal values — DuckDB parity on identical text."""
+    sql = """
+        SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey
+                       FROM orders)
+        PIVOT (COUNT(o_orderkey) FOR o_orderstatus IN ('O', 'F', 'P'))
+    """
+    got = _norm(_run(sql, ["orders"]))
+    want = _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert set(got.columns) == {"o_orderpriority", "O", "F", "P"}
+
+
+def test_sql_pivot_nonident_values(ray_session):
+    """PIVOT output columns may be names no SQL lexer accepts
+    ('1-URGENT') — they are renamed post-aggregate, not parsed."""
+    sql = """
+        SELECT * FROM (SELECT o_orderstatus, o_orderpriority, o_orderkey
+                       FROM orders)
+        PIVOT (COUNT(o_orderkey)
+               FOR o_orderpriority IN ('1-URGENT', '5-LOW'))
+    """
+    got = _norm(_run(sql, ["orders"]))
+    want = _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert "1-URGENT" in got.columns
+
+
+def test_sql_unpivot(ray_session):
+    """UNPIVOT wide→long with standard NULL exclusion — DuckDB parity
+    on identical text."""
+    sql = """
+        SELECT name, COUNT(*) AS n,
+               ROUND(SUM(CAST(val AS DOUBLE)), 2) AS s
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+        UNPIVOT (val FOR name IN (o_custkey, o_totalprice))
+        GROUP BY name ORDER BY name
+    """
+    got = _norm(_run(sql, ["orders"]))
+    want = _norm(_duck(sql))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
