@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "delta_zone_join",     # delta-layout roundtrip + COW delete
     "grib_density",        # GRIB2 band-message roundtrip census
     "iceberg_zone_join",   # iceberg metadata-tree roundtrip + append
+    "data_quality",        # one-pass rule validation + FK broadcast
     "doc_decontam", "doc_repetition", "doc_substr_dups", "sql_cte", "doc_bm25_topk",
     "embedding_kmeans", "doc_top_terms",
     "sql_q7", "sql_q18", "sql_q21",   # self-join / IN-HAVING / ineq-EXISTS

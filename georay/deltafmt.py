@@ -83,7 +83,7 @@ import pyarrow.parquet as pq
 
 __all__ = [
     "write_delta", "read_delta", "read_delta_table", "delta_snapshot",
-    "delete_delta", "checkpoint_delta", "vacuum_delta",
+    "delete_delta", "checkpoint_delta", "vacuum_delta", "optimize_delta",
 ]
 
 _LOG = "_delta_log"
@@ -691,3 +691,96 @@ def vacuum_delta(root: str, *, dry_run: bool = False) -> dict:
         for rel in victims:
             os.unlink(os.path.join(root, rel))
     return {"removed": len(victims), "paths": sorted(victims)}
+
+# ------------------------------------------------------------ optimize
+
+
+def optimize_delta(root: str, *, target_rows: int = 1 << 20,
+                   zorder: list[str] | None = None,
+                   bits: int = 16) -> dict:
+    """Delta ``OPTIMIZE [ZORDER BY]`` analog: bin-pack the snapshot's
+    live files into ~``target_rows`` files, optionally CLUSTERING rows
+    by a Hilbert space-filling key over ``zorder`` numeric columns
+    (each quantized to ``bits`` bits over its global [min, max]) so
+    per-file min/max stats become range-selective — the same curve the
+    engine uses for GeoParquet SORT_BY_BBOX and the FlatGeobuf index
+    (georay/rtree.py).  Commits remove(old)+add(new) in ONE version;
+    old versions still read the old files.
+
+    Scale shape: the bin-pack PLAN is metadata-only; the clustered
+    rewrite is one distributed sort by the Hilbert key (Ray's range
+    shuffle) with data files written inside the map tasks.  2-column
+    zorder uses the exact Hilbert curve; other counts raise (the
+    plain compaction path has no such limit)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    snap = delta_snapshot(root)
+    if snap["partition_columns"]:
+        raise NotImplementedError(
+            "optimize_delta on partitioned tables")
+    files = snap["files"]
+    if not files:
+        return {"version": snap["version"], "rewritten": 0}
+    now = int(time.time() * 1000)
+    paths = [os.path.join(root, f["path"]) for f in files]
+    ds = ray.data.read_parquet(paths)
+
+    if zorder is not None:
+        if len(zorder) != 2:
+            raise NotImplementedError("zorder needs exactly 2 columns")
+        from .rtree import hilbert_xy2d
+        cx, cy = zorder
+        # global extents: one tiny aggregate pass
+        lo_hi = {}
+        stats = ds.aggregate(Min(cx), Max(cx), Min(cy), Max(cy))
+        lo_hi[cx] = (stats[f"min({cx})"], stats[f"max({cx})"])
+        lo_hi[cy] = (stats[f"min({cy})"], stats[f"max({cy})"])
+        side = (1 << bits) - 1
+        xr = (lo_hi[cx][0], max(lo_hi[cx][1] - lo_hi[cx][0], 1e-300))
+        yr = (lo_hi[cy][0], max(lo_hi[cy][1] - lo_hi[cy][0], 1e-300))
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            x = batch[cx].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            y = batch[cy].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            qx = np.clip(((x - xr[0]) / xr[1] * side), 0,
+                         side).astype(np.uint32)
+            qy = np.clip(((y - yr[0]) / yr[1] * side), 0,
+                         side).astype(np.uint32)
+            return batch.append_column(
+                "__zkey__",
+                pa.array(hilbert_xy2d(bits, qx, qy).astype(np.int64)))
+
+        ds = ds.map_batches(add_key, batch_format="pyarrow") \
+            .sort("__zkey__")
+
+        def strip(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["__zkey__"])
+
+        ds = ds.map_batches(strip, batch_format="pyarrow")
+
+    total = sum(json.loads(f.get("stats") or "{}")
+                .get("numRecords", 0) for f in files)
+    n_out = max(1, -(-total // target_rows)) if total else 1
+    adds = []
+    rootv = root
+
+    def sink(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"action": pa.array([], pa.string())})
+        acts = _write_one(batch, rootv, None)
+        return pa.table({"action": pa.array(
+            [json.dumps(a, separators=(",", ":"), default=str)
+             for a in acts])})
+
+    rows = ds.repartition(n_out).map_batches(
+        sink, batch_format="pyarrow", batch_size=None).take_all()
+    adds = [json.loads(r["action"]) for r in rows]
+    actions = [{"remove": {"path": f["path"], "deletionTimestamp": now,
+                           "dataChange": False}} for f in files] + adds
+    version = snap["version"] + 1
+    _commit(root, version, actions)
+    return {"version": version, "rewritten": len(files),
+            "new_files": len(adds)}

@@ -4012,6 +4012,77 @@ def q_sql_recursive(sf_dir: str):
     return execute_sql(_SQL_RECURSIVE_TEXT, _sql_tables(sf_dir, "orders"))
 
 
+def q_data_quality(sf_dir: str):
+    """Declarative data-quality rules (georay.validate.check_rules —
+    the Deequ/Great-Expectations analog): not_null / in_range / in_set
+    / regex-match / unique / referential-integrity over orders, all
+    evaluated vectorized in ONE shared streaming pass (+ one distinct
+    plan for `unique`, broadcast key set for the FK).  The oracle
+    recomputes every rule in SQL."""
+    from .validate import check_rules
+    orders = _rp(sf_dir, "orders")
+    customer = _rp(sf_dir, "customer", ["c_custkey"])
+    out = check_rules(orders, [
+        ("not_null", "o_custkey"),
+        ("in_range", "o_totalprice", 0.0, 400000.0),
+        ("in_set", "o_orderstatus", ["O", "F", "P"]),
+        ("matches", "o_orderpriority", "^[1-5]-"),
+        ("unique", "o_orderkey"),
+        ("foreign_key", "o_custkey", customer, "c_custkey"),
+    ])
+    return out.rename_columns(
+        ["rule", "col_name", "checked", "violations"])
+
+
+def q_data_profile(sf_dir: str):
+    """One-pass column profile (georay.validate.column_profile):
+    count / nulls / min / max / mean per column from per-block partials
+    (one tiny row per block×column reaches the driver), plus an HLL
+    approximate distinct SELF-GATED within 3% of the exact count (the
+    doc_distinct_approx discipline: the flag is verified against an
+    independent exact distinct plan, so the driver hash checks the
+    sketch's accuracy claim, not its raw estimate)."""
+    from ray.data.aggregate import Count
+
+    from .validate import column_profile
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    prof = column_profile(
+        orders, ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    rows = {"col_name": [], "n": [], "nulls": [], "min_num": [],
+            "max_num": [], "mean_r": [], "distinct_ok": []}
+    for i in range(prof.num_rows):
+        c = prof["column"][i].as_py()
+        exact = (orders.select_columns([c]).groupby(c)
+                 .aggregate(Count(alias_name="c__")).count())
+        approx = prof["approx_distinct"][i].as_py()
+        rows["col_name"].append(c)
+        rows["n"].append(prof["n"][i].as_py())
+        rows["nulls"].append(prof["nulls"][i].as_py())
+        mv = prof["min_v"][i].as_py()
+        xv = prof["max_v"][i].as_py()
+        mean = prof["mean"][i].as_py()
+        if mean is not None:            # numeric column
+            rows["min_num"].append(float(mv))
+            rows["max_num"].append(float(xv))
+            rows["mean_r"].append(round(mean, 4))
+        else:
+            rows["min_num"].append(None)
+            rows["max_num"].append(None)
+            rows["mean_r"].append(None)
+        rows["distinct_ok"].append(
+            abs(approx - exact) <= 0.03 * max(exact, 1))
+    return pa.table({
+        "col_name": pa.array(rows["col_name"]),
+        "n": pa.array(rows["n"], pa.int64()),
+        "nulls": pa.array(rows["nulls"], pa.int64()),
+        "min_num": pa.array(rows["min_num"], pa.float64()),
+        "max_num": pa.array(rows["max_num"], pa.float64()),
+        "mean_r": pa.array(rows["mean_r"], pa.float64()),
+        "distinct_ok": pa.array(rows["distinct_ok"]),
+    })
+
+
 _SQL_PIVOT_TEXT = """
     SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey
                    FROM orders)
@@ -4156,8 +4227,8 @@ QUERIES = {
     "delta_zone_join": q_delta_zone_join,
     "sql_asof_join": q_sql_asof_join,
     "sql_cte": q_sql_cte,
-    "osm_nodes_census": q_osm_nodes_census,
-    "kml_zone_join": q_kml_zone_join,
+    "data_quality": q_data_quality,
+    "data_profile": q_data_profile,
     "sql_qualify": q_sql_qualify,
     "pmtiles_census": q_pmtiles_census,
     "sql_median": q_sql_median,
@@ -4176,6 +4247,12 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    "osm_nodes_census": q_osm_nodes_census,  # rotated behind by
+    # data_quality: the protobuf wire + DenseNodes decode is pinned
+    # byte-level by test_osmpbf and the sf0.01 local gate
+    "kml_zone_join": q_kml_zone_join,  # rotated behind by
+    # data_profile: one of six format zone joins; the KML roundtrip is
+    # pinned repr-exact by test_xmldrivers
     "geoparquet_window": q_geoparquet_window,  # rotated behind by
     # sql_pivot: the bbox row-group pushdown core is pinned by
     # test_seq_ipc and shares the stats plan with hilbert_sort
@@ -4514,6 +4591,51 @@ ORACLE_SQL = {
     "sql_outer_join": _SQL_OUTER_JOIN_TEXT,
     "sql_recursive": _SQL_RECURSIVE_TEXT,
     "sql_pivot": _SQL_PIVOT_TEXT,
+    "data_quality": """
+        SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+               COUNT(*) AS checked,
+               COUNT(*) - COUNT(o_custkey) AS violations FROM orders
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice', COUNT(o_totalprice),
+               COUNT(CASE WHEN o_totalprice < 0.0
+                          OR o_totalprice > 400000.0 THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set', 'o_orderstatus', COUNT(o_orderstatus),
+               COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'matches', 'o_orderpriority', COUNT(o_orderpriority),
+               COUNT(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                  '^[1-5]-')
+                          THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT 'unique', 'o_orderkey', COUNT(*),
+               COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        UNION ALL
+        SELECT 'foreign_key', 'o_custkey', COUNT(o_custkey),
+               COUNT(CASE WHEN o_custkey NOT IN
+                          (SELECT c_custkey FROM customer) THEN 1 END)
+        FROM orders
+    """,
+    "data_profile": """
+        SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+               COUNT(*) - COUNT(o_orderkey) AS nulls,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               ROUND(AVG(CAST(o_orderkey AS DOUBLE)), 4) AS mean_r,
+               TRUE AS distinct_ok FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               MIN(o_totalprice), MAX(o_totalprice),
+               ROUND(AVG(o_totalprice), 4), TRUE FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               COUNT(*) - COUNT(o_orderpriority),
+               NULL, NULL, NULL, TRUE FROM orders
+    """,
     "sql_asof_join": _SQL_ASOF_TEXT,
     "sql_sum_distinct": _SQL_SUM_DISTINCT_TEXT,
     "doc_top_terms": """

@@ -208,3 +208,58 @@ def test_vacuum_removes_tombstoned_files(tmp_path, ray_session):
     assert dl.read_delta_table(root).num_rows == 3
     assert sum(f.endswith(".parquet") for f in os.listdir(root)) \
         == n_before - out["removed"]
+
+
+def test_optimize_compacts_files(tmp_path, ray_session):
+    import ray.data as rd
+    root = str(tmp_path / "t")
+    for k in range(5):
+        dl.write_delta(_table(20, start=20 * k), root,
+                       mode="append" if k else "create")
+    assert len(dl.delta_snapshot(root)["files"]) == 5
+    info = dl.optimize_delta(root, target_rows=1000)
+    assert info["rewritten"] == 5 and info["new_files"] == 1
+    back = dl.read_delta_table(root)
+    assert back.num_rows == 100
+    assert sorted(back["id"].to_pylist()) == list(range(100))
+    # pre-optimize version still reads the old layout (time travel)
+    assert dl.read_delta_table(
+        root, version=info["version"] - 1).num_rows == 100
+
+
+def test_optimize_zorder_improves_pruning(tmp_path, ray_session):
+    """ZORDER clustering makes per-file min/max stats range-selective:
+    a small lon/lat box prunes most files after OPTIMIZE ZORDER, while
+    the row-order layout (random spatial placement per file) prunes
+    none."""
+    import ray.data as rd
+    rng = np.random.RandomState(5)
+    n = 8000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rng.uniform(-180, 180, n)),
+        "lat": pa.array(rng.uniform(-85, 85, n)),
+    })
+    root = str(tmp_path / "t")
+    dl.write_delta(rd.from_arrow(t).repartition(8), root)
+    snap0 = dl.delta_snapshot(root)
+    pruned0 = dl._prune_files(snap0["files"], "lon", 10.0, 20.0)
+    assert len(pruned0) == len(snap0["files"])   # random: nothing prunes
+    info = dl.optimize_delta(root, target_rows=1000,
+                             zorder=["lon", "lat"])
+    snap1 = dl.delta_snapshot(root)
+    assert len(snap1["files"]) >= 6
+    pruned1 = dl._prune_files(snap1["files"], "lon", 10.0, 20.0)
+    # a 10°-lon strip (2.8% of the domain) crosses several Hilbert
+    # segments; half the files or fewer should survive the prune
+    # (row-order layout: ALL survive)
+    assert len(pruned1) <= len(snap1["files"]) // 2
+    # correctness: same rows, any box query agrees with brute force
+    back = dl.read_delta_table(root)
+    assert back.num_rows == n
+    box = dl.read_delta_table(root, prune=("lon", 10.0, 20.0))
+    import pyarrow.compute as pc
+    exact = t.filter(pc.and_(pc.greater_equal(t["lon"], 10.0),
+                             pc.less_equal(t["lon"], 20.0)))
+    got_ids = {i for i in box["id"].to_pylist()}
+    assert got_ids >= set(exact["id"].to_pylist())
