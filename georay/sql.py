@@ -52,7 +52,7 @@ import pyarrow.compute as pc
 
 from .expr import FilterSyntaxError, _eval, _Parser, _tokenize
 
-__all__ = ["execute_sql", "SqlError"]
+__all__ = ["execute_sql", "explain_sql", "SqlError"]
 
 
 class SqlError(FilterSyntaxError):
@@ -3529,3 +3529,165 @@ def _finish(out, q, names):
                 or [pa.table({n: pa.array([]) for n in names})])
             return tbl.slice(off)
     return out
+
+
+# ----------------------------------------------------------- EXPLAIN
+
+
+def explain_sql(sql: str, tables: dict | None = None) -> str:
+    """Logical plan + runtime-policy description WITHOUT executing:
+    re-uses the parser and reports the stages `_execute` would run and
+    the documented size-adaptive policies it applies at runtime
+    (broadcast vs hash-shuffle join, partial-aggregation shuffle
+    shapes).  CTE and derived-table subqueries are described
+    recursively; nothing touches a Dataset, so EXPLAIN on a plan over
+    a 100 TB table is free.
+
+    Returns an indented text tree (one line per stage, top = first)."""
+    tables = dict(tables or {})
+    lines: list[str] = []
+
+    def emit(depth, text):
+        lines.append("  " * depth + text)
+
+    def describe(toks, depth, title):
+        emit(depth, title)
+        # WITH [RECURSIVE] ctes — peel and recurse without executing
+        if toks and toks[0][0] == "ident" \
+                and toks[0][1].upper() == "WITH":
+            i = 1
+            recursive = False
+            if (i < len(toks) and toks[i][0] == "ident"
+                    and toks[i][1].upper() == "RECURSIVE"):
+                recursive = True
+                i += 1
+            while True:
+                name = toks[i][1]
+                i += 1
+                if i < len(toks) and toks[i] == ("op", "("):
+                    i = _balanced_end(toks, i)      # column alias list
+                i += 1                              # AS
+                j = _balanced_end(toks, i)
+                body = toks[i + 1:j - 1]
+                self_ref = any(k == "ident" and v == name
+                               for k, v in body)
+                if recursive and self_ref:
+                    emit(depth + 1,
+                         f"RecursiveCTE {name}: driver-side fixpoint "
+                         "loop, working-table semantics, each level = "
+                         "one Ray pipeline")
+                    bs, als = _split_union(body)
+                    for b in bs:
+                        describe(b, depth + 2, "Branch")
+                else:
+                    describe(body, depth + 1, f"CTE {name}")
+                tables[name] = None
+                i = j
+                if i < len(toks) and toks[i] == ("op", ","):
+                    i += 1
+                    continue
+                break
+            toks = toks[i:]
+        # derived tables
+        out = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            out.append(t)
+            if (t[0] == "sqlkw" and t[1] in ("FROM", "JOIN")
+                    and i + 1 < len(toks)
+                    and toks[i + 1] == ("op", "(")):
+                j = _balanced_end(toks, i + 1)
+                describe(toks[i + 2:j - 1], depth + 1, "DerivedTable")
+                out.append(("ident", "__derived__"))
+                tables["__derived__"] = None
+                i = j
+                if i < len(toks) and toks[i] == ("sqlkw", "AS"):
+                    i += 1
+                if i < len(toks) and toks[i][0] == "ident" \
+                        and str(toks[i][1]).upper() not in (
+                            "PIVOT", "UNPIVOT", "ASOF"):
+                    tables[toks[i][1]] = None
+                    i += 1
+                continue
+            i += 1
+        toks = out
+        branches, alls = _split_union(toks)
+        if len(branches) > 1:
+            ops = ["UNION ALL" if a is True else
+                   "UNION" if a is False else a.upper() for a in alls]
+            emit(depth + 1, f"SetOp [{' / '.join(ops)}]: Dataset.union"
+                 + (" + NULL-safe distributed DISTINCT"
+                    if False in alls else ""))
+            for b in branches:
+                describe(b, depth + 2, "Branch")
+            return
+        try:
+            q = _SqlParser(list(branches[0])).parse()
+        except SqlError as e:
+            emit(depth + 1, f"(unparsed: {e})")
+            return
+        emit(depth + 1, f"Scan {q['table']}"
+             + (" [one-row __dual__]" if q["table"] == "__dual__"
+                else " (read_parquet / registered Dataset; "
+                "column projection pushed to the read)"))
+        for jtype, t2, pairs, jal in q["joins"]:
+            if jtype == "asof":
+                emit(depth + 1,
+                     f"AsofJoin {t2}: hash-partitioned vectorized "
+                     "probe (windows.asof_join), keys+rank composites")
+            else:
+                keys = ", ".join(f"{a}={b}" for a, b, _ in pairs)
+                emit(depth + 1,
+                     f"{jtype.replace('_', ' ').title()}Join {t2} "
+                     f"ON {keys}: size-adaptive — right side ≤32 MB "
+                     "broadcasts via ray.put + searchsorted expand, "
+                     "else hash shuffle with byte-sized partitions "
+                     "(bytes//128MB, floor 8, cap 4×CPUs)")
+        if q["where"]:
+            emit(depth + 1, "Filter: vectorized pyarrow.compute mask "
+                 "per batch (subqueries decorrelate to broadcast "
+                 "semi-joins)")
+        aggs = [it for it in (q["items"] if q["items"] != "*" else ())
+                if getattr(it, "kind", "") == "agg"]
+        if q["group"] is not None:
+            kind = "ROLLUP/CUBE/GROUPING SETS bitmask explode, one shuffle" \
+                if (q.get("rollup") or q.get("grouping_sets")) else \
+                "per-block arrow hash partials → key-content-hash " \
+                "partition → per-partition combine (one shuffle)"
+            emit(depth + 1, f"GroupedAggregate: {kind}")
+        elif aggs:
+            emit(depth + 1, "GlobalAggregate: native distributed "
+                 "partials (Sum/Count/Min/Max/Mean/Std)")
+        if any(getattr(it, "distinct", False) for it in aggs):
+            emit(depth + 1, "DistinctAggregate: single-shuffle "
+                 "(group, value) dedup plan")
+        if q["having"]:
+            emit(depth + 1, "Having: post-aggregate vectorized filter")
+        if any(getattr(it, "over", None)
+               for it in (q["items"] if q["items"] != "*" else ())):
+            emit(depth + 1, "Window: hash-partition by PARTITION BY → "
+                 "per-partition vectorized frame kernels")
+        if q.get("qualify"):
+            emit(depth + 1, "Qualify: post-window filter")
+        if q.get("distinct"):
+            emit(depth + 1, "Distinct: local arrow group_by → row-hash "
+                 "partition → per-bucket group_by (NULL-safe)")
+        if q["order"]:
+            cols = ", ".join(str(c if isinstance(c, str) else "<expr>")
+                             for c, _d, _n in q["order"])
+            if q["limit"] is not None:
+                emit(depth + 1, f"TopK [{cols}] limit={q['limit']}: "
+                     "per-block local top-k, then global sort of "
+                     "k rows per block")
+            else:
+                emit(depth + 1, f"Sort [{cols}]: Ray range-partitioned "
+                     "distributed sort")
+        elif q["limit"] is not None:
+            emit(depth + 1, f"Limit {q['limit']}")
+        return
+
+    toks = _split_clauses(sql)
+    toks = _rewrite_extract(toks)
+    describe(toks, 0, "Plan")
+    return "\n".join(lines)

@@ -1561,3 +1561,30 @@ def test_sql_unpivot(ray_session):
     got = _norm(_run(sql, ["orders"]))
     want = _norm(_duck(sql))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_explain_sql():
+    """EXPLAIN: parse-level plan description, no execution (works with
+    no tables registered at all)."""
+    from georay.sql import explain_sql
+    plan = explain_sql(
+        "SELECT o_orderpriority, COUNT(*) AS c "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 1000 "
+        "GROUP BY o_orderpriority ORDER BY c DESC LIMIT 5")
+    assert "Scan orders" in plan
+    assert "InnerJoin customer ON o_custkey=c_custkey" in plan
+    assert "size-adaptive" in plan
+    assert "GroupedAggregate" in plan and "one shuffle" in plan
+    assert "TopK [c] limit=5" in plan
+
+    plan2 = explain_sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t")
+    assert "RecursiveCTE t" in plan2
+    assert "fixpoint" in plan2
+    assert "__dual__" in plan2
+
+    plan3 = explain_sql(
+        "SELECT a FROM x UNION SELECT b FROM y")
+    assert "SetOp [UNION]" in plan3 and "DISTINCT" in plan3
