@@ -25,7 +25,7 @@ import pyarrow as pa
 from .util import fsl_to_numpy
 
 __all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-           "ann_topk_pq"]
+           "ann_topk_pq", "ann_topk_hnsw", "HNSW"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -393,4 +393,175 @@ def ann_topk_pq(ds, queries: pa.Table, k: int = 5, *,
                               batch_size=batch_size,
                               concurrency=concurrency
                               or default_concurrency())
+    return _merge_topk(partials, k, id_col)
+
+
+# ----------------------------------------------------------- HNSW
+
+
+class HNSW:
+    """Hierarchical Navigable Small World graph (Malkov & Yashunin,
+    arXiv:1603.09320) over unit vectors, cosine metric.  Pure numpy:
+    per-step candidate distances are one matrix-vector product; the
+    graph is adjacency lists.  Build is the standard insert loop —
+    greedy descent on the upper layers, ef_construction beam at the
+    node's layers, closest-M neighbor selection with reverse-link
+    pruning (Mmax, Mmax0 = 2M at layer 0)."""
+
+    def __init__(self, M: int = 16, ef_construction: int = 100,
+                 seed: int = 7):
+        self.M = M
+        self.Mmax0 = 2 * M
+        self.efc = ef_construction
+        self.mL = 1.0 / np.log(M)
+        self.rng = np.random.RandomState(seed)
+        self.vecs = None          # (n, d) unit vectors
+        self.levels = []          # level per node
+        self.links = []           # links[node] = [np.array per layer]
+        self.entry = -1
+        self.max_level = -1
+
+    # -- internals ----------------------------------------------------
+
+    def _dist(self, q: np.ndarray, ids) -> np.ndarray:
+        return 1.0 - self.vecs[ids] @ q
+
+    def _search_layer(self, q, entry_points, ef, layer):
+        """Beam search on one layer → (ids, dists) of up to ef closest."""
+        import heapq
+        visited = set(entry_points)
+        d0 = self._dist(q, list(entry_points))
+        cand = [(float(d), int(i)) for d, i in zip(d0, entry_points)]
+        heapq.heapify(cand)                       # min-heap by distance
+        best = [(-float(d), int(i)) for d, i in zip(d0, entry_points)]
+        heapq.heapify(best)                       # max-heap (neg) size≤ef
+        while cand:
+            d, u = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            nb = self.links[u][layer]
+            fresh = [int(v) for v in nb if int(v) not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            dn = self._dist(q, fresh)
+            worst = -best[0][0]
+            for dv, v in zip(dn, fresh):
+                dv = float(dv)
+                if len(best) < ef or dv < worst:
+                    heapq.heappush(cand, (dv, v))
+                    heapq.heappush(best, (-dv, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    worst = -best[0][0]
+        out = sorted((-d, i) for d, i in best)
+        return [i for _, i in out], [d for d, _ in out]
+
+    # -- build --------------------------------------------------------
+
+    def build(self, vecs: np.ndarray):
+        n = len(vecs)
+        self.vecs = vecs
+        self.levels = (np.floor(-np.log(
+            self.rng.uniform(1e-12, 1.0, n)) * self.mL)).astype(int)
+        self.links = [[np.empty(0, np.int64)] * (lv + 1)
+                      for lv in self.levels]
+        for i in range(n):
+            self._insert(i)
+        return self
+
+    def _insert(self, i):
+        lv = int(self.levels[i])
+        if self.entry < 0:
+            self.entry = i
+            self.max_level = lv
+            return
+        q = self.vecs[i]
+        ep = [self.entry]
+        for layer in range(self.max_level, lv, -1):
+            ids, _ = self._search_layer(q, ep, 1, layer)
+            ep = ids[:1]
+        for layer in range(min(lv, self.max_level), -1, -1):
+            ids, _ = self._search_layer(q, ep, self.efc, layer)
+            mm = self.Mmax0 if layer == 0 else self.M
+            sel = ids[:self.M]
+            self.links[i][layer] = np.array(sel, np.int64)
+            for v in sel:
+                cur = self.links[v][layer]
+                cur = np.append(cur, i)
+                if len(cur) > mm:
+                    d = self._dist(self.vecs[v], cur)
+                    cur = cur[np.argsort(d)[:mm]]
+                self.links[v][layer] = cur
+            ep = ids
+        if lv > self.max_level:
+            self.max_level = lv
+            self.entry = i
+
+    # -- query --------------------------------------------------------
+
+    def search(self, q: np.ndarray, k: int, ef_search: int = 64):
+        """→ (indices, cosines), best first."""
+        if self.entry < 0:
+            return np.empty(0, np.int64), np.empty(0)
+        ep = [self.entry]
+        for layer in range(self.max_level, 0, -1):
+            ids, _ = self._search_layer(q, ep, 1, layer)
+            ep = ids[:1]
+        ids, dists = self._search_layer(q, ep, max(ef_search, k), 0)
+        ids = np.array(ids[:k], np.int64)
+        return ids, 1.0 - np.array(dists[:k])
+
+
+def ann_topk_hnsw(ds, queries: pa.Table, k: int = 5, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "vec_id", M: int = 16,
+                  ef_construction: int = 100, ef_search: int = 64,
+                  rows_per_shard: int = 4096, concurrency=None):
+    """Sharded-HNSW approximate top-k: each Ray task builds an HNSW
+    graph over ITS shard of rows and answers every query against it
+    (queries broadcast once via ray.put); per-shard partials merge
+    through the vectorized hash-partitioned global top-k.  The
+    standard sharded deployment of HNSW — graph build parallelizes
+    with the shard count, query cost is shards × log(shard), and
+    per-shard recall is the single-graph recall (the merge is exact
+    over the union of shard results)."""
+    import ray
+
+    q_ids = queries[query_id_col].to_numpy()
+    q_mat = _normalize(fsl_to_numpy(queries[vec_col]))
+    ref = ray.put((q_ids, q_mat))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              id_col: pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            vecs = fsl_to_numpy(batch[vec_col])
+            if vecs.size == 0:
+                return empty
+            vecs = _normalize(vecs)
+            ids = batch[id_col].to_numpy()
+            g = HNSW(M=M, ef_construction=ef_construction).build(vecs)
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(self.q_mat)):
+                idx, cos = g.search(self.q_mat[qi], k, ef_search)
+                out_q.append(np.full(len(idx), self.q_ids[qi]))
+                out_i.append(ids[idx])
+                out_c.append(cos)
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "cosine": pa.array(np.concatenate(out_c))})
+
+    from .util import default_concurrency
+    conc = concurrency or default_concurrency()
+    partials = ds.map_batches(Score, batch_size=rows_per_shard,
+                              batch_format="pyarrow",
+                              concurrency=conc)
     return _merge_topk(partials, k, id_col)

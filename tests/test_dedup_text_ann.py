@@ -393,3 +393,48 @@ def test_ann_pq_recall(ray_session):
     mg = approx.merge(exact, on=["query_id", "vec_id"],
                       suffixes=("_pq", "_ex"))
     assert (mg["cosine_pq"] - mg["cosine_ex"]).abs().max() < 0.2
+
+
+def test_hnsw_graph_recall():
+    """Single-graph HNSW recall@10 vs brute force on random unit
+    vectors (the regime where graph search actually has to work —
+    clustered data is easier)."""
+    from georay.ann import HNSW, _normalize
+    rng = np.random.RandomState(0)
+    base = _normalize(rng.randn(2000, 32))
+    g = HNSW(M=16, ef_construction=100).build(base)
+    Q = _normalize(rng.randn(30, 32))
+    hits = 0
+    for qi in range(30):
+        idx, cos = g.search(Q[qi], 10, ef_search=64)
+        true = np.argsort(-(base @ Q[qi]))[:10]
+        hits += len(set(idx.tolist()) & set(true.tolist()))
+        # cosines must be sorted best-first and consistent
+        assert all(cos[i] >= cos[i + 1] - 1e-12
+                   for i in range(len(cos) - 1))
+    assert hits / 300 >= 0.9
+    # exact self-query always resolves to itself
+    idx, cos = g.search(base[123], 1)
+    assert idx[0] == 123 and cos[0] > 0.999999
+
+
+def test_ann_hnsw_sharded(ray_session):
+    import ray
+    from georay.ann import ann_topk_bruteforce, ann_topk_hnsw
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((1200, 24))
+    t = pa.table({"vec_id": pa.array(range(1200), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 5)
+    exact = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    approx = ann_topk_hnsw(ds, queries, k=5, rows_per_shard=400,
+                           ef_search=80).to_pandas()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert q in a                   # self-match survives sharding
+        hits += len(e & a)
+    assert hits / 25 >= 0.85            # sharded union ≥ per-shard recall
