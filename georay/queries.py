@@ -2353,6 +2353,46 @@ def q_iceberg_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_las_zone_join(sf_dir: str):
+    """Customer points routed through a LAS 1.2 point-cloud roundtrip
+    (georay.las — ASPRS header + fixed-size point records; the range-
+    splittable Ray source plans (start, n) units off the 227-byte
+    header).  Coordinates are written at 1e-6-degree scale (about the
+    double-precision print grid, far below the PIP decision margin for
+    the zone fixture), read back point-range-parallel, and drive the
+    same broadcast PIP join under the zone oracle."""
+    import tempfile
+
+    from .join import spatial_join_points
+    from .las import read_las_dataset, write_las
+
+    zones = _nation_zones(sf_dir)
+    pts = _customers_with_coords(sf_dir)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"x": b["lon"], "y": b["lat"],
+                         "z": pa.array(
+                             np.zeros(b.num_rows, np.float64)),
+                         "intensity": pc.cast(b["c_custkey"],
+                                              pa.int32())})
+
+    path = tempfile.mktemp(suffix=".las", prefix="georay_q_las_",
+                           dir="/tmp")
+    write_las(pts.map_batches(shape, batch_format="pyarrow"), path,
+              scale=(1e-6, 1e-6, 0.001))
+    back = read_las_dataset(path, target_points=4096)
+
+    def unshape(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": pc.cast(b["intensity"],
+                                              pa.int64()),
+                         "lon": b["x"], "lat": b["y"]})
+
+    pts2 = back.map_batches(unshape, batch_format="pyarrow")
+    return spatial_join_points(
+        pts2, zones, keep_cols=["c_custkey"],
+        payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
+
+
 def q_geojsonseq_zone_join(sf_dir: str):
     """Zone polygons through a GeoJSONSeq roundtrip with a BYTE-RANGE
     split read (13-line file read in ~3 ranges exercises the
@@ -4310,6 +4350,8 @@ QUERIES = {
     "sql_count_distinct_group": q_sql_count_distinct_group,  # rotated
     # behind by pmtiles_census: grouped count-distinct machinery is
     # shared with count_distinct_custkeys (green r3) + pinned by test_sql
+    "las_zone_join": q_las_zone_join,  # oracle-backed; rotate into
+    # the window next round (LAS roundtrip pinned by test_las now)
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
     # rotate into the window next round (in-repo parity pins it now)
     "arrow_ipc_zone_join": q_arrow_ipc_zone_join,    # oracle-backed; ditto
@@ -4806,6 +4848,9 @@ ORACLE_SQL = {
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "iceberg_zone_join": f"""
+        SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "las_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
     """,
     "geojsonseq_zone_join": f"""
