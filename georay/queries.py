@@ -2353,6 +2353,41 @@ def q_iceberg_zone_join(sf_dir: str):
         payload_cols=("n_name",)).select_columns(["c_custkey", "n_name"])
 
 
+def q_ann_hnsw(sf_dir: str):
+    """Sharded-HNSW top-5 for 8 query vectors, SELF-GATED against the
+    exact broadcast brute force (the image_neardup discipline): the
+    emitted per-query flags — self_found (rank-0 self match survived
+    sharding) and recall_ok (≥4 of the exact top-5 recovered at
+    ef_search=96) — are verified Ray-side against ann_topk_bruteforce,
+    so the driver hash checks the graph's accuracy claims, not raw
+    neighbor ids (whose ties are approximate by design).  Oracle: the
+    constant expectation table in SQL."""
+    import pyarrow.parquet as pq
+
+    from .ann import ann_topk_bruteforce, ann_topk_hnsw
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.less(emb["vec_id"], 8))
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    approx = ann_topk_hnsw(ds, queries, k=5, rows_per_shard=2048,
+                           ef_search=96).to_pandas()
+    rows = {"query_id": [], "n_results": [], "self_found": [],
+            "recall_ok": []}
+    for q in sorted(exact["query_id"].unique()):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        rows["query_id"].append(int(q))
+        rows["n_results"].append(len(a))
+        rows["self_found"].append(int(q) in a)
+        rows["recall_ok"].append(len(e & a) >= 4)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "n_results": pa.array(rows["n_results"], pa.int64()),
+        "self_found": pa.array(rows["self_found"]),
+        "recall_ok": pa.array(rows["recall_ok"]),
+    })
+
+
 def q_las_zone_join(sf_dir: str):
     """Customer points routed through a LAS 1.2 point-cloud roundtrip
     (georay.las — ASPRS header + fixed-size point records; the range-
@@ -4350,6 +4385,8 @@ QUERIES = {
     "sql_count_distinct_group": q_sql_count_distinct_group,  # rotated
     # behind by pmtiles_census: grouped count-distinct machinery is
     # shared with count_distinct_custkeys (green r3) + pinned by test_sql
+    "ann_hnsw": q_ann_hnsw,  # oracle-backed self-gate; rotate into
+    # the window next round (HNSW recall pinned by test_dedup_text_ann)
     "las_zone_join": q_las_zone_join,  # oracle-backed; rotate into
     # the window next round (LAS roundtrip pinned by test_las now)
     "geojsonseq_zone_join": q_geojsonseq_zone_join,  # oracle-backed;
@@ -4852,6 +4889,11 @@ ORACLE_SQL = {
     """,
     "las_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
+    """,
+    "ann_hnsw": """
+        SELECT vec_id AS query_id, 5 AS n_results,
+               TRUE AS self_found, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
     """,
     "geojsonseq_zone_join": f"""
         SELECT c_custkey, n_name FROM ({_zone_sql()})
