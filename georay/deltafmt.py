@@ -778,6 +778,10 @@ def optimize_delta(root: str, *, target_rows: int = 1 << 20,
     rows = ds.repartition(n_out).map_batches(
         sink, batch_format="pyarrow", batch_size=None).take_all()
     adds = [json.loads(r["action"]) for r in rows]
+    # Delta protocol: OPTIMIZE/compaction commits carry dataChange=false
+    # on BOTH sides so change-data-feed consumers skip the rewrite.
+    for a in adds:
+        a["add"]["dataChange"] = False
     actions = [{"remove": {"path": f["path"], "deletionTimestamp": now,
                            "dataChange": False}} for f in files] + adds
     version = snap["version"] + 1

@@ -123,8 +123,19 @@ def write_grib(path: str, fields, *, lat0: float, lon0: float,
         vals = a[~mask] if has_bitmap else a.ravel()
         # simple packing: X = round(v·10^D) - R0, R = R0 (E = 0)
         scaled = np.round(vals * (10.0 ** decimal_scale))
-        r0 = float(scaled.min()) if scaled.size else 0.0
-        x = (scaled - r0).astype(np.uint64) if scaled.size else \
+        # R is stored as float32 in Section 5 ('>f'): quantize the
+        # reference through float32 BEFORE computing offsets, else every
+        # decoded value shifts by r0 - float32(r0) when |min| >= 2^24.
+        # If float32 rounding lands ABOVE the true minimum, step down to
+        # the next representable float32 so X stays non-negative.
+        if scaled.size:
+            true_min = float(scaled.min())
+            r0 = float(np.float32(true_min))
+            if r0 > true_min:
+                r0 = float(np.nextafter(np.float32(r0), np.float32("-inf")))
+        else:
+            r0 = 0.0
+        x = np.round(scaled - r0).astype(np.uint64) if scaled.size else \
             np.zeros(0, np.uint64)
         span = int(x.max()) if x.size else 0
         nbits = max(span.bit_length(), 1) if span else 0

@@ -567,7 +567,9 @@ def iceberg_files(root: str, *, snapshot_id: int | None = None,
         else md.get("current-snapshot-id")
     snap = next((s for s in md.get("snapshots", [])
                  if s["snapshot-id"] == sid), None)
-    ice = md["schemas"][md.get("current-schema-id", 0)]
+    _csid = md.get("current-schema-id", 0)
+    ice = next((s for s in md["schemas"]
+                if s.get("schema-id") == _csid), md["schemas"][0])
     schema = _arrow_schema(ice)
     if snap is None:
         return {"schema": schema, "files": []}

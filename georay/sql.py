@@ -812,6 +812,13 @@ def _schema_names(t):
     return set(s.names)
 
 
+def _schema_name_list(t) -> list:
+    """Column names in SCHEMA ORDER (use where output column order
+    matters — sets reorder under str-hash randomization)."""
+    s = t.schema() if callable(getattr(t, "schema", None)) else t.schema
+    return list(s.names)
+
+
 def _schema_types(t) -> dict:
     """{column: arrow type} for a Dataset or pa.Table."""
     s = t.schema() if callable(getattr(t, "schema", None)) else t.schema
@@ -1443,7 +1450,7 @@ def _rewrite_pivot_unpivot(toks, tables):
             items = [v for k2, v in rest[3:e - 1] if k2 != "op"]
             if rest[e:]:
                 raise SqlError(f"trailing tokens in {kind}")
-            cols = list(_schema_names(tables[src]))
+            cols = _schema_name_list(tables[src])
             gen += 1
             name = f"__{kind.lower()}{gen}"
             if kind == "PIVOT":

@@ -158,10 +158,6 @@ def column_profile(ds, columns: list[str] | None = None, *,
     })
 
 
-def _rule_id(rule) -> tuple[str, str]:
-    return rule[0], rule[1]
-
-
 def check_rules(ds, rules: list[tuple]) -> pa.Table:
     """Evaluate declarative quality rules (module docstring) in one
     streaming pass (+ one distinct plan per "unique" rule); returns
@@ -196,9 +192,10 @@ def check_rules(ds, rules: list[tuple]) -> pa.Table:
         fk_refs = dict(fk_sets)
 
         def partial(batch: pa.Table) -> pa.Table:
-            names, colnames, checked, viol = [], [], [], []
-            for r in rules_simple:
+            idxs, names, colnames, checked, viol = [], [], [], [], []
+            for ridx, r in enumerate(rules_simple):
                 kind, col = r[0], r[1]
+                idxs.append(ridx)
                 c = batch[col]
                 if kind == "not_null":
                     names.append(kind)
@@ -232,6 +229,7 @@ def check_rules(ds, rules: list[tuple]) -> pa.Table:
                 viol.append(int(pc.sum(pc.cast(bad, pa.int8()))
                                 .as_py() or 0))
             return pa.table({
+                "rule_idx": pa.array(idxs, pa.int32()),
                 "rule": pa.array(names), "column": pa.array(colnames),
                 "checked": pa.array(checked, pa.int64()),
                 "violations": pa.array(viol, pa.int64())})
@@ -239,10 +237,13 @@ def check_rules(ds, rules: list[tuple]) -> pa.Table:
         parts = pa.concat_tables(list(
             ds.map_batches(partial, batch_format="pyarrow")
             .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-        agg = parts.group_by(["rule", "column"]).aggregate(
+        # key partials by rule INDEX, not (kind, column): two rules of
+        # the same kind on the same column (e.g. two in_range bounds)
+        # must not fold into one summed row.
+        agg = parts.group_by(["rule_idx"]).aggregate(
             [("checked", "sum"), ("violations", "sum")])
         simple_out = {
-            (agg["rule"][i].as_py(), agg["column"][i].as_py()):
+            agg["rule_idx"][i].as_py():
             (agg["checked_sum"][i].as_py(),
              agg["violations_sum"][i].as_py())
             for i in range(agg.num_rows)}
@@ -250,6 +251,7 @@ def check_rules(ds, rules: list[tuple]) -> pa.Table:
         simple_out = {}
 
     rows = {"rule": [], "column": [], "checked": [], "violations": []}
+    next_sidx = 0         # walks `simple` in the order it was built
     for r in rules:
         kind, col = r[0], r[1]
         if kind == "unique":
@@ -263,7 +265,8 @@ def check_rules(ds, rules: list[tuple]) -> pa.Table:
             rows["checked"].append(n)
             rows["violations"].append(n - distinct)
         else:
-            ck, vi = simple_out[(kind, col)]
+            ck, vi = simple_out[next_sidx]
+            next_sidx += 1
             rows["rule"].append(kind)
             rows["column"].append(col)
             rows["checked"].append(ck)

@@ -263,3 +263,21 @@ def test_optimize_zorder_improves_pruning(tmp_path, ray_session):
                              pc.less_equal(t["lon"], 20.0)))
     got_ids = {i for i in box["id"].to_pylist()}
     assert got_ids >= set(exact["id"].to_pylist())
+
+
+def test_optimize_adds_carry_datachange_false(tmp_path, ray_session):
+    # Delta protocol: OPTIMIZE commits mark BOTH remove and add actions
+    # dataChange=false so CDF consumers skip the rewrite (ADVICE r4).
+    root = str(tmp_path / "t")
+    for k in range(3):
+        dl.write_delta(_table(10, start=10 * k), root,
+                       mode="append" if k else "create")
+    info = dl.optimize_delta(root, target_rows=1000)
+    log = os.path.join(root, "_delta_log",
+                       f"{info['version']:020d}.json")
+    acts = [json.loads(line) for line in open(log)]
+    assert acts, "empty commit"
+    for a in acts:
+        body = a.get("add") or a.get("remove")
+        if body is not None:
+            assert body["dataChange"] is False

@@ -182,3 +182,23 @@ def test_ray_dataset_source(tmp_path, ray_session):
     for k in range(4):
         flat = np.asarray(t["data"][k].as_py())
         np.testing.assert_array_equal(flat.reshape(16, 64), fields[k])
+
+
+def test_large_magnitude_reference_float32_exact(tmp_path):
+    # R is stored float32 in Section 5: values whose scaled minimum is
+    # not float32-representable (>= 2^24) must still roundtrip exactly
+    # (ADVICE r4: quantize the reference THROUGH float32 when packing).
+    base = 2 ** 24 + 1            # not representable in float32
+    a = (base + np.arange(12.0)).reshape(3, 4)
+    p = str(tmp_path / "big.grib2")
+    grib.write_grib(p, [a], lat0=10.0, lon0=0.0, dlat=1.0, dlon=1.0)
+    back, _ = grib.read_grib_message(p)
+    np.testing.assert_array_equal(back, a)
+
+    # negative large magnitudes too (float32 rounds toward zero here,
+    # i.e. ABOVE the true min -> writer must step down one ulp)
+    b = (-base - np.arange(12.0)).reshape(3, 4)
+    p2 = str(tmp_path / "bigneg.grib2")
+    grib.write_grib(p2, [b], lat0=10.0, lon0=0.0, dlat=1.0, dlon=1.0)
+    back2, _ = grib.read_grib_message(p2)
+    np.testing.assert_array_equal(back2, b)

@@ -162,3 +162,29 @@ def test_ray_dataset_roundtrip(tmp_path, ray_session):
     assert back.column_names == ["id", "score"]
     assert back["id"].equals(t["id"])
     assert back["score"].equals(t["score"])
+
+
+def test_schema_resolved_by_schema_id_not_position(tmp_path, ray_session):
+    # ADVICE r4: schemas must resolve via the entry's schema-id field,
+    # not positional indexing — emulate externally evolved metadata
+    # where the current schema is NOT at index current-schema-id.
+    root = str(tmp_path / "t")
+    ice.write_iceberg(_ds_from(_table(10)), root)
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    p = os.path.join(mdir, f"v{v}.metadata.json")
+    md = json.load(open(p))
+    real = md["schemas"][0]
+    real["schema-id"] = 5
+    dummy = {"type": "struct", "schema-id": 0, "fields": []}
+    md["schemas"] = [dummy, real]
+    md["current-schema-id"] = 5
+    json.dump(md, open(p, "w"))
+    out = ice.iceberg_files(root)
+    assert len(out["schema"].names) == 4      # real schema, not dummy
+
+
+def _ds_from(t):
+    import ray.data as rd
+    return rd.from_arrow(t)

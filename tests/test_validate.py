@@ -78,3 +78,15 @@ def test_profile_partial_rows_bounded(ray_session):
     ds = rd.from_pandas(df).repartition(17)
     prof = column_profile(ds)
     assert prof.num_rows == 2
+
+
+def test_two_rules_same_kind_same_column(ray_session):
+    # ADVICE r4: partials are keyed by rule INDEX, so two in_range
+    # rules on the same column keep separate counts.
+    df = pd.DataFrame({"v": [0.0, 1.0, 5.0, 9.0, 20.0]})
+    out = check_rules(_ds(ray_session, df), [
+        ("in_range", "v", 0.0, 10.0),     # 1 violation (20)
+        ("in_range", "v", 2.0, 100.0),    # 2 violations (0, 1)
+    ]).to_pandas()
+    assert list(out["checked"]) == [5, 5]
+    assert list(out["violations"]) == [1, 2]
