@@ -239,6 +239,31 @@ def q_knn(sf_dir: str):
     return out.select_columns(["c_custkey", "rank", "s_suppkey"])
 
 
+def q_knn_partitioned(sf_dir: str):
+    """The SAME k=3 supplier kNN through the cell-PARTITIONED co-shuffled
+    k-ring join (georay.knn.knn_points_partitioned) — neither side
+    broadcast, the 100-TB-neighbor-side scale path (VERDICT r4 caveat 1).
+    Identical oracle as knn_customer_supplier."""
+    import ray
+    import pyarrow.parquet as pq
+    from .knn import knn_points_partitioned
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    nbr = ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk),
+        "lat": pa.array(derived_lat(sk * 7 + 3)),
+        "lon": pa.array(derived_lon(sk * 7 + 3)),
+    }))
+    pts = _customers_with_coords(sf_dir)
+    out = knn_points_partitioned(pts, nbr, k=3, qid_col="c_custkey",
+                                 nid_col="s_suppkey", res=6)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["qid"], "rank": b["rank"],
+                         "s_suppkey": b["nid"]})
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_s2_census(sf_dir: str):
     """Census per REAL S2 cell (level 8; from-scratch cube-face/Hilbert
     encoder, georay.cells.s2_cell_id) — rows-only: S2's face projection
@@ -4449,6 +4474,7 @@ QUERIES = {
     "icosa_multires": q_icosa_multires,
     "clip_zones": q_clip_zones,
     "knn_customer_supplier": q_knn,
+    "knn_partitioned": q_knn_partitioned,
     "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
@@ -5620,3 +5646,7 @@ ORACLE_SQL = {
         SELECT query_id, rank, vec_id FROM s WHERE rank < 5
     """,
 }
+
+# the partitioned kNN path answers the SAME question as the broadcast
+# one — reuse its oracle verbatim
+ORACLE_SQL["knn_partitioned"] = ORACLE_SQL["knn_customer_supplier"]

@@ -565,3 +565,68 @@ def test_pack_sequences_matches_reference(ray_session):
     # every fully-covered sequence holds exactly seq_len tokens
     per_seq = want.groupby("seq_id")["n_tok"].sum()
     assert (per_seq.iloc[:-1] == 64).all()
+
+
+def test_knn_partitioned_matches_brute_force(ray_session):
+    # co-shuffled k-ring join (neither side broadcast) — exact vs brute
+    # force, including k > per-cell density and deterministic ties
+    import ray
+    from georay.knn import knn_points_partitioned
+    qt = fx.points_table(120)
+    nbr = fx.points_table(350)
+    qds = ray.data.from_arrow(pa.table({
+        "qid": pa.array(np.arange(120, dtype=np.int64)),
+        "lat": qt["lat"], "lon": qt["lon"]}))
+    nds = ray.data.from_arrow(pa.table({
+        "nid": pa.array(np.arange(350, dtype=np.int64)),
+        "lat": nbr["lat"], "lon": nbr["lon"]}))
+    out = knn_points_partitioned(qds, nds, k=4, qid_col="qid",
+                                 nid_col="nid", res=7).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["nid"], r["dist_m"]))
+    qlat, qlon = qt["lat"].to_numpy(), qt["lon"].to_numpy()
+    nlat, nlon = nbr["lat"].to_numpy(), nbr["lon"].to_numpy()
+    nid = np.arange(350, dtype=np.int64)
+    for qi in range(120):
+        d = haversine_m(qlat[qi], qlon[qi], nlat, nlon)
+        order = np.lexsort((nid, d))[:4]
+        expect = [(rk, int(nid[j])) for rk, j in enumerate(order)]
+        assert [(rk, n) for rk, n, _ in sorted(got[qi])] == expect, qi
+    assert len(got) == 120
+
+
+def test_knn_partitioned_dateline_and_small_k_eff(ray_session):
+    import ray
+    from georay.knn import knn_points_partitioned
+    rng = np.random.RandomState(3)
+    # queries hug +179.9, nearest neighbors sit across at -179.9
+    qlat = rng.uniform(-50, 50, 25)
+    qlon = np.full(25, 179.9)
+    nlat = np.concatenate([qlat + 0.01, rng.uniform(-50, 50, 40)])
+    nlon = np.concatenate([np.full(25, -179.95), rng.uniform(-170, 170, 40)])
+    qds = ray.data.from_arrow(pa.table({
+        "qid": pa.array(np.arange(25, dtype=np.int64)),
+        "lat": pa.array(qlat), "lon": pa.array(qlon)}))
+    nds = ray.data.from_arrow(pa.table({
+        "nid": pa.array(np.arange(65, dtype=np.int64)),
+        "lat": pa.array(nlat), "lon": pa.array(nlon)}))
+    out = knn_points_partitioned(qds, nds, k=3, qid_col="qid",
+                                 nid_col="nid", res=6).take_all()
+    nid = np.arange(65, dtype=np.int64)
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["nid"]))
+    for qi in range(25):
+        d = haversine_m(qlat[qi], qlon[qi], nlat, nlon)
+        order = np.lexsort((nid, d))[:3]
+        assert [n for _, n in sorted(got[qi])] == [int(nid[j])
+                                                   for j in order], qi
+    # k >= total neighbors: returns every neighbor, exact
+    nds2 = ray.data.from_arrow(pa.table({
+        "nid": pa.array(np.arange(2, dtype=np.int64)),
+        "lat": pa.array(nlat[:2]), "lon": pa.array(nlon[:2])}))
+    out2 = knn_points_partitioned(qds, nds2, k=5, qid_col="qid",
+                                  nid_col="nid", res=6).take_all()
+    assert len(out2) == 25 * 2
