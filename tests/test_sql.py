@@ -1588,3 +1588,15 @@ def test_explain_sql():
     plan3 = explain_sql(
         "SELECT a FROM x UNION SELECT b FROM y")
     assert "SetOp [UNION]" in plan3 and "DISTINCT" in plan3
+
+
+def test_recursive_cte_row_cap(ray_session, monkeypatch):
+    # VERDICT r4 caveat 2: the driver-side working set is bounded —
+    # an exploding closure raises instead of materializing unbounded
+    from georay import sql as S
+    monkeypatch.setattr(S, "_RECURSIVE_ROW_CAP", 50)
+    with pytest.raises(S.SqlError, match="working set exceeded"):
+        _run("""
+            WITH RECURSIVE t(n) AS (
+                SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 1000
+            ) SELECT count(*) AS c FROM t""", [])
