@@ -239,6 +239,46 @@ def q_knn(sf_dir: str):
     return out.select_columns(["c_custkey", "rank", "s_suppkey"])
 
 
+def q_crs_project_lcc(sf_dir: str):
+    """Ellipsoidal Lambert conformal conic 2SP (EPSG:2154, Lambert-93)
+    through the general CRS dispatch (georay.mercator.crs_forward /
+    resolve_crs — the engine-side slice of PROJ, ogr/ogrct.cpp:2266).
+    Oracle: the same Snyder 15-1..15-11 formulas written in SQL with
+    the cone constants embedded as full-precision literals; both sides
+    round to 0.1 m (decimetre agreement across libm implementations)."""
+    pts = _customers_with_coords(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        from .mercator import crs_forward
+        x, y = crs_forward("EPSG:2154", b["lat"].to_numpy(),
+                           b["lon"].to_numpy())
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "easting": pa.array(np.round(x, 1)),
+            "northing": pa.array(np.round(y, 1))})
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
+def q_crs_project_albers(sf_dir: str):
+    """Ellipsoidal Albers equal-area conic 2SP (the EPSG:5070 CONUS
+    parameters) resolved from a PROJ STRING — exercising the
+    proj-string front-end (georay.mercator._parse_proj_string).
+    Oracle: Snyder 14-1..14-12 in SQL (constants as literals)."""
+    pts = _customers_with_coords(sf_dir)
+
+    def proj(b: pa.Table) -> pa.Table:
+        from .mercator import crs_forward
+        x, y = crs_forward(
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+            "+x_0=0 +y_0=0 +datum=WGS84", b["lat"].to_numpy(),
+            b["lon"].to_numpy())
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "easting": pa.array(np.round(x, 1)),
+            "northing": pa.array(np.round(y, 1))})
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
 def q_knn_partitioned(sf_dir: str):
     """The SAME k=3 supplier kNN through the cell-PARTITIONED co-shuffled
     k-ring join (georay.knn.knn_points_partitioned) — neither side
@@ -5650,3 +5690,66 @@ ORACLE_SQL = {
 # the partitioned kNN path answers the SAME question as the broadcast
 # one — reuse its oracle verbatim
 ORACLE_SQL["knn_partitioned"] = ORACLE_SQL["knn_customer_supplier"]
+
+# ---------------------------------------------------------------------------
+# Projected-CRS oracles: the SAME Snyder ellipsoidal formulas written in
+# ANSI SQL.  Cone constants (n, F/C, rho0) embedded as full-precision
+# float64 literals so both engines share them bit-for-bit; the per-row
+# trigonometry chains agree across libm implementations to ~1e-7 m,
+# and both sides round to 0.1 m.
+# ---------------------------------------------------------------------------
+_CRS_A = "6378137.0::DOUBLE"
+_CRS_E = "0.08181919084262149::DOUBLE"
+_CRS_E2 = "0.0066943799901413165::DOUBLE"
+# t(phi) — Snyder 15-9
+_SQL_SNYDER_T = (
+    "(tan(pi()/4.0 - radians(lat)/2.0)"
+    " / (((1.0 - {E}*sin(radians(lat))) / (1.0 + {E}*sin(radians(lat))))"
+    " ^ ({E}/2.0)))").format(E=_CRS_E)
+# q(phi) — Snyder 3-12
+_SQL_SNYDER_Q = (
+    "((1.0 - {E2}) * (sin(radians(lat)) /"
+    " (1.0 - {E2}*sin(radians(lat))*sin(radians(lat)))"
+    " - (1.0/(2.0*{E})) * ln((1.0 - {E}*sin(radians(lat)))"
+    " / (1.0 + {E}*sin(radians(lat))))))").format(E=_CRS_E, E2=_CRS_E2)
+
+ORACLE_SQL["crs_project_lcc"] = f"""
+    WITH pts AS (SELECT c_custkey,
+                        {_SQL_LON.format(k='c_custkey')} AS lon,
+                        {_SQL_LAT.format(k='c_custkey')} AS lat
+                 FROM customer),
+    k AS (SELECT 0.7256077650532538::DOUBLE AS n,
+                 1.8428979224180042::DOUBLE AS F,
+                 6055612.049823651::DOUBLE AS rho0, 3.0::DOUBLE AS lon0,
+                 700000.0::DOUBLE AS e0, 6600000.0::DOUBLE AS n0),
+    d AS (SELECT c_custkey,
+                 {_CRS_A} * k.F * ({_SQL_SNYDER_T} ^ k.n) AS rho,
+                 k.n * radians(lon - k.lon0) AS th,
+                 k.rho0 AS rho0, k.e0 AS e0, k.n0 AS n0
+          FROM pts, k)
+    SELECT c_custkey,
+           round(e0 + rho * sin(th), 1) AS easting,
+           round(n0 + rho0 - rho * cos(th), 1) AS northing
+    FROM d
+"""
+
+ORACLE_SQL["crs_project_albers"] = f"""
+    WITH pts AS (SELECT c_custkey,
+                        {_SQL_LON.format(k='c_custkey')} AS lon,
+                        {_SQL_LAT.format(k='c_custkey')} AS lat
+                 FROM customer),
+    k AS (SELECT 0.6029027690654364::DOUBLE AS n,
+                 1.3491820315709562::DOUBLE AS C,
+                 9928937.004233573::DOUBLE AS rho0, -96.0::DOUBLE AS lon0),
+    d AS (SELECT c_custkey,
+                 {_CRS_A} * sqrt(k.C - k.n * {_SQL_SNYDER_Q}) / k.n AS rho,
+                 k.n * radians(lon - k.lon0) AS th,
+                 k.rho0 AS rho0
+          FROM pts, k)
+    SELECT c_custkey,
+           round(rho * sin(th), 1) AS easting,
+           round(rho0 - rho * cos(th), 1) AS northing
+    FROM d
+"""
+QUERIES["crs_project_lcc"] = q_crs_project_lcc
+QUERIES["crs_project_albers"] = q_crs_project_albers
