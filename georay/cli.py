@@ -692,8 +692,8 @@ def gdal_grid(args: list) -> str:
     """gdal_grid -a alg[:k=v:…] [-zfield f] -txe xmin xmax
     -tye ymax ymin -outsize w h src dst  (alg/gdalgrid.cpp; library:
     rasterize.grid_invdist/nearest/average/metrics)"""
-    from .rasterize import (grid_average, grid_invdist, grid_metrics,
-                            grid_nearest)
+    from .rasterize import (grid_average, grid_invdist, grid_linear,
+                            grid_metrics, grid_nearest)
     spec = _pop_opt(args, "-a", default="invdist")
     zfield = _pop_opt(args, "-zfield", default="z")
     txe = _pop_opt(args, "-txe", 2)
@@ -728,6 +728,10 @@ def gdal_grid(args: list) -> str:
                            radius=radius, nodata=nodata)
     elif alg == "nearest":
         out = grid_nearest(px, py, pv, gt, shape)
+    elif alg == "linear":
+        out = grid_linear(px, py, pv, gt, shape,
+                          radius=float(kw.get("radius", -1.0)),
+                          nodata=nodata)
     elif alg == "average":
         out = grid_average(px, py, pv, gt, shape,
                            radius=radius or 1.0, nodata=nodata)

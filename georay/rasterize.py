@@ -16,7 +16,7 @@ from .geom import PackedPolygons
 __all__ = [
     "rasterize_polygons", "zonal_stats_image", "ZonalStats",
     "sample_at_points", "grid_invdist", "grid_nearest", "grid_average",
-    "grid_metrics",
+    "grid_metrics", "grid_linear", "delaunay_triangulate",
 ]
 
 
@@ -505,4 +505,198 @@ def _grid_metrics_indexed(px, py, pv, gt, shape, radius, metric,
         out[ok] = (np.add.reduceat(np.sqrt(d2), starts) / cnt[ok])
     else:
         raise ValueError(f"unknown grid metric {metric!r}")
+    return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# gdal_grid 'linear' (GDALGridLinear, alg/gdalgrid.cpp:2459): Delaunay
+# triangulation + barycentric interpolation; outside the convex hull the
+# value comes from the nearest point (radius != 0; radius < 0 =
+# unlimited search, radius > 0 = capped) or nodata (radius == 0) —
+# exactly the reference's fallback ladder.  The triangulation is a
+# from-scratch Bowyer-Watson (no scipy in this environment); insertion
+# is a Python loop but every circumcircle test / cavity walk inside it
+# is vectorized, and the per-task point count is bounded by the grid
+# partitioning (each Ray task grids one tile against its local points).
+# ---------------------------------------------------------------------------
+
+
+def delaunay_triangulate(px, py):
+    """Bowyer-Watson Delaunay over 2-D points → (m, 3) int32 vertex
+    index triangles (CCW).  Duplicate points are collapsed; collinear
+    input yields zero triangles."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    if n < 3:
+        return np.empty((0, 3), np.int32)
+    # collapse exact duplicates (keep first)
+    _, keep = np.unique(px + 1j * py, return_index=True)
+    keep = np.sort(keep)
+    idx_map = keep
+    x, y = px[keep], py[keep]
+    m = len(x)
+    if m < 3:
+        return np.empty((0, 3), np.int32)
+    # condition: center + scale into ~[-1, 1]
+    cx, cy = x.mean(), y.mean()
+    scale = max(x.max() - x.min(), y.max() - y.min(), 1e-300)
+    xs = (x - cx) / scale
+    ys = (y - cy) / scale
+    # super-triangle far outside the unit box
+    sx = np.array([0.0, -100.0, 100.0])
+    sy = np.array([200.0, -100.0, -100.0])
+    X = np.concatenate([xs, sx])
+    Y = np.concatenate([ys, sy])
+    s0, s1, s2 = m, m + 1, m + 2
+
+    # triangle store as parallel numpy arrays (grown geometrically)
+    cap = 4 * m + 16
+    tv = np.empty((cap, 3), np.int64)      # vertex ids
+    ccx = np.empty(cap)                    # circumcenter x
+    ccy = np.empty(cap)
+    cr2 = np.empty(cap)                    # circumradius^2 (eps-padded)
+    alive = np.zeros(cap, bool)
+    ntri = 0
+
+    def circum(a, b, c):
+        ax, ay = X[a], Y[a]
+        bx, by = X[b] - ax, Y[b] - ay
+        cx2, cy2 = X[c] - ax, Y[c] - ay
+        d = 2.0 * (bx * cy2 - by * cx2)
+        if abs(d) < 1e-30:
+            return ax, ay, np.inf
+        b2 = bx * bx + by * by
+        c2 = cx2 * cx2 + cy2 * cy2
+        ux = (cy2 * b2 - by * c2) / d
+        uy = (bx * c2 - cx2 * b2) / d
+        return ax + ux, ay + uy, ux * ux + uy * uy
+
+    def add_tri(a, b, c):
+        nonlocal ntri, cap, tv, ccx, ccy, cr2, alive
+        if ntri == cap:
+            cap *= 2
+            tv = np.resize(tv, (cap, 3))
+            ccx = np.resize(ccx, cap)
+            ccy = np.resize(ccy, cap)
+            cr2 = np.resize(cr2, cap)
+            alive = np.resize(alive, cap)
+        # orient CCW
+        if ((X[b] - X[a]) * (Y[c] - Y[a])
+                - (Y[b] - Y[a]) * (X[c] - X[a])) < 0:
+            b, c = c, b
+        tv[ntri] = (a, b, c)
+        ux, uy, r2 = circum(a, b, c)
+        ccx[ntri], ccy[ntri] = ux, uy
+        cr2[ntri] = r2 * (1.0 + 1e-12) + 1e-24
+        alive[ntri] = True
+        ntri += 1
+
+    add_tri(s0, s1, s2)
+    # insert points in a spatially-coherent order (Hilbert-ish by
+    # interleaved bits) so cavities stay local
+    order = np.argsort(np.round((xs + 1.5) * 1024).astype(np.int64)
+                       ^ (np.round((ys + 1.5) * 1024).astype(np.int64)
+                          << 20))
+    for p in order:
+        pxs, pys = X[p], Y[p]
+        a = alive[:ntri]
+        dx = ccx[:ntri] - pxs
+        dy = ccy[:ntri] - pys
+        bad = a & (dx * dx + dy * dy <= cr2[:ntri])
+        bad_idx = np.nonzero(bad)[0]
+        if bad_idx.size == 0:
+            continue                        # duplicate / degenerate
+        # cavity boundary = edges of bad triangles that appear once
+        tris = tv[bad_idx]
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                            tris[:, [2, 0]]])
+        ekey = np.minimum(e[:, 0], e[:, 1]) * (m + 3) \
+            + np.maximum(e[:, 0], e[:, 1])
+        srt = np.argsort(ekey, kind="stable")
+        ek = ekey[srt]
+        uniq_mask = np.ones(len(ek), bool)
+        dup = ek[1:] == ek[:-1]
+        uniq_mask[1:][dup] = False
+        uniq_mask[:-1][dup] = False
+        boundary = e[srt][uniq_mask]
+        alive[bad_idx] = False
+        for be in boundary:
+            add_tri(p, be[0], be[1])
+    fin = tv[:ntri][alive[:ntri]]
+    fin = fin[(fin < m).all(axis=1)]
+    return idx_map[fin].astype(np.int32)
+
+
+def grid_linear(px, py, pv, gt, shape, radius: float = -1.0,
+                nodata: float = 0.0) -> np.ndarray:
+    """gdal_grid 'linear': Delaunay barycentric interpolation with the
+    reference's outside-hull fallback (nearest within ``radius``;
+    ``radius < 0`` unlimited, ``radius == 0`` nodata)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    gx, gy = _grid_coords(gt, shape)
+    fx, fy = gx.ravel(), gy.ravel()
+    out = np.full(fx.shape, np.nan)
+    tris = delaunay_triangulate(px, py)
+    # per-triangle: candidate pixels from the bbox, barycentric test
+    if tris.size:
+        x0g, y0g = gt[0], gt[3]
+        dxg, dyg = gt[1], gt[5]
+        H, W = shape
+        for t in tris:
+            tx, ty = px[t], py[t]
+            # pixel index ranges covering the triangle bbox
+            cmin = int(np.floor((tx.min() - x0g) / dxg - 0.5))
+            cmax = int(np.ceil((tx.max() - x0g) / dxg - 0.5))
+            rr = (np.array([ty.min(), ty.max()]) - y0g) / dyg - 0.5
+            rmin, rmax = int(np.floor(rr.min())), int(np.ceil(rr.max()))
+            cmin, cmax = max(cmin, 0), min(cmax, W - 1)
+            rmin, rmax = max(rmin, 0), min(rmax, H - 1)
+            if cmin > cmax or rmin > rmax:
+                continue
+            sub = (slice(rmin, rmax + 1), slice(cmin, cmax + 1))
+            gxx = gx[sub].ravel()
+            gyy = gy[sub].ravel()
+            d = ((ty[1] - ty[2]) * (tx[0] - tx[2])
+                 + (tx[2] - tx[1]) * (ty[0] - ty[2]))
+            if d == 0:
+                continue
+            l1 = ((ty[1] - ty[2]) * (gxx - tx[2])
+                  + (tx[2] - tx[1]) * (gyy - ty[2])) / d
+            l2 = ((ty[2] - ty[0]) * (gxx - tx[2])
+                  + (tx[0] - tx[2]) * (gyy - ty[2])) / d
+            l3 = 1.0 - l1 - l2
+            eps = -1e-10
+            inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+            if not inside.any():
+                continue
+            val = l1 * pv[t[0]] + l2 * pv[t[1]] + l3 * pv[t[2]]
+            flat = (np.arange(rmin, rmax + 1)[:, None] * W
+                    + np.arange(cmin, cmax + 1)[None, :]).ravel()
+            tgt = flat[inside]
+            # only fill not-yet-assigned pixels (edge-shared pixels get
+            # the same value either way — interpolant is continuous)
+            fill = np.isnan(out[tgt])
+            out[tgt[fill]] = val[inside][fill]
+    miss = np.isnan(out)
+    if miss.any():
+        if radius == 0.0 or len(px) == 0:
+            out[miss] = nodata
+        else:
+            mx, my = fx[miss], fy[miss]
+            block = max(1, 2_000_000 // max(len(px), 1))
+            vals = np.empty(mx.shape)
+            for s in range(0, len(mx), block):
+                dx = mx[s:s + block, None] - px[None, :]
+                dy = my[s:s + block, None] - py[None, :]
+                d2 = dx * dx + dy * dy
+                j = np.argmin(d2, axis=1)
+                v = pv[j]
+                if radius > 0:
+                    v = np.where(d2[np.arange(len(j)), j]
+                                 <= radius * radius, v, nodata)
+                vals[s:s + block] = v
+            out[miss] = vals
     return out.reshape(shape)

@@ -292,6 +292,23 @@ def test_gdal_grid_cli(tmp_path):
           "-outsize", "10", "10", src, dst2])
     out2 = np.asarray(tiff_decode(open(dst2, "rb").read())[0])
     assert out2[0, 0] == -1.0 and out2[5, 1] != -1.0
+    # linear (Delaunay barycentric): points are collinear on y=5, so
+    # use a 2-D spread; plane z = x reproduced inside the hull
+    from georay.geom import wkb_point as _wp
+    xs2 = [0.0, 10.0, 0.0, 10.0, 5.0]
+    ys2 = [0.0, 0.0, 10.0, 10.0, 5.0]
+    t3 = pa.table({"z": [float(x) for x in xs2],
+                   "wkb": pa.array([_wp(x, y) for x, y in zip(xs2, ys2)],
+                                   pa.binary())})
+    src3 = str(tmp_path / "pts3.parquet")
+    pq.write_table(t3, src3)
+    dst3 = str(tmp_path / "g3.tif")
+    main(["gdal_grid", "-a", "linear:nodata=-9", "-zfield", "z",
+          "-txe", "0", "10", "-tye", "10", "0",
+          "-outsize", "10", "10", src3, dst3])
+    out3 = np.asarray(tiff_decode(open(dst3, "rb").read())[0])
+    xs_c = (np.arange(10) + 0.5)
+    np.testing.assert_allclose(out3[5], xs_c, atol=1e-4)
 
 
 def test_gdal_viewshed_footprint_cli(tmp_path):

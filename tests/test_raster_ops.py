@@ -758,3 +758,66 @@ def test_raster_to_xyz_strided_nodata():
     assert s["v"].to_pylist() == [0, 2, 8, 10]
     nd = raster_to_xyz(batch, nodata=0)
     assert nd.num_rows == 15
+
+
+def test_delaunay_empty_circumcircle_property():
+    from georay.rasterize import delaunay_triangulate
+    rng = np.random.RandomState(11)
+    px, py = rng.rand(300) * 50, rng.rand(300) * 50
+    tris = delaunay_triangulate(px, py)
+    assert len(tris) > 500          # ~2n for random points
+    for t in tris:
+        ax, ay = px[t[0]], py[t[0]]
+        bx, by = px[t[1]] - ax, py[t[1]] - ay
+        cx, cy = px[t[2]] - ax, py[t[2]] - ay
+        d = 2 * (bx * cy - by * cx)
+        b2, c2 = bx * bx + by * by, cx * cx + cy * cy
+        ux, uy = (cy * b2 - by * c2) / d, (bx * c2 - cx * b2) / d
+        r2 = ux * ux + uy * uy
+        inside = ((px - ax - ux) ** 2 + (py - ay - uy) ** 2) < r2 * (1 - 1e-9)
+        inside[list(t)] = False
+        assert not inside.any()
+
+
+def test_delaunay_degenerate_inputs():
+    from georay.rasterize import delaunay_triangulate
+    assert delaunay_triangulate([0, 1], [0, 1]).shape == (0, 3)
+    # collinear
+    assert len(delaunay_triangulate([0, 1, 2, 3], [0, 1, 2, 3])) == 0
+    # duplicates collapse
+    t = delaunay_triangulate([0, 0, 1, 0], [0, 0, 0, 1])
+    assert len(t) == 1 and set(t[0]) == {0, 2, 3}
+
+
+def test_grid_linear_plane_and_fallbacks():
+    # barycentric interpolation reproduces ANY plane exactly inside the
+    # hull (gdal_grid 'linear', GDALGridLinear alg/gdalgrid.cpp:2459)
+    from georay.rasterize import _grid_coords, grid_linear
+    rng = np.random.RandomState(5)
+    px, py = rng.rand(80) * 10, rng.rand(80) * 10
+    pv = 1.5 * px - 0.25 * py + 3.0
+    gt = (0.0, 0.25, 0.0, 10.0, 0.0, -0.25)
+    g = grid_linear(px, py, pv, gt, (40, 40), radius=0.0, nodata=np.nan)
+    gx, gy = _grid_coords(gt, (40, 40))
+    want = 1.5 * gx - 0.25 * gy + 3.0
+    m = ~np.isnan(g)
+    assert m.sum() > 1000
+    np.testing.assert_allclose(g[m], want[m], atol=1e-9)
+    # radius=0 -> nodata outside hull (corners are outside)
+    g2 = grid_linear(px, py, pv, gt, (40, 40), radius=0.0, nodata=-1.0)
+    assert (g2 == -1.0).any()
+    # radius<0 -> unlimited nearest outside hull
+    g3 = grid_linear(px, py, pv, gt, (40, 40), radius=-1.0, nodata=-1.0)
+    assert not (g3 == -1.0).any()
+    out = np.isnan(g)
+    if out.any():
+        yy, xx = np.nonzero(out)
+        fx = gt[0] + (xx + 0.5) * gt[1]
+        fy = gt[3] + (yy + 0.5) * gt[5]
+        j = np.argmin((fx[:, None] - px) ** 2 + (fy[:, None] - py) ** 2,
+                      axis=1)
+        np.testing.assert_allclose(g3[yy, xx], pv[j])
+    # radius>0 caps the nearest fallback
+    g4 = grid_linear(np.array([5.0]), np.array([5.0]), np.array([9.0]),
+                     gt, (40, 40), radius=1.0, nodata=-7.0)
+    assert g4[20, 20] == 9.0 and g4[0, 0] == -7.0
