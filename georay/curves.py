@@ -318,3 +318,166 @@ def linearize_batch(batch, wkb_col: str = "wkb",
 def _wkb_multilinestring(lines) -> bytes:
     return (struct.pack("<BII", 1, _MULTILINESTRING, len(lines))
             + b"".join(wkb_linestring(ln) for ln in lines))
+
+
+# ---------------------------------------------------------- exact areas
+# OGR's curve-native area ladder (mirrored branch-for-branch so results
+# match the reference, including its quirks):
+#   CircularString ring (ogrcircularstring.cpp:846 get_Area):
+#     full circle -> pi R^2; CONVEX (ogrcurve.cpp:311 IsConvex — note:
+#     all cross-products <= 0, i.e. CLOCKWISE convex; CCW convex rings
+#     take the linearized path, faithfully reproduced here) ->
+#     |shoelace over control points| (get_LinearArea,
+#     ogrlinestring.cpp:2979) + circular-segment areas
+#     (get_AreaOfCurveSegments, ogrcircularstring.cpp:808:
+#     0.5 R^2 |d01 - sin d01 + d12 - sin d12| per arc triple);
+#     otherwise CurveToLine at the default 4 deg step.
+#   CompoundCurve: same ladder (ogrcompoundcurve.cpp:874).
+#   CurvePolygon: exterior − sum(interiors) (ogrcurvepolygon.cpp:716).
+
+
+def _curve_params(x0, y0, x1, y1, x2, y2):
+    """OGRGeometryFactory::GetCurveParameters analog →
+    (R, cx, cy, a0, a1, a2) or None (collinear / degenerate)."""
+    if any(map(np.isnan, (x0, y0, x1, y1, x2, y2))):
+        return None
+    if x0 == x2 and y0 == y2:
+        if x0 != x1 or y0 != y1:           # full circle via 1 arc
+            cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            R = float(np.hypot(x0 - cx, y0 - cy))
+            a0 = float(np.arctan2(y0 - cy, x0 - cx))
+            return R, cx, cy, a0, a0 + np.pi, a0 + 2.0 * np.pi
+        return None
+    dx01, dy01 = x1 - x0, y1 - y0
+    dx12, dy12 = x2 - x1, y2 - y1
+    scale = max(abs(dx01), abs(dy01), abs(dx12), abs(dy12))
+    if scale == 0:
+        return None
+    inv = 1.0 / scale
+    dx01 *= inv; dy01 *= inv; dx12 *= inv; dy12 *= inv
+    det = dx01 * dy12 - dx12 * dy01
+    if abs(det) < 1.0e-8 or np.isnan(det):
+        return None
+    x01m, x12m = (x0 + x1) * inv, (x1 + x2) * inv
+    y01m, y12m = (y0 + y1) * inv, (y1 + y2) * inv
+    c01 = dx01 * x01m + dy01 * y01m
+    c12 = dx12 * x12m + dy12 * y12m
+    cx = 0.5 * scale * (c01 * dy12 - c12 * dy01) / det
+    cy = 0.5 * scale * (-c01 * dx12 + c12 * dx01) / det
+    a0 = float(np.arctan2((y0 - cy) * inv, (x0 - cx) * inv))
+    a1 = float(np.arctan2((y1 - cy) * inv, (x1 - cx) * inv))
+    a2 = float(np.arctan2((y2 - cy) * inv, (x2 - cx) * inv))
+    R = float(np.hypot(cx - x0, cy - y0))
+    if det < 0:
+        if a1 > a0:
+            a1 -= 2.0 * np.pi
+        if a2 > a1:
+            a2 -= 2.0 * np.pi
+    else:
+        if a1 < a0:
+            a1 += 2.0 * np.pi
+        if a2 < a1:
+            a2 += 2.0 * np.pi
+    return R, cx, cy, a0, a1, a2
+
+
+def _segments_area(curve) -> float:
+    """get_AreaOfCurveSegments: circular-segment areas of all arcs."""
+    kind, data = curve
+    if kind == "line":
+        return 0.0
+    if kind == "compound":
+        return sum(_segments_area(seg) for seg in data)
+    pts = np.asarray(data, float)
+    area = 0.0
+    for i in range(0, len(pts) - 2, 2):
+        prm = _curve_params(pts[i, 0], pts[i, 1], pts[i + 1, 0],
+                            pts[i + 1, 1], pts[i + 2, 0], pts[i + 2, 1])
+        if prm is None:
+            continue
+        R, _, _, a0, a1, a2 = prm
+        d01, d12 = a1 - a0, a2 - a1
+        area += 0.5 * R * R * abs(d01 - np.sin(d01) + d12 - np.sin(d12))
+    return area
+
+
+def _all_points(curve) -> np.ndarray:
+    """Raw control-point sequence (OGRPointIterator order)."""
+    kind, data = curve
+    if kind in ("line", "arcs"):
+        return np.asarray(data, float)
+    parts = []
+    for i, seg in enumerate(data):
+        p = _all_points(seg)
+        parts.append(p if i == 0 else p[1:])
+    return np.vstack(parts) if parts else np.empty((0, 2))
+
+
+def _linear_area_abs(pts) -> float:
+    """|shoelace| / 2 over the raw points (get_LinearArea)."""
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _is_convex(pts) -> bool:
+    """OGRCurve::IsConvex: every consecutive cross-product <= 0."""
+    if len(pts) < 3:
+        return True
+    d = np.diff(pts, axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool((cross <= 0).all())
+
+
+def _ring_area(curve, max_step_deg: float = 4.0) -> float:
+    """OGRCurve::get_Area of one (closed) ring — the reference ladder."""
+    kind, data = curve
+    pts = _all_points(curve)
+    if len(pts) < 2 or not (pts[0] == pts[-1]).all():
+        return 0.0
+    if kind == "line":
+        return _linear_area_abs(pts)
+    if kind == "arcs":
+        n = len(pts)
+        if n == 3:                          # full circle via 1 arc
+            cx, cy = (pts[0] + pts[1]) / 2.0
+            return float(np.pi * ((pts[1, 0] - cx) ** 2
+                                  + (pts[1, 1] - cy) ** 2))
+        if n == 5:                          # full circle via 2 arcs
+            p1 = _curve_params(*pts[0], *pts[1], *pts[2])
+            p2 = _curve_params(*pts[2], *pts[3], *pts[4])
+            if (p1 is not None and p2 is not None
+                    and abs(p1[0] - p2[0]) < 1e-10
+                    and abs(p1[1] - p2[1]) < 1e-10
+                    and abs(p1[2] - p2[2]) < 1e-10
+                    and (p1[5] - p1[3]) * (p2[5] - p2[3]) > 0):
+                return float(np.pi * p1[0] * p1[0])
+    if _is_convex(pts):
+        return _linear_area_abs(pts) + _segments_area(curve)
+    lin = _linearize_curve(curve, max_step_deg)
+    return _linear_area_abs(lin)
+
+
+def curve_areas(wkb_list, max_step_deg: float = 4.0) -> np.ndarray:
+    """Exact curve-native area per feature — ``OGRCurvePolygon::
+    get_Area`` over curve/surface WKB (exterior − interiors, summed over
+    multi-surfaces; closed standalone curves measure like rings)."""
+    out = np.zeros(len(wkb_list))
+    for i, b in enumerate(wkb_list):
+        if b is None:
+            continue
+        kind, payload = parse_curve_wkb(bytes(b))
+        if kind == "lines":
+            out[i] = sum(_ring_area(c, max_step_deg) for c in payload)
+        else:
+            tot = 0.0
+            for rings in payload:
+                if not rings:
+                    continue
+                a = _ring_area(rings[0], max_step_deg)
+                for r in rings[1:]:
+                    a -= _ring_area(r, max_step_deg)
+                tot += a
+            out[i] = tot
+    return out

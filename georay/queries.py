@@ -2136,7 +2136,7 @@ def q_curve_measures(sf_dir: str):
     ceil(30.0±ε) boundary), so the stroked ring is a regular 99-gon and
     the oracle is closed-form: area (99/2)r²sin(2π/99), perimeter
     2·99·r·sin(π/99).  round(6) both sides."""
-    from .curves import curve_lengths, linearize_batch
+    from .curves import curve_areas, curve_lengths, linearize_batch
     from .measures import measures_batch
 
     def build(batch: pa.Table) -> pa.Table:
@@ -2145,7 +2145,10 @@ def q_curve_measures(sf_dir: str):
         u3 = ((k * 69069 + 12345) % 4294967296) / 4294967296.0
         r = 0.1 + u3 * 0.4
         cx, cy = derived_lon(k), derived_lat(k)
-        ang7 = np.pi / 3.0 * np.arange(7)       # 0,60,...,360 degrees
+        # CLOCKWISE ring: OGR's IsConvex (ogrcurve.cpp:311) only takes
+        # the arc-exact area path for cross-products <= 0, i.e. CW
+        # convex rings — build CW so curve_areas hits the exact ladder
+        ang7 = -np.pi / 3.0 * np.arange(7)      # 0,-60,...,-360 degrees
         co7, si7 = np.cos(ang7), np.sin(ang7)
         co7[6], si7[6] = 1.0, 0.0               # exact ring closure
         wkbs = [wkb_curvepolygon([wkb_circularstring(
@@ -2154,12 +2157,14 @@ def q_curve_measures(sf_dir: str):
         t = pa.table({"c_custkey": pa.array(k),
                       "wkb": pa.array(wkbs, pa.binary())})
         exact_len = np.round(curve_lengths(t["wkb"].to_pylist()), 6)
+        exact_area = np.round(curve_areas(t["wkb"].to_pylist()), 6)
         t = linearize_batch(t, max_step_deg=3.7)
         out = measures_batch(t, "wkb", round_to=6).drop_columns(["wkb"])
         keep = ["c_custkey", "st_area", "st_length", "st_cx", "st_cy",
                 "hull_npoints"]
         out = out.select(keep)
-        return out.append_column("curve_len", pa.array(exact_len))
+        out = out.append_column("curve_len", pa.array(exact_len))
+        return out.append_column("curve_area", pa.array(exact_area))
 
     return _rp(sf_dir, "customer", ["c_custkey"]).map_batches(
         build, batch_format="pyarrow")
@@ -5456,7 +5461,8 @@ ORACLE_SQL = {
                round(cx, 6) AS st_cx,
                round(cy, 6) AS st_cy,
                cast(99 AS bigint) AS hull_npoints,
-               round(2.0 * pi() * r, 6) AS curve_len
+               round(2.0 * pi() * r, 6) AS curve_len,
+               round(pi() * r * r, 6) AS curve_area
         FROM g
     """,
     "geom_measures": f"""

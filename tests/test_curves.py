@@ -145,3 +145,46 @@ def test_st_length_mixed_types_in_expr():
          wkb_polygon([box_ring(0, 0, 1, 1)])], pa.binary())})
     v = _eval(_Parser(_tokenize("st_length(wkb)")).parse(), t)
     assert v.to_pylist() == pytest.approx([7.0, 4.0])
+
+
+def test_curve_area_exact_ladder():
+    # OGR's curve-native area ladder (ogrcircularstring.cpp:846):
+    # full circles, CW-convex exact path, CCW linearized quirk
+    import numpy as np
+    from georay.curves import (curve_areas, wkb_circularstring,
+                               wkb_compoundcurve, wkb_curvepolygon,
+                               wkb_linestring)
+    r = 2.0
+    # full circle via 2 arcs (5 points) — exact pi r^2
+    ang = np.pi / 2.0 * np.arange(5)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+    pts[4] = pts[0]
+    w = wkb_curvepolygon([wkb_circularstring(pts)])
+    assert abs(curve_areas([w])[0] - np.pi * r * r) < 1e-12
+    # full circle via 1 arc (3 points, p0 == p2)
+    w1 = wkb_curvepolygon([wkb_circularstring(
+        np.array([[-r, 0.0], [r, 0.0], [-r, 0.0]]))])
+    assert abs(curve_areas([w1])[0] - np.pi * r * r) < 1e-12
+    # CW semicircle (arc + closing line in a CompoundCurve): pi/2
+    arc = wkb_circularstring(np.array([[-1.0, 0.0], [0.0, 1.0],
+                                       [1.0, 0.0]]))
+    line = wkb_linestring(np.array([[1.0, 0.0], [-1.0, 0.0]]))
+    w2 = wkb_curvepolygon([wkb_compoundcurve([arc, line])])
+    assert abs(curve_areas([w2])[0] - np.pi / 2.0) < 1e-12
+    # CW 3-arc circle (hexagon control points): exact via convex path
+    ang7 = -np.pi / 3.0 * np.arange(7)
+    p7 = np.stack([r * np.cos(ang7), r * np.sin(ang7)], axis=1)
+    p7[6] = p7[0]
+    w3 = wkb_curvepolygon([wkb_circularstring(p7)])
+    assert abs(curve_areas([w3])[0] - np.pi * r * r) < 1e-12
+    # CCW orientation takes the reference's LINEARIZED path (IsConvex
+    # quirk): area is the stroked polygon's, strictly below pi r^2
+    p7c = p7[::-1].copy()
+    w4 = wkb_curvepolygon([wkb_circularstring(p7c)])
+    a4 = curve_areas([w4])[0]
+    assert a4 < np.pi * r * r and a4 > 0.99 * np.pi * r * r
+    # hole subtraction: circle r=2 minus circle r=1
+    hole = wkb_circularstring(
+        np.array([[-1.0, 0.0], [1.0, 0.0], [-1.0, 0.0]]))
+    w5 = wkb_curvepolygon([wkb_circularstring(pts), hole])
+    assert abs(curve_areas([w5])[0] - np.pi * (r * r - 1.0)) < 1e-12
