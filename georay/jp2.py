@@ -486,6 +486,142 @@ def dwt53_inverse(ll: np.ndarray, details) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Irreversible 9/7 DWT — Annex F.4.8 lifting (CDF 9/7), float64, same
+# whole-sample symmetric extension as the 5/3 path.  Scaling chosen so
+# the analysis lowpass has DC gain 1 and the highpass Nyquist gain 2
+# (verified numerically at build time: unnormalized lifting gives DC
+# gain K and Nyquist 2/K), matching the R_b = depth + gain convention
+# the quantizer signalling (Annex E) assumes.
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _nbr_odd(ev, no):
+    """ev[i] + ev[i+1] per odd slot (right edge reflects)."""
+    ne = ev.shape[-1]
+    er = (np.concatenate([ev[..., 1:], ev[..., -1:]], axis=-1)
+          if ne == no else ev[..., 1:])
+    return ev[..., :no] + er
+
+
+def _nbr_even(d, ne):
+    """d[i-1] + d[i] per even slot (left edge reflects)."""
+    no = d.shape[-1]
+    dl = np.concatenate([d[..., :1], d[..., :ne - 1]], axis=-1)
+    dr = d[..., :ne] if no >= ne else np.concatenate([d, d[..., -1:]],
+                                                     axis=-1)
+    return dl + dr
+
+
+def _fwd97_1d(x: np.ndarray):
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(np.float64, copy=True), \
+            x[..., :0].astype(np.float64)
+    ev = x[..., 0::2].astype(np.float64)
+    od = x[..., 1::2].astype(np.float64)
+    ne, no = ev.shape[-1], od.shape[-1]
+    od = od + _A97 * _nbr_odd(ev, no)
+    ev = ev + _B97 * _nbr_even(od, ne)
+    od = od + _G97 * _nbr_odd(ev, no)
+    ev = ev + _D97 * _nbr_even(od, ne)
+    return ev * (1.0 / _K97), od * _K97
+
+
+def _inv97_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    ne, no = s.shape[-1], d.shape[-1]
+    n = ne + no
+    if n == 1:
+        return s.astype(np.float64, copy=True)
+    ev = s.astype(np.float64) * _K97
+    od = d.astype(np.float64) * (1.0 / _K97)
+    ev = ev - _D97 * _nbr_even(od, ne)
+    od = od - _G97 * _nbr_odd(ev, no)
+    ev = ev - _B97 * _nbr_even(od, ne)
+    od = od - _A97 * _nbr_odd(ev, no)
+    out = np.empty(s.shape[:-1] + (n,), np.float64)
+    out[..., 0::2] = ev
+    out[..., 1::2] = od
+    return out
+
+
+def _fwd97_2d(a: np.ndarray):
+    lo, hi = _fwd97_1d(a)
+    ll, lh = _fwd97_1d(np.swapaxes(lo, -1, -2))
+    hl, hh = _fwd97_1d(np.swapaxes(hi, -1, -2))
+    return (np.swapaxes(ll, -1, -2), np.swapaxes(hl, -1, -2),
+            np.swapaxes(lh, -1, -2), np.swapaxes(hh, -1, -2))
+
+
+def _inv97_2d(ll, hl, lh, hh):
+    lo = np.swapaxes(_inv97_1d(np.swapaxes(ll, -1, -2),
+                               np.swapaxes(lh, -1, -2)), -1, -2)
+    hi = np.swapaxes(_inv97_1d(np.swapaxes(hl, -1, -2),
+                               np.swapaxes(hh, -1, -2)), -1, -2)
+    return _inv97_1d(lo, hi)
+
+
+def dwt97_forward(a: np.ndarray, levels: int):
+    ll = a.astype(np.float64)
+    details = []
+    for _ in range(levels):
+        ll, hl, lh, hh = _fwd97_2d(ll)
+        details.append((hl, lh, hh))
+    return ll, details
+
+
+def dwt97_inverse(ll: np.ndarray, details) -> np.ndarray:
+    ll = ll.astype(np.float64)
+    for (hl, lh, hh) in reversed(details):
+        ll = _inv97_2d(ll, hl, lh, hh)
+    return ll
+
+
+# Irreversible color transform — G.3 (floating YCbCr).
+
+
+def ict_forward(r, g, b):
+    r = r.astype(np.float64)
+    g = g.astype(np.float64)
+    b = b.astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def ict_inverse(y, cb, cr):
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64)
+    cr = cr.astype(np.float64)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+# Scalar-expounded quantization — Annex E: step for subband b is
+# delta_b = 2^(R_b - eps) * (1 + mu / 2^11) with R_b = depth + gain
+# (gain 0/1/1/2 for LL/HL/LH/HH).  The encoder picks one absolute step
+# and signals the nearest representable (eps, mu) per subband.
+
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _quant_params(delta: float, r_b: int):
+    """absolute step -> (eps, mu, representable step)."""
+    e2 = int(np.floor(np.log2(delta)))
+    eps = max(0, min(31, r_b - e2))
+    mant = delta / (2.0 ** (r_b - eps)) - 1.0
+    mu = max(0, min(2047, int(round(mant * 2048.0))))
+    return eps, mu, (2.0 ** (r_b - eps)) * (1.0 + mu / 2048.0)
+
+
+# ---------------------------------------------------------------------------
 # Reversible color transform — G.2 (exact integer, inverse is lossless).
 
 
@@ -926,9 +1062,14 @@ def _encode_component(comp: np.ndarray, levels: int):
 
 
 def j2k_encode(arr: np.ndarray, levels: int | None = None,
-               cb: int = 64) -> bytes:
-    """Encode a (h, w) or (h, w, 3) uint8/uint16 array as a lossless
-    Part-1 codestream (single tile/layer/precinct, LRCP)."""
+               cb: int = 64, reversible: bool = True,
+               step: float = 1.0) -> bytes:
+    """Encode a (h, w) or (h, w, 3) uint8/uint16 array as a Part-1
+    codestream (single tile/layer/precinct, LRCP).  ``reversible=True``
+    = 5/3 + RCT lossless; ``reversible=False`` = the 9/7 irreversible
+    transform + ICT with scalar-expounded quantization at absolute base
+    step ``step`` (sample units; 1.0 ~ visually lossless for 8-bit,
+    PSNR drops ~6 dB per doubling) — frmts/openjpeg/ parity surface."""
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
@@ -944,33 +1085,78 @@ def j2k_encode(arr: np.ndarray, levels: int | None = None,
     h, w, nc = arr.shape
     if levels is None:
         levels = max(0, min(5, min(h, w).bit_length() - 3))
-    # DC level shift + optional RCT
-    shifted = arr.astype(np.int32) - (1 << (depth - 1))
-    use_rct = nc == 3
-    if use_rct:
-        y, u, v = rct_forward(shifted[..., 0], shifted[..., 1],
-                              shifted[..., 2])
-        comps = [y, u, v]
-    else:
-        comps = [shifted[..., 0]]
-    per_comp = [_encode_component(c, levels) for c in comps]
+    # DC level shift + color transform (RCT exact / ICT float)
+    use_mct = nc == 3
     geometry = _band_geometry(h, w, levels)
-
-    # exact per-subband exponents (max over components), guard = 2
-    guard = 2
     n_sb = 3 * levels + 1
-    eps = [1] * n_sb
-    sbno = 0
-    for r, bands in geometry:
-        for bi, (_bname, _bh, _bw) in enumerate(bands):
-            mx = 0
-            for pc in per_comp:
-                a = pc[r][bi][1]
-                if a.size:
-                    mx = max(mx, int(np.abs(a).max()))
-            eps[sbno] = max(1, min(31, mx.bit_length()))
-            sbno += 1
-    mb = [guard + e - 1 for e in eps]
+    if reversible:
+        shifted = arr.astype(np.int32) - (1 << (depth - 1))
+        if use_mct:
+            y, u, v = rct_forward(shifted[..., 0], shifted[..., 1],
+                                  shifted[..., 2])
+            comps = [y, u, v]
+        else:
+            comps = [shifted[..., 0]]
+        per_comp = [_encode_component(c, levels) for c in comps]
+
+        # exact per-subband exponents (max over components), guard = 2
+        guard = 2
+        eps = [1] * n_sb
+        sbno = 0
+        for r, bands in geometry:
+            for bi, (_bname, _bh, _bw) in enumerate(bands):
+                mx = 0
+                for pc in per_comp:
+                    a = pc[r][bi][1]
+                    if a.size:
+                        mx = max(mx, int(np.abs(a).max()))
+                eps[sbno] = max(1, min(31, mx.bit_length()))
+                sbno += 1
+        mb = [guard + e - 1 for e in eps]
+        mus = None
+    else:
+        shifted = arr.astype(np.float64) - (1 << (depth - 1))
+        if use_mct:
+            comps = list(ict_forward(shifted[..., 0], shifted[..., 1],
+                                     shifted[..., 2]))
+        else:
+            comps = [shifted[..., 0]]
+        per_f = []
+        for c in comps:
+            ll, details = dwt97_forward(c, levels)
+            res = [[("LL", ll)]]
+            for r in range(1, levels + 1):
+                hl, lh, hh = details[levels - r]
+                res.append([("HL", hl), ("LH", lh), ("HH", hh)])
+            per_f.append(res)
+        guard = 3                    # extra headroom: 9/7 overshoots
+        eps = [0] * n_sb
+        mus = [0] * n_sb
+        deltas = [1.0] * n_sb
+        sbno = 0
+        for r, bands in geometry:
+            for bi, (bname, _bh, _bw) in enumerate(bands):
+                r_b = depth + _BAND_GAIN[bname]
+                e, mu, dq = _quant_params(step, r_b)
+                eps[sbno], mus[sbno], deltas[sbno] = e, mu, dq
+                sbno += 1
+        mb = [guard + e - 1 for e in eps]
+        # quantize to int32 (sign-magnitude deadzone, saturate to Mb)
+        per_comp = []
+        for pf in per_f:
+            by_res = []
+            sbno = 0
+            for r, bands in geometry:
+                row = []
+                for bi, (bname, _bh, _bw) in enumerate(bands):
+                    a = pf[r][bi][1]
+                    q = np.sign(a) * np.minimum(
+                        np.floor(np.abs(a) / deltas[sbno]),
+                        (1 << mb[sbno]) - 1)
+                    row.append((bname, q.astype(np.int32)))
+                    sbno += 1
+                by_res.append(row)
+            per_comp.append(by_res)
 
     # tier-1 encode every code-block
     # coded[c][r] = list over bands of list over blocks of
@@ -1043,13 +1229,18 @@ def j2k_encode(arr: np.ndarray, levels: int | None = None,
     for _ in comps:
         siz += struct.pack(">BBB", depth - 1, 1, 1)
     out += b"\xff\x51" + siz
-    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, 1 if use_rct else 0,
+    cod = struct.pack(">HBBHBBBBBB", 12, 0, 0, 1, 1 if use_mct else 0,
                       levels, cb.bit_length() - 3, cb.bit_length() - 3,
-                      0, 1)
+                      0, 1 if reversible else 0)
     out += b"\xff\x52" + cod
-    qcd = struct.pack(">HB", 3 + n_sb, (guard << 5) | 0)
-    for e in eps:
-        qcd += struct.pack(">B", e << 3)
+    if reversible:
+        qcd = struct.pack(">HB", 3 + n_sb, (guard << 5) | 0)
+        for e in eps:
+            qcd += struct.pack(">B", e << 3)
+    else:                            # scalar expounded (Sqcd = 2)
+        qcd = struct.pack(">HB", 3 + 2 * n_sb, (guard << 5) | 2)
+        for e, mu in zip(eps, mus):
+            qcd += struct.pack(">H", (e << 11) | mu)
     out += b"\xff\x5c" + qcd
     psot = 12 + 2 + len(packets)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
@@ -1069,7 +1260,8 @@ def j2k_decode(data: bytes) -> np.ndarray:
     w = h = nc = depth = None
     levels = cb = None
     use_mct = False
-    guard, eps = 2, []
+    reversible = True
+    guard, eps, mus = 2, [], None
     while True:
         marker = data[pos:pos + 2]
         pos += 2
@@ -1089,14 +1281,22 @@ def j2k_decode(data: bytes) -> np.ndarray:
             use_mct = mct == 1
             levels = seg[5]
             cb = 1 << (seg[6] + 2)
-            if seg[9] != 1:
-                raise NotImplementedError("only the 5/3 transform")
+            if seg[9] not in (0, 1):
+                raise NotImplementedError("unknown wavelet transform")
+            reversible = seg[9] == 1
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
             guard = sqcd >> 5
-            if sqcd & 0x1F:
-                raise NotImplementedError("only reversible (no-quant) QCD")
-            eps = [b >> 3 for b in seg[1:]]
+            qstyle = sqcd & 0x1F
+            if qstyle == 0:          # no quantization (reversible)
+                eps = [b >> 3 for b in seg[1:]]
+                mus = None
+            elif qstyle == 2:        # scalar expounded (irreversible)
+                vals = struct.unpack(f">{(len(seg) - 1) // 2}H", seg[1:])
+                eps = [v >> 11 for v in vals]
+                mus = [v & 0x7FF for v in vals]
+            else:
+                raise NotImplementedError("scalar-derived QCD")
         pos += ln
     geometry = _band_geometry(h, w, levels)
     mb = [guard + e - 1 for e in eps]
@@ -1151,7 +1351,24 @@ def j2k_decode(data: bytes) -> np.ndarray:
                     arr[y0:y0 + rh, x0:x0 + rw] = blk
                 pos += ln
 
-    # inverse DWT per component
+    # dequantize (irreversible) + inverse DWT per component
+    if not reversible:
+        geometry_flat = []
+        for r, bands in geometry:
+            for (bname, _bh, _bw) in bands:
+                geometry_flat.append((r, bname))
+        deltas = {}
+        for sbno, (r, bname) in enumerate(geometry_flat):
+            r_b = depth + _BAND_GAIN[bname]
+            deltas[(r, bname)] = (2.0 ** (r_b - eps[sbno])
+                                  * (1.0 + (mus[sbno] if mus else 0)
+                                     / 2048.0))
+        for c in range(nc):
+            for key, q in comps[c].items():
+                d = deltas[key]
+                comps[c][key] = np.where(
+                    q == 0, 0.0,
+                    np.sign(q) * (np.abs(q) + 0.5) * d)
     planes = []
     for c in range(nc):
         ll = comps[c][(0, "LL")]
@@ -1159,14 +1376,23 @@ def j2k_decode(data: bytes) -> np.ndarray:
         for r in range(1, levels + 1):
             details.append((comps[c][(r, "HL")], comps[c][(r, "LH")],
                             comps[c][(r, "HH")]))
-        details.reverse()  # stage 1 (finest) first, as dwt53_forward emits
-        planes.append(dwt53_inverse(ll, details))
+        details.reverse()  # stage 1 (finest) first, as forward emits
+        planes.append(dwt53_inverse(ll, details) if reversible
+                      else dwt97_inverse(ll, details))
     if use_mct and nc == 3:
-        r_, g_, b_ = rct_inverse(planes[0], planes[1], planes[2])
+        if reversible:
+            r_, g_, b_ = rct_inverse(planes[0], planes[1], planes[2])
+        else:
+            r_, g_, b_ = ict_inverse(planes[0], planes[1], planes[2])
         planes = [r_, g_, b_]
     shift = 1 << (depth - 1)
     dt = np.uint8 if depth <= 8 else np.uint16
-    out = np.stack([(p + shift).astype(dt) for p in planes], axis=-1)
+    lim = (1 << depth) - 1
+    if reversible:
+        out = np.stack([(p + shift).astype(dt) for p in planes], axis=-1)
+    else:
+        out = np.stack([np.clip(np.round(p + shift), 0, lim).astype(dt)
+                        for p in planes], axis=-1)
     return out[..., 0] if nc == 1 else out
 
 
@@ -1182,8 +1408,10 @@ _JP2_SIG = bytes([0, 0, 0, 12]) + b"jP  " + bytes([0x0D, 0x0A, 0x87, 0x0A])
 
 
 def jp2_encode(arr: np.ndarray, levels: int | None = None,
-               cb: int = 64) -> bytes:
-    code = j2k_encode(arr, levels=levels, cb=cb)
+               cb: int = 64, reversible: bool = True,
+               step: float = 1.0) -> bytes:
+    code = j2k_encode(arr, levels=levels, cb=cb, reversible=reversible,
+                      step=step)
     nc = 1 if arr.ndim == 2 else arr.shape[2]
     depth = 8 if arr.dtype == np.uint8 else 16
     h, w = arr.shape[:2]

@@ -846,8 +846,11 @@ def q_jp2_images(sf_dir: str):
     """Distributed JPEG 2000 transcode (rows-only: pixel codecs have no
     SQL analog): decode the image table in an actor pool, re-encode as a
     LOSSLESS Part-1 JP2 (georay.jp2 — reversible 5/3 + RCT + EBCOT/MQ,
-    all from scratch), decode back and require bit-exact pixels; emits
-    per-image (checksum, jp2_bytes)."""
+    all from scratch), decode back and require bit-exact pixels; ALSO
+    re-encode IRREVERSIBLE (9/7 + ICT + scalar-expounded quantization,
+    Annex F.4.8/E) and self-gate PSNR >= 40 dB — the satellite-imagery
+    lossy-JP2 parity surface (frmts/openjpeg analog).  Emits per-image
+    (checksum, jp2_bytes, jp2_lossy_bytes, lossy_psnr_ok)."""
     import ray
 
     from .decode import DecodeImages
@@ -864,7 +867,7 @@ def q_jp2_images(sf_dir: str):
             self._checksum = gdal_checksum
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, sums, sizes = [], [], []
+            ids, sums, sizes, lsizes, lok = [], [], [], [], []
             ws = batch["w"].to_numpy()
             hs = batch["h"].to_numpy()
             pix = batch["pixels"].to_pylist()
@@ -875,12 +878,23 @@ def q_jp2_images(sf_dir: str):
                 back = self._dec(data)
                 if not np.array_equal(back, arr):
                     raise ValueError(f"jp2 roundtrip mismatch: {pid}")
+                lossy = self._enc(arr, reversible=False, step=1.0)
+                lback = self._dec(lossy)
+                mse = float(np.mean((lback.astype(np.float64)
+                                     - arr.astype(np.float64)) ** 2))
+                psnr = (10.0 * np.log10(255.0 ** 2 / mse)
+                        if mse > 0 else np.inf)
                 ids.append(pid)
                 sums.append(int(self._checksum(back[:, :, 1])))
                 sizes.append(len(data))
+                lsizes.append(len(lossy))
+                lok.append(bool(psnr >= 40.0))
             return pa.table({"image_id": pa.array(ids),
                              "checksum": pa.array(sums, pa.int64()),
-                             "jp2_bytes": pa.array(sizes, pa.int64())})
+                             "jp2_bytes": pa.array(sizes, pa.int64()),
+                             "jp2_lossy_bytes": pa.array(lsizes,
+                                                         pa.int64()),
+                             "lossy_psnr_ok": pa.array(lok)})
 
     # 1-in-16 sample of the <=64 px rows: EBCOT tier-1 is a per-sample
     # Python state machine (documented floor, like the JPEG/WebP
@@ -901,7 +915,8 @@ def q_jp2_images(sf_dir: str):
             .map_batches(Jp2Transcode, batch_format="pyarrow",
                          concurrency=default_concurrency(),
                          batch_size=32)
-            .select_columns(["image_id", "checksum", "jp2_bytes"]))
+            .select_columns(["image_id", "checksum", "jp2_bytes",
+                             "jp2_lossy_bytes", "lossy_psnr_ok"]))
 
 
 def q_flagship_join_images(sf_dir: str):

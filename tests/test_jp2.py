@@ -9,6 +9,8 @@ counts, marker layout), (c) MQ coder fuzz round-trips."""
 import numpy as np
 import pytest
 
+from georay import jp2
+
 from georay.jp2 import (BioReader, BioWriter, MQDecoder, MQEncoder,
                         TagTree, _DecTagTree, _band_geometry, _fwd53_1d,
                         _inv53_1d, dwt53_forward, dwt53_inverse,
@@ -205,3 +207,67 @@ def test_codecs_dispatch():
     a = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
     for fmt in ("jp2", "j2k"):
         assert np.array_equal(decode_image(encode_image(a, fmt), fmt), a)
+
+
+def test_irreversible_97_psnr_gate():
+    # 9/7 + ICT + scalar-expounded quantization (Annex F.4.8 / E / G.3):
+    # PSNR >= 40 dB at the default step, monotone rate-distortion
+    rng = np.random.RandomState(7)
+    x = np.linspace(0, 1, 96)
+    img = (np.outer(np.sin(x * 6), np.cos(x * 5)) * 100 + 120)
+    rgb = np.stack([img, img / 2 + 30, 255 - img],
+                   axis=-1).astype(np.uint8)
+    sizes, psnrs = [], []
+    for step in (0.25, 1.0, 4.0):
+        code = jp2.j2k_encode(rgb, reversible=False, step=step)
+        back = jp2.j2k_decode(code)
+        mse = np.mean((back.astype(float) - rgb.astype(float)) ** 2)
+        sizes.append(len(code))
+        psnrs.append(10 * np.log10(255 ** 2 / mse))
+    assert psnrs[1] >= 40.0
+    assert psnrs[0] > psnrs[1] > psnrs[2]
+    assert sizes[0] > sizes[1] > sizes[2]
+    # lossy beats lossless on size at moderate quality
+    assert sizes[1] < len(jp2.j2k_encode(rgb, reversible=True))
+
+
+def test_irreversible_marker_fields():
+    g = (np.add.outer(np.arange(32), np.arange(32)) % 256).astype(np.uint8)
+    code = jp2.j2k_encode(g, reversible=False, step=1.0)
+    # COD transform byte = 0 (9/7), QCD Sqcd style = 2 (expounded)
+    pos = 2
+    seen = {}
+    while pos < len(code) - 2:
+        marker = code[pos:pos + 2]
+        pos += 2
+        if marker == b"\xff\x93":
+            break
+        ln = int.from_bytes(code[pos:pos + 2], "big")
+        seen[marker] = code[pos + 2:pos + ln]
+        pos += ln
+    assert seen[b"\xff\x52"][9] == 0
+    assert seen[b"\xff\x5c"][0] & 0x1F == 2
+    back = jp2.j2k_decode(code)
+    assert back.shape == g.shape
+
+
+def test_irreversible_gray_odd_and_uint16():
+    g = (np.add.outer(np.arange(61), np.arange(47)) % 251).astype(np.uint8)
+    back = jp2.j2k_decode(jp2.j2k_encode(g, reversible=False, step=0.5))
+    assert back.shape == g.shape
+    mse = np.mean((back.astype(float) - g.astype(float)) ** 2)
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-12)) >= 40
+    rng = np.random.RandomState(2)
+    u16 = (rng.rand(40, 40) * 60000).astype(np.uint16)
+    back = jp2.j2k_decode(jp2.j2k_encode(u16, reversible=False, step=2.0))
+    mse = np.mean((back.astype(float) - u16.astype(float)) ** 2)
+    assert 10 * np.log10(65535 ** 2 / mse) >= 40
+
+
+def test_dwt97_perfect_reconstruction():
+    rng = np.random.RandomState(0)
+    for shape, lv in [((64, 64), 3), ((37, 53), 3), ((33, 32), 2)]:
+        a = rng.rand(*shape) * 255
+        ll, det = jp2.dwt97_forward(a, lv)
+        back = jp2.dwt97_inverse(ll, det)
+        assert np.abs(back - a).max() < 1e-9
