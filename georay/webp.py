@@ -983,3 +983,83 @@ def _decode_image_stream(br: _BitReader, w: int, h: int,
             px[i] = cache[s - 280]
             i += 1
     return px
+
+
+# ---------------------------------------------------------------------------
+# Lossy (VP8) + extended (VP8X) STRUCTURAL support.
+#
+# Full VP8 intra-frame decode needs RFC 6386's default coefficient
+# probability / quantizer lookup tables (~2,200 constants).  This
+# sandbox has no network and no libwebp/RFC copy to transcribe them
+# from; a from-memory reconstruction could not be validated against a
+# single real file and would silently mis-decode, so the pixel path
+# stays honestly gated.  What IS implemented — against the public
+# container/bitstream layout (RFC 6386 §9.1 uncompressed frame header,
+# which carries everything needed without the boolean decoder) — is
+# structural parsing: dimensions, frame type, version, scaling,
+# partition size, plus VP8X extended-container walking (ALPH, EXIF,
+# ICCP chunks).  That covers the gdalinfo-level metadata surface for
+# real-world lossy corpora (frmts/webp/webpdataset.cpp GetGeoTransform/
+# RasterIO-free open path).
+# ---------------------------------------------------------------------------
+
+
+def webp_info(data: bytes) -> dict:
+    """Container + frame-header metadata for ANY WebP flavor (lossless
+    VP8L, lossy VP8, extended VP8X) without decoding pixels."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    out = {"chunks": []}
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        tag = data[pos:pos + 4].decode("latin1")
+        sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + sz]
+        out["chunks"].append(tag)
+        if tag == "VP8L" and "codec" not in out:
+            out["codec"] = "VP8L"
+            if body[:1] != b"\x2f":
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack("<I", body[1:5])[0]
+            out["w"] = (bits & 0x3FFF) + 1
+            out["h"] = ((bits >> 14) & 0x3FFF) + 1
+            out["has_alpha"] = bool((bits >> 28) & 1)
+        elif tag == "VP8 " and "codec" not in out:
+            out["codec"] = "VP8"
+            # RFC 6386 9.1: 3-byte frame tag (LE):
+            #   bit 0 key-frame flag (0 = key), bits 1-3 version,
+            #   bit 4 show_frame, bits 5-23 first-partition size
+            tagv = body[0] | (body[1] << 8) | (body[2] << 16)
+            out["key_frame"] = (tagv & 1) == 0
+            out["vp8_version"] = (tagv >> 1) & 7
+            out["show_frame"] = bool((tagv >> 4) & 1)
+            out["first_partition_bytes"] = tagv >> 5
+            if out["key_frame"]:
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("bad VP8 key-frame start code")
+                wv = struct.unpack("<H", body[6:8])[0]
+                hv = struct.unpack("<H", body[8:10])[0]
+                out["w"] = wv & 0x3FFF
+                out["h"] = hv & 0x3FFF
+                out["h_scale"] = wv >> 14
+                out["v_scale"] = hv >> 14
+        elif tag == "VP8X":
+            flags = body[0]
+            out["has_icc"] = bool(flags & 0x20)
+            out["has_alpha"] = bool(flags & 0x10)
+            out["has_exif"] = bool(flags & 0x08)
+            out["has_xmp"] = bool(flags & 0x04)
+            out["has_animation"] = bool(flags & 0x02)
+            out["w"] = (body[4] | (body[5] << 8)
+                        | (body[6] << 16)) + 1
+            out["h"] = (body[7] | (body[8] << 8)
+                        | (body[9] << 16)) + 1
+        elif tag == "EXIF":
+            out["exif_bytes"] = sz
+        elif tag == "ALPH":
+            out["alpha_bytes"] = sz
+        pos += 8 + sz + (sz & 1)       # chunks are 2-byte aligned
+    if "codec" not in out:
+        out["codec"] = "VP8X" if "VP8X" in out["chunks"] else None
+    return out

@@ -313,3 +313,30 @@ def test_write_images_parquet_idempotent(tmp_path):
     fx.write_images_parquet(p, 10, rows_per_file=4)  # no-op second time
     tbl = pq.read_table(p)
     assert tbl.num_rows == 10
+
+
+def test_webp_info_structural():
+    # container metadata for lossless AND lossy flavors without decode
+    import struct
+    from georay.webp import webp_encode, webp_info
+    img = (np.arange(24 * 24 * 3).reshape(24, 24, 3) % 255).astype(np.uint8)
+    info = webp_info(webp_encode(img))
+    assert info["codec"] == "VP8L" and (info["w"], info["h"]) == (24, 24)
+    # hand-built lossy VP8 key-frame header (RFC 6386 9.1 layout)
+    part = b"\x00" * 10
+    tagv = (1 << 1) | (1 << 4) | (len(part) << 5)
+    vp8 = bytes([tagv & 0xFF, (tagv >> 8) & 0xFF, (tagv >> 16) & 0xFF])
+    vp8 += b"\x9d\x01\x2a" + struct.pack("<HH", 320 | (1 << 14), 240)
+    vp8 += part
+    chunk = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    info = webp_info(riff)
+    assert info["codec"] == "VP8" and info["key_frame"]
+    assert (info["w"], info["h"]) == (320, 240)
+    assert info["first_partition_bytes"] == 10
+    # VP8X extended container
+    vp8x = bytes([0x10, 0, 0, 0]) + bytes([99, 0, 0]) + bytes([49, 0, 0])
+    chunk2 = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    riff2 = b"RIFF" + struct.pack("<I", 4 + len(chunk2)) + b"WEBP" + chunk2
+    info2 = webp_info(riff2)
+    assert info2["has_alpha"] and (info2["w"], info2["h"]) == (100, 50)
