@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "image_exif",          # APP1/Exif IFD extraction from real bytes
     "doc_perplexity",      # char-trigram LM train + broadcast score
     "doc_pack_sequences",  # distributed prefix-sum sequence packing
+    "knn_partitioned",     # co-shuffled k-ring kNN (no broadcast side)
+    "crs_project_lcc",     # ellipsoidal LCC via the CRS dispatch
 ]
 
 # queries whose short multi-stage shapes swing multi-× with host noise on
