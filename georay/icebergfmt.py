@@ -569,7 +569,11 @@ def iceberg_files(root: str, *, snapshot_id: int | None = None,
                  if s["snapshot-id"] == sid), None)
     _csid = md.get("current-schema-id", 0)
     ice = next((s for s in md["schemas"]
-                if s.get("schema-id") == _csid), md["schemas"][0])
+                if s.get("schema-id") == _csid), None)
+    if ice is None:
+        raise ValueError(
+            f"iceberg metadata inconsistent: current-schema-id {_csid} "
+            "matches no entry in 'schemas'")
     schema = _arrow_schema(ice)
     if snap is None:
         return {"schema": schema, "files": []}

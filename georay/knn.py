@@ -376,7 +376,10 @@ def _disk_replicas(batch: pa.Table, res: int, qid_col: str) -> pa.Table:
         lons.append(np.repeat(lon[idx], m))      # TRUE lon for distances
         rs.append(np.repeat(r[idx], m))
         home = np.zeros((len(idx), m), dtype=np.int8)
-        home[:, 0] = 1                           # k_ring[0] = center cell
+        # mark ONE designated survival replica per query (column 0 is
+        # an arbitrary disk cell, NOT necessarily the center — the flag
+        # only guarantees the query survives an empty-disk round)
+        home[:, 0] = 1
         homes.append(home.ravel())
 
     for rr in np.unique(r):
@@ -557,14 +560,8 @@ def _merge_topk(group: pa.Table, k: int, k_eff: int, res: int) -> pa.Table:
     cm = ~covm
     qv, nv, dv = qid[cm], nid[cm], dist[cm]
     if qv.size:
-        o = np.lexsort((nv, dv, qv))
-        qv, nv, dv = qv[o], nv[o], dv[o]
-        first = np.concatenate([[True], (qv[1:] != qv[:-1])
-                                | (nv[1:] != nv[:-1])])
-        # scanning in (qid, dist) order → first occurrence = min dist…
-        # but lexsort above is (qid, dist, nid); dedup on (qid, nid)
-        # must keep min dist: re-sort by (qid, nid, dist), take first,
-        # then re-rank by (qid, dist, nid)
+        # dedup on (qid, nid) keeping min dist: sort by (qid, nid,
+        # dist), take first per pair, then re-rank by (qid, dist, nid)
         o2 = np.lexsort((dv, nv, qv))
         q2, n2, d2 = qv[o2], nv[o2], dv[o2]
         f2 = np.concatenate([[True], (q2[1:] != q2[:-1])
@@ -590,9 +587,11 @@ def _merge_topk(group: pa.Table, k: int, k_eff: int, res: int) -> pa.Table:
         at_k = rank == kk - 1
         kth[np.searchsorted(uq, qs[at_k])] = ds[at_k]
     band = np.abs(np.radians(u_lat)) + kth / _EARTH_MEAN_R
-    polar = band >= np.radians(89.9)
+    polar = ~(band < np.radians(89.9))      # catches inf/nan too
     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
-        D = kth / np.cos(np.minimum(band, np.radians(89.89)))
+        # exact cos(band) below the cutoff — an under-clamp here would
+        # shrink the safe radius and break exactness near the cutoff
+        D = kth / np.cos(np.where(polar, 0.0, band))
         r_star = np.ceil((D + 2 * R) / (1.5 * R))
     r_star = np.where(np.isfinite(r_star), r_star, np.int64(1) << 40)
     have_k = ncand >= kk

@@ -1017,8 +1017,12 @@ def webp_info(data: bytes) -> dict:
         sz = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + sz]
         out["chunks"].append(tag)
+        if len(body) < sz:
+            raise ValueError("truncated WebP chunk " + tag)
         if tag == "VP8L" and "codec" not in out:
             out["codec"] = "VP8L"
+            if len(body) < 5:
+                raise ValueError("truncated VP8L header")
             if body[:1] != b"\x2f":
                 raise ValueError("bad VP8L signature")
             bits = struct.unpack("<I", body[1:5])[0]
@@ -1027,6 +1031,8 @@ def webp_info(data: bytes) -> dict:
             out["has_alpha"] = bool((bits >> 28) & 1)
         elif tag == "VP8 " and "codec" not in out:
             out["codec"] = "VP8"
+            if len(body) < 3:
+                raise ValueError("truncated VP8 frame tag")
             # RFC 6386 9.1: 3-byte frame tag (LE):
             #   bit 0 key-frame flag (0 = key), bits 1-3 version,
             #   bit 4 show_frame, bits 5-23 first-partition size
@@ -1036,6 +1042,8 @@ def webp_info(data: bytes) -> dict:
             out["show_frame"] = bool((tagv >> 4) & 1)
             out["first_partition_bytes"] = tagv >> 5
             if out["key_frame"]:
+                if len(body) < 10:
+                    raise ValueError("truncated VP8 key-frame header")
                 if body[3:6] != b"\x9d\x01\x2a":
                     raise ValueError("bad VP8 key-frame start code")
                 wv = struct.unpack("<H", body[6:8])[0]
@@ -1045,6 +1053,8 @@ def webp_info(data: bytes) -> dict:
                 out["h_scale"] = wv >> 14
                 out["v_scale"] = hv >> 14
         elif tag == "VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X header")
             flags = body[0]
             out["has_icc"] = bool(flags & 0x20)
             out["has_alpha"] = bool(flags & 0x10)

@@ -340,3 +340,19 @@ def test_webp_info_structural():
     riff2 = b"RIFF" + struct.pack("<I", 4 + len(chunk2)) + b"WEBP" + chunk2
     info2 = webp_info(riff2)
     assert info2["has_alpha"] and (info2["w"], info2["h"]) == (100, 50)
+
+
+def test_webp_info_truncated_raises_valueerror():
+    import struct
+    import pytest
+    from georay.webp import webp_info
+    # VP8 chunk declaring 3 bytes but file ends after 1
+    chunk = b"VP8 " + struct.pack("<I", 3) + b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError):
+        webp_info(riff)
+    # empty VP8X body
+    chunk2 = b"VP8X" + struct.pack("<I", 0)
+    riff2 = b"RIFF" + struct.pack("<I", 4 + len(chunk2)) + b"WEBP" + chunk2
+    with pytest.raises(ValueError):
+        webp_info(riff2)
