@@ -279,6 +279,53 @@ def q_crs_project_albers(sf_dir: str):
     return pts.map_batches(proj, batch_format="pyarrow")
 
 
+def q_grid_linear_plane(sf_dir: str):
+    """gdal_grid 'linear' (Delaunay + barycentric, GDALGridLinear
+    alg/gdalgrid.cpp:2459) with a CLOSED-FORM oracle: customer points +
+    4 far corners all sampled from the plane v = 1.5 lon - 0.25 lat + 3;
+    barycentric interpolation reproduces a plane EXACTLY through any
+    triangulation, so every pixel of the 100x100 grid equals the plane
+    at its center.  Scale shape: triangulate ONCE driver-side (model
+    build), broadcast (points, values, triangles) via ray.put, each Ray
+    task interpolates one row band."""
+    import ray
+    from .rasterize import delaunay_triangulate, grid_linear
+
+    pts = _customers_with_coords(sf_dir)
+    t = pa.concat_tables(list(pts.iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")))
+    px = np.concatenate([t["lon"].to_numpy(),
+                         [-400.0, 400.0, -400.0, 400.0]])
+    py = np.concatenate([t["lat"].to_numpy(),
+                         [-200.0, -200.0, 200.0, 200.0]])
+    pv = 1.5 * px - 0.25 * py + 3.0
+    tris = delaunay_triangulate(px, py)
+    ref = ray.put((px, py, pv, tris))
+    H = W = 100
+    gt0 = (-180.0, 3.6, 0.0, 85.0, 0.0, -1.7)
+    bands = ray.data.from_arrow(pa.table(
+        {"band": pa.array(np.arange(10, dtype=np.int64))}))
+
+    def one_band(batch: pa.Table) -> pa.Table:
+        bpx, bpy, bpv, btris = ray.get(ref)
+        rows, cols, vals = [], [], []
+        for b in batch["band"].to_numpy():
+            r0 = int(b) * 10
+            gt = (gt0[0], gt0[1], 0.0, gt0[3] + r0 * gt0[5], 0.0, gt0[5])
+            g = grid_linear(bpx, bpy, bpv, gt, (10, W), tris=btris)
+            rr, cc = np.meshgrid(np.arange(r0, r0 + 10),
+                                 np.arange(W), indexing="ij")
+            rows.append(rr.ravel())
+            cols.append(cc.ravel())
+            vals.append(np.round(g.ravel(), 6))
+        return pa.table({"r": pa.array(np.concatenate(rows)),
+                         "c": pa.array(np.concatenate(cols)),
+                         "v": pa.array(np.concatenate(vals))})
+
+    return bands.map_batches(one_band, batch_format="pyarrow",
+                             batch_size=1)
+
+
 def q_knn_partitioned(sf_dir: str):
     """The SAME k=3 supplier kNN through the cell-PARTITIONED co-shuffled
     k-ring join (georay.knn.knn_points_partitioned) — neither side
@@ -4535,6 +4582,7 @@ QUERIES = {
     "clip_zones": q_clip_zones,
     "knn_customer_supplier": q_knn,
     "knn_partitioned": q_knn_partitioned,
+    "grid_linear_plane": q_grid_linear_plane,
     "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
@@ -5774,3 +5822,12 @@ ORACLE_SQL["crs_project_albers"] = f"""
 """
 QUERIES["crs_project_lcc"] = q_crs_project_lcc
 QUERIES["crs_project_albers"] = q_crs_project_albers
+
+# gdal_grid linear plane oracle: pixel centers of the fixed 100x100 grid
+ORACLE_SQL["grid_linear_plane"] = """
+    SELECT r, c,
+           round(1.5 * (-180.0::DOUBLE + (c + 0.5) * 3.6)
+                 - 0.25 * (85.0::DOUBLE - (r + 0.5) * 1.7) + 3.0, 6) AS v
+    FROM (SELECT generate_series AS r FROM generate_series(0, 99)),
+         (SELECT generate_series AS c FROM generate_series(0, 99))
+"""

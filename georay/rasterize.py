@@ -629,17 +629,21 @@ def delaunay_triangulate(px, py):
 
 
 def grid_linear(px, py, pv, gt, shape, radius: float = -1.0,
-                nodata: float = 0.0) -> np.ndarray:
+                nodata: float = 0.0, tris=None) -> np.ndarray:
     """gdal_grid 'linear': Delaunay barycentric interpolation with the
     reference's outside-hull fallback (nearest within ``radius``;
-    ``radius < 0`` unlimited, ``radius == 0`` nodata)."""
+    ``radius < 0`` unlimited, ``radius == 0`` nodata).  Pass ``tris``
+    (from :func:`delaunay_triangulate`) to reuse one triangulation
+    across many tiles — the distributed shape: triangulate ONCE,
+    broadcast (points, values, triangles), interpolate per tile."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     pv = np.asarray(pv, dtype=np.float64)
     gx, gy = _grid_coords(gt, shape)
     fx, fy = gx.ravel(), gy.ravel()
     out = np.full(fx.shape, np.nan)
-    tris = delaunay_triangulate(px, py)
+    if tris is None:
+        tris = delaunay_triangulate(px, py)
     # per-triangle: candidate pixels from the bbox, barycentric test
     if tris.size:
         x0g, y0g = gt[0], gt[3]
