@@ -630,3 +630,95 @@ def test_knn_partitioned_dateline_and_small_k_eff(ray_session):
     out2 = knn_points_partitioned(qds, nds2, k=5, qid_col="qid",
                                   nid_col="nid", res=6).take_all()
     assert len(out2) == 25 * 2
+
+
+def test_knn_partitioned_kernels_randomized_pure():
+    # Drive the partitioned-kNN kernels through the round loop WITHOUT
+    # Ray (pandas groupby stands in for the shuffles) on randomized
+    # configs including polar and dateline clusters — exact vs brute
+    # force every time.  Catches safe-radius / coverage / coarsening
+    # regressions cheaply.
+    import pandas as pd
+    from georay.cells import hex_cell
+    from georay.knn import _cell_candidates, _disk_replicas, _merge_topk
+
+    def run_rounds(qlat, qlon, nlat, nlon, k, res, max_ring=64):
+        nq, nn = len(qlat), len(nlat)
+        k_eff = nn
+        active = pa.table({
+            "qid": pa.array(np.arange(nq, dtype=np.int64)),
+            "lat": pa.array(qlat), "lon": pa.array(qlon),
+            "r": pa.array(np.full(nq, 2, np.int64))})
+        res_cur = res
+        got = {}
+        for _ in range(14):
+            reps = _disk_replicas(active, res_cur, "qid")
+            nc = np.asarray(hex_cell(nlat, nlon, res_cur))
+            nt = pa.table({
+                "cell": pa.array(nc),
+                "side": pa.array(np.ones(nn, np.int8)),
+                "id": pa.array(np.arange(nn, dtype=np.int64)),
+                "lat": pa.array(nlat), "lon": pa.array(nlon),
+                "r": pa.array(np.zeros(nn, np.int64)),
+                "home": pa.array(np.zeros(nn, np.int8))})
+            un = pa.concat_tables([reps, nt]).to_pandas()
+            # one bucket == one vectorized kernel call (cell bucketing
+            # only splits work; a single call is the same math)
+            cands = _cell_candidates(
+                pa.Table.from_pandas(un, preserve_index=False), k)
+            merged = []
+            for _qb, g in cands.to_pandas().groupby(
+                    cands.to_pandas()["qid"] % 4):
+                merged.append(_merge_topk(
+                    pa.Table.from_pandas(g, preserve_index=False),
+                    k, k_eff, res_cur))
+            mt = pa.concat_tables(merged).to_pandas()
+            done = mt[mt["done"] & (mt["rank"] >= 0)]
+            for qid, g in done.groupby("qid"):
+                got[qid] = [int(n) for _, n in sorted(
+                    zip(g["rank"], g["nid"]))]
+            pend = mt[(~mt["done"]) & (mt["rank"] <= 0)]
+            if not len(pend):
+                break
+            mx = int(pend["r_next"].max())
+            if mx > 64 and res_cur > 0:
+                step = min(max(1, int(np.ceil(np.log2(mx / 32)))), res_cur)
+                res_cur -= step
+                rn = np.ceil(pend["r_next"].to_numpy() / (1 << step)) + 2
+                active = pa.table({
+                    "qid": pa.array(pend["qid"].to_numpy()),
+                    "lat": pa.array(pend["lat"].to_numpy()),
+                    "lon": pa.array(pend["lon"].to_numpy()),
+                    "r": pa.array(rn.astype(np.int64))})
+            else:
+                active = pa.table({
+                    "qid": pa.array(pend["qid"].to_numpy()),
+                    "lat": pa.array(pend["lat"].to_numpy()),
+                    "lon": pa.array(pend["lon"].to_numpy()),
+                    "r": pa.array(pend["r_next"].to_numpy()
+                                  .astype(np.int64))})
+        else:
+            raise AssertionError("did not converge")
+        return got
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        nq, nn, k = 40, 120, 3
+        qlat = rng.uniform(-85, 85, nq)
+        qlon = rng.uniform(-180, 180, nq)
+        nlat = rng.uniform(-85, 85, nn)
+        nlon = rng.uniform(-180, 180, nn)
+        if seed % 3 == 0:       # polar cluster
+            qlat[:8] = rng.uniform(87.0, 89.5, 8)
+            nlat[:5] = rng.uniform(86.0, 89.8, 5)
+        if seed % 3 == 1:       # dateline cluster
+            qlon[:8] = 179.95
+            nlon[:8] = -179.95
+            nlat[:8] = qlat[:8] + 0.01
+        got = run_rounds(qlat, qlon, nlat, nlon, k, res=6)
+        assert len(got) == nq, f"seed {seed}: lost queries"
+        nid = np.arange(nn, dtype=np.int64)
+        for qi in range(nq):
+            d = haversine_m(qlat[qi], qlon[qi], nlat, nlon)
+            order = np.lexsort((nid, d))[:k]
+            assert got[qi] == [int(j) for j in order], (seed, qi)
