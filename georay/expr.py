@@ -606,12 +606,15 @@ def _geom_fn(which):
             return pa.array(m.buffer_areas(_wkb_packed(args[0], batch),
                                            float(d[1])))
         _n_args(f"ST_{which.upper()}", args, 1)
-        if which in ("length_any", "geodesic_length", "geodesic_area"):
+        if which in ("length_any", "area_any", "geodesic_length",
+                     "geodesic_area"):
             col = _eval(args[0], batch)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             if which == "length_any":
                 return pa.array(m.lengths_any_wkb(col.to_pylist()))
+            if which == "area_any":
+                return pa.array(m.areas_any_wkb(col.to_pylist()))
             from . import geodesic as gd
             fn = (gd.geodesic_lengths_wkb if which == "geodesic_length"
                   else gd.geodesic_areas_wkb)
@@ -756,7 +759,9 @@ _FUNCS = {
     "DATE_TRUNC": _fn_date_trunc,
     "STRFTIME": _fn_strftime,
     "JSON_EXTRACT_STRING": _fn_json_extract_string,
-    "ST_AREA": _geom_fn("area"),
+    # ST_AREA dispatches across linear AND curve families (GDAL's
+    # OGR_G_Area == get_Area on any geometry, arc-exact for curves)
+    "ST_AREA": _geom_fn("area_any"),
     "ST_PERIMETER": _geom_fn("perimeter"),
     "ST_LENGTH": _geom_fn("length_any"),
     "ST_CENTROID_X": _geom_fn("centroid_x"),

@@ -388,6 +388,38 @@ def lengths_any_wkb(wkb_list) -> np.ndarray:
     return out
 
 
+def areas_any_wkb(wkb_list) -> np.ndarray:
+    """``get_Area`` across geometry families: linear polygon types
+    (WKB 3/6) through the packed-ring shoelace kernel; curve/surface
+    types (10/12/15/16/17 and closed curves 8/9) through the arc-exact
+    OGR ladder (curves.curve_areas — full-circle / convex chord+segment
+    / linearize fallback, ogrcircularstring.cpp:846).  Mixed-type
+    columns dispatch per row on the WKB type word."""
+    import struct as _struct
+
+    from .geom import _wkb_type_dims
+
+    poly_idx, curve_idx = [], []
+    for i, b in enumerate(wkb_list):
+        if b is None:
+            continue
+        bb = bytes(b[:9])
+        if len(bb) < 5:
+            continue
+        (raw,) = _struct.unpack_from("<I" if bb[0] == 1 else ">I", bb, 1)
+        base, _ = _wkb_type_dims(raw)
+        (poly_idx if base in (3, 6) else curve_idx).append(i)
+    out = np.zeros(len(wkb_list))
+    if poly_idx:
+        packed = pack_rings([wkb_list[i] for i in poly_idx])
+        out[np.asarray(poly_idx)] = feature_areas(packed)
+    if curve_idx:
+        from .curves import curve_areas
+        out[np.asarray(curve_idx)] = curve_areas(
+            [wkb_list[i] for i in curve_idx])
+    return out
+
+
 def measures_batch(batch: pa.Table, wkb_col: str = "wkb",
                    buffer_dist: float | None = None,
                    round_to: int | None = None) -> pa.Table:

@@ -157,3 +157,20 @@ def test_st_spatial_predicates():
     # literal coordinates work too
     f3 = compile_filter("ST_CONTAINS_XY(wkb, 0.1, 0.1)")
     assert f3(t).to_pylist() == [True, True, False, True, True]
+
+
+def test_st_area_curve_aware():
+    # ST_AREA dispatches curve WKB to the arc-exact ladder (OGR_G_Area)
+    import numpy as np
+    from georay.curves import wkb_circularstring, wkb_curvepolygon
+    from georay.geom import box_ring, wkb_polygon
+    from georay.expr import _Parser, _eval, _tokenize
+    r = 2.0
+    circle = wkb_curvepolygon([wkb_circularstring(
+        np.array([[-r, 0.0], [r, 0.0], [-r, 0.0]]))])
+    square = wkb_polygon([box_ring(0.0, 0.0, 2.0, 3.0)])
+    t = pa.table({"wkb": pa.array([circle, square], pa.binary())})
+    ast = _Parser(_tokenize("ST_AREA(wkb)")).parse()
+    vals = _eval(ast, t).to_pylist()
+    assert abs(vals[0] - np.pi * r * r) < 1e-12
+    assert abs(vals[1] - 6.0) < 1e-12
