@@ -4396,16 +4396,19 @@ QUERIES = {
 # LLM-data ops).  Long-green utility queries sit BEHIND the window —
 # each already has a green CORRECTNESS_r{1,2,3} row.  New queries added
 # this round must be inserted INSIDE the window (displacing an anchor).
-    "overlay_identity": q_overlay_identity,
-    "overlay_update": q_overlay_update,
+    # -- new this round (r5): partitioned kNN, projected-CRS oracles,
+    # Delaunay linear gridding; curve_measures (below) re-windows with
+    # its new arc-exact curve_area column --
+    "knn_partitioned": q_knn_partitioned,
+    "crs_project_lcc": q_crs_project_lcc,
+    "crs_project_albers": q_crs_project_albers,
+    "grid_linear_plane": q_grid_linear_plane,
     "zonal_stats_rect": q_zonal_stats_rect,
     "dem_hillshade_plane": q_dem_hillshade_plane,
     "sql_window_frame": q_sql_window_frame,
     "sql_in_subquery": q_sql_in_subquery,
     "sql_scalar_corr": q_sql_scalar_corr,
     "hilbert_sort": q_hilbert_sort,
-    "sliding_windows": q_sliding_windows,
-    "sessions": q_sessions,
     "overlay_intersection": q_overlay_intersection,
     "quantity_stats": q_quantity_stats,
     "asof_join": q_asof_join,
@@ -4454,6 +4457,11 @@ QUERIES = {
     # every round.
     "flagship_join_images": q_flagship_join_images,
     # ---- end of driver window (50 entries above this line) ----
+    # rotated behind in r5 (green r4 rows, untouched this round):
+    "overlay_identity": q_overlay_identity,
+    "overlay_update": q_overlay_update,
+    "sliding_windows": q_sliding_windows,
+    "sessions": q_sessions,
     "osm_nodes_census": q_osm_nodes_census,  # rotated behind by
     # data_quality: the protobuf wire + DenseNodes decode is pinned
     # byte-level by test_osmpbf and the sf0.01 local gate
@@ -4581,8 +4589,6 @@ QUERIES = {
     "icosa_multires": q_icosa_multires,
     "clip_zones": q_clip_zones,
     "knn_customer_supplier": q_knn,
-    "knn_partitioned": q_knn_partitioned,
-    "grid_linear_plane": q_grid_linear_plane,
     "doc_dedup": q_doc_dedup,
     # Everything below was driver-verified green (or rows-only-green) in
     # a prior round; rotate into the window in a later round if needed.
@@ -5820,8 +5826,6 @@ ORACLE_SQL["crs_project_albers"] = f"""
            round(rho0 - rho * cos(th), 1) AS northing
     FROM d
 """
-QUERIES["crs_project_lcc"] = q_crs_project_lcc
-QUERIES["crs_project_albers"] = q_crs_project_albers
 
 # gdal_grid linear plane oracle: pixel centers of the fixed 100x100 grid
 ORACLE_SQL["grid_linear_plane"] = """
