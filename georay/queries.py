@@ -4394,8 +4394,10 @@ QUERIES = {
 # (b) then rows-only queries never run, (c) then the re-check of the
 # one r3 FAIL, (d) then headline anchors (north-rule image pipeline +
 # LLM-data ops).  Long-green utility queries sit BEHIND the window —
-# each already has a green CORRECTNESS_r{1,2,3} row.  New queries added
-# this round must be inserted INSIDE the window (displacing an anchor).
+# each already has a green CORRECTNESS_r{1..4} row.  New queries added
+# each round must be inserted INSIDE the window (displacing an anchor
+# whose green row is already on record — r5: overlay_identity/update,
+# sliding_windows, sessions rotated behind on their r4 rows).
     # -- new this round (r5): partitioned kNN, projected-CRS oracles,
     # Delaunay linear gridding; curve_measures (below) re-windows with
     # its new arc-exact curve_area column --
