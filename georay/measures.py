@@ -40,6 +40,7 @@ from .overlay import polygon_boolean
 
 __all__ = [
     "pack_rings",
+    "areas_any_wkb",
     "ring_signed_areas",
     "feature_areas",
     "feature_lengths",

@@ -277,3 +277,17 @@ def test_lineref_batch_stage():
     df = out.to_pandas()
     assert df[df.line_id == 1].measure.tolist() == [0.0, 5.0]
     assert df[df.line_id == 2].measure.tolist() == [0.0, 5.0, 10.0]
+
+
+def test_areas_any_wkb_mixed_column():
+    # per-row type-word dispatch: polygon + curve + None in one column
+    from georay.curves import wkb_circularstring, wkb_curvepolygon
+    from georay.geom import box_ring, wkb_polygon
+    from georay.measures import areas_any_wkb
+    circle = wkb_curvepolygon([wkb_circularstring(
+        np.array([[-2.0, 0.0], [2.0, 0.0], [-2.0, 0.0]]))])
+    square = wkb_polygon([box_ring(0.0, 0.0, 2.0, 3.0)])
+    out = areas_any_wkb([square, None, circle])
+    assert abs(out[0] - 6.0) < 1e-12
+    assert out[1] == 0.0
+    assert abs(out[2] - np.pi * 4.0) < 1e-12
